@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Engine: realtime_spark/ — see SURVEY.md §2 for the operator inventory each
+query key maps to.
 """
 
 from __future__ import annotations
@@ -12,27 +14,675 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from realtime_spark.operators.cdc import (
+    expand_wildcards,
+    match_changes,
+    matched_pairs,
+    subscriptions_df,
+)
+from realtime_spark.sources.testdata import ORDERS_CHANGES_SQL_CTE, changes_from_orders
+
+# ---------------------------------------------------------------------------
+# CDC filter matrix (SURVEY §2.2 P1/P2/P3/P5, §2.3 J1): one case per operator,
+# mirroring the reference's postgres_changes_test.exs:407-559 matrix.
+# Spark side runs the REAL engine path: parse filter string -> broadcast-join
+# subscription dim -> generic JVM filter interpreter. Oracle side is the
+# hand-written expected predicate over the same derived change set.
+# ---------------------------------------------------------------------------
+
+# name -> (filter string, oracle WHERE clause, action_filter)
+_FILTER_CASES: dict[str, tuple[str, str, str]] = {
+    "cdc_filter_eq": ("o_orderstatus=eq.F", "o_orderstatus = 'F'", "*"),
+    "cdc_filter_neq": ("o_orderstatus=neq.O", "o_orderstatus <> 'O'", "*"),
+    "cdc_filter_lt": ("o_totalprice=lt.50000", "o_totalprice < 50000", "*"),
+    "cdc_filter_lte": ("o_totalprice=lte.50000", "o_totalprice <= 50000", "*"),
+    "cdc_filter_gt": ("o_totalprice=gt.200000", "o_totalprice > 200000", "*"),
+    "cdc_filter_gte": ("o_totalprice=gte.200000", "o_totalprice >= 200000", "*"),
+    "cdc_filter_in": ("o_orderstatus=in.(F,P)", "o_orderstatus IN ('F','P')", "*"),
+    "cdc_filter_like": ("o_orderpriority=like.%URGENT", "o_orderpriority LIKE '%URGENT'", "*"),
+    "cdc_filter_ilike": ("o_orderpriority=ilike.%urgent", "o_orderpriority ILIKE '%urgent'", "*"),
+    "cdc_filter_is_null": ("o_nullable=is.null", "o_nullable IS NULL", "*"),
+    "cdc_filter_match": ("o_orderpriority=match.^[12]-", "regexp_matches(o_orderpriority, '^[12]-')", "*"),
+    "cdc_filter_imatch": (
+        "o_orderpriority=imatch.^[12]-[a-z]",
+        "regexp_matches(o_orderpriority, '(?i)^[12]-[a-z]')",
+        "*",
+    ),
+    "cdc_filter_isdistinct": (
+        "o_nullable=isdistinct.1-URGENT",
+        "o_nullable IS DISTINCT FROM '1-URGENT'",
+        "*",
+    ),
+    "cdc_filter_not": ("o_orderstatus=not.eq.F", "NOT (o_orderstatus = 'F')", "*"),
+    "cdc_filter_not_isnull": ("o_nullable=not.is.null", "o_nullable IS NOT NULL", "*"),
+    "cdc_filter_and": (
+        "o_orderstatus=eq.O,o_totalprice=gt.150000",
+        "o_orderstatus = 'O' AND o_totalprice > 150000",
+        "*",
+    ),
+    "cdc_filter_numeric_eq": ("o_custkey=eq.7", "o_custkey = 7", "*"),
+    "cdc_filter_ts_gt": (
+        "o_orderdate=gt.1995-06-01 00:00:00",
+        "o_orderdate > TIMESTAMP '1995-06-01 00:00:00'",
+        "*",
+    ),
+    "cdc_filter_missing_col": ("no_such_column=eq.x", "FALSE", "*"),
+    "cdc_action_insert": ("", "TRUE", "INSERT"),
+    "cdc_action_delete": ("", "TRUE", "DELETE"),
+    "cdc_action_update_and_filter": ("o_totalprice=gte.100000", "o_totalprice >= 100000", "UPDATE"),
+}
+
+
+def _pairs_query(filter_str: str, action: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        changes = changes_from_orders(spark, sf_dir)
+        subs = subscriptions_df(
+            spark,
+            [{
+                "subscription_id": "s1",
+                "schema": "public",
+                "table": "orders",
+                "filters": filter_str,
+                "action": action,
+            }],
+        )
+        return matched_pairs(changes, subs).select(
+            F.col("c.change_id").alias("change_id"),
+            F.col("s.subscription_id").alias("subscription_id"),
+        )
+
+    return q
+
+
+def _pairs_oracle(where: str, action: str) -> str:
+    action_pred = "TRUE" if action == "*" else f"action = '{action}'"
+    return f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id, 's1' AS subscription_id
+FROM _orders_changes
+WHERE ({where}) AND ({action_pred})
+"""
+
+
+# -- multi-subscription pipeline with id aggregation (J1 + A5) --------------
+
+_MULTI_SPECS = [
+    {"subscription_id": "sub-eq-f", "table": "orders", "filters": "o_orderstatus=eq.F"},
+    {"subscription_id": "sub-gt", "table": "orders", "filters": "o_totalprice=gt.150000"},
+    {"subscription_id": "sub-ins", "table": "orders", "action": "INSERT"},
+    {"subscription_id": "sub-and", "table": "orders",
+     "filters": "o_orderstatus=eq.O,o_totalprice=lte.100000"},
+    {"subscription_id": "sub-null", "table": "orders", "filters": "o_nullable=is.null",
+     "action": "UPDATE"},
+]
+
+_MULTI_ORACLE_PREDS = {
+    "sub-eq-f": "o_orderstatus = 'F'",
+    "sub-gt": "o_totalprice > 150000",
+    "sub-ins": "action = 'INSERT'",
+    "sub-and": "o_orderstatus = 'O' AND o_totalprice <= 100000",
+    "sub-null": "o_nullable IS NULL AND action = 'UPDATE'",
+}
+
+
+def q_cdc_multi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(spark, _MULTI_SPECS)
+    return matched_pairs(changes, subs).select(
+        F.col("c.change_id").alias("change_id"),
+        F.col("s.subscription_id").alias("subscription_id"),
+    )
+
+
+def _multi_oracle_union() -> str:
+    parts = [
+        f"SELECT change_id, '{sid}' AS subscription_id FROM _orders_changes WHERE {pred}"
+        for sid, pred in _MULTI_ORACLE_PREDS.items()
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_CDC_MULTI_PAIRS = f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+{_multi_oracle_union()}
+"""
+
+
+def q_cdc_subscription_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_changes: per-change sorted visible-id set (A5), serialized as a
+    comma-joined string so the value-hash is representation-stable."""
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(spark, _MULTI_SPECS)
+    out = match_changes(changes, subs)
+    return out.select(
+        "change_id",
+        "action",
+        F.array_join("subscription_ids", ",").alias("subscription_ids"),
+    )
+
+
+ORACLE_CDC_SUBSCRIPTION_IDS = f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()},
+pairs AS (
+{_multi_oracle_union()}
+)
+SELECT c.change_id, c.action,
+       array_to_string(list_sort(list(p.subscription_id)), ',') AS subscription_ids
+FROM _orders_changes c JOIN pairs p USING (change_id)
+GROUP BY c.change_id, c.action
+"""
+
+
+def q_cdc_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/J7: '*' wildcard expansion against publication tables."""
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(
+        spark,
+        [{"subscription_id": "s-wild", "schema": "*", "table": "*",
+          "filters": "o_orderstatus=eq.P"}],
+    )
+    subs = expand_wildcards(subs, [("public", "orders"), ("public", "nation")])
+    return matched_pairs(changes, subs).select(
+        F.col("c.change_id").alias("change_id"),
+        F.col("s.subscription_id").alias("subscription_id"),
+    )
+
+
+ORACLE_CDC_WILDCARD = f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id, 's-wild' AS subscription_id
+FROM _orders_changes WHERE o_orderstatus = 'P'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Projection & error semantics (SURVEY §2.2 P8-P13, §2.6 F3)
+# ---------------------------------------------------------------------------
+
+from realtime_spark.operators.projection import (  # noqa: E402
+    privileges_df,
+    project_output,
+    record_text,
+)
+
+_REC_KEYS_SORTED = (
+    "o_custkey", "o_nullable", "o_orderdate", "o_orderkey",
+    "o_orderpriority", "o_orderstatus", "o_totalprice",
+)
+
+# full-record canonical text in DuckDB (sorted keys, '<null>' token, '|' join)
+_ORACLE_FULL_RECORD = (
+    "'o_custkey=' || CAST(o_custkey AS VARCHAR)"
+    " || '|o_nullable=' || COALESCE(o_nullable, '<null>')"
+    " || '|o_orderdate=' || CAST(o_orderdate AS VARCHAR)"
+    " || '|o_orderkey=' || CAST(o_orderkey AS VARCHAR)"
+    " || '|o_orderpriority=' || o_orderpriority"
+    " || '|o_orderstatus=' || o_orderstatus"
+    " || '|o_totalprice=' || CAST(o_totalprice AS VARCHAR)"
+)
+
+
+def q_cdc_selected_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: record keeps selected_columns ∪ pk; one group per selection set."""
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(
+        spark,
+        [{"subscription_id": "s-sel", "table": "orders",
+          "selected_columns": ["o_orderstatus", "o_totalprice"]}],
+    )
+    out = project_output(matched_pairs(changes, subs))
+    return out.select(
+        "change_id", "type", record_text(F.col("record")).alias("record")
+    )
+
+
+ORACLE_CDC_SELECTED_COLUMNS = f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id, action AS type,
+  CASE WHEN action = 'DELETE' THEN NULL ELSE
+    'o_orderkey=' || CAST(o_orderkey AS VARCHAR)
+    || '|o_orderstatus=' || o_orderstatus
+    || '|o_totalprice=' || CAST(o_totalprice AS VARCHAR)
+  END AS record
+FROM _orders_changes
+"""
+
+
+def q_cdc_toast_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: UPDATE records missing an (unchanged-toast) column recover the old
+    value; key-presence decides, not value nullness."""
+    changes = changes_from_orders(spark, sf_dir)
+    toasted = changes.withColumn(
+        "record",
+        F.when(
+            F.col("action") == "UPDATE",
+            F.map_filter(F.col("record"), lambda k, v: k != "o_orderpriority"),
+        ).otherwise(F.col("record")),
+    )
+    subs = subscriptions_df(spark, [{"subscription_id": "s-toast", "table": "orders"}])
+    out = project_output(matched_pairs(toasted, subs))
+    return out.filter(F.col("type") == "UPDATE").select(
+        "change_id", record_text(F.col("record")).alias("record")
+    )
+
+
+ORACLE_CDC_TOAST_MERGE = f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id, {_ORACLE_FULL_RECORD} AS record
+FROM _orders_changes WHERE action = 'UPDATE'
+"""
+
+
+def q_cdc_delete_pk_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: with RLS enabled, DELETE old_record is reduced to pk columns."""
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(spark, [{"subscription_id": "s-del", "table": "orders"}])
+    out = project_output(matched_pairs(changes, subs), rls_enabled=True)
+    return out.filter(F.col("type") == "DELETE").select(
+        "change_id", record_text(F.col("old_record")).alias("old_record")
+    )
+
+
+ORACLE_CDC_DELETE_PK_ONLY = f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id, 'o_orderkey=' || CAST(o_orderkey AS VARCHAR) AS old_record
+FROM _orders_changes WHERE action = 'DELETE'
+"""
+
+
+def q_cdc_error_400(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: changes with no primary key carry Error 400."""
+    changes = changes_from_orders(spark, sf_dir).withColumn(
+        "pk", F.lit(None).cast("array<string>")
+    )
+    subs = subscriptions_df(spark, [{"subscription_id": "s-e400", "table": "orders"}])
+    out = project_output(matched_pairs(changes, subs))
+    return out.select("change_id", F.array_join("errors", ",").alias("errors"))
+
+
+ORACLE_CDC_ERROR_400 = f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id, 'Error 400: Bad Request, no primary key' AS errors
+FROM _orders_changes
+"""
+
+
+def q_cdc_column_privileges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: per-role allowed-column mask drops unprivileged columns."""
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(
+        spark, [{"subscription_id": "s-priv", "table": "orders",
+                 "claims_role": "anon"}]
+    )
+    priv = privileges_df(
+        spark, {("anon", "public", "orders"): ["o_orderkey", "o_orderstatus"]}
+    )
+    out = project_output(matched_pairs(changes, subs), privileges=priv)
+    return out.filter(F.col("type") != "DELETE").select(
+        "change_id", "claims_role", record_text(F.col("record")).alias("record")
+    )
+
+
+ORACLE_CDC_COLUMN_PRIVILEGES = f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id, 'anon' AS claims_role,
+  'o_orderkey=' || CAST(o_orderkey AS VARCHAR)
+  || '|o_orderstatus=' || o_orderstatus AS record
+FROM _orders_changes WHERE action <> 'DELETE'
+"""
+
+
+def q_cdc_payload_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: oversize changes keep only values <= 64 bytes + Error 413.
+    Uses `documents` (long text values) as the watched table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    changes = docs.select(
+        F.col("doc_id").alias("change_id"),
+        F.lit("INSERT").alias("action"),
+        F.lit("public").alias("schema_name"),
+        F.lit("documents").alias("table_name"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("commit_timestamp"),
+        F.map_from_arrays(
+            F.array(F.lit("doc_id"), F.lit("lang"), F.lit("source"), F.lit("text")),
+            F.array(F.col("doc_id").cast("string"), F.col("lang"),
+                    F.col("source"), F.col("text")),
+        ).alias("record"),
+        F.lit(None).cast("map<string,string>").alias("old_record"),
+        F.create_map(
+            F.lit("doc_id"), F.lit("int8"), F.lit("lang"), F.lit("text"),
+            F.lit("source"), F.lit("text"), F.lit("text"), F.lit("text"),
+        ).alias("col_types"),
+        F.array(F.lit("doc_id"), F.lit("lang"), F.lit("source"), F.lit("text")).alias("col_names"),
+        F.array(F.lit("doc_id")).alias("pk"),
+        F.col("n_chars").alias("record_bytes"),
+    )
+    subs = subscriptions_df(spark, [{"subscription_id": "s-413", "table": "documents"}])
+    out = project_output(matched_pairs(changes, subs), max_record_bytes=300)
+    return out.select(
+        "change_id",
+        record_text(F.col("record")).alias("record"),
+        F.array_join("errors", ",").alias("errors"),
+    )
+
+
+ORACLE_CDC_PAYLOAD_CLAMP = """
+SELECT doc_id AS change_id,
+  'doc_id=' || CAST(doc_id AS VARCHAR) || '|lang=' || lang || '|source=' || source
+   || CASE WHEN n_chars > 300 AND octet_length(text) > 64 THEN ''
+           ELSE '|text=' || text END AS record,
+  CASE WHEN n_chars > 300 THEN 'Error 413: Payload Too Large' ELSE NULL END AS errors
+FROM documents
+"""
+
+
+def q_cdc_commit_ts_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: UTC ISO-8601 millisecond timestamp formatting."""
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(spark, [{"subscription_id": "s-iso", "table": "orders"}])
+    out = project_output(matched_pairs(changes, subs))
+    return out.select("change_id", F.col("commit_timestamp").alias("commit_ts"))
+
+
+ORACLE_CDC_COMMIT_TS_ISO = f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS commit_ts
+FROM _orders_changes
+"""
+
+
+# ---------------------------------------------------------------------------
+# Replay / messages store (SURVEY §2.1 S5/S10, §2.5 W1, §2.2 P15)
+# ---------------------------------------------------------------------------
+
+from realtime_spark.operators.messages import apply_retention  # noqa: E402
+from realtime_spark.operators.replay import exclude_replayed, replay_topk  # noqa: E402
+from realtime_spark.sources.testdata import MESSAGES_SQL_CTE, messages_from_events  # noqa: E402
+
+_REPLAY_SINCE = "2024-01-05 00:00:00"
+_REPLAY_UNTIL = "2024-01-20 00:00:00"
+
+
+def q_replay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = messages_from_events(spark, sf_dir)
+    out = replay_topk(msgs, since=_REPLAY_SINCE, until=_REPLAY_UNTIL)
+    return out.select("topic", "id", "inserted_at")
+
+
+ORACLE_REPLAY_TOPK = f"""
+WITH {MESSAGES_SQL_CTE.strip()},
+f AS (
+  SELECT topic, id, inserted_at FROM _messages
+  WHERE private AND extension = 'broadcast'
+    AND inserted_at >= TIMESTAMP '{_REPLAY_SINCE}'
+    AND inserted_at < TIMESTAMP '{_REPLAY_UNTIL}'
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY topic
+            ORDER BY inserted_at DESC, id DESC) AS rn
+  FROM f
+)
+SELECT topic, id, inserted_at FROM r WHERE rn <= 25
+"""
+
+
+def q_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15: live messages already delivered by replay are anti-joined out."""
+    msgs = messages_from_events(spark, sf_dir)
+    replayed = replay_topk(msgs, since=_REPLAY_SINCE, until=_REPLAY_UNTIL)
+    live = msgs.filter(
+        F.col("private")
+        & (F.col("inserted_at") >= F.lit("2024-01-15 00:00:00"))
+        & (F.col("inserted_at") < F.lit("2024-01-25 00:00:00"))
+    )
+    return exclude_replayed(live, replayed).select("id", "topic")
+
+
+ORACLE_REPLAY_DEDUP = f"""
+WITH {MESSAGES_SQL_CTE.strip()},
+f AS (
+  SELECT topic, id, inserted_at FROM _messages
+  WHERE private AND extension = 'broadcast'
+    AND inserted_at >= TIMESTAMP '{_REPLAY_SINCE}'
+    AND inserted_at < TIMESTAMP '{_REPLAY_UNTIL}'
+),
+r AS (
+  SELECT id, row_number() OVER (PARTITION BY topic
+         ORDER BY inserted_at DESC, id DESC) AS rn
+  FROM f
+)
+SELECT id, topic FROM _messages
+WHERE private
+  AND inserted_at >= TIMESTAMP '2024-01-15 00:00:00'
+  AND inserted_at < TIMESTAMP '2024-01-25 00:00:00'
+  AND id NOT IN (SELECT id FROM r WHERE rn <= 25)
+"""
+
+
+def q_msg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/ST6: 72h retention keeps only recent day partitions."""
+    from datetime import datetime
+
+    msgs = messages_from_events(spark, sf_dir)
+    kept = apply_retention(msgs, now=datetime(2024, 1, 30, 23, 59, 59))
+    return kept.groupBy("topic").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+ORACLE_MSG_RETENTION = f"""
+WITH {MESSAGES_SQL_CTE.strip()}
+SELECT topic, COUNT(*) AS n_kept FROM _messages
+WHERE CAST(inserted_at AS DATE) >= DATE '2024-01-27'
+GROUP BY topic
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rate limiting & counters (SURVEY §2.4 A6/A7/A9, §2.2 P16)
+# ---------------------------------------------------------------------------
+
+from realtime_spark.operators.rate_limit import (  # noqa: E402
+    rate_limit_flags,
+    shed_rate_limited,
+    sliding_rate,
+)
+
+
+def q_rate_sliding_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: 60x1s bucket sliding sum per tenant-equivalent key."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sliding_rate(events, keys=["event_type"], ts_col="ts", window_seconds=60)
+    return out.select("event_type", "sec", "bucket_count", "window_sum")
+
+
+ORACLE_RATE_SLIDING_60S = """
+WITH b AS (
+  SELECT event_type, CAST(epoch(ts) AS BIGINT) AS sec, COUNT(*) AS bucket_count
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, sec, bucket_count,
+       SUM(bucket_count) OVER (PARTITION BY event_type ORDER BY sec
+         RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS window_sum
+FROM b
+"""
+
+
+def q_rate_limit_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 limit trigger over a 1h window (events are sparse at test SF)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flags = rate_limit_flags(
+        events, keys=["event_type"], limit_per_sec=0.004, ts_col="ts",
+        window_seconds=3600,
+    )
+    return flags.filter(F.col("limit_triggered")).select(
+        "event_type", "sec", "window_sum"
+    )
+
+
+ORACLE_RATE_LIMIT_TRIGGER = """
+WITH b AS (
+  SELECT event_type, CAST(epoch(ts) AS BIGINT) AS sec, COUNT(*) AS bucket_count
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, sec,
+         SUM(bucket_count) OVER (PARTITION BY event_type ORDER BY sec
+           RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS window_sum
+  FROM b
+)
+SELECT event_type, sec, window_sum FROM r WHERE window_sum / 3600.0 > 0.004
+"""
+
+
+def q_rate_shed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16: events landing in limit-triggered seconds are shed."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kept = shed_rate_limited(
+        events, keys=["event_type"], limit_per_sec=0.004, ts_col="ts",
+        window_seconds=3600,
+    )
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+ORACLE_RATE_SHED = """
+WITH b AS (
+  SELECT event_type, CAST(epoch(ts) AS BIGINT) AS sec, COUNT(*) AS bucket_count
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, sec,
+         SUM(bucket_count) OVER (PARTITION BY event_type ORDER BY sec
+           RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS window_sum
+  FROM b
+),
+shed AS (SELECT event_type, sec FROM r WHERE window_sum / 3600.0 > 0.004)
+SELECT e.event_type, COUNT(*) AS n_kept
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM shed s
+  WHERE s.event_type = e.event_type AND s.sec = CAST(epoch(e.ts) AS BIGINT)
+)
+GROUP BY e.event_type
+"""
+
+
+def q_billable_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: billable event counting = pairs delivered per action type."""
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(spark, _MULTI_SPECS)
+    pairs = matched_pairs(changes, subs)
+    return pairs.groupBy(F.col("c.action").alias("action")).agg(
+        F.count(F.lit(1)).alias("n_billable")
+    )
+
+
+ORACLE_BILLABLE_EVENTS = f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()},
+pairs AS (
+{_multi_oracle_union()}
+)
+SELECT c.action, COUNT(*) AS n_billable
+FROM pairs p JOIN _orders_changes c USING (change_id)
+GROUP BY c.action
+"""
+
+
+def q_presence_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 batch analog: presence state grouped per (topic, key) with meta
+    count and last-writer timestamp."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.groupBy(
+        F.col("event_type").alias("topic"), F.col("user_id").alias("presence_key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_metas"),
+        F.max("ts").alias("last_seen"),
+    )
+
+
+ORACLE_PRESENCE_STATE = """
+SELECT event_type AS topic, user_id AS presence_key,
+       COUNT(*) AS n_metas, MAX(ts) AS last_seen
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_users_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: concurrent-user counting per tenant-equivalent key (exact)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+ORACLE_USERS_COUNTER = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full CDC match pipeline (J1+P2+P3+P5+A5) on sf0.001."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sf_dir = "/root/testdata/sf0.001"
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(spark, _MULTI_SPECS)
+    out = match_changes(changes, subs)
+    return out.select(
+        "change_id", "action", "schema_name", "table_name", "commit_timestamp",
+        F.array_join("subscription_ids", ",").alias("subscription_ids"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (fstr, _, action) in _FILTER_CASES.items():
+        qs[name] = _pairs_query(fstr, action)
+    qs["cdc_multi_pairs"] = q_cdc_multi_pairs
+    qs["cdc_subscription_ids"] = q_cdc_subscription_ids
+    qs["cdc_wildcard"] = q_cdc_wildcard
+    qs["cdc_selected_columns"] = q_cdc_selected_columns
+    qs["cdc_toast_merge"] = q_cdc_toast_merge
+    qs["cdc_delete_pk_only"] = q_cdc_delete_pk_only
+    qs["cdc_error_400"] = q_cdc_error_400
+    qs["cdc_column_privileges"] = q_cdc_column_privileges
+    qs["cdc_payload_clamp"] = q_cdc_payload_clamp
+    qs["cdc_commit_ts_iso"] = q_cdc_commit_ts_iso
+    qs["replay_topk"] = q_replay_topk
+    qs["replay_dedup"] = q_replay_dedup
+    qs["msg_retention"] = q_msg_retention
+    qs["rate_sliding_60s"] = q_rate_sliding_60s
+    qs["rate_limit_trigger"] = q_rate_limit_trigger
+    qs["rate_shed"] = q_rate_shed
+    qs["billable_events"] = q_billable_events
+    qs["presence_state"] = q_presence_state
+    qs["users_counter"] = q_users_counter
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+    for name, (_, where, action) in _FILTER_CASES.items():
+        sqls[name] = _pairs_oracle(where, action)
+    sqls["cdc_multi_pairs"] = ORACLE_CDC_MULTI_PAIRS
+    sqls["cdc_subscription_ids"] = ORACLE_CDC_SUBSCRIPTION_IDS
+    sqls["cdc_wildcard"] = ORACLE_CDC_WILDCARD
+    sqls["cdc_selected_columns"] = ORACLE_CDC_SELECTED_COLUMNS
+    sqls["cdc_toast_merge"] = ORACLE_CDC_TOAST_MERGE
+    sqls["cdc_delete_pk_only"] = ORACLE_CDC_DELETE_PK_ONLY
+    sqls["cdc_error_400"] = ORACLE_CDC_ERROR_400
+    sqls["cdc_column_privileges"] = ORACLE_CDC_COLUMN_PRIVILEGES
+    sqls["cdc_payload_clamp"] = ORACLE_CDC_PAYLOAD_CLAMP
+    sqls["cdc_commit_ts_iso"] = ORACLE_CDC_COMMIT_TS_ISO
+    sqls["replay_topk"] = ORACLE_REPLAY_TOPK
+    sqls["replay_dedup"] = ORACLE_REPLAY_DEDUP
+    sqls["msg_retention"] = ORACLE_MSG_RETENTION
+    sqls["rate_sliding_60s"] = ORACLE_RATE_SLIDING_60S
+    sqls["rate_limit_trigger"] = ORACLE_RATE_LIMIT_TRIGGER
+    sqls["rate_shed"] = ORACLE_RATE_SHED
+    sqls["billable_events"] = ORACLE_BILLABLE_EVENTS
+    sqls["presence_state"] = ORACLE_PRESENCE_STATE
+    sqls["users_counter"] = ORACLE_USERS_COUNTER
+    return sqls

@@ -1,0 +1,68 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via a count/write-discard action so the full plan
+(scan -> broadcast join -> filter interpreter -> agg) executes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from realtime_spark.session import get_spark
+
+
+def _bench_queries():
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    # headline subset: the heavy/representative ops, not the whole matrix
+    headline = [
+        "cdc_multi_pairs",
+        "cdc_subscription_ids",
+        "cdc_filter_and",
+        "cdc_filter_match",
+    ]
+    return {k: qs[k] for k in headline if k in qs}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("realtime_spark_bench", cpus=cpus)
+
+    # warm the JVM + parquet footer caches so we measure the engine, not startup
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+    timings: dict[str, float] = {}
+    total_rows = 0
+    t_all = time.perf_counter()
+    for name, fn in _bench_queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        total_rows += n
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "rows": total_rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,370 @@
+"""PostgREST-style filter grammar: parse (P1), validate/canonicalize (P4),
+and compile to Spark Column predicates (P2) with fail-closed conjunction (P3).
+
+Reference semantics reproduced here:
+  - grammar `col=op.value`, comma = AND, `not.` prefix = negate, quoted values,
+    `in.(a,b,"c d")` lists, depth-aware top-level split
+    (reference: lib/extensions/postgres_cdc_rls/subscriptions.ex:395-494)
+  - 13 operators eq,neq,lt,lte,gt,gte,in,like,ilike,is,match,imatch,isdistinct,
+    all negatable, compared under the column's pg type
+    (reference: migrations/20260626120000_readd_postgrest_filter_ops.ex:79-153)
+  - validation: `in` capped at 100 values, `is` keyword whitelist, eager regex
+    validation, canonical filter sort by (column_name, op, value, negate)
+    (reference: migrations/20260626120000:188-304)
+  - visibility: every filter column must exist in the payload AND every
+    comparison must be true; NULL comparison results fail closed
+    (reference: migrations/20260626120000:158-185)
+
+Two compilation layers:
+  * :func:`compile_filter` / :func:`compile_filters` — plan-time compilation for
+    typed DataFrames (column pg type known when building the plan).
+  * :func:`filters_match_expr` — a generic JVM-side interpreter over a
+    `filters` array column + a `record` map column, used when subscriptions
+    live in a broadcast dim table (the filter set is data, not plan). Pure
+    higher-order-function expression: no UDF, stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from realtime_spark.functions.casts import pg_type_family, pg_type_to_spark
+
+FILTER_OPS: tuple[str, ...] = (
+    "eq", "neq", "lt", "lte", "gt", "gte",
+    "in", "like", "ilike", "is", "match", "imatch", "isdistinct",
+)
+
+_IS_KEYWORDS = {"null", "true", "false", "unknown"}
+_IN_MAX_VALUES = 100  # reference: migrations/20260626120000:230-234
+
+# longest-first so `isdistinct` wins over `is`, `ilike` over `i`, etc.
+_OP_RE = "|".join(sorted(FILTER_OPS, key=len, reverse=True))
+_FILTER_RE = re.compile(rf"^(?P<col>[^=]+)=(?P<neg>not\.)?(?P<op>{_OP_RE})\.(?P<val>.*)$", re.S)
+
+
+@dataclass(frozen=True)
+class Filter:
+    column_name: str
+    op: str
+    value: str = ""
+    values: tuple[str, ...] = field(default_factory=tuple)  # for `in`
+    negate: bool = False
+
+    def sort_key(self) -> tuple:
+        return (self.column_name, self.op, self.value, self.negate)
+
+
+class FilterValidationError(ValueError):
+    """Raised for filters the reference's subscription trigger would reject."""
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parens/double-quotes (depth-aware)."""
+    parts: list[str] = []
+    depth = 0
+    in_quote = False
+    buf: list[str] = []
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_quote:
+            if ch == "\\" and i + 1 < len(s):
+                buf.append(ch)
+                buf.append(s[i + 1])
+                i += 2
+                continue
+            if ch == '"':
+                in_quote = False
+            buf.append(ch)
+        elif ch == '"':
+            in_quote = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if buf or not parts:
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def _unquote(v: str) -> str:
+    v = v.strip()
+    if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+        inner = v[1:-1]
+        return inner.replace('\\"', '"').replace("\\\\", "\\")
+    return v
+
+
+def _parse_in_list(v: str) -> tuple[str, ...]:
+    v = v.strip()
+    if not (v.startswith("(") and v.endswith(")")):
+        raise FilterValidationError(f"`in` filter value must be a parenthesized list, got: {v!r}")
+    inner = v[1:-1]
+    if inner.strip() == "":
+        return ()
+    return tuple(_unquote(p) for p in _split_top_level(inner))
+
+
+def parse_filter(part: str) -> Filter:
+    m = _FILTER_RE.match(part.strip())
+    if not m:
+        raise FilterValidationError(f"unparsable filter: {part!r}")
+    col = m.group("col").strip()
+    op = m.group("op")
+    raw = m.group("val")
+    negate = m.group("neg") is not None
+    values: tuple[str, ...] = ()
+    if op == "in":
+        values = _parse_in_list(raw)
+        if len(values) > _IN_MAX_VALUES:
+            raise FilterValidationError(
+                f"too many values for `in` filter ({len(values)} > {_IN_MAX_VALUES})"
+            )
+        value = ",".join(values)
+    elif op == "is":
+        value = raw.strip().lower()
+        if value not in _IS_KEYWORDS:
+            raise FilterValidationError(f"invalid `is` keyword: {raw!r}")
+    elif op in ("match", "imatch"):
+        value = raw
+        try:
+            re.compile(value)
+        except re.error as e:
+            raise FilterValidationError(f"invalid regex for {op}: {value!r}: {e}") from e
+    else:
+        value = _unquote(raw)
+    return Filter(column_name=col, op=op, value=value, values=values, negate=negate)
+
+
+def parse_filter_string(s: str | None) -> list[Filter]:
+    """Parse a full filter string (comma = AND) into the canonical-sorted list.
+
+    Empty/None -> no filters (always visible, P3).
+    """
+    if s is None or s.strip() == "":
+        return []
+    filters = [parse_filter(p) for p in _split_top_level(s) if p != ""]
+    filters.sort(key=Filter.sort_key)
+    return filters
+
+
+# ---------------------------------------------------------------------------
+# plan-time compilation against a typed column
+# ---------------------------------------------------------------------------
+
+def _typed_lit(value: str, pg_type: str) -> Column:
+    return F.lit(value).try_cast(pg_type_to_spark(pg_type))
+
+
+def _op_predicate(col: Column, f: Filter, pg_type: str) -> Column:
+    """Three-valued comparison result (may be NULL) for one filter, matching
+    Postgres `%L::type op %L::type` evaluation. Negation preserves SQL
+    three-valued logic (NOT NULL -> NULL -> fail closed)."""
+    op = f.op
+    if op == "is":
+        kw = f.value
+        if kw in ("null", "unknown"):
+            res = col.isNull()
+        else:  # true/false: IS TRUE / IS FALSE are never-null in Postgres
+            res = col.try_cast("boolean").eqNullSafe(F.lit(kw == "true"))
+    elif op == "isdistinct":
+        res = ~col.eqNullSafe(_typed_lit(f.value, pg_type))
+    elif op == "in":
+        arr = F.array(*[_typed_lit(v, pg_type) for v in f.values])
+        res = F.array_contains(arr, col) if f.values else F.lit(False)
+    elif op in ("like", "ilike", "match", "imatch"):
+        s = col.cast("string")
+        if op == "like":
+            res = s.like(f.value)
+        elif op == "ilike":
+            res = F.ilike(s, F.lit(f.value))
+        elif op == "match":
+            res = s.rlike(f.value)
+        else:
+            res = s.rlike("(?i)" + f.value)
+    else:
+        lit = _typed_lit(f.value, pg_type)
+        if op == "eq":
+            res = col == lit
+        elif op == "neq":
+            res = col != lit
+        elif op == "lt":
+            res = col < lit
+        elif op == "lte":
+            res = col <= lit
+        elif op == "gt":
+            res = col > lit
+        elif op == "gte":
+            res = col >= lit
+        else:  # pragma: no cover
+            raise FilterValidationError(f"unknown op {op!r}")
+    if f.negate:
+        res = ~res
+    return res
+
+
+def compile_filter(f: Filter, col: Column, pg_type: str) -> Column:
+    """One filter -> non-null boolean Column (NULL comparison fails closed)."""
+    return F.coalesce(_op_predicate(col, f, pg_type), F.lit(False))
+
+
+def compile_filters(
+    filters: list[Filter],
+    columns: dict[str, tuple[Column, str]],
+) -> Column:
+    """Conjunctive visibility (P3) over typed columns.
+
+    `columns` maps column name -> (Column, pg_type). A filter naming a column
+    not present fails closed (reference: migrations/20260626120000:158-185).
+    Empty filter list -> always visible.
+    """
+    pred = F.lit(True)
+    for f in filters:
+        if f.column_name not in columns:
+            return F.lit(False)
+        col, pg_type = columns[f.column_name]
+        pred = pred & compile_filter(f, col, pg_type)
+    return pred
+
+
+# ---------------------------------------------------------------------------
+# generic interpreter: filters as data (array column) over a record map
+# ---------------------------------------------------------------------------
+
+# Spark-side struct carried in the subscription dim table
+FILTER_STRUCT_DDL = (
+    "array<struct<column_name:string,op:string,value:string,"
+    "values:array<string>,negate:boolean>>"
+)
+
+
+def filters_to_rows(filters: list[Filter]) -> list[dict]:
+    """Filters -> plain dicts matching FILTER_STRUCT_DDL (for dim-table rows)."""
+    return [
+        {
+            "column_name": f.column_name,
+            "op": f.op,
+            "value": f.value,
+            "values": list(f.values),
+            "negate": f.negate,
+        }
+        for f in filters
+    ]
+
+
+def _family_expr(pg_type_col: Column) -> Column:
+    """pg typename column -> comparison-family name ('long','double',...)."""
+    t = F.lower(F.trim(pg_type_col))
+    fam = F.lit("string")
+    # array types / unknowns compare as text
+    buckets: dict[str, list[str]] = {}
+    from realtime_spark.functions.casts import _PG_TO_SPARK  # static table
+
+    for name, (_, family) in _PG_TO_SPARK.items():
+        buckets.setdefault(family, []).append(name)
+    expr = F.when(t.startswith("_") | t.endswith("[]"), F.lit("string"))
+    for family, names in buckets.items():
+        expr = expr.when(t.isin(*names), F.lit(family))
+    return expr.otherwise(fam)
+
+
+_FAMILY_CAST = {
+    "long": "bigint",
+    "double": "double",
+    "decimal": "decimal(38,9)",
+    "bool": "boolean",
+    "timestamp": "timestamp",
+    "date": "date",
+    "binary": "string",   # compare bytea as text representation
+    "string": "string",
+}
+
+
+def _typed_pair_cmp(op_name: str, raw: Column, val: Column, fam: Column) -> Column:
+    """Comparison dispatched over the runtime type family. raw/val are string
+    columns; each family branch try_casts both sides then compares."""
+    import operator as _op
+
+    pyop = {
+        "eq": _op.eq, "neq": _op.ne, "lt": _op.lt,
+        "lte": _op.le, "gt": _op.gt, "gte": _op.ge,
+    }[op_name]
+    expr = None
+    for family, target in _FAMILY_CAST.items():
+        cond = fam == family
+        cmp_ = pyop(raw.try_cast(target), val.try_cast(target))
+        expr = F.when(cond, cmp_) if expr is None else expr.when(cond, cmp_)
+    return expr
+
+
+def eval_filter_expr(f: Column, record: Column, type_map: Column) -> Column:
+    """Evaluate one filter struct against a record map<string,string>.
+
+    `type_map` maps column name -> pg typename for the relation (from the WAL
+    `columns` metadata). Missing column in the record fails closed; NULL
+    comparison results fail closed after negation (three-valued NOT).
+    """
+    name = f["column_name"]
+    op = f["op"]
+    val = f["value"]
+    vals = f["values"]
+    negate = f["negate"]
+    present = F.map_contains_key(record, name)
+    raw = F.try_element_at(record, name)
+    fam = _family_expr(F.coalesce(F.try_element_at(type_map, name), F.lit("text")))
+
+    is_kw = F.lower(val)
+    res = (
+        F.when(
+            op == "is",
+            F.when(is_kw.isin("null", "unknown"), raw.isNull()).otherwise(
+                raw.try_cast("boolean").eqNullSafe(is_kw == "true")
+            ),
+        )
+        .when(op == "isdistinct", ~_eq_null_safe_typed(raw, val, fam))
+        .when(op == "in", F.exists(vals, lambda v: F.coalesce(_typed_pair_cmp("eq", raw, v, fam), F.lit(False))))
+        .when(op == "like", F.like(raw, val))
+        .when(op == "ilike", F.ilike(raw, val))
+        .when(op == "match", F.rlike(raw, val))
+        .when(op == "imatch", F.rlike(raw, F.concat(F.lit("(?i)"), val)))
+        .when(op == "eq", _typed_pair_cmp("eq", raw, val, fam))
+        .when(op == "neq", _typed_pair_cmp("neq", raw, val, fam))
+        .when(op == "lt", _typed_pair_cmp("lt", raw, val, fam))
+        .when(op == "lte", _typed_pair_cmp("lte", raw, val, fam))
+        .when(op == "gt", _typed_pair_cmp("gt", raw, val, fam))
+        .when(op == "gte", _typed_pair_cmp("gte", raw, val, fam))
+        .otherwise(F.lit(False))
+    )
+    res = F.when(negate, ~res).otherwise(res)
+    return present & F.coalesce(res, F.lit(False))
+
+
+def _eq_null_safe_typed(raw: Column, val: Column, fam: Column) -> Column:
+    expr = None
+    for family, target in _FAMILY_CAST.items():
+        cond = fam == family
+        cmp_ = raw.try_cast(target).eqNullSafe(val.try_cast(target))
+        expr = F.when(cond, cmp_) if expr is None else expr.when(cond, cmp_)
+    return expr.otherwise(F.lit(False))
+
+
+def filters_match_expr(filters: Column, record: Column, type_map: Column) -> Column:
+    """Conjunctive visibility check (P3) as a single JVM expression:
+    NULL/empty filters -> visible; else every filter must pass."""
+    return filters.isNull() | F.forall(
+        filters, lambda f: eval_filter_expr(f, record, type_map)
+    )

@@ -1,0 +1,37 @@
+"""Scalar helpers (SURVEY §2.6): timestamp formatting, payload sizing, topic
+namespacing, payload id autogen."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# F3: UTC ISO-8601 with millisecond precision, the reference's
+# `to_char((ts at time zone 'utc'), 'YYYY-MM-DD"T"HH24:MI:SS.MS"Z"')`
+# (reference: migrations/20260626120000:552-555)
+ISO_MS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+
+def iso_ms(ts: Column) -> Column:
+    return F.date_format(ts, ISO_MS_FMT)
+
+
+def payload_size_ok(payload_json: Column, max_kb: int = 3000) -> Column:
+    """F8: serialized payload must fit max_payload_size_in_kb (default 3000 KB)
+    (reference: lib/realtime/tenants.ex:526-543, lib/realtime/api/tenant.ex:23)."""
+    return F.octet_length(payload_json) <= F.lit(max_kb * 1000)
+
+
+def tenant_topic(tenant: Column, topic: Column, public: bool = True) -> Column:
+    """F10: `realtime:tenant:topic` namespacing
+    (reference: lib/realtime/tenants.ex:504-512)."""
+    prefix = F.concat_ws(":", F.lit("realtime"), tenant, topic)
+    return prefix if public else F.concat(prefix, F.lit(":private"))
+
+
+def ensure_payload_id(payload: Column) -> Column:
+    """F11: add a generated uuid under 'id' when the payload map lacks one
+    (reference: migrations/20251103001201_broadcast_send_include_payload_id.ex:16-24)."""
+    return F.when(
+        F.map_contains_key(payload, F.lit("id")), payload
+    ).otherwise(F.map_concat(payload, F.create_map(F.lit("id"), F.uuid())))

@@ -1,0 +1,66 @@
+"""Durable broadcast-message store: day-partitioned table, ingest shaping,
+retention (S6/S7/S8/S10, F8/F10/F11).
+
+Reference:
+  - `realtime.messages` partitioned by RANGE(inserted_at), one partition/day
+    (reference: migrations/20241030150047_messages_partitioning.ex:6-19)
+  - `realtime.send` injects a generated uuid `id` into the payload and inserts,
+    demoting failures to warnings (reference: migrations/20251103001201:8-40)
+  - retention: partitions older than 72h dropped by date compare
+    (reference: lib/realtime/messages.ex:72-102)
+  - batch HTTP ingest groups by (private, topic) before authz + fan-out
+    (reference: lib/realtime/tenants/batch_broadcast.ex:29-151)
+
+Spark-first: the store is a parquet table partitioned by `day` — partition
+pruning gives the reference's replay index behavior; retention is a partition-
+predicate delete (here: filter-and-rewrite, on Delta it would be a metadata
+delete). At 100 TB the day partitioning bounds every replay/retention scan.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_spark.functions.scalar import ensure_payload_id, payload_size_ok
+
+MESSAGE_SCHEMA_DDL = (
+    "id string, topic string, extension string, payload map<string,string>, "
+    "event string, private boolean, inserted_at timestamp, updated_at timestamp"
+)
+RETENTION_HOURS = 72  # reference: lib/realtime/messages.ex:72-78
+
+
+def shape_messages(raw: DataFrame, max_payload_kb: int = 3000) -> DataFrame:
+    """Ingest shaping shared by the send/batch paths: id autogen (F11),
+    payload-size gate (F8), day partition column."""
+    with_id = raw.withColumn("payload", ensure_payload_id(F.col("payload"))).withColumn(
+        "id",
+        F.coalesce(F.col("id"), F.try_element_at(F.col("payload"), F.lit("id")), F.uuid()),
+    )
+    sized = with_id.filter(
+        payload_size_ok(F.to_json(F.col("payload")), max_payload_kb)
+    )
+    return sized.withColumn("day", F.to_date("inserted_at"))
+
+
+def write_messages(df: DataFrame, path: str, mode: str = "append") -> None:
+    df.write.mode(mode).partitionBy("day").parquet(path)
+
+
+def read_messages(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def retention_cutoff(now: datetime, hours: int = RETENTION_HOURS) -> datetime:
+    return now - timedelta(hours=hours)
+
+
+def apply_retention(messages: DataFrame, now: datetime, hours: int = RETENTION_HOURS) -> DataFrame:
+    """S10: keep only rows in partitions newer than the cutoff. The predicate
+    is on the partition column so the scan prunes instead of reading 72h+ of
+    data (drop-partition equivalence)."""
+    cutoff = retention_cutoff(now, hours).date()
+    return messages.filter(F.col("day") >= F.lit(cutoff))

@@ -1,0 +1,221 @@
+"""Output shaping: projection, privilege masks, TOAST merge, error rows.
+
+Reference behaviors (SURVEY §2.2 P8-P13, §2.4 A2/A4/A5, §4 O5):
+  - P12 unchanged-TOAST merge: wal2json omits unchanged toasted values from
+    `columns`; the output record takes the old value for keys missing from the
+    new tuple (reference: migrations/20260626120000:586-604). Implemented with
+    key-presence semantics (a key PRESENT with NULL value is NOT overwritten).
+  - P9 selected_columns projection: record keeps selected ∪ primary-key
+    columns; one output group per distinct (role, selected_columns)
+    (reference: migrations/20260626120000:540-659, pk always kept 578,602,618).
+  - P8 column-level security: per-role allowed-column sets mask the record and
+    the column metadata (reference: migrations/20260626120000:420-447,570-579).
+  - P13 DELETE old_record is pk-only under RLS
+    (reference: migrations/20260626120000:622-634).
+  - P10 oversize clamp: when the serialized change exceeds max_record_bytes,
+    only values <= 64 bytes survive and `Error 413: Payload Too Large` is
+    attached (reference: migrations/20260626120000:354,603,654-657).
+  - P11 error rows: no primary key -> `Error 400: Bad Request, no primary key`;
+    role without pk SELECT privilege -> `Error 401: Unauthorized`
+    (reference: migrations/20260626120000:449-488).
+  - O5/A2: expensive work is grouped per (claims_role, selected_columns) and
+    subscription ids are collected per group (A5).
+
+All pure map/array expressions — no UDFs, stays in codegen, no extra shuffle
+beyond the one per-(change, role, selection-group) aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from realtime_spark.functions.scalar import iso_ms
+
+MAX_RECORD_BYTES = 1_048_576  # reference: db_settings.ex:10
+ERR_413 = "Error 413: Payload Too Large"
+ERR_400 = "Error 400: Bad Request, no primary key"
+ERR_401 = "Error 401: Unauthorized"
+_SALVAGE_VALUE_BYTES = 64  # reference: migrations/20260626120000:354
+
+
+def toast_merge(record: Column, old_record: Column) -> Column:
+    """P12: keys absent from the new tuple are filled from the old tuple.
+    Key-presence (not value-nullness) decides, matching the FULL OUTER JOIN on
+    column name in the reference."""
+    new_keys = F.map_keys(record)
+    only_old = F.map_filter(old_record, lambda k, v: ~F.array_contains(new_keys, k))
+    return F.map_concat(record, only_old)
+
+
+def keep_keys(m: Column, keys: Column) -> Column:
+    """Project a map to a key whitelist (NULL whitelist = keep all)."""
+    return F.when(keys.isNull(), m).otherwise(
+        F.map_filter(m, lambda k, v: F.array_contains(keys, k))
+    )
+
+
+def record_text(m: Column, null_token: str = "<null>") -> Column:
+    """Canonical text form of a record map for hashing/golden comparison:
+    entries sorted by key, `k=v` joined with `|`."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(m)),
+            lambda e: F.concat(e["key"], F.lit("="), F.coalesce(e["value"], F.lit(null_token))),
+        ),
+        "|",
+    )
+
+
+def privileges_df(spark, grants: Mapping[tuple[str, str, str], Sequence[str]]) -> DataFrame:
+    """(role, schema, table) -> allowed column names, as a broadcastable dim."""
+    rows = [
+        {"claims_role": r, "schema_name": s, "table_name": t, "allowed_columns": list(cols)}
+        for (r, s, t), cols in grants.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="claims_role string, schema_name string, table_name string, "
+        "allowed_columns array<string>",
+    )
+
+
+def project_output(
+    pairs: DataFrame,
+    privileges: DataFrame | None = None,
+    max_record_bytes: int = MAX_RECORD_BYTES,
+    rls_enabled: bool = False,
+) -> DataFrame:
+    """matched (change × subscription) pairs -> final CDC output rows.
+
+    One output row per (change, claims_role, selected_columns) group with the
+    group's visible subscription ids — the reference's per-role/per-selection
+    loop hoisting (O5) expressed as a groupBy.
+
+    Expects the column naming produced by cdc.matched_pairs (c.* / s.*).
+    """
+    sel = F.col("s.selected_columns")
+    p = pairs.select(
+        F.col("c.change_id").alias("change_id"),
+        F.col("c.action").alias("action"),
+        F.col("c.schema_name").alias("schema_name"),
+        F.col("c.table_name").alias("table_name"),
+        F.col("c.commit_timestamp").alias("commit_timestamp"),
+        F.col("c.record").alias("record"),
+        F.col("c.old_record").alias("old_record"),
+        F.col("c.col_types").alias("col_types"),
+        F.col("c.col_names").alias("col_names"),
+        F.col("c.pk").alias("pk"),
+        F.col("c.record_bytes").alias("record_bytes"),
+        F.col("s.claims_role").alias("claims_role"),
+        F.col("s.subscription_id").alias("subscription_id"),
+        sel.alias("selected_columns"),
+        # deterministic group key (W2): roles and selection groups ordered by text
+        F.coalesce(F.array_join(sel, ","), F.lit("")).alias("sel_key"),
+    )
+
+    if privileges is not None:
+        priv = F.broadcast(privileges).alias("p")
+        p = p.alias("e").join(
+            priv,
+            ["claims_role", "schema_name", "table_name"],
+            "left",
+        )
+    else:
+        p = p.withColumn("allowed_columns", F.lit(None).cast("array<string>"))
+
+    grouped = p.groupBy("change_id", "claims_role", "sel_key").agg(
+        F.first("action").alias("action"),
+        F.first("schema_name").alias("schema_name"),
+        F.first("table_name").alias("table_name"),
+        F.first("commit_timestamp").alias("commit_timestamp"),
+        F.first("record").alias("record"),
+        F.first("old_record").alias("old_record"),
+        F.first("col_types").alias("col_types"),
+        F.first("col_names").alias("col_names"),
+        F.first("pk").alias("pk"),
+        F.first("record_bytes").alias("record_bytes"),
+        F.first("selected_columns").alias("selected_columns"),
+        F.first("allowed_columns").alias("allowed_columns"),
+        F.sort_array(F.collect_set("subscription_id")).alias("subscription_ids"),
+    )
+
+    action = F.col("action")
+    pk = F.col("pk")
+    allowed = F.col("allowed_columns")
+    selected = F.col("selected_columns")
+
+    # selected ∪ pk (P9); NULL selection keeps everything
+    keep = F.when(selected.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        F.array_union(selected, F.coalesce(pk, F.array()))
+    )
+
+    merged = F.when(
+        action == "UPDATE", toast_merge(F.col("record"), F.col("old_record"))
+    ).otherwise(F.col("record"))
+
+    def mask(m: Column) -> Column:
+        out = keep_keys(m, keep)
+        out = F.when(allowed.isNull(), out).otherwise(keep_keys(out, allowed))
+        return out
+
+    record_out = F.when(action != "DELETE", mask(merged))
+    old_out = F.when(
+        action == "DELETE",
+        keep_keys(F.col("old_record"), pk) if rls_enabled else mask(F.col("old_record")),
+    ).when(action == "UPDATE", mask(F.col("old_record")))
+
+    oversize = F.coalesce(F.col("record_bytes") > F.lit(max_record_bytes), F.lit(False))
+
+    def clamp(m: Column) -> Column:
+        return F.when(
+            oversize, F.map_filter(m, lambda k, v: F.octet_length(v) <= _SALVAGE_VALUE_BYTES)
+        ).otherwise(m)
+
+    no_pk = pk.isNull() | (F.size(pk) == 0)
+    pk_unreadable = F.when(
+        allowed.isNotNull() & ~no_pk,
+        F.exists(pk, lambda c: ~F.array_contains(allowed, c)),
+    ).otherwise(F.lit(False))
+
+    errors = F.filter(
+        F.array(
+            F.when(oversize, F.lit(ERR_413)),
+            F.when(no_pk, F.lit(ERR_400)),
+            F.when(pk_unreadable, F.lit(ERR_401)),
+        ),
+        lambda e: e.isNotNull(),
+    )
+
+    # column metadata (A4/W5): wire order, masked to visible columns
+    visible_meta = F.filter(
+        F.transform(
+            F.col("col_names"),
+            lambda n: F.struct(
+                n.alias("name"), F.try_element_at(F.col("col_types"), n).alias("type")
+            ),
+        ),
+        lambda s: (
+            F.when(keep.isNull(), F.lit(True)).otherwise(F.array_contains(keep, s["name"]))
+            & F.when(allowed.isNull(), F.lit(True)).otherwise(
+                F.array_contains(allowed, s["name"])
+            )
+        ),
+    )
+
+    return grouped.select(
+        "change_id",
+        "schema_name",
+        "table_name",
+        action.alias("type"),
+        iso_ms(F.col("commit_timestamp")).alias("commit_timestamp"),
+        visible_meta.alias("columns"),
+        clamp(record_out).alias("record"),
+        clamp(old_out).alias("old_record"),
+        F.when(F.size(errors) > 0, errors).alias("errors"),
+        "claims_role",
+        "selected_columns",
+        "subscription_ids",
+    )

@@ -1,0 +1,99 @@
+"""Per-tenant sliding-window rate accounting (A6/ST7) and load-shed gate (P16).
+
+Reference: RateCounter keeps 60 x 1-second buckets; avg = sum/len/tick and a
+limit-trigger flag with hysteresis (reference:
+lib/realtime/rate_counter/rate_counter.ex:26-27,197-224,259-279). Limits gate
+joins/events/presence/db-events per tenant (reference:
+lib/realtime_web/channels/realtime_channel.ex:646-663,
+lib/realtime/tenants/batch_broadcast.ex:170-184); on a triggered db-events
+limit the poller sheds the whole poll batch
+(reference: lib/extensions/postgres_cdc_rls/replication_poller.ex:404-414).
+
+Spark-first: bucket to epoch seconds, then a RANGE window frame of the
+trailing 60 s — one shuffle on the key, no self-join, expressible identically
+in ANSI SQL for the oracle. In streaming the same shape runs as a sliding
+event-time window (see streaming/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+WINDOW_SECONDS = 60  # reference: rate_counter.ex:26-27
+
+
+def second_buckets(
+    df: DataFrame, keys: Sequence[str], ts_col: str = "ts", weight: Column | None = None
+) -> DataFrame:
+    """1-second bucket counts per key (the GenCounter tick stream, A7)."""
+    agg = F.count(F.lit(1)) if weight is None else F.sum(weight)
+    return (
+        df.withColumn("sec", F.col(ts_col).cast("long"))
+        .groupBy(*keys, "sec")
+        .agg(agg.cast("long").alias("bucket_count"))
+    )
+
+
+def sliding_rate(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    window_seconds: int = WINDOW_SECONDS,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Trailing-window sum + per-second average at every active second.
+
+    avg divides by the full window length even when fewer buckets are filled —
+    the reference divides by bucket-list length x tick seconds, which equals 60
+    once the ring buffer is warm; we match the warm-state semantics.
+    """
+    buckets = second_buckets(df, keys, ts_col, weight)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("sec")
+        .rangeBetween(-(window_seconds - 1), 0)
+    )
+    return buckets.select(
+        *keys,
+        "sec",
+        "bucket_count",
+        F.sum("bucket_count").over(w).alias("window_sum"),
+        (F.sum("bucket_count").over(w) / F.lit(window_seconds)).alias("avg_per_sec"),
+    )
+
+
+def rate_limit_flags(
+    df: DataFrame,
+    keys: Sequence[str],
+    limit_per_sec: float,
+    ts_col: str = "ts",
+    window_seconds: int = WINDOW_SECONDS,
+) -> DataFrame:
+    """A6 limit trigger: flag seconds where the sliding average exceeds the
+    tenant limit (`max_events_per_second` etc.)."""
+    rates = sliding_rate(df, keys, ts_col, window_seconds)
+    return rates.withColumn("limit_triggered", F.col("avg_per_sec") > F.lit(limit_per_sec))
+
+
+def shed_rate_limited(
+    events: DataFrame,
+    keys: Sequence[str],
+    limit_per_sec: float,
+    ts_col: str = "ts",
+    window_seconds: int = WINDOW_SECONDS,
+) -> DataFrame:
+    """P16: drop events that land in a limit-triggered second for their key
+    (the poller's whole-batch shed, expressed per bucket)."""
+    flags = rate_limit_flags(events, keys, limit_per_sec, ts_col, window_seconds)
+    triggered = flags.filter(F.col("limit_triggered")).select(
+        *keys, F.col("sec").alias("_shed_sec")
+    )
+    e = events.withColumn("_sec", F.col(ts_col).cast("long"))
+    cond = [e[k] == triggered[k] for k in keys] + [
+        e["_sec"] == triggered["_shed_sec"]
+    ]
+    joined = e.join(F.broadcast(triggered), cond, "left_anti")
+    return joined.drop("_sec")

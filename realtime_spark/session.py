@@ -1,0 +1,38 @@
+"""SparkSession factory tuned for the test/bench environment.
+
+local[N] single-JVM for tests; the configs below are the ones that matter at
+cluster scale too (AQE, shuffle partitions, Arrow for the Pandas-UDF paths,
+UTC session timezone so results hash-match the duckdb oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "realtime_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply engine-required runtime confs to an externally provided session
+    (the driver passes its own SparkSession to __spark_entry__.entry)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,133 @@
+"""Loaders for the driver-generated synthetic testdata (TESTDATA.md) and a
+deterministic change-event derivation used by correctness queries.
+
+The duckdb oracle sees the same parquet tables as plain views, so every
+derivation here is mirrored by plain ANSI SQL in __spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# pg typenames for the orders relation when treated as a CDC-watched user table
+ORDERS_PG_TYPES = {
+    "o_orderkey": "int8",
+    "o_custkey": "int8",
+    "o_orderstatus": "text",
+    "o_totalprice": "float8",
+    "o_orderdate": "timestamp",
+    "o_orderpriority": "text",
+    "o_nullable": "text",  # synthetic nullable col exercising is/isdistinct
+}
+ORDERS_PK = ["o_orderkey"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def changes_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic wal2json-shaped change stream derived from `orders`.
+
+    Each order row becomes one change on entity public.orders:
+      action: o_orderkey % 10 -> 0..6 INSERT, 7..8 UPDATE, 9 DELETE
+      record: full row as text map (I/U); old_record: full row (U/D)
+      o_nullable: NULL when o_orderkey % 7 = 0 else o_orderpriority
+        (gives is.null / isdistinct filters real NULLs to chew on)
+
+    Mirrored in SQL by the `_orders_changes` CTE in __spark_entry__.py.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mod = F.col("o_orderkey") % 10
+    action = (
+        F.when(mod <= 6, F.lit("INSERT"))
+        .when(mod <= 8, F.lit("UPDATE"))
+        .otherwise(F.lit("DELETE"))
+    )
+    nullable = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("string")).otherwise(
+        F.col("o_orderpriority")
+    )
+    record_map = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in ORDERS_PG_TYPES]),
+        F.array(
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus").cast("string"),
+            F.col("o_totalprice").cast("string"),
+            F.col("o_orderdate").cast("string"),
+            F.col("o_orderpriority").cast("string"),
+            nullable,
+        ),
+    )
+    type_map = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in ORDERS_PG_TYPES]),
+        F.array(*[F.lit(v) for v in ORDERS_PG_TYPES.values()]),
+    )
+    return o.select(
+        F.col("o_orderkey").alias("change_id"),
+        action.alias("action"),
+        F.lit("public").alias("schema_name"),
+        F.lit("orders").alias("table_name"),
+        F.col("o_orderdate").alias("commit_timestamp"),
+        F.when(action != "DELETE", record_map).alias("record"),
+        F.when(action != "INSERT", record_map).alias("old_record"),
+        type_map.alias("col_types"),
+        F.array(*[F.lit(c) for c in ORDERS_PG_TYPES]).alias("col_names"),
+        F.array(*[F.lit(c) for c in ORDERS_PK]).alias("pk"),
+        F.lit(None).cast("bigint").alias("record_bytes"),
+    )
+
+
+def messages_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic `realtime.messages`-shaped store derived from `events`:
+    topic = event_type, id = event_id, inserted_at = ts, private when
+    user_id is even. Mirrored by the `_messages` CTE below."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.col("event_type").alias("topic"),
+        F.lit("broadcast").alias("extension"),
+        F.create_map(F.lit("props"), F.col("props")).alias("payload"),
+        F.lit("broadcast").alias("event"),
+        (F.col("user_id") % 2 == 0).alias("private"),
+        F.col("ts").alias("inserted_at"),
+        F.col("ts").alias("updated_at"),
+        F.to_date("ts").alias("day"),
+    )
+
+
+MESSAGES_SQL_CTE = """
+_messages AS (
+  SELECT CAST(event_id AS VARCHAR) AS id, event_type AS topic,
+         'broadcast' AS extension, props, 'broadcast' AS event,
+         (user_id % 2 = 0) AS private, ts AS inserted_at
+  FROM events
+)
+"""
+
+
+# SQL fragment (DuckDB + Spark compatible) mirroring changes_from_orders for
+# the oracle side: action + the synthetic nullable column.
+ORDERS_CHANGES_SQL_CTE = """
+_orders_changes AS (
+  SELECT
+    o_orderkey AS change_id,
+    CASE WHEN o_orderkey % 10 <= 6 THEN 'INSERT'
+         WHEN o_orderkey % 10 <= 8 THEN 'UPDATE'
+         ELSE 'DELETE' END AS action,
+    o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    o_orderpriority,
+    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS o_nullable
+  FROM orders
+)
+"""
