@@ -20,9 +20,21 @@ from realtime_spark.operators.cdc import (
     expand_wildcards,
     match_changes,
     matched_pairs,
-    subscriptions_df,
 )
-from realtime_spark.sources.testdata import ORDERS_CHANGES_SQL_CTE, changes_from_orders
+from realtime_spark.operators.cdc import subscriptions_df as _subscriptions_df
+from realtime_spark.sources.testdata import (
+    ORDERS_CHANGES_SQL_CTE,
+    ORDERS_PG_TYPES,
+    changes_from_orders,
+    load_table,
+)
+
+# relation catalog for subscription-load type resolution (P4)
+_TYPE_MAPS = {("public", "orders"): ORDERS_PG_TYPES}
+
+
+def subscriptions_df(spark, specs):
+    return _subscriptions_df(spark, specs, type_maps=_TYPE_MAPS)
 
 # ---------------------------------------------------------------------------
 # CDC filter matrix (SURVEY §2.2 P1/P2/P3/P5, §2.3 J1): one case per operator,
@@ -337,7 +349,7 @@ FROM _orders_changes WHERE action <> 'DELETE'
 def q_cdc_payload_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10: oversize changes keep only values <= 64 bytes + Error 413.
     Uses `documents` (long text values) as the watched table."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     changes = docs.select(
         F.col("doc_id").alias("change_id"),
         F.lit("INSERT").alias("action"),
@@ -370,7 +382,7 @@ def q_cdc_payload_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CDC_PAYLOAD_CLAMP = """
 SELECT doc_id AS change_id,
   'doc_id=' || CAST(doc_id AS VARCHAR) || '|lang=' || lang || '|source=' || source
-   || CASE WHEN n_chars > 300 AND octet_length(text) > 64 THEN ''
+   || CASE WHEN n_chars > 300 AND strlen(text) > 64 THEN ''
            ELSE '|text=' || text END AS record,
   CASE WHEN n_chars > 300 THEN 'Error 413: Payload Too Large' ELSE NULL END AS errors
 FROM documents
@@ -405,9 +417,11 @@ _REPLAY_UNTIL = "2024-01-20 00:00:00"
 
 
 def q_replay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.functions.scalar import iso_ms
+
     msgs = messages_from_events(spark, sf_dir)
     out = replay_topk(msgs, since=_REPLAY_SINCE, until=_REPLAY_UNTIL)
-    return out.select("topic", "id", "inserted_at")
+    return out.select("topic", "id", iso_ms(F.col("inserted_at")).alias("inserted_at"))
 
 
 ORACLE_REPLAY_TOPK = f"""
@@ -423,7 +437,8 @@ r AS (
             ORDER BY inserted_at DESC, id DESC) AS rn
   FROM f
 )
-SELECT topic, id, inserted_at FROM r WHERE rn <= 25
+SELECT topic, id, strftime(inserted_at, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS inserted_at
+FROM r WHERE rn <= 25
 """
 
 
@@ -490,26 +505,26 @@ from realtime_spark.operators.rate_limit import (  # noqa: E402
 
 def q_rate_sliding_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: 60x1s bucket sliding sum per tenant-equivalent key."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_table(spark, sf_dir, "events")
     out = sliding_rate(events, keys=["event_type"], ts_col="ts", window_seconds=60)
     return out.select("event_type", "sec", "bucket_count", "window_sum")
 
 
 ORACLE_RATE_SLIDING_60S = """
 WITH b AS (
-  SELECT event_type, CAST(epoch(ts) AS BIGINT) AS sec, COUNT(*) AS bucket_count
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, COUNT(*) AS bucket_count
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, sec, bucket_count,
-       SUM(bucket_count) OVER (PARTITION BY event_type ORDER BY sec
-         RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS window_sum
+       CAST(SUM(bucket_count) OVER (PARTITION BY event_type ORDER BY sec
+         RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS BIGINT) AS window_sum
 FROM b
 """
 
 
 def q_rate_limit_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 limit trigger over a 1h window (events are sparse at test SF)."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_table(spark, sf_dir, "events")
     flags = rate_limit_flags(
         events, keys=["event_type"], limit_per_sec=0.004, ts_col="ts",
         window_seconds=3600,
@@ -521,13 +536,13 @@ def q_rate_limit_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_RATE_LIMIT_TRIGGER = """
 WITH b AS (
-  SELECT event_type, CAST(epoch(ts) AS BIGINT) AS sec, COUNT(*) AS bucket_count
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, COUNT(*) AS bucket_count
   FROM events GROUP BY 1, 2
 ),
 r AS (
   SELECT event_type, sec,
-         SUM(bucket_count) OVER (PARTITION BY event_type ORDER BY sec
-           RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS window_sum
+         CAST(SUM(bucket_count) OVER (PARTITION BY event_type ORDER BY sec
+           RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS window_sum
   FROM b
 )
 SELECT event_type, sec, window_sum FROM r WHERE window_sum / 3600.0 > 0.004
@@ -536,7 +551,7 @@ SELECT event_type, sec, window_sum FROM r WHERE window_sum / 3600.0 > 0.004
 
 def q_rate_shed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P16: events landing in limit-triggered seconds are shed."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_table(spark, sf_dir, "events")
     kept = shed_rate_limited(
         events, keys=["event_type"], limit_per_sec=0.004, ts_col="ts",
         window_seconds=3600,
@@ -546,13 +561,13 @@ def q_rate_shed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_RATE_SHED = """
 WITH b AS (
-  SELECT event_type, CAST(epoch(ts) AS BIGINT) AS sec, COUNT(*) AS bucket_count
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, COUNT(*) AS bucket_count
   FROM events GROUP BY 1, 2
 ),
 r AS (
   SELECT event_type, sec,
-         SUM(bucket_count) OVER (PARTITION BY event_type ORDER BY sec
-           RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS window_sum
+         CAST(SUM(bucket_count) OVER (PARTITION BY event_type ORDER BY sec
+           RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS window_sum
   FROM b
 ),
 shed AS (SELECT event_type, sec FROM r WHERE window_sum / 3600.0 > 0.004)
@@ -560,7 +575,7 @@ SELECT e.event_type, COUNT(*) AS n_kept
 FROM events e
 WHERE NOT EXISTS (
   SELECT 1 FROM shed s
-  WHERE s.event_type = e.event_type AND s.sec = CAST(epoch(e.ts) AS BIGINT)
+  WHERE s.event_type = e.event_type AND s.sec = CAST(floor(epoch(e.ts)) AS BIGINT)
 )
 GROUP BY e.event_type
 """
@@ -590,25 +605,26 @@ GROUP BY c.action
 def q_presence_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 batch analog: presence state grouped per (topic, key) with meta
     count and last-writer timestamp."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_table(spark, sf_dir, "events")
     return events.groupBy(
         F.col("event_type").alias("topic"), F.col("user_id").alias("presence_key")
     ).agg(
         F.count(F.lit(1)).alias("n_metas"),
-        F.max("ts").alias("last_seen"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("last_seen"),
     )
 
 
 ORACLE_PRESENCE_STATE = """
 SELECT event_type AS topic, user_id AS presence_key,
-       COUNT(*) AS n_metas, MAX(ts) AS last_seen
+       COUNT(*) AS n_metas,
+       strftime(MAX(ts), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS last_seen
 FROM events GROUP BY 1, 2
 """
 
 
 def q_users_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: concurrent-user counting per tenant-equivalent key (exact)."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users")
     )
@@ -636,10 +652,19 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+from realtime_spark.plans.realtime_extra import (  # noqa: E402
+    realtime_extra_oracles,
+    realtime_extra_queries,
+)
+from realtime_spark.plans.training import training_oracles, training_queries  # noqa: E402
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (fstr, _, action) in _FILTER_CASES.items():
         qs[name] = _pairs_query(fstr, action)
+    qs.update(training_queries())
+    qs.update(realtime_extra_queries())
     qs["cdc_multi_pairs"] = q_cdc_multi_pairs
     qs["cdc_subscription_ids"] = q_cdc_subscription_ids
     qs["cdc_wildcard"] = q_cdc_wildcard
@@ -666,6 +691,8 @@ def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
     for name, (_, where, action) in _FILTER_CASES.items():
         sqls[name] = _pairs_oracle(where, action)
+    sqls.update(training_oracles())
+    sqls.update(realtime_extra_oracles())
     sqls["cdc_multi_pairs"] = ORACLE_CDC_MULTI_PAIRS
     sqls["cdc_subscription_ids"] = ORACLE_CDC_SUBSCRIPTION_IDS
     sqls["cdc_wildcard"] = ORACLE_CDC_WILDCARD

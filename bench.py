@@ -20,12 +20,25 @@ def _bench_queries():
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    # headline subset: the heavy/representative ops, not the whole matrix
+    # headline subset: the heavy/representative op per subsystem, not the
+    # whole matrix (CDC match, replay, rate, dedup, ANN, text)
     headline = [
         "cdc_multi_pairs",
         "cdc_subscription_ids",
         "cdc_filter_and",
         "cdc_filter_match",
+        "replay_topk",
+        "rate_sliding_60s",
+        "dedup_exact_keep",
+        "dedup_minhash_lsh",
+        "dedup_jaccard",
+        "dedup_simhash",
+        "ann_brute_topk",
+        "ann_ivf_topk",
+        "text_quality",
+        "text_fingerprints",
+        "media_features",
+        "presence_diffs",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

@@ -245,15 +245,30 @@ def compile_filters(
 # generic interpreter: filters as data (array column) over a record map
 # ---------------------------------------------------------------------------
 
-# Spark-side struct carried in the subscription dim table
+# Spark-side struct carried in the subscription dim table. `fam` is the
+# comparison family resolved at subscription-load time against the relation's
+# column types — the analog of the reference's `subscription_check_filters`
+# trigger type-checking filter values at insert
+# (reference: migrations/20260626120000:188-304). Resolving it at load keeps
+# the runtime interpreter expression small (a per-type-name dispatch chain
+# re-expanded at every use site made plan compilation explode).
 FILTER_STRUCT_DDL = (
     "array<struct<column_name:string,op:string,value:string,"
-    "values:array<string>,negate:boolean>>"
+    "values:array<string>,negate:boolean,fam:string>>"
 )
 
+from collections.abc import Mapping  # noqa: E402
 
-def filters_to_rows(filters: list[Filter]) -> list[dict]:
-    """Filters -> plain dicts matching FILTER_STRUCT_DDL (for dim-table rows)."""
+
+def filters_to_rows(
+    filters: list[Filter], types: Mapping[str, str] | None = None
+) -> list[dict]:
+    """Filters -> plain dicts matching FILTER_STRUCT_DDL (for dim-table rows).
+
+    `types` maps column name -> pg typename for the subscribed relation;
+    unknown columns/relations compare as text (::text semantics).
+    """
+    types = types or {}
     return [
         {
             "column_name": f.column_name,
@@ -261,27 +276,14 @@ def filters_to_rows(filters: list[Filter]) -> list[dict]:
             "value": f.value,
             "values": list(f.values),
             "negate": f.negate,
+            "fam": pg_type_family(types.get(f.column_name, "text")),
         }
         for f in filters
     ]
 
 
-def _family_expr(pg_type_col: Column) -> Column:
-    """pg typename column -> comparison-family name ('long','double',...)."""
-    t = F.lower(F.trim(pg_type_col))
-    fam = F.lit("string")
-    # array types / unknowns compare as text
-    buckets: dict[str, list[str]] = {}
-    from realtime_spark.functions.casts import _PG_TO_SPARK  # static table
-
-    for name, (_, family) in _PG_TO_SPARK.items():
-        buckets.setdefault(family, []).append(name)
-    expr = F.when(t.startswith("_") | t.endswith("[]"), F.lit("string"))
-    for family, names in buckets.items():
-        expr = expr.when(t.isin(*names), F.lit(family))
-    return expr.otherwise(fam)
-
-
+# family -> try_cast target for the runtime comparator ('binary' compares as
+# its text representation, like ::text)
 _FAMILY_CAST = {
     "long": "bigint",
     "double": "double",
@@ -289,43 +291,39 @@ _FAMILY_CAST = {
     "bool": "boolean",
     "timestamp": "timestamp",
     "date": "date",
-    "binary": "string",   # compare bytea as text representation
     "string": "string",
 }
 
 
-def _typed_pair_cmp(op_name: str, raw: Column, val: Column, fam: Column) -> Column:
-    """Comparison dispatched over the runtime type family. raw/val are string
-    columns; each family branch try_casts both sides then compares."""
-    import operator as _op
-
-    pyop = {
-        "eq": _op.eq, "neq": _op.ne, "lt": _op.lt,
-        "lte": _op.le, "gt": _op.gt, "gte": _op.ge,
-    }[op_name]
+def _typed_sign_cmp(raw: Column, val: Column, fam: Column) -> Column:
+    """Three-way comparison (-1/0/1, NULL when either side fails its cast)
+    dispatched over the load-time-resolved family. One cast pair per family
+    branch; every comparison op derives from this single sign."""
     expr = None
     for family, target in _FAMILY_CAST.items():
-        cond = fam == family
-        cmp_ = pyop(raw.try_cast(target), val.try_cast(target))
-        expr = F.when(cond, cmp_) if expr is None else expr.when(cond, cmp_)
+        a = raw.try_cast(target)
+        b = val.try_cast(target)
+        cmp_ = F.when(a < b, -1).when(a == b, 0).when(a > b, 1)
+        expr = F.when(fam == family, cmp_) if expr is None else expr.when(fam == family, cmp_)
     return expr
 
 
-def eval_filter_expr(f: Column, record: Column, type_map: Column) -> Column:
+def eval_filter_expr(f: Column, record: Column) -> Column:
     """Evaluate one filter struct against a record map<string,string>.
 
-    `type_map` maps column name -> pg typename for the relation (from the WAL
-    `columns` metadata). Missing column in the record fails closed; NULL
-    comparison results fail closed after negation (three-valued NOT).
+    Missing column in the record fails closed; NULL comparison results fail
+    closed after negation (three-valued NOT), matching the reference's
+    count/sum visibility conjunction (migrations/20260626120000:158-185).
     """
     name = f["column_name"]
     op = f["op"]
     val = f["value"]
     vals = f["values"]
     negate = f["negate"]
+    fam = F.coalesce(f["fam"], F.lit("string"))
     present = F.map_contains_key(record, name)
     raw = F.try_element_at(record, name)
-    fam = _family_expr(F.coalesce(F.try_element_at(type_map, name), F.lit("text")))
+    sign = _typed_sign_cmp(raw, val, fam)
 
     is_kw = F.lower(val)
     res = (
@@ -335,36 +333,39 @@ def eval_filter_expr(f: Column, record: Column, type_map: Column) -> Column:
                 raw.try_cast("boolean").eqNullSafe(is_kw == "true")
             ),
         )
-        .when(op == "isdistinct", ~_eq_null_safe_typed(raw, val, fam))
-        .when(op == "in", F.exists(vals, lambda v: F.coalesce(_typed_pair_cmp("eq", raw, v, fam), F.lit(False))))
+        .when(
+            op == "isdistinct",
+            # NULL-safe inequality: both NULL -> false, one NULL -> true
+            F.when(raw.isNull() & val.isNull(), F.lit(False))
+            .when(raw.isNull() | val.isNull(), F.lit(True))
+            .otherwise(sign != 0),
+        )
+        .when(
+            op == "in",
+            F.exists(
+                vals,
+                lambda v: F.coalesce(_typed_sign_cmp(raw, v, fam) == 0, F.lit(False)),
+            ),
+        )
         .when(op == "like", F.like(raw, val))
         .when(op == "ilike", F.ilike(raw, val))
         .when(op == "match", F.rlike(raw, val))
         .when(op == "imatch", F.rlike(raw, F.concat(F.lit("(?i)"), val)))
-        .when(op == "eq", _typed_pair_cmp("eq", raw, val, fam))
-        .when(op == "neq", _typed_pair_cmp("neq", raw, val, fam))
-        .when(op == "lt", _typed_pair_cmp("lt", raw, val, fam))
-        .when(op == "lte", _typed_pair_cmp("lte", raw, val, fam))
-        .when(op == "gt", _typed_pair_cmp("gt", raw, val, fam))
-        .when(op == "gte", _typed_pair_cmp("gte", raw, val, fam))
+        .when(op == "eq", sign == 0)
+        .when(op == "neq", sign != 0)
+        .when(op == "lt", sign < 0)
+        .when(op == "lte", sign <= 0)
+        .when(op == "gt", sign > 0)
+        .when(op == "gte", sign >= 0)
         .otherwise(F.lit(False))
     )
     res = F.when(negate, ~res).otherwise(res)
     return present & F.coalesce(res, F.lit(False))
 
 
-def _eq_null_safe_typed(raw: Column, val: Column, fam: Column) -> Column:
-    expr = None
-    for family, target in _FAMILY_CAST.items():
-        cond = fam == family
-        cmp_ = raw.try_cast(target).eqNullSafe(val.try_cast(target))
-        expr = F.when(cond, cmp_) if expr is None else expr.when(cond, cmp_)
-    return expr.otherwise(F.lit(False))
-
-
-def filters_match_expr(filters: Column, record: Column, type_map: Column) -> Column:
+def filters_match_expr(filters: Column, record: Column) -> Column:
     """Conjunctive visibility check (P3) as a single JVM expression:
     NULL/empty filters -> visible; else every filter must pass."""
     return filters.isNull() | F.forall(
-        filters, lambda f: eval_filter_expr(f, record, type_map)
+        filters, lambda f: eval_filter_expr(f, record)
     )

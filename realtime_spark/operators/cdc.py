@@ -39,7 +39,7 @@ from realtime_spark.functions.filters import (
 SUBSCRIPTION_SCHEMA_DDL = (
     "id bigint, subscription_id string, schema_name string, table_name string, "
     "filters array<struct<column_name:string,op:string,value:string,"
-    "values:array<string>,negate:boolean>>, "
+    "values:array<string>,negate:boolean,fam:string>>, "
     "claims_role string, action_filter string, selected_columns array<string>"
 )
 
@@ -47,6 +47,7 @@ SUBSCRIPTION_SCHEMA_DDL = (
 def subscriptions_df(
     spark: SparkSession,
     specs: Iterable[Mapping],
+    type_maps: Mapping[tuple[str, str], Mapping[str, str]] | None = None,
 ) -> DataFrame:
     """Build the subscription dimension from specs.
 
@@ -54,19 +55,30 @@ def subscriptions_df(
     filters (PostgREST filter string, optional), action ('*'|'INSERT'|...),
     claims_role (default 'authenticated'), selected_columns (list | None).
 
-    Filter strings are parsed+validated+canonical-sorted here — the analog of
-    the reference's `subscription_check_filters` trigger (P4).
+    `type_maps` maps (schema, table) -> {column: pg typename}; each filter's
+    comparison family is resolved here against it. Filter strings are
+    parsed+validated+canonical-sorted here too — together the analog of the
+    reference's `subscription_check_filters` trigger (P4), which type-checks
+    filters against the catalog at subscription insert. Wildcard ('*')
+    subscriptions resolve against the union of all known relations.
     """
+    type_maps = dict(type_maps or {})
+    merged: dict[str, str] = {}
+    for m in type_maps.values():
+        merged.update(m)
     rows = []
     for i, s in enumerate(specs):
         filters = parse_filter_string(s.get("filters"))
+        schema = s.get("schema", "public")
+        table = s.get("table", "*")
+        types = type_maps.get((schema, table), merged if "*" in (schema, table) else {})
         rows.append(
             {
                 "id": int(s.get("id", i + 1)),
                 "subscription_id": s["subscription_id"],
-                "schema_name": s.get("schema", "public"),
-                "table_name": s.get("table", "*"),
-                "filters": filters_to_rows(filters) if filters else None,
+                "schema_name": schema,
+                "table_name": table,
+                "filters": filters_to_rows(filters, types) if filters else None,
                 "claims_role": s.get("claims_role", "authenticated"),
                 "action_filter": s.get("action", "*"),
                 "selected_columns": s.get("selected_columns"),
@@ -112,7 +124,7 @@ def matched_pairs(changes: DataFrame, subs: DataFrame) -> DataFrame:
         (F.col("s.schema_name") == F.col("c.schema_name"))
         & (F.col("s.table_name") == F.col("c.table_name"))
         & ((F.col("s.action_filter") == "*") | (F.col("s.action_filter") == F.col("c.action")))
-        & filters_match_expr(F.col("s.filters"), filter_target, F.col("c.col_types"))
+        & filters_match_expr(F.col("s.filters"), filter_target)
     )
     return c.join(s, cond, "inner")
 

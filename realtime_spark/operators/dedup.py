@@ -39,10 +39,13 @@ def shingles_expr(text: Column, k: int = 3) -> Column:
     toks = tokens_expr(text)
     n = F.size(toks)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
-    return F.array_distinct(grams)
+    # guard: Spark sequence(1, 0) descends; short texts get no shingles
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -159,8 +162,19 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("doc"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
-    ).filter(F.size("sig") > 0)
+        shingles_expr(F.col(text_col), k).alias("sh"),
+    ).filter(F.size("sh") > 0).select(
+        "doc",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
+                )
+            ),
+        ).alias("sig"),
+    )
     banded = sig.select(
         "doc",
         F.explode(

@@ -1,0 +1,177 @@
+"""Multimodal (image/audio/video) column plumbing for training-data pipelines.
+
+Media are opaque `binary` columns plus a typed metadata struct; decode /
+feature-extract / resize / frame-sample run as Arrow-batched pandas
+iterators over `mapInPandas`. The actual codec calls are STUBBED (this
+container ships no image/audio libs): `decode_media` raises
+NotImplementedError unless `fake=True`, in which case a deterministic fake
+decoder (seeded by the payload digest) produces stable pseudo-features so the
+Spark-side plumbing — schema, batch shape, partitioning — is fully testable.
+
+Scale notes (100 TB design):
+  - Binary payloads dominate bytes: keep them in their own parquet column so
+    column pruning skips them for metadata-only queries; feature extraction
+    reads payloads exactly once, in Arrow batches, and emits small fixed-width
+    feature rows (never re-emits the binary).
+  - `mapInPandas` preserves the input partitioning — no shuffle; size input
+    partitions by bytes (spark.sql.files.maxPartitionBytes) so one Arrow
+    batch of payloads fits executor memory.
+  - Frame sampling multiplies rows (1 video -> n frames): emitted per input
+    batch, so downstream repartition controls the fan-out.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# typed metadata carried beside every media payload
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("format", StringType()),      # png|jpeg|wav|mp4|...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("sample_rate", IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", MEDIA_META_SCHEMA),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("digest", StringType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame_digest", StringType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake 'decoder': digest bytes -> dim pseudo-features in
+    [0, 1). Stands in for a real image/audio decode + model embed."""
+    h = hashlib.sha256(payload).digest()
+    return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
+
+
+def decode_media(payload: bytes, fmt: str) -> Any:
+    """REAL decode entry point — requires PIL/librosa/av, none of which ship
+    in this container. Gate behind fake=True in the operators below."""
+    raise NotImplementedError(
+        f"media decode for format={fmt!r} requires an image/audio codec "
+        "library not available in this environment; use fake=True for the "
+        "deterministic test decoder"
+    )
+
+
+def extract_features(
+    media: DataFrame, dim: int = 8, fake: bool = True, batch_hint: int = 256
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas keeps partitioning (no shuffle) and never re-emits the binary
+    column — output rows are fixed-width (id, n_bytes, digest, features).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            feats = []
+            for p in payloads:
+                b = bytes(p) if p is not None else b""
+                if not fake:
+                    decode_media(b, "auto")  # raises: real codecs absent
+                feats.append(_fake_decode(b, dim))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0),
+                    "digest": payloads.map(
+                        lambda p: hashlib.md5(bytes(p) if p is not None else b"").hexdigest()
+                    ),
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 16, fake: bool = True
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame timestamp.
+
+    Frame count = min(duration/every_ms, max_frames); frame 'content' is the
+    deterministic digest of (payload digest, frame index) until a real codec
+    is plugged into decode_media.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_digest": []}
+            for _, row in pdf.iterrows():
+                if not fake:
+                    decode_media(bytes(row["payload"]), "video")
+                dur = row["meta"]["duration_ms"] or 0
+                n = min(int(dur // every_ms) + (1 if dur else 0), max_frames)
+                base = hashlib.md5(bytes(row["payload"]) if row["payload"] is not None else b"").hexdigest()
+                for i in range(n):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame_digest"].append(
+                        hashlib.md5(f"{base}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame, media_type: str = "image") -> DataFrame:
+    """Derive a deterministic media table from `documents` for testing: the
+    text bytes stand in for an encoded payload; metadata is derived from
+    n_chars. Mirrored in SQL by the oracle CTE in __spark_entry__."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit("fake").alias("format"),
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit(16000).alias("sample_rate"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (beyond-reference operators).
+
+Brute-force cosine top-k is the exactness baseline; IVF (inverted-file)
+centroid bucketing is the 100 TB scale path. Everything stays JVM-side:
+`F.zip_with` + `F.aggregate` compute dot products inside whole-stage codegen,
+so no Python crosses the row path.
+
+Scale notes (100 TB design):
+  - brute-force: the query set is broadcast (small dim), the corpus is
+    scanned exactly once; the only shuffle carries (query_id, neighbor_id,
+    cos) candidate rows — never the vectors themselves. Per-partition
+    pre-pruning keeps the shuffle at O(q * k * partitions).
+  - IVF: centroids are broadcast twice (assignment scan + query routing); the
+    bucket join is an equi-join on centroid_id, so Catalyst shuffles only the
+    probed buckets. nprobe > 1 multiplies probed volume linearly.
+  - All math is double-precision with a deterministic left-to-right sum so
+    the duckdb oracle (list_dot_product) reproduces values bit-for-bit
+    before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision dot product, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    `queries` (small) is broadcast against `corpus` (one scan); ranking uses
+    the rounded cosine with id tie-break so results are representation-stable
+    across engines. Output: (query_id, neighbor_id, cos, rank).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (IVF build).
+
+    Centroids are broadcast; assignment is a single corpus scan + per-row
+    argmax — no shuffle of vectors. Output: corpus + (centroid_id, c_cos).
+    Deterministic: ties broken by smallest centroid_id on the rounded score.
+    """
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    scored = corpus.join(cents).select(
+        corpus["*"],
+        "centroid_id",
+        F.round(cosine_expr(F.col(vec_col), F.col("cent_vec")), round_digits).alias("c_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ANN top-k via IVF: compare each query only against vectors whose
+    nearest centroid is among the query's `nprobe` nearest centroids.
+
+    At scale the corpus is pre-assigned once (ivf_assign persisted,
+    partitioned by centroid_id); the search is an equi-join on centroid_id —
+    only the probed buckets shuffle. Output matches brute_force_topk's shape;
+    recall < 1.0 by design (approximate).
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "centroid_id",
+    )
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_scored = q.join(cents).select(
+        "query_id",
+        "q_vec",
+        "centroid_id",
+        F.round(cosine_expr(F.col("q_vec"), F.col("cent_vec")), 6).alias("qc_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qc_cos"), F.asc("centroid_id"))
+    probes = F.broadcast(
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    scored = (
+        assigned.join(probes, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cos >= t.
+
+    Quadratic by nature; at 100 TB this runs *after* IVF bucketing (join on
+    centroid_id) so only same-bucket pairs are scored. Here the all-pairs
+    variant is the oracle-checkable baseline. Output: (doc_a, doc_b, cos).
+    """
+    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), round_digits).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,349 @@
+"""Driver-contract queries + oracles for the authorization, presence, and
+broadcast-ingest operators (SURVEY §2 P7/P14, §2.7 ST4, §2.1 S6-S8,
+§2.6 F8/F9/F10).
+
+Fixtures are derived deterministically from the `events` table; every
+derivation is mirrored by a SQL CTE so the DuckDB oracle replays the same
+pipeline relationally.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_spark.functions.scalar import payload_size_ok, tenant_topic
+from realtime_spark.operators.auth import (
+    attach_claims,
+    gate_messages,
+    policies_df,
+    sign_jwt,
+)
+from realtime_spark.sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# JWT claims (F9): three deterministic fixture tokens (one per role) plus one
+# tampered token; minted with the stdlib HS256 signer so the Spark query
+# exercises the real verify path, while the oracle knows the expected claims.
+# ---------------------------------------------------------------------------
+
+_JWT_SECRET = "realtime-spark-test-secret"
+_JWT_EXP = 4102444800  # 2100-01-01, far future so fixtures never expire
+_NOW_EPOCH = 1700000000
+_ROLES = ("anon", "authenticated", "service_role")
+
+_TOKENS = {role: sign_jwt({"role": role, "exp": _JWT_EXP, "aud": "rt"}, _JWT_SECRET) for role in _ROLES}
+_BAD_TOKEN = _TOKENS["anon"][:-2] + "xx"  # broken signature
+
+
+def q_jwt_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_id % 4 -> one of 3 valid tokens or a tampered one; verify and
+    extract the role. Tampered rows yield NULL role (fail-closed)."""
+    e = load_table(spark, sf_dir, "events")
+    tok = (
+        F.when(F.col("user_id") % 4 == 0, F.lit(_TOKENS["anon"]))
+        .when(F.col("user_id") % 4 == 1, F.lit(_TOKENS["authenticated"]))
+        .when(F.col("user_id") % 4 == 2, F.lit(_TOKENS["service_role"]))
+        .otherwise(F.lit(_BAD_TOKEN))
+    )
+    users = e.select("user_id").distinct().withColumn("token", tok)
+    out = attach_claims(users, "token", _JWT_SECRET, _NOW_EPOCH)
+    return out.select("user_id", "claims_role")
+
+
+ORACLE_JWT_CLAIMS = """
+SELECT DISTINCT user_id,
+  CASE WHEN user_id % 4 = 0 THEN 'anon'
+       WHEN user_id % 4 = 1 THEN 'authenticated'
+       WHEN user_id % 4 = 2 THEN 'service_role'
+       ELSE NULL END AS claims_role
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# policy gates (P14): private messages pass only when the (topic, role)
+# policy allows the mode; public messages always pass.
+# ---------------------------------------------------------------------------
+
+_POLICY_SPECS = [
+    {"topic": "click", "claims_role": "authenticated", "can_read": True, "can_write": True},
+    {"topic": "view", "claims_role": "authenticated", "can_read": True, "can_write": False},
+    {"topic": "purchase", "claims_role": "service_role", "can_read": True, "can_write": True},
+]
+
+# derived message stream with a per-row role: role cycles by user_id
+_GATED_CTE = """
+_gated AS (
+  SELECT CAST(event_id AS VARCHAR) AS id, event_type AS topic,
+         (user_id % 2 = 0) AS private,
+         CASE WHEN user_id % 3 = 0 THEN 'anon'
+              WHEN user_id % 3 = 1 THEN 'authenticated'
+              ELSE 'service_role' END AS claims_role
+  FROM events
+)
+"""
+
+
+def _gated_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("user_id") % 3 == 0, F.lit("anon"))
+        .when(F.col("user_id") % 3 == 1, F.lit("authenticated"))
+        .otherwise(F.lit("service_role"))
+    )
+    return e.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.col("event_type").alias("topic"),
+        (F.col("user_id") % 2 == 0).alias("private"),
+        role.alias("claims_role"),
+    )
+
+
+def q_policy_read_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = _gated_messages(spark, sf_dir)
+    pols = policies_df(spark, _POLICY_SPECS)
+    return gate_messages(msgs, pols, mode="read").select(
+        "id", "topic", "private", "claims_role"
+    )
+
+
+def _policy_values(flag: str) -> str:
+    rows = ", ".join(
+        f"('{p['topic']}', '{p['claims_role']}', {str(bool(p.get(flag, False))).upper()})"
+        for p in _POLICY_SPECS
+    )
+    return f"(VALUES {rows}) AS p(p_topic, p_role, p_ok)"
+
+
+ORACLE_POLICY_READ_GATE = f"""
+WITH {_GATED_CTE.strip()}
+SELECT m.id, m.topic, m.private, m.claims_role
+FROM _gated m
+LEFT JOIN {_policy_values('can_read')}
+  ON m.topic = p.p_topic AND m.claims_role = p.p_role
+WHERE (NOT m.private) OR COALESCE(p.p_ok, FALSE)
+"""
+
+
+def q_policy_write_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = _gated_messages(spark, sf_dir)
+    pols = policies_df(spark, _POLICY_SPECS)
+    return gate_messages(msgs, pols, mode="write").select(
+        "id", "topic", "private", "claims_role"
+    )
+
+
+ORACLE_POLICY_WRITE_GATE = f"""
+WITH {_GATED_CTE.strip()}
+SELECT m.id, m.topic, m.private, m.claims_role
+FROM _gated m
+LEFT JOIN {_policy_values('can_write')}
+  ON m.topic = p.p_topic AND m.claims_role = p.p_role
+WHERE (NOT m.private) OR COALESCE(p.p_ok, FALSE)
+"""
+
+
+# ---------------------------------------------------------------------------
+# broadcast ingest (S7/F8/F10): batch grouped by (private, topic) with
+# payload-size enforcement and tenant-topic namespacing
+# ---------------------------------------------------------------------------
+
+_MAX_KB_TINY = 1  # 1000 bytes -> actually exercises the gate on props
+
+
+def q_batch_ingest_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: validate+group a broadcast batch by (private, topic): count rows,
+    drop oversize payloads (F8), namespace the topic (F10). Payloads are
+    props repeated (user_id % 200)x so sizes straddle the 1 KB gate."""
+    e = load_table(spark, sf_dir, "events")
+    batch = e.select(
+        F.col("event_type").alias("topic"),
+        (F.col("user_id") % 2 == 0).alias("private"),
+        F.repeat(F.col("props"), (F.col("user_id") % 200).cast("int")).alias(
+            "payload_json"
+        ),
+    ).filter(payload_size_ok(F.col("payload_json"), _MAX_KB_TINY))
+    return batch.groupBy("private", "topic").agg(
+        F.count(F.lit(1)).alias("n_msgs")
+    ).select(
+        tenant_topic(F.lit("t0"), F.col("topic")).alias("ns_topic"),
+        "private",
+        "n_msgs",
+    )
+
+
+ORACLE_BATCH_INGEST_GROUPS = f"""
+SELECT 'realtime:t0:' || event_type AS ns_topic,
+       (user_id % 2 = 0) AS private, COUNT(*) AS n_msgs
+FROM events
+WHERE strlen(repeat(props, CAST(user_id % 200 AS INT))) <= {_MAX_KB_TINY * 1000}
+GROUP BY event_type, (user_id % 2 = 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# presence (ST4/A8): track/untrack log derived from events; diffs via the
+# relational replay; the stateful operator is exercised in tests/
+# ---------------------------------------------------------------------------
+
+_PRESENCE_CTE = """
+_presence AS (
+  SELECT event_type AS topic, CAST(user_id AS VARCHAR) AS presence_key,
+         CASE WHEN event_id % 5 = 0 THEN 'untrack' ELSE 'track' END AS action,
+         substr(props, 1, 16) AS meta, ts,
+         CAST(event_id AS BIGINT) AS seq
+  FROM events
+)
+"""
+
+
+def presence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_type").alias("topic"),
+        F.col("user_id").cast("string").alias("presence_key"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("untrack"))
+        .otherwise(F.lit("track"))
+        .alias("action"),
+        F.substring(F.col("props"), 1, 16).alias("meta"),
+        F.col("ts").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+    )
+
+
+def q_presence_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.streaming.presence import presence_diffs_batch
+
+    ev = presence_events(spark, sf_dir).withColumn(
+        "ts", F.col("seq").cast("timestamp")
+    )  # seq as ts: unique, deterministic order per key
+    out = presence_diffs_batch(ev)
+    return out.select(
+        "topic", "presence_key", "kind", "meta", F.col("ts").cast("long").alias("seq")
+    )
+
+
+ORACLE_PRESENCE_DIFFS = f"""
+WITH {_PRESENCE_CTE.strip()},
+lagged AS (
+  SELECT *, lag(meta) OVER w AS prev_meta, lag(action) OVER w AS prev_action
+  FROM _presence
+  WINDOW w AS (PARTITION BY topic, presence_key ORDER BY seq)
+),
+kinds AS (
+  SELECT *,
+    CASE
+      WHEN action = 'track' AND NOT COALESCE(prev_action = 'track', FALSE) THEN 'join'
+      WHEN action = 'track' AND COALESCE(prev_action = 'track', FALSE)
+           AND prev_meta <> meta THEN 'update'
+      WHEN action = 'untrack' AND COALESCE(prev_action = 'track', FALSE) THEN 'leave'
+    END AS kind
+  FROM lagged
+)
+SELECT topic, presence_key, kind,
+       CASE WHEN kind = 'leave' THEN prev_meta ELSE meta END AS meta, seq
+FROM kinds WHERE kind IS NOT NULL
+"""
+
+
+def q_presence_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.streaming.presence import presence_state_batch
+
+    ev = presence_events(spark, sf_dir).withColumn(
+        "ts", F.col("seq").cast("timestamp")
+    )
+    out = presence_state_batch(ev)
+    return out.select(
+        "topic", "presence_key", "meta", F.col("tracked_at").cast("long").alias("seq")
+    )
+
+
+ORACLE_PRESENCE_CURRENT_STATE = f"""
+WITH {_PRESENCE_CTE.strip()},
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY topic, presence_key
+            ORDER BY seq DESC) AS rn
+  FROM _presence
+)
+SELECT topic, presence_key, meta, seq
+FROM last WHERE rn = 1 AND action = 'track'
+"""
+
+
+# ---------------------------------------------------------------------------
+# RLS row predicate (P7/J5): policy expression over the change record,
+# per-role, compiled to a Spark expression
+# ---------------------------------------------------------------------------
+
+
+def q_rls_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.auth import apply_rls_policies, rls_policies_df
+    from realtime_spark.operators.cdc import matched_pairs, subscriptions_df
+    from realtime_spark.sources.testdata import changes_from_orders
+
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(
+        spark,
+        [
+            {"subscription_id": "s-auth", "table": "orders", "claims_role": "authenticated"},
+            {"subscription_id": "s-anon", "table": "orders", "claims_role": "anon"},
+        ],
+    )
+    # authenticated sees open orders only; anon has no policy row -> passes
+    pols = rls_policies_df(
+        spark,
+        [
+            {
+                "table": "orders",
+                "claims_role": "authenticated",
+                "policy_expr": "element_at(c.record, 'o_orderstatus') = 'O' "
+                "OR element_at(c.old_record, 'o_orderstatus') = 'O'",
+            }
+        ],
+    )
+    pairs = matched_pairs(changes, subs)
+    out = apply_rls_policies(pairs, pols)
+    return out.select(
+        F.col("c.change_id").alias("change_id"),
+        F.col("s.subscription_id").alias("subscription_id"),
+    )
+
+
+def _oracle_rls() -> str:
+    from realtime_spark.sources.testdata import ORDERS_CHANGES_SQL_CTE
+
+    return f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id, 's-anon' AS subscription_id FROM _orders_changes
+UNION ALL
+SELECT change_id, 's-auth' AS subscription_id FROM _orders_changes
+WHERE o_orderstatus = 'O'
+"""
+
+
+def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "jwt_claims": q_jwt_claims,
+        "policy_read_gate": q_policy_read_gate,
+        "policy_write_gate": q_policy_write_gate,
+        "batch_ingest_groups": q_batch_ingest_groups,
+        "presence_diffs": q_presence_diffs,
+        "presence_current_state": q_presence_current_state,
+        "rls_row_filter": q_rls_row_filter,
+    }
+
+
+def realtime_extra_oracles() -> dict[str, str]:
+    return {
+        "jwt_claims": ORACLE_JWT_CLAIMS,
+        "policy_read_gate": ORACLE_POLICY_READ_GATE,
+        "policy_write_gate": ORACLE_POLICY_WRITE_GATE,
+        "batch_ingest_groups": ORACLE_BATCH_INGEST_GROUPS,
+        "presence_diffs": ORACLE_PRESENCE_DIFFS,
+        "presence_current_state": ORACLE_PRESENCE_CURRENT_STATE,
+        "rls_row_filter": _oracle_rls(),
+    }

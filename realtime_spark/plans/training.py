@@ -1,0 +1,528 @@
+"""Driver-contract queries + DuckDB oracles for the beyond-reference
+training-data operators (dedup, similarity search, text analysis,
+multimodal plumbing).
+
+Every Spark query runs the real operator from realtime_spark.operators.*;
+every oracle re-derives the same result in plain DuckDB SQL over the same
+parquet views. Shared hash = md5; shared math = double precision with
+identical association order, rounded before comparison.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_buckets,
+)
+from realtime_spark.operators.multimodal import (
+    extract_features,
+    media_from_documents,
+    sample_frames,
+)
+from realtime_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+)
+from realtime_spark.operators.text import (
+    bpe_token_count,
+    content_fingerprint,
+    detect_lang,
+    quality_score,
+    rolling_fingerprint,
+    whitespace_token_count,
+)
+from realtime_spark.sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# dedup corpus: documents + injected exact/near duplicates (deterministic,
+# mirrored by the _docs_dup CTE)
+# ---------------------------------------------------------------------------
+
+NEAR_DUP_TAIL = " near dup tail marker"
+
+
+def docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+DOCS_DUP_CTE = f"""
+_docs_dup AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || '{NEAR_DUP_TAIL}' FROM documents WHERE doc_id % 10 = 1
+)
+"""
+
+# shared SQL fragments mirroring dedup.tokens_expr / shingles_expr (k=3)
+SQL_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _sql_shingles(k: int = 3) -> str:
+    return (
+        f"CASE WHEN len(toks) >= {k} THEN list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' '))) "
+        f"ELSE [] END"
+    )
+
+
+# -- exact dedup ------------------------------------------------------------
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_dups(spark, sf_dir)
+    g = exact_duplicates(d, "doc_id", "text")
+    return g.select(
+        "digest",
+        "canonical_id",
+        "n_dups",
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), ",").alias("ids"),
+    )
+
+
+ORACLE_DEDUP_EXACT_GROUPS = f"""
+WITH {DOCS_DUP_CTE.strip()}
+SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_dups,
+       array_to_string(list_sort(list(doc_id)), ',') AS ids
+FROM _docs_dup GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_dups(spark, sf_dir)
+    return dedup_exact(d, "doc_id", "text").select("doc_id")
+
+
+ORACLE_DEDUP_EXACT_KEEP = f"""
+WITH {DOCS_DUP_CTE.strip()}
+SELECT MIN(doc_id) AS doc_id FROM _docs_dup GROUP BY md5(text)
+"""
+
+
+# -- n-gram Jaccard ---------------------------------------------------------
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_dups(spark, sf_dir)
+    return jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH {DOCS_DUP_CTE.strip()},
+t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM _docs_dup),
+sh AS (
+  SELECT doc_id AS doc, unnest({_sql_shingles(3)}) AS shingle FROM t
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+freq_ok AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 1000),
+shf AS (SELECT sh.* FROM sh JOIN freq_ok USING (shingle)),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+"""
+
+
+# -- MinHash LSH ------------------------------------------------------------
+
+_MH_HASHES, _MH_BANDS, _MH_ROWS = 12, 4, 3
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_dups(spark, sf_dir)
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=_MH_HASHES, bands=_MH_BANDS, k=3
+    )
+
+
+def _sql_minhash_sig() -> str:
+    return (
+        f"list_transform(range(0, {_MH_HASHES}), "
+        "i -> list_min(list_transform(sh, "
+        "s -> md5(CAST(i AS VARCHAR) || ':' || s))))"
+    )
+
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH {DOCS_DUP_CTE.strip()},
+t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM _docs_dup),
+s0 AS (SELECT doc_id AS doc, {_sql_shingles(3)} AS sh FROM t),
+s1 AS (SELECT doc, sh FROM s0 WHERE len(sh) > 0),
+sig AS (SELECT doc, {_sql_minhash_sig()} AS sig FROM s1),
+banded AS (
+  SELECT doc, b.band,
+         md5(array_to_string(list_slice(sig, b.band * {_MH_ROWS} + 1,
+             b.band * {_MH_ROWS} + {_MH_ROWS}), '|')) AS key
+  FROM sig, (SELECT unnest(range(0, {_MH_BANDS})) AS band) b
+)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+"""
+
+
+# -- SimHash ----------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_dups(spark, sf_dir)
+    return simhash_buckets(d, "doc_id", "text", bits=_SIMHASH_BITS)
+
+
+def _sql_simhash_bits() -> str:
+    terms = [
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << b}) <> 0)) > len(hs) "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    ]
+    return " + ".join(terms)
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH {DOCS_DUP_CTE.strip()},
+t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM _docs_dup),
+h AS (SELECT doc_id AS doc,
+             list_transform(toks, tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT) AS hs
+      FROM t)
+SELECT doc, CAST({_sql_simhash_bits()} AS BIGINT) AS simhash FROM h
+"""
+
+
+# -- embedding-cosine near-dup + ANN ---------------------------------------
+
+_SQL_COS = (
+    "round(list_dot_product({a}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}.embedding::DOUBLE[], {a}.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]))), {r})"
+)
+
+
+def q_dedup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, threshold=0.42)
+
+
+ORACLE_DEDUP_COSINE_PAIRS = f"""
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       {_SQL_COS.format(a='a', b='b', r=4)} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_SQL_COS.format(a='a', b='b', r=4)} >= 0.42
+"""
+
+_ANN_K = 5
+_ANN_QUERY_PRED = "vec_id < 8"
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.expr(_ANN_QUERY_PRED))
+    return brute_force_topk(e, q, k=_ANN_K)
+
+
+ORACLE_ANN_BRUTE_TOPK = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE {_ANN_QUERY_PRED}),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_SQL_COS.format(a='q', b='e', r=4)} AS cos
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {_ANN_K}
+"""
+
+_IVF_CENT_PRED = "vec_id % 100 = 0"
+_IVF_NPROBE = 2
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.expr(_ANN_QUERY_PRED))
+    cents = e.filter(F.expr(_IVF_CENT_PRED))
+    return ivf_topk(e, q, cents, k=_ANN_K, nprobe=_IVF_NPROBE)
+
+
+ORACLE_ANN_IVF_TOPK = f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE {_IVF_CENT_PRED}),
+asg0 AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.centroid_id,
+         {_SQL_COS.format(a='e', b='c', r=6)} AS c_cos
+  FROM embeddings e CROSS JOIN cents c
+),
+asg AS (
+  SELECT neighbor_id, c_vec, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+              ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM asg0
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE {_ANN_QUERY_PRED}),
+probes0 AS (
+  SELECT q.query_id, q.q_vec, c.centroid_id,
+         round(list_dot_product(q.q_vec::DOUBLE[], c.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[])) *
+            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS qc_cos
+  FROM q CROSS JOIN cents c
+),
+probes AS (
+  SELECT query_id, q_vec, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY qc_cos DESC, centroid_id) AS rn
+    FROM probes0
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+s AS (
+  SELECT p.query_id, a.neighbor_id,
+         round(list_dot_product(p.q_vec::DOUBLE[], a.c_vec::DOUBLE[]) /
+           (sqrt(list_dot_product(p.q_vec::DOUBLE[], p.q_vec::DOUBLE[])) *
+            sqrt(list_dot_product(a.c_vec::DOUBLE[], a.c_vec::DOUBLE[]))), 4) AS cos
+  FROM asg a JOIN probes p USING (centroid_id)
+  WHERE p.query_id <> a.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {_ANN_K}
+"""
+
+# NOTE: oracle embeddings.embedding is FLOAT[]; q_vec/c_vec flow through as
+# FLOAT[] and are cast at the dot product, matching Spark's per-element cast.
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        whitespace_token_count(t).alias("n_ws"),
+        bpe_token_count(t).alias("n_bpe"),
+    )
+
+
+ORACLE_TEXT_TOKEN_COUNTS = r"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT) AS n_ws,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe
+FROM documents
+"""
+
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _sql_lang_score(lang: str, stops: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{s}'" for s in stops) + "]"
+    return (
+        f"round(CASE WHEN len(toks) > 0 THEN "
+        f"len(list_filter(toks, tk -> list_contains({arr}, tk))) / len(toks) "
+        f"ELSE 0.0 END, 6)"
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", detect_lang(F.col("text")).alias("detected_lang"))
+
+
+def _oracle_lang_id() -> str:
+    from realtime_spark.operators.text import STOPWORDS
+
+    scores = ", ".join(
+        f"{_sql_lang_score(lg, STOPWORDS[lg])} AS s_{lg}" for lg in _LANGS
+    )
+    mx = "greatest(" + ", ".join(f"s_{lg}" for lg in _LANGS) + ")"
+    pick = " ".join(f"WHEN s_{lg} = mx THEN '{lg}'" for lg in _LANGS)
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {scores} FROM t),
+m AS (SELECT *, {mx} AS mx FROM s)
+SELECT doc_id, CASE WHEN mx <= 0 THEN 'und' ELSE (CASE {pick} END) END AS detected_lang
+FROM m
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _oracle_quality() -> str:
+    from realtime_spark.operators.text import STOPWORDS
+
+    en = "[" + ", ".join(f"'{s}'" for s in STOPWORDS["en"]) + "]"
+    return rf"""
+WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+    len(toks) AS n,
+    CASE WHEN length(text) > 0 THEN
+      length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text)
+    ELSE 0.0 END AS punct,
+    CASE WHEN len(toks) > 0 THEN
+      len(list_filter(toks, tk -> list_contains({en}, tk))) / len(toks)
+    ELSE 0.0 END AS stop_ratio,
+    CASE WHEN len(toks) > 0 THEN
+      list_sum(list_transform(toks, tk -> CAST(length(tk) AS DOUBLE))) / len(toks)
+    ELSE 0.0 END AS wl
+  FROM t
+)
+SELECT doc_id,
+  round(0.3 * (least(CAST(n AS DOUBLE), 100.0) / 100.0)
+      + 0.3 * (1.0 - punct)
+      + 0.2 * least(stop_ratio * 5.0, 1.0)
+      + 0.2 * greatest(0.0, least(1.0, 1.0 - abs(wl - 5.0) / 10.0)), 4) AS quality
+FROM c
+"""
+
+
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        content_fingerprint(t).alias("fp"),
+        rolling_fingerprint(t, k=8).alias("rfp"),
+    )
+
+
+ORACLE_TEXT_FINGERPRINTS = f"""
+WITH t AS (SELECT doc_id, array_to_string({SQL_TOKS}, ' ') AS norm FROM documents)
+SELECT doc_id, md5(norm) AS fp,
+  list_min(list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+           i -> md5(substr(norm, i, 8)))) AS rfp
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+_FEAT_DIM = 8
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    feats = extract_features(media, dim=_FEAT_DIM, fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "digest",
+        F.array_join(
+            F.transform(
+                "features", lambda x: F.round(x * 1e6).cast("long").cast("string")
+            ),
+            ",",
+        ).alias("feat_micro"),
+    )
+
+
+ORACLE_MEDIA_FEATURES = f"""
+SELECT doc_id AS media_id, strlen(text) AS n_bytes, md5(text) AS digest,
+  array_to_string(list_transform(range(0, {_FEAT_DIM}),
+    i -> CAST(round((('0x' || substr(sha256(text), i * 8 + 1, 8))::BIGINT
+                     / 4294967296.0) * 1000000.0) AS BIGINT)), ',') AS feat_micro
+FROM documents
+"""
+
+_FRAME_EVERY_MS = 1000
+_FRAME_MAX = 16
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs, media_type="video")
+    return sample_frames(media, every_ms=_FRAME_EVERY_MS, max_frames=_FRAME_MAX)
+
+
+ORACLE_MEDIA_FRAMES = f"""
+SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+       CAST(i * {_FRAME_EVERY_MS} AS BIGINT) AS ts_ms,
+       md5(md5(text) || ':' || CAST(i AS VARCHAR)) AS frame_digest
+FROM documents,
+     unnest(range(0, least((n_chars * 10) // {_FRAME_EVERY_MS} + 1, {_FRAME_MAX}))) AS u(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_cosine_pairs": q_dedup_cosine_pairs,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_token_counts": q_text_token_counts,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_fingerprints": q_text_fingerprints,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
+    }
+
+
+def training_oracles() -> dict[str, str]:
+    return {
+        "dedup_exact_groups": ORACLE_DEDUP_EXACT_GROUPS,
+        "dedup_exact_keep": ORACLE_DEDUP_EXACT_KEEP,
+        "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+        "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+        "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+        "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
+        "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,
+        "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
+        "text_token_counts": ORACLE_TEXT_TOKEN_COUNTS,
+        "text_lang_id": _oracle_lang_id(),
+        "text_quality": _oracle_quality(),
+        "text_fingerprints": ORACLE_TEXT_FINGERPRINTS,
+        "media_features": ORACLE_MEDIA_FEATURES,
+        "media_frames": ORACLE_MEDIA_FRAMES,
+    }

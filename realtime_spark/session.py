@@ -23,6 +23,8 @@ def get_spark(app_name: str = "realtime_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # duckdb-written parquet carries TIMESTAMP(NANOS); read as long + convert
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )

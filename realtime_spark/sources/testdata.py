@@ -32,8 +32,20 @@ ORDERS_PG_TYPES = {
 ORDERS_PK = ["o_orderkey"]
 
 
+# tables whose parquet carries TIMESTAMP(NANOS) (written by duckdb); Spark has
+# no nanos timestamp type, so we read them as long and truncate to micros.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _NANOS_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer div keeps full precision (double division would not)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
 
 
 def changes_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,88 @@
+"""Streaming lift of the CDC pipeline (SURVEY §7 Phase 4).
+
+The batch operators (cdc.match_changes -> projection.project_output) are pure
+DataFrame->DataFrame functions; Structured Streaming lifts them unchanged via
+`foreachBatch`, which gives every micro-batch the reference's poll-loop
+semantics:
+
+  - trigger interval ≈ poll_interval_ms (100 ms default, ST1; adaptive
+    busy/idle cadence is a driver-loop concern the fixed trigger replaces —
+    documented deviation)
+  - maxFilesPerTrigger / maxOffsetsPerTrigger ≈ max_changes batch clamp (W4)
+  - the rate-limit shed gate (P16) drops a whole micro-batch when the tenant's
+    sliding rate is triggered, counting it instead of delivering
+    (reference: replication_poller.ex:404-414)
+  - at-least-once sink delivery + id dedup replaces the reference's
+    at-most-once socket push (ST2; documented deviation)
+
+Scale notes: foreachBatch reuses the batch plan per micro-batch — broadcast
+subscription join, no stream-side shuffle before the sink grouping. The
+encode-once sink (O4) groups by (topic/destination) before serialization, so
+fan-out to N subscribers serializes each payload once, not N times.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from realtime_spark.operators.cdc import match_changes
+
+
+def run_cdc_stream(
+    stream: DataFrame,
+    subs: DataFrame,
+    sink: Callable[[DataFrame, int], Any],
+    checkpoint_dir: str,
+    trigger_ms: int = 100,
+    shed_gate: Callable[[DataFrame], bool] | None = None,
+    query_name: str = "cdc",
+):
+    """Lift the CDC match pipeline onto a streaming change source.
+
+    `sink(batch_df, epoch_id)` receives the matched+aggregated output of each
+    micro-batch. `shed_gate(batch_df)` returning True drops the batch whole
+    (P16) — the callable inspects tenant rate state however it likes.
+    """
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if shed_gate is not None and shed_gate(batch_df):
+            return
+        out = match_changes(batch_df, subs)
+        sink(out, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
+
+
+def encode_once_fanout(matched: DataFrame) -> DataFrame:
+    """O4: serialize each delivered change exactly once per (entity, change),
+    carrying the subscriber-id set alongside the single encoded payload —
+    the dispatcher's fastlane encode-once cache, as a projection.
+
+    Output: (change_id, topic, encoded, n_subscribers, subscription_ids).
+    """
+    return matched.select(
+        "change_id",
+        F.concat_ws(":", F.lit("realtime"), F.col("schema_name"), F.col("table_name")).alias("topic"),
+        F.to_json(
+            F.struct(
+                F.col("schema_name").alias("schema"),
+                F.col("table_name").alias("table"),
+                F.col("action").alias("type"),
+                F.col("commit_timestamp"),
+                F.col("record"),
+                F.col("old_record"),
+            )
+        ).alias("encoded"),
+        F.size("subscription_ids").alias("n_subscribers"),
+        F.col("subscription_ids"),
+    )

@@ -1,0 +1,131 @@
+"""Presence: replicated per-topic key->metadata state with join/leave diffs.
+
+Reference semantics (ST4/A8):
+  - `track` registers (topic, presence_key) with a metadata payload; re-track
+    with an unchanged payload is a no-op; changed payload = leave+join update
+    (reference: lib/realtime_web/channels/realtime_channel/presence_handler.ex:29-53,122-190)
+  - `untrack` removes the key; diffs {joins, leaves} propagate to subscribers
+  - full-state sync groups current state per topic
+    (reference: presence_handler.ex:193-200, channels/presence.ex:1-12)
+
+The reference replicates state via an ORSWOT CRDT (Phoenix.Tracker). In
+Spark, Structured Streaming's state store *is* the replicated state: keyed
+`applyInPandasWithState` over (topic, presence_key) holds the latest meta and
+emits a diff row on every effective change. Partitioning by the group key
+gives the same per-key linearization the tracker's per-topic shard does.
+
+Batch analogs (oracle-checkable) live beside the stateful operator:
+`presence_diffs_batch` computes the same diffs from an ordered event log with
+window functions; `presence_state_batch` is the A8 grouping.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PRESENCE_EVENT_DDL = (
+    "topic string, presence_key string, action string, meta string, ts timestamp"
+)
+DIFF_SCHEMA_DDL = (
+    "topic string, presence_key string, kind string, meta string, ts timestamp"
+)
+_STATE_SCHEMA = "meta string"
+
+
+def presence_diffs_stateful(events: DataFrame) -> DataFrame:
+    """Streaming operator: (topic, presence_key)-keyed state emitting
+    join/leave diffs. Input may be a streaming or batch DataFrame with
+    PRESENCE_EVENT_DDL columns; action in ('track', 'untrack').
+
+    Emits kind='join' on first track or meta change (the reference treats a
+    changed re-track as an update: leave+join collapsed to one update event;
+    we emit 'update'), kind='leave' on untrack of a present key. No-op
+    re-tracks emit nothing (presence_handler.ex:190).
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (topic, presence_key) = key
+        current: str | None = state.get[0] if state.exists else None
+        out: dict[str, list[Any]] = {c: [] for c in ("topic", "presence_key", "kind", "meta", "ts")}
+
+        def emit(kind: str, meta: str | None, ts: Any) -> None:
+            out["topic"].append(topic)
+            out["presence_key"].append(presence_key)
+            out["kind"].append(kind)
+            out["meta"].append(meta)
+            out["ts"].append(ts)
+
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("ts").iterrows():
+                if row["action"] == "track":
+                    if current is None:
+                        current = row["meta"]
+                        emit("join", current, row["ts"])
+                    elif current != row["meta"]:
+                        current = row["meta"]
+                        emit("update", current, row["ts"])
+                    # unchanged re-track: no-op
+                elif row["action"] == "untrack" and current is not None:
+                    emit("leave", current, row["ts"])
+                    current = None
+        if current is None:
+            state.remove()
+        else:
+            state.update((current,))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("topic", "presence_key").applyInPandasWithState(
+        fn,
+        outputStructType=DIFF_SCHEMA_DDL,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def presence_diffs_batch(events: DataFrame) -> DataFrame:
+    """Batch/oracle analog of the stateful diff operator: replay the event log
+    per (topic, presence_key) in ts order with lag() and emit the same
+    join/update/leave/no-op decisions. One shuffle on the state key."""
+    w = Window.partitionBy("topic", "presence_key").orderBy("ts")
+    lagged = events.withColumn("prev_meta", F.lag("meta").over(w)).withColumn(
+        "prev_action", F.lag("action").over(w)
+    )
+    # present before this event <=> previous surviving meta is non-null; with
+    # track/untrack only, that's prev_action == 'track' (untrack clears)
+    present_before = F.col("prev_action") == "track"
+    kind = (
+        F.when((F.col("action") == "track") & ~F.coalesce(present_before, F.lit(False)), "join")
+        .when(
+            (F.col("action") == "track")
+            & present_before
+            & (F.col("prev_meta") != F.col("meta")),
+            "update",
+        )
+        .when((F.col("action") == "untrack") & F.coalesce(present_before, F.lit(False)), "leave")
+    )
+    out = lagged.withColumn("kind", kind).filter(F.col("kind").isNotNull())
+    meta_out = F.when(F.col("kind") == "leave", F.col("prev_meta")).otherwise(F.col("meta"))
+    return out.select("topic", "presence_key", "kind", meta_out.alias("meta"), "ts")
+
+
+def presence_state_batch(events: DataFrame) -> DataFrame:
+    """A8: current state per (topic, presence_key) = last surviving track.
+    Output one row per present key with its latest meta."""
+    w = Window.partitionBy("topic", "presence_key").orderBy(F.desc("ts"))
+    last = (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return last.filter(F.col("action") == "track").select(
+        "topic", "presence_key", "meta", F.col("ts").alias("tracked_at")
+    )

@@ -1,0 +1,141 @@
+"""Streaming-only semantics: stateful presence diffs (ST4) and the
+foreachBatch CDC lift (Phase 4) — the paths the DuckDB oracle can't express.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from realtime_spark.streaming.presence import (
+    presence_diffs_batch,
+    presence_diffs_stateful,
+)
+
+_EVENTS = [
+    # (topic, key, action, meta, ts-second)
+    ("room1", "u1", "track", "m1", 1),
+    ("room1", "u1", "track", "m1", 2),   # unchanged re-track: no-op
+    ("room1", "u1", "track", "m2", 3),   # changed meta: update
+    ("room1", "u1", "untrack", None, 4),  # leave (meta = m2)
+    ("room1", "u2", "untrack", None, 1),  # untrack while absent: no-op
+    ("room2", "u1", "track", "x", 5),     # independent key
+]
+
+
+def _events_df(spark):
+    return spark.createDataFrame(
+        [(t, k, a, m, float(s)) for (t, k, a, m, s) in _EVENTS],
+        "topic string, presence_key string, action string, meta string, sec double",
+    ).withColumn("ts", F.col("sec").cast("timestamp")).drop("sec")
+
+
+EXPECTED = {
+    ("room1", "u1", "join", "m1"),
+    ("room1", "u1", "update", "m2"),
+    ("room1", "u1", "leave", "m2"),
+    ("room2", "u1", "join", "x"),
+}
+
+
+def _as_set(df):
+    return {
+        (r["topic"], r["presence_key"], r["kind"], r["meta"])
+        for r in df.collect()
+    }
+
+
+def test_presence_diffs_batch(spark):
+    out = presence_diffs_batch(_events_df(spark))
+    assert _as_set(out) == EXPECTED
+
+
+def test_presence_diffs_stateful_streaming(spark):
+    """Run the stateful operator as a real streaming query over a file source
+    (one micro-batch) and compare against the relational batch analog."""
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ckpt = os.path.join(d, "ckpt")
+        _events_df(spark).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            "topic string, presence_key string, action string, meta string, ts timestamp"
+        ).parquet(src)
+        out = presence_diffs_stateful(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("presence_diffs_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = _as_set(spark.sql("SELECT * FROM presence_diffs_test"))
+        assert got == EXPECTED
+
+
+def test_cdc_stream_foreachbatch(spark, sf_dir):
+    """Phase 4: the batch CDC pipeline lifted over a streaming source produces
+    the same matches as the batch run."""
+    import os
+
+    from realtime_spark.operators.cdc import match_changes
+    from realtime_spark.sources.testdata import changes_from_orders
+
+    import __spark_entry__ as em
+
+    changes = changes_from_orders(spark, sf_dir).limit(200).cache()
+    subs = em.subscriptions_df(spark, em._MULTI_SPECS)
+    expected = {
+        (r["change_id"], tuple(r["subscription_ids"]))
+        for r in match_changes(changes, subs).collect()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ckpt = os.path.join(d, "ckpt")
+        changes.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(changes.schema).parquet(src)
+
+        got: set = set()
+
+        def sink(batch_df, epoch_id):
+            got.update(
+                (r["change_id"], tuple(r["subscription_ids"]))
+                for r in batch_df.collect()
+            )
+
+        from realtime_spark.streaming.cdc_stream import run_cdc_stream
+
+        q = run_cdc_stream(stream, subs, sink, ckpt, trigger_ms=100)
+        # availableNow isn't set on the helper (it models the poll loop); stop
+        # after the first batch lands
+        import time
+
+        for _ in range(100):
+            if got:
+                break
+            time.sleep(0.5)
+        q.stop()
+        assert got == expected
+
+
+def test_encode_once_fanout(spark, sf_dir):
+    from realtime_spark.operators.cdc import match_changes
+    from realtime_spark.sources.testdata import changes_from_orders
+    from realtime_spark.streaming.cdc_stream import encode_once_fanout
+
+    import __spark_entry__ as em
+
+    changes = changes_from_orders(spark, sf_dir).limit(50)
+    subs = em.subscriptions_df(spark, em._MULTI_SPECS)
+    out = encode_once_fanout(match_changes(changes, subs))
+    rows = out.collect()
+    assert rows, "expected at least one fanned-out change"
+    for r in rows:
+        assert r["topic"].startswith("realtime:public:")
+        assert r["n_subscribers"] == len(r["subscription_ids"])
+        assert r["encoded"].startswith("{")
