@@ -132,15 +132,32 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+_MH_PRIME = 2147483647  # 2^31 - 1; universal-hash modulus
+
+
 def minhash_signature(text: Column, num_hashes: int = 12, k: int = 3) -> Column:
-    """MinHash signature as an array of hex digests: sig[i] = min over
-    shingles of md5(i || ':' || shingle). Lexicographic min over a uniform
-    hash is a valid min-hash family and is exactly reproducible in SQL."""
+    """MinHash signature via a universal hash family over one md5 per shingle:
+
+        x      = int(md5(shingle)[0:15 hex]) mod p
+        sig[i] = min over shingles of ((2i+1)*x + 7919*i + 1) mod p,  p = 2^31-1
+
+    One md5 per shingle (not per shingle x hash function) keeps the dominant
+    cost linear in shingle count; the per-function permutations are integer
+    arithmetic. Exactly reproducible in SQL (md5 + modular arithmetic)."""
     sh = shingles_expr(text, k)
+    xs = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        % F.lit(_MH_PRIME),
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+            F.transform(
+                xs,
+                lambda x: ((2 * i + 1).cast("bigint") * x + 7919 * i + 1)
+                % F.lit(_MH_PRIME),
+            )
         ),
     )
 
@@ -157,24 +174,36 @@ def minhash_lsh_pairs(
 
     num_hashes/bands rows per band; docs sharing any band digest are
     candidates. Only (band_id, band_key, doc) leaves each row — the corpus
-    itself never shuffles. Output: distinct (doc_a, doc_b), doc_a < doc_b.
+    itself never shuffles, and the signature plan is computed exactly once:
+    pairs come from a bucket groupBy + in-bucket combination, not a self-join
+    (a self-join would execute the signature scan twice). Buckets are bounded
+    by true near-dup group sizes; at 100 TB run exact dedup first so no
+    bucket degenerates. Output: distinct (doc_a, doc_b), doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # explode -> scalar md5 -> groupBy(doc) min-aggregates: the md5 runs once
+    # per shingle inside whole-stage codegen (array-lambda evaluation would
+    # re-derive the shingle set for every hash function: no CSE in
+    # interpreted higher-order functions), and the per-function permutations
+    # are 12 map-side-combined min() aggs over (doc, x) pairs.
+    sh = df.select(
         F.col(id_col).alias("doc"),
-        shingles_expr(F.col(text_col), k).alias("sh"),
-    ).filter(F.size("sh") > 0).select(
-        "doc",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(
-                F.transform(
-                    F.col("sh"),
-                    lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
-                )
-            ),
-        ).alias("sig"),
+        F.explode(shingles_expr(F.col(text_col), k)).alias("s"),
     )
+    xs = sh.select(
+        "doc",
+        (
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
+            % F.lit(_MH_PRIME)
+        ).alias("x"),
+    )
+    mins = xs.groupBy("doc").agg(
+        *[
+            F.min((F.lit(2 * i + 1) * F.col("x") + F.lit(7919 * i + 1)) % F.lit(_MH_PRIME)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sig = mins.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
     banded = sig.select(
         "doc",
         F.explode(
@@ -184,25 +213,40 @@ def minhash_lsh_pairs(
                     b.alias("band"),
                     F.md5(
                         F.array_join(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            "|",
                         )
                     ).alias("key"),
                 ),
             )
         ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
+        .filter(F.size("docs") > 1)
     )
+    n = F.size(F.col("docs"))
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("docs"), i + 1, n),
+                        lambda y: F.struct(
+                            F.element_at(F.col("docs"), i).alias("doc_a"),
+                            y.alias("doc_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -237,8 +281,28 @@ def simhash_buckets(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:
     """(id, simhash) — hamming-close docs collide on equal simhash for the
-    dedup use; banded hamming search would split the hash into chunks."""
-    return df.select(
-        F.col(id_col).alias("doc"),
-        simhash_expr(F.col(text_col), bits).alias("simhash"),
+    dedup use; banded hamming search would split the hash into chunks.
+
+    Shape: explode tokens -> one codegen'd md5 per token -> groupBy(doc) with
+    per-bit vote sums (map-side combine). The expression-level simhash_expr
+    re-derives the token hash array per bit (interpreted HOFs have no CSE);
+    this aggregation form hashes each token exactly once. Docs with zero
+    tokens produce no row (dedup semantics: nothing to compare).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens_expr(F.col(text_col))).alias("t")
     )
+    hashed = toks.select(
+        "doc", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint").alias("h")
+    )
+    votes = hashed.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(bits)
+        ],
+    )
+    sim = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(0)
+    return votes.select("doc", sim.alias("simhash"))

@@ -150,7 +150,12 @@ def content_fingerprint(text: Column) -> Column:
 def rolling_fingerprint(text: Column, k: int = 8) -> Column:
     """Winnowing-style rolling fingerprint: minimum hash over all character
     k-gram digests of the normalized text. Local edits perturb only nearby
-    k-grams, so near-identical documents usually share the min digest."""
+    k-grams, so near-identical documents usually share the min digest.
+
+    NOTE: the lambda references `text`-derived `norm` per gram; interpreted
+    HOFs have no CSE, so this expression re-normalizes per gram — O(n^2) per
+    row. Use :func:`fingerprints` (exchange-barrier form) on real corpora.
+    """
     norm = F.array_join(words_expr(text), " ")
     n = F.length(norm)
     grams = F.transform(
@@ -158,6 +163,34 @@ def rolling_fingerprint(text: Column, k: int = 8) -> Column:
         lambda i: F.md5(F.substring(norm, i, k)),
     )
     return F.array_min(grams)
+
+
+def fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """(id, fp, rfp): content + rolling fingerprints, computing the
+    normalized text exactly once per document.
+
+    The normalize projection sits below a hash repartition on the id; the
+    exchange is an optimizer barrier, so CollapseProject cannot substitute
+    the normalize expression into every k-gram lambda (which would make the
+    rolling hash O(n^2) per row). At scale this materialized normalize pass
+    is the standard "canonicalize once, fingerprint many" pipeline shape.
+    """
+    norm_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(words_expr(F.col(text_col)), " ").alias("norm"),
+    ).repartition(F.col("doc_id"))
+    n = F.length(F.col("norm"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.md5(F.substring(F.col("norm"), i, k)),
+    )
+    return norm_df.select(
+        "doc_id",
+        F.md5(F.col("norm")).alias("fp"),
+        F.array_min(grams).alias("rfp"),
+    )
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

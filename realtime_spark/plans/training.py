@@ -162,11 +162,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MH_PRIME = 2147483647
+
+
 def _sql_minhash_sig() -> str:
+    # mirrors dedup.minhash_signature: one md5 per shingle, universal-hash
+    # permutations ((2i+1)*x + 7919*i + 1) mod (2^31-1)
     return (
         f"list_transform(range(0, {_MH_HASHES}), "
-        "i -> list_min(list_transform(sh, "
-        "s -> md5(CAST(i AS VARCHAR) || ':' || s))))"
+        f"i -> list_min(list_transform(xs, "
+        f"x -> ((2*i+1)*x + 7919*i + 1) % {_MH_PRIME})))"
     )
 
 
@@ -174,12 +179,15 @@ ORACLE_DEDUP_MINHASH_LSH = f"""
 WITH {DOCS_DUP_CTE.strip()},
 t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM _docs_dup),
 s0 AS (SELECT doc_id AS doc, {_sql_shingles(3)} AS sh FROM t),
-s1 AS (SELECT doc, sh FROM s0 WHERE len(sh) > 0),
+s1 AS (SELECT doc,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MH_PRIME}) AS xs
+       FROM s0 WHERE len(sh) > 0),
 sig AS (SELECT doc, {_sql_minhash_sig()} AS sig FROM s1),
 banded AS (
   SELECT doc, b.band,
-         md5(array_to_string(list_slice(sig, b.band * {_MH_ROWS} + 1,
-             b.band * {_MH_ROWS} + {_MH_ROWS}), '|')) AS key
+         md5(array_to_string(list_transform(
+             list_slice(sig, b.band * {_MH_ROWS} + 1, b.band * {_MH_ROWS} + {_MH_ROWS}),
+             v -> CAST(v AS VARCHAR)), '|')) AS key
   FROM sig, (SELECT unnest(range(0, {_MH_BANDS})) AS band) b
 )
 SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
@@ -212,7 +220,7 @@ WITH {DOCS_DUP_CTE.strip()},
 t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM _docs_dup),
 h AS (SELECT doc_id AS doc,
              list_transform(toks, tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT) AS hs
-      FROM t)
+      FROM t WHERE len(toks) > 0)
 SELECT doc, CAST({_sql_simhash_bits()} AS BIGINT) AS simhash FROM h
 """
 
@@ -416,13 +424,10 @@ FROM c
 
 
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.text import fingerprints
+
     d = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        content_fingerprint(t).alias("fp"),
-        rolling_fingerprint(t, k=8).alias("rfp"),
-    )
+    return fingerprints(d, "doc_id", "text", k=8)
 
 
 ORACLE_TEXT_FINGERPRINTS = f"""
