@@ -35,3 +35,42 @@ def ensure_payload_id(payload: Column) -> Column:
     return F.when(
         F.map_contains_key(payload, F.lit("id")), payload
     ).otherwise(F.map_concat(payload, F.create_map(F.lit("id"), F.uuid())))
+
+
+# pg epoch: 2000-01-01T00:00:00Z, in microseconds since the unix epoch
+PG_EPOCH_US = 946_684_800_000_000
+
+
+def pg_epoch_us_to_timestamp(us: Column) -> Column:
+    """F4: pgoutput timestamps are microseconds since 2000-01-01
+    (reference: lib/realtime/adapters/postgres/decoder.ex:135,309-313)."""
+    return F.timestamp_micros(us + F.lit(PG_EPOCH_US))
+
+
+def lsn_decode(lsn: Column) -> Column:
+    """F5: a 64-bit LSN is (file:32, offset:32)
+    (reference: lib/realtime/adapters/postgres/decoder.ex:315-316)."""
+    return F.struct(
+        F.shiftright(lsn, 32).cast("bigint").alias("file"),
+        lsn.bitwiseAND(F.lit(0xFFFFFFFF)).cast("bigint").alias("offset"),
+    )
+
+
+def lsn_format(lsn: Column) -> Column:
+    """F5: canonical `FILE/OFFSET` hex rendering of an LSN."""
+    d = lsn_decode(lsn)
+    return F.concat_ws("/", F.hex(d["file"]), F.hex(d["offset"]))
+
+
+def uuid_from_bytes(b: Column) -> Column:
+    """F6: 16-byte binary uuid -> canonical dashed lowercase string
+    (reference: lib/realtime/adapters/postgres/decoder.ex:276)."""
+    h = F.lower(F.hex(b))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )

@@ -27,10 +27,11 @@ from __future__ import annotations
 
 from typing import Iterable, Mapping, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_spark.functions.filters import (
+    FILTER_STRUCT_DDL,
     filters_match_expr,
     filters_to_rows,
     parse_filter_string,
@@ -85,6 +86,34 @@ def subscriptions_df(
             }
         )
     return spark.createDataFrame(rows, schema=SUBSCRIPTION_SCHEMA_DDL)
+
+
+def upsert_subscriptions(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """S4: INSERT .. ON CONFLICT DO UPDATE on the subscription dimension.
+
+    The reference upserts into `realtime.subscription` with a unique index on
+    (subscription_id, entity, filters, action, coalesce(selected_columns,'{}'))
+    (reference: lib/extensions/postgres_cdc_rls/subscriptions.ex:60-137;
+     unique index migrations/20211116024918:41-45). Relationally: incoming
+    rows win on key collision; canonical filter sort (done at parse time)
+    makes the key comparison representation-stable. On a Delta table this is
+    a MERGE; on the in-memory dim it is an anti-join + union.
+    """
+    key = [
+        "subscription_id",
+        "schema_name",
+        "table_name",
+        F.to_json(F.coalesce(F.col("filters"), F.array().cast(FILTER_STRUCT_DDL))),
+        "action_filter",
+        F.coalesce(F.col("selected_columns"), F.array().cast("array<string>")),
+    ]
+    keyed = lambda df: df.withColumn("_k", F.md5(F.concat_ws("|", *[  # noqa: E731
+        c if isinstance(c, Column) else F.col(c) for c in key
+    ])))
+    ex = keyed(existing)
+    inc = keyed(incoming)
+    kept = ex.join(inc.select("_k"), "_k", "left_anti")
+    return kept.unionByName(inc).drop("_k")
 
 
 def expand_wildcards(

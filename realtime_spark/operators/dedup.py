@@ -90,24 +90,35 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by word-k-shingle Jaccard similarity.
 
-    explode -> self-join on shingle -> count intersections -> |A∪B| =
-    |A|+|B|-|A∩B|. Shingles occurring in more than `max_shingle_freq` docs are
-    dropped (stop-shingle skew guard; deterministic, mirrored in the oracle).
-    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    explode -> self-join on the shingle's 60-bit digest -> count
+    intersections -> |A∪B| = |A|+|B|-|A∩B|. The join key is a bigint (md5
+    prefix), not the shingle string: narrower shuffle rows and cheap key
+    hashing; the oracle mirrors the same digest so collisions (if any) agree.
+    Shingles occurring in more than `max_shingle_freq` docs are dropped
+    (stop-shingle skew guard). Exact Jaccard is inherently quadratic in
+    co-occurrence — at 100 TB use minhash_lsh_pairs to generate candidates
+    and this operator only to score them. Output: (doc_a, doc_b, jaccard)
+    with doc_a < doc_b.
     """
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles_expr(F.col(text_col), k)).alias("shingle"),
+    ).select(
+        "doc",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint").alias("sx"),
     )
+    # the (doc, sx) set feeds four consumers (both join sides, sizes, freq);
+    # persist so the shingle explode runs once, not four times
+    sh = sh.persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    freq_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq")).filter(
+    freq_ok = sh.groupBy("sx").agg(F.count(F.lit(1)).alias("freq")).filter(
         F.col("freq") <= max_shingle_freq
     )
-    sh_f = sh.join(freq_ok.select("shingle"), "shingle", "left_semi")
+    sh_f = sh.join(freq_ok.select("sx"), "sx", "left_semi")
     a = sh_f.alias("a")
     b = sh_f.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b, (F.col("a.sx") == F.col("b.sx")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

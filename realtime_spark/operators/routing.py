@@ -1,0 +1,100 @@
+"""Fan-out routing + wire serialization (SURVEY §2.3 J6, §2.1 S9, §4 O4/O6).
+
+Reference behaviors:
+  - J6 node routing: subscription_id -> owning node via an ETS map; the poller
+    groups sub ids per node and sends each node only its ids, falling back to
+    broadcast-all on a lookup miss
+    (reference: lib/extensions/postgres_cdc_rls/replication_poller.ex:425-472).
+  - S9/O4 encode-once: the serialized frame is built once per (message,
+    serializer) and fanned to every transport pid
+    (reference: lib/realtime_web/socket/v2_serializer.ex:19-70,
+     lib/realtime_web/channels/realtime_channel/message_dispatcher.ex:134-161).
+
+Spark-first: routing is `explode(subscription_ids) ⋈ broadcast(node_map) ->
+groupBy(node)` — the exchange produced by the groupBy IS the reference's
+per-node send (O6): each downstream partition holds exactly one node's
+traffic. The change payload itself is not exploded; only (change_id, sub_id)
+pairs shuffle, and the encoded frame is attached once per (node, change).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FALLBACK_BROADCAST_NODE = "*"  # reference: poller falls back to broadcast-all
+
+
+def node_map_df(spark: SparkSession, assignments: Iterable[Mapping]) -> DataFrame:
+    """subscription_id -> node dimension (the ETS subscribers_nodes_table)."""
+    rows = [
+        {"subscription_id": a["subscription_id"], "node": a["node"]}
+        for a in assignments
+    ]
+    return spark.createDataFrame(rows, schema="subscription_id string, node string")
+
+
+def route_to_nodes(matched: DataFrame, node_map: DataFrame) -> DataFrame:
+    """J6/O6: per (node, change) -> the sub ids that node must deliver.
+
+    `matched` is match_changes output (change columns + subscription_ids).
+    Unmapped subscription ids route to the broadcast-all pseudo-node '*'
+    (the reference's ETS-miss fallback). Only (change_id, sub_id) pairs
+    shuffle; the groupBy exchange partitions traffic by destination node.
+    """
+    pairs = matched.select(
+        "change_id", F.explode("subscription_ids").alias("subscription_id")
+    )
+    routed = pairs.join(F.broadcast(node_map), "subscription_id", "left").select(
+        "change_id",
+        F.coalesce(F.col("node"), F.lit(FALLBACK_BROADCAST_NODE)).alias("node"),
+        "subscription_id",
+    )
+    return routed.groupBy("node", "change_id").agg(
+        F.sort_array(F.collect_set("subscription_id")).alias("subscription_ids"),
+        F.count(F.lit(1)).alias("n_subs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# V2 binary serializer (S9)
+# ---------------------------------------------------------------------------
+
+# opcode for user broadcast frames (reference: v2_serializer.ex push frame)
+_OP_USER_BROADCAST = 4
+
+
+def v2_frame(topic: Column, event: Column, metadata_json: Column, payload: Column) -> Column:
+    """Binary push frame: [opcode:1][topic_len:1][event_len:1][meta_len:4]
+    [topic][event][metadata][payload]. Length-prefixed header then raw
+    payload bytes, mirroring the reference's size-prefixed V2 layout
+    (reference: lib/realtime_web/socket/v2_serializer.ex:19-70). Built as a
+    pure concat of binary slices — serialized once per (topic, message), not
+    per recipient (O4)."""
+    t = F.encode(topic, "UTF-8")
+    e = F.encode(event, "UTF-8")
+    m = F.encode(metadata_json, "UTF-8")
+    int1 = lambda c: F.substring(F.to_binary(F.lpad(F.hex(c), 2, "0"), F.lit("hex")), 1, 1)  # noqa: E731
+    int4 = lambda c: F.to_binary(F.lpad(F.hex(c), 8, "0"), F.lit("hex"))  # noqa: E731
+    return F.concat(
+        int1(F.lit(_OP_USER_BROADCAST)),
+        int1(F.octet_length(t)),
+        int1(F.octet_length(e)),
+        int4(F.octet_length(m)),
+        t,
+        e,
+        m,
+        payload,
+    )
+
+
+def encode_frames(messages: DataFrame) -> DataFrame:
+    """messages (topic, event, payload map) -> one encoded frame per message.
+    Metadata carries the message id for client-side dedup (P15)."""
+    meta = F.to_json(F.struct(F.col("id"), F.col("private")))
+    payload_bin = F.encode(F.to_json(F.col("payload")), "UTF-8")
+    return messages.withColumn(
+        "frame", v2_frame(F.col("topic"), F.col("event"), meta, payload_bin)
+    )

@@ -325,6 +325,128 @@ WHERE o_orderstatus = 'O'
 """
 
 
+# ---------------------------------------------------------------------------
+# wal2json source roundtrip (S1/S2): build wal2json-v2 JSON lines from orders
+# deterministically, run the REAL parser, emit normalized change fields. The
+# oracle reconstructs the expected output relationally.
+# ---------------------------------------------------------------------------
+
+
+def q_wal2json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.sources.wal2json import parse_wal2json
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    raw = o.select(
+        F.to_json(
+            F.struct(
+                F.lit("I").alias("action"),
+                F.lit("public").alias("schema"),
+                F.lit("orders").alias("table"),
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+                F.array(
+                    F.struct(
+                        F.lit("o_orderkey").alias("name"),
+                        F.lit("int8").alias("type"),
+                        F.lit(20).alias("typeoid"),
+                        F.col("o_orderkey").cast("string").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("o_orderstatus").alias("name"),
+                        F.lit("text").alias("type"),
+                        F.lit(25).alias("typeoid"),
+                        F.col("o_orderstatus").alias("value"),
+                    ),
+                ).alias("columns"),
+                F.array(
+                    F.struct(
+                        F.lit("o_orderkey").alias("name"),
+                        F.lit("int8").alias("type"),
+                    )
+                ).alias("pk"),
+            )
+        ).alias("value")
+    )
+    parsed = parse_wal2json(raw)
+    return parsed.select(
+        "action",
+        "schema_name",
+        "table_name",
+        F.date_format("commit_timestamp", "yyyy-MM-dd HH:mm:ss").alias("commit_ts"),
+        F.try_element_at(F.col("record"), F.lit("o_orderkey")).alias("o_orderkey"),
+        F.try_element_at(F.col("record"), F.lit("o_orderstatus")).alias("o_orderstatus"),
+        F.array_join("pk", ",").alias("pk"),
+        F.array_join("col_names", ",").alias("col_names"),
+    )
+
+
+ORACLE_WAL2JSON_PARSE = """
+SELECT 'INSERT' AS action, 'public' AS schema_name, 'orders' AS table_name,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS commit_ts,
+       CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+       o_orderstatus,
+       'o_orderkey' AS pk,
+       'o_orderkey,o_orderstatus' AS col_names
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# node routing (J6/O6): route matched changes to owning nodes with
+# broadcast-all fallback for unmapped subscriptions
+# ---------------------------------------------------------------------------
+
+
+def q_node_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.cdc import match_changes, subscriptions_df
+    from realtime_spark.operators.routing import node_map_df, route_to_nodes
+    from realtime_spark.sources.testdata import ORDERS_PG_TYPES, changes_from_orders
+
+    changes = changes_from_orders(spark, sf_dir)
+    specs = [
+        {"subscription_id": "sub-eq-f", "table": "orders", "filters": "o_orderstatus=eq.F"},
+        {"subscription_id": "sub-gt", "table": "orders", "filters": "o_totalprice=gt.150000"},
+        {"subscription_id": "sub-ins", "table": "orders", "action": "INSERT"},
+    ]
+    subs = subscriptions_df(
+        spark, specs, type_maps={("public", "orders"): ORDERS_PG_TYPES}
+    )
+    nodes = node_map_df(
+        spark,
+        [
+            {"subscription_id": "sub-eq-f", "node": "node-a"},
+            {"subscription_id": "sub-gt", "node": "node-b"},
+            # sub-ins intentionally unmapped -> '*' fallback
+        ],
+    )
+    out = route_to_nodes(match_changes(changes, subs), nodes)
+    return out.select(
+        "node",
+        "change_id",
+        F.array_join("subscription_ids", ",").alias("subscription_ids"),
+        "n_subs",
+    )
+
+
+def _oracle_node_routing() -> str:
+    from realtime_spark.sources.testdata import ORDERS_CHANGES_SQL_CTE
+
+    return f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()},
+pairs AS (
+  SELECT change_id, 'sub-eq-f' AS subscription_id, 'node-a' AS node
+  FROM _orders_changes WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT change_id, 'sub-gt', 'node-b' FROM _orders_changes WHERE o_totalprice > 150000
+  UNION ALL
+  SELECT change_id, 'sub-ins', '*' FROM _orders_changes WHERE action = 'INSERT'
+)
+SELECT node, change_id,
+       array_to_string(list_sort(list(subscription_id)), ',') AS subscription_ids,
+       COUNT(*) AS n_subs
+FROM pairs GROUP BY node, change_id
+"""
+
+
 def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "jwt_claims": q_jwt_claims,
@@ -334,6 +456,8 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "presence_diffs": q_presence_diffs,
         "presence_current_state": q_presence_current_state,
         "rls_row_filter": q_rls_row_filter,
+        "wal2json_parse": q_wal2json_parse,
+        "node_routing": q_node_routing,
     }
 
 
@@ -346,4 +470,6 @@ def realtime_extra_oracles() -> dict[str, str]:
         "presence_diffs": ORACLE_PRESENCE_DIFFS,
         "presence_current_state": ORACLE_PRESENCE_CURRENT_STATE,
         "rls_row_filter": _oracle_rls(),
+        "wal2json_parse": ORACLE_WAL2JSON_PARSE,
+        "node_routing": _oracle_node_routing(),
     }

@@ -130,15 +130,18 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DEDUP_JACCARD = f"""
 WITH {DOCS_DUP_CTE.strip()},
 t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM _docs_dup),
-sh AS (
+sh0 AS (
   SELECT doc_id AS doc, unnest({_sql_shingles(3)}) AS shingle FROM t
 ),
+sh AS (
+  SELECT doc, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sx FROM sh0
+),
 sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-freq_ok AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 1000),
-shf AS (SELECT sh.* FROM sh JOIN freq_ok USING (shingle)),
+freq_ok AS (SELECT sx FROM sh GROUP BY 1 HAVING COUNT(*) <= 1000),
+shf AS (SELECT sh.* FROM sh JOIN freq_ok USING (sx)),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
-  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc < b.doc
+  FROM shf a JOIN shf b ON a.sx = b.sx AND a.doc < b.doc
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

@@ -1,0 +1,110 @@
+"""Unit tests: node routing (J6), V2 frames (S9), subscription upsert (S4),
+decoder scalar functions (F4/F5/F6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestScalars:
+    def test_pg_epoch_us(self, spark):
+        from realtime_spark.functions.scalar import pg_epoch_us_to_timestamp
+
+        df = spark.range(1).select(
+            pg_epoch_us_to_timestamp(F.lit(0).cast("bigint")).alias("ts")
+        )
+        assert str(df.collect()[0]["ts"]).startswith("2000-01-01 00:00:00")
+
+    def test_lsn_decode_format(self, spark):
+        from realtime_spark.functions.scalar import lsn_decode, lsn_format
+
+        lsn = (F.lit(0x16) * F.lit(2**32) + F.lit(0x2D0C758)).cast("bigint")
+        row = spark.range(1).select(
+            lsn_decode(lsn).alias("d"), lsn_format(lsn).alias("s")
+        ).collect()[0]
+        assert row["d"]["file"] == 0x16 and row["d"]["offset"] == 0x2D0C758
+        assert row["s"] == "16/2D0C758"
+
+    def test_uuid_from_bytes(self, spark):
+        from realtime_spark.functions.scalar import uuid_from_bytes
+
+        b = bytes(range(16))
+        row = spark.createDataFrame([(b,)], "b binary").select(
+            uuid_from_bytes(F.col("b")).alias("u")
+        ).collect()[0]
+        assert row["u"] == "00010203-0405-0607-0809-0a0b0c0d0e0f"
+
+
+class TestV2Frame:
+    def test_frame_layout(self, spark):
+        from realtime_spark.operators.routing import encode_frames
+
+        df = spark.createDataFrame(
+            [("m1", "room:1", "broadcast", {"k": "v"}, True)],
+            "id string, topic string, event string, payload map<string,string>, private boolean",
+        )
+        frame = bytes(encode_frames(df).collect()[0]["frame"])
+        assert frame[0] == 4  # opcode
+        topic_len, event_len = frame[1], frame[2]
+        meta_len = int.from_bytes(frame[3:7], "big")
+        off = 7
+        assert frame[off : off + topic_len].decode() == "room:1"
+        off += topic_len
+        assert frame[off : off + event_len].decode() == "broadcast"
+        off += event_len
+        meta = frame[off : off + meta_len].decode()
+        assert '"id":"m1"' in meta and '"private":true' in meta
+        off += meta_len
+        assert frame[off:].decode() == '{"k":"v"}'
+
+
+class TestSubscriptionUpsert:
+    def test_conflict_replaces(self, spark):
+        from realtime_spark.operators.cdc import subscriptions_df, upsert_subscriptions
+
+        a = subscriptions_df(
+            spark,
+            [
+                {"subscription_id": "s1", "table": "orders", "claims_role": "anon"},
+                {"subscription_id": "s2", "table": "orders"},
+            ],
+        )
+        b = subscriptions_df(
+            spark,
+            [  # same key as s1 row but different claims_role -> replaces
+                {"subscription_id": "s1", "table": "orders", "claims_role": "service"},
+                {"subscription_id": "s3", "table": "nation"},
+            ],
+        )
+        out = upsert_subscriptions(a, b)
+        rows = {r["subscription_id"]: r for r in out.collect()}
+        assert set(rows) == {"s1", "s2", "s3"}
+        assert rows["s1"]["claims_role"] == "service"
+
+    def test_distinct_filters_coexist(self, spark):
+        from realtime_spark.operators.cdc import subscriptions_df, upsert_subscriptions
+
+        a = subscriptions_df(
+            spark,
+            [{"subscription_id": "s1", "table": "orders", "filters": "o_orderstatus=eq.F"}],
+        )
+        b = subscriptions_df(
+            spark,
+            [{"subscription_id": "s1", "table": "orders", "filters": "o_orderstatus=eq.O"}],
+        )
+        assert upsert_subscriptions(a, b).count() == 2  # different key -> both kept
+
+
+class TestRouting:
+    def test_fallback_broadcast_node(self, spark):
+        from realtime_spark.operators.routing import node_map_df, route_to_nodes
+
+        matched = spark.createDataFrame(
+            [(1, ["sa", "sb"]), (2, ["sb"])],
+            "change_id long, subscription_ids array<string>",
+        )
+        nodes = node_map_df(spark, [{"subscription_id": "sa", "node": "n1"}])
+        out = {(r["node"], r["change_id"]): r for r in route_to_nodes(matched, nodes).collect()}
+        assert out[("n1", 1)]["subscription_ids"] == ["sa"]
+        assert out[("*", 1)]["subscription_ids"] == ["sb"]
+        assert out[("*", 2)]["subscription_ids"] == ["sb"]
