@@ -494,6 +494,84 @@ FROM documents,
 
 
 # ---------------------------------------------------------------------------
+# end-to-end training-data pipeline showcase: language gate -> quality gate ->
+# exact dedup -> near-dup candidate removal, the canonical corpus-cleaning
+# chain composed from the individual operators (each independently verified)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
+
+    d = docs_with_dups(spark, sf_dir)
+    scored = d.select(
+        "doc_id", "text", quality_score(F.col("text")).alias("q"),
+        detect_lang(F.col("text")).alias("lg"),
+    )
+    gated = scored.filter((F.col("q") >= 0.5) & (F.col("lg") != "und"))
+    # `exact` feeds three consumers (LSH candidates, anti-join, final agg);
+    # persist so the gate+dedup prefix runs once, as a real pipeline would
+    # checkpoint its cleaned corpus
+    exact = dedup_exact(gated, "doc_id", "text").persist()
+    near = minhash_lsh_pairs(exact, "doc_id", "text")
+    # drop the higher id of every candidate pair (canonical-keep-lowest)
+    kept = exact.join(
+        near.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    # integer sum of 4dp-scaled quality: exact regardless of summation order
+    # (a float AVG would differ between engines in the last ulp)
+    return kept.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.round(F.col("q") * 10000).cast("long")).alias("q_sum_4dp"),
+    )
+
+
+def _oracle_corpus_clean() -> str:
+    # mirror: quality + lang gates, exact dedup (min id per digest), minhash
+    # LSH candidate pairs, drop doc_b side
+    lang = _oracle_lang_id()
+    quality = _oracle_quality()
+    # re-derive both over _docs_dup instead of documents
+    lang_inner = lang.replace("FROM documents", "FROM _docs_dup")
+    quality_inner = quality.replace("FROM documents", "FROM _docs_dup")
+    return f"""
+WITH {DOCS_DUP_CTE.strip()},
+lg AS ({lang_inner}),
+qu AS ({quality_inner}),
+gated AS (
+  SELECT d.doc_id, d.text, qu.quality AS q
+  FROM _docs_dup d JOIN lg USING (doc_id) JOIN qu USING (doc_id)
+  WHERE qu.quality >= 0.5 AND lg.detected_lang <> 'und'
+),
+exact AS (
+  SELECT doc_id, text, q FROM gated
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5(text))
+),
+t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM exact),
+s0 AS (SELECT doc_id AS doc, {_sql_shingles(3)} AS sh FROM t),
+s1 AS (SELECT doc,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MH_PRIME}) AS xs
+       FROM s0 WHERE len(sh) > 0),
+sig AS (SELECT doc, {_sql_minhash_sig()} AS sig FROM s1),
+banded AS (
+  SELECT doc, b.band,
+         md5(array_to_string(list_transform(
+             list_slice(sig, b.band * {_MH_ROWS} + 1, b.band * {_MH_ROWS} + {_MH_ROWS}),
+             v -> CAST(v AS VARCHAR)), '|')) AS key
+  FROM sig, (SELECT unnest(range(0, {_MH_BANDS})) AS band) b
+),
+drop_ids AS (
+  SELECT DISTINCT b.doc AS doc_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CAST(round(q * 10000) AS BIGINT)) AS BIGINT) AS q_sum_4dp
+FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -514,6 +592,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "corpus_clean_pipeline": q_corpus_clean_pipeline,
     }
 
 
@@ -533,4 +612,5 @@ def training_oracles() -> dict[str, str]:
         "text_fingerprints": ORACLE_TEXT_FINGERPRINTS,
         "media_features": ORACLE_MEDIA_FEATURES,
         "media_frames": ORACLE_MEDIA_FRAMES,
+        "corpus_clean_pipeline": _oracle_corpus_clean(),
     }

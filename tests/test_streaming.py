@@ -123,6 +123,54 @@ def test_cdc_stream_foreachbatch(spark, sf_dir):
         assert got == expected
 
 
+def test_streaming_rate_window(spark, sf_dir):
+    """ST7 native streaming form: sliding window counts match the batch
+    RANGE-window rate at every active second."""
+    import os
+
+    from realtime_spark.operators.rate_limit import sliding_rate
+    from realtime_spark.sources.testdata import load_table
+    from realtime_spark.streaming.pipeline import streaming_rate
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts").limit(500).cache()
+    batch = {
+        (r["event_type"], r["sec"]): r["window_sum"]
+        for r in sliding_rate(events, keys=["event_type"]).collect()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ckpt = os.path.join(d, "ckpt")
+        events.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out = streaming_rate(stream, keys=["event_type"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName("rate_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["event_type"], int(r["window_end"].timestamp()) - 1): r["window_sum"]
+            for r in spark.sql("SELECT * FROM rate_test").collect()
+        }
+    # every batch active-second rate must appear identically in the stream —
+    # except the tail: append mode only emits windows finalized by the
+    # watermark, so seconds within (watermark + window) of stream end are
+    # legitimately withheld
+    max_sec = max(sec for (_, sec) in batch)
+    cutoff = max_sec - 185  # 2 min watermark + 60 s window + slack
+    checked = 0
+    for k, v in batch.items():
+        if k[1] <= cutoff:
+            assert got.get(k) == v, f"rate mismatch at {k}: {got.get(k)} != {v}"
+            checked += 1
+    assert checked > 0, "cutoff left nothing to compare"
+
+
 def test_encode_once_fanout(spark, sf_dir):
     from realtime_spark.operators.cdc import match_changes
     from realtime_spark.sources.testdata import changes_from_orders
