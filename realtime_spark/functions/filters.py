@@ -369,3 +369,107 @@ def filters_match_expr(filters: Column, record: Column) -> Column:
     return filters.isNull() | F.forall(
         filters, lambda f: eval_filter_expr(f, record)
     )
+
+
+# ---------------------------------------------------------------------------
+# plan-time compilation of a *known* filter row against a record map
+# ---------------------------------------------------------------------------
+
+def compile_filter_on_record(
+    f: Mapping, record: Column, typed_cols: Mapping[str, Column] | None = None
+) -> Column:
+    """One filter (as a plain dict/Row with op/value/fam known at plan time)
+    -> non-null boolean Column over a record map<string,string>.
+
+    Semantics are identical to :func:`eval_filter_expr` (missing column and
+    NULL comparison results fail closed), but because op/value/family are
+    Python constants the whole predicate collapses to a codegen'd scalar
+    expression — no higher-order functions, no runtime dispatch. This is the
+    Spark analog of the reference preparing one statement per subscription
+    (migrations/20211116212300:36-68).
+
+    `typed_cols`, when given, maps every record key to the typed base Column
+    it was projected from; the predicate then reads the base column directly
+    instead of re-building the record map per lookup, which lets Catalyst
+    push the comparison down to the parquet scan (PushedFilters) — the
+    100 TB-correct plan. String ops go through `.cast("string")`, matching
+    the map representation exactly. A filter naming a key absent from
+    `typed_cols` fails closed (the key set IS the record key set).
+    """
+    name = f["column_name"]
+    op = f["op"]
+    value = f["value"]
+    values = f["values"] or ()
+    negate = bool(f["negate"])
+    fam = f["fam"] or "string"
+    target = _FAMILY_CAST.get(fam, "string")
+
+    if typed_cols is not None:
+        if name not in typed_cols:
+            return F.lit(False)
+        base = typed_cols[name]
+        present = F.lit(True)
+        raw = base.cast("string")  # the map stores the string representation
+        a = base.try_cast(target)
+    else:
+        present = F.map_contains_key(record, F.lit(name))
+        raw = F.try_element_at(record, F.lit(name))
+        a = raw.try_cast(target)
+
+    def b(v: str) -> Column:
+        return F.lit(v).try_cast(target)
+
+    if op == "is":
+        kw = value
+        if kw in ("null", "unknown"):
+            res = raw.isNull()
+        else:
+            res = raw.try_cast("boolean").eqNullSafe(F.lit(kw == "true"))
+    elif op == "isdistinct":
+        # raw NULL vs non-null literal -> distinct; cast failure -> NULL -> closed
+        res = F.when(raw.isNull(), F.lit(True)).otherwise(a != b(value))
+    elif op == "in":
+        if not values:
+            res = F.lit(False)
+        else:
+            res = F.lit(False)
+            for v in values:
+                res = res | F.coalesce(a == b(v), F.lit(False))
+    elif op == "like":
+        res = raw.like(value)
+    elif op == "ilike":
+        res = F.ilike(raw, F.lit(value))
+    elif op == "match":
+        res = raw.rlike(value)
+    elif op == "imatch":
+        res = raw.rlike("(?i)" + value)
+    elif op == "eq":
+        res = a == b(value)
+    elif op == "neq":
+        res = a != b(value)
+    elif op == "lt":
+        res = a < b(value)
+    elif op == "lte":
+        res = a <= b(value)
+    elif op == "gt":
+        res = a > b(value)
+    elif op == "gte":
+        res = a >= b(value)
+    else:  # pragma: no cover
+        raise FilterValidationError(f"unknown op {op!r}")
+    if negate:
+        res = ~res
+    return present & F.coalesce(res, F.lit(False))
+
+
+def compile_filters_on_record(
+    filters, record: Column, typed_cols: Mapping[str, Column] | None = None
+) -> Column:
+    """Conjunctive visibility (P3) with every filter known at plan time.
+    None/empty -> always visible."""
+    if not filters:
+        return F.lit(True)
+    pred = compile_filter_on_record(filters[0], record, typed_cols)
+    for f in filters[1:]:
+        pred = pred & compile_filter_on_record(f, record, typed_cols)
+    return pred

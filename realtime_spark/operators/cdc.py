@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from realtime_spark.functions.filters import (
     FILTER_STRUCT_DDL,
+    compile_filters_on_record,
     filters_match_expr,
     filters_to_rows,
     parse_filter_string,
@@ -85,7 +86,12 @@ def subscriptions_df(
                 "selected_columns": s.get("selected_columns"),
             }
         )
-    return spark.createDataFrame(rows, schema=SUBSCRIPTION_SCHEMA_DDL)
+    df = spark.createDataFrame(rows, schema=SUBSCRIPTION_SCHEMA_DDL)
+    # stash the local rows so the compile strategy (matched_pairs) reads the
+    # dim without a Spark job; any DataFrame surgery drops the attribute and
+    # the strategy falls back to a real collect
+    df._rs_spec_rows = rows
+    return df
 
 
 def upsert_subscriptions(existing: DataFrame, incoming: DataFrame) -> DataFrame:
@@ -123,6 +129,17 @@ def expand_wildcards(
     hot join stays a pure equi-join (the reference does the same expansion with
     a LIKE lateral join at subscription insert: subscriptions.ex:61-74)."""
     spark = subs.sparkSession
+    local = getattr(subs, "_rs_spec_rows", None)
+    if local is not None:
+        expanded = [
+            {**r, "schema_name": ps, "table_name": pt}
+            for r in local
+            for ps, pt in publication_tables
+            if r["schema_name"] in ("*", ps) and r["table_name"] in ("*", pt)
+        ]
+        df = spark.createDataFrame(expanded, schema=subs.schema)
+        df._rs_spec_rows = expanded
+        return df
     pub = spark.createDataFrame(
         list(publication_tables), schema="pub_schema string, pub_table string"
     )
@@ -137,13 +154,103 @@ def expand_wildcards(
     )
 
 
-def matched_pairs(changes: DataFrame, subs: DataFrame) -> DataFrame:
-    """One row per (change, visible subscription): the pre-aggregation form.
+# Above this many subscription rows, matched_pairs/match_changes fall back to
+# the broadcast-join + runtime-interpreter plan instead of plan-compiling every
+# predicate (expression-tree size, and with that many distinct filter sets the
+# dim genuinely is data). At 100 TB the compiled path is the one that matters:
+# real deployments have few DISTINCT (entity, action, filters) signatures even
+# with millions of subscribers — the reference exploits the same grouping
+# (migrations/20260626120000:413-417 per-role / per-selected_columns loops).
+COMPILE_MAX_SUBS = 128
 
-    Join is broadcast-hash on (schema_name, table_name); action filter and the
-    filter interpreter ride along as residual conditions evaluated inside the
-    join, so non-matching rows never materialize.
-    """
+
+def _collect_small_dim(subs: DataFrame):
+    """Collect the subscription dim if it is compile-sized, else None.
+    Dims built by subscriptions_df carry their rows locally (zero jobs)."""
+    local = getattr(subs, "_rs_spec_rows", None)
+    if local is not None:
+        return local if len(local) <= COMPILE_MAX_SUBS else None
+    rows = subs.limit(COMPILE_MAX_SUBS + 1).collect()
+    if len(rows) > COMPILE_MAX_SUBS:
+        return None
+    return rows
+
+
+def _compile_frame(changes: DataFrame):
+    """Resolve the frame the compiled predicates run on.
+
+    A change frame carrying the typed-source contract (`_rs_typed_source`,
+    set by relational derivations like testdata.changes_from_orders) yields
+    (base_df, change_exprs, typed_record_cols): predicates read typed scan
+    columns (parquet pushdown) and the record maps are only built for rows
+    that matched. Any other frame evaluates on its own columns via the
+    record map."""
+    typed = getattr(changes, "_rs_typed_source", None)
+    if typed is not None:
+        base, change_exprs, typed_cols = typed
+        return base, dict(change_exprs), dict(typed_cols)
+    return changes, {n: F.col(n) for n in changes.columns}, None
+
+
+def _named_struct(cols: Mapping[str, Column]) -> Column:
+    """Struct with explicitly-named fields (alias-on-expression inside
+    F.struct proved fragile for complex expressions)."""
+    parts: list[Column] = []
+    for n, c in cols.items():
+        parts.append(F.lit(n))
+        parts.append(c)
+    return F.named_struct(*parts)
+
+
+def _any_pred(preds) -> Column:
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+def _sub_pred(r, cols, typed_cols=None) -> Column:
+    """Plan-time predicate for one collected subscription row: entity equality
+    + action filter + compiled filter conjunction over the action-appropriate
+    record (DELETE evaluates old_record — wal2json delete identity).
+
+    `cols` maps change-column name -> Column (over whatever frame the
+    predicate runs on); `typed_cols` optionally maps record keys to typed
+    base columns (see compile_filter_on_record)."""
+    target = F.when(cols["action"] == "DELETE", cols["old_record"]).otherwise(
+        cols["record"]
+    )
+    pred = (cols["schema_name"] == F.lit(r["schema_name"])) & (
+        cols["table_name"] == F.lit(r["table_name"])
+    )
+    if r["action_filter"] != "*":
+        pred = pred & (cols["action"] == F.lit(r["action_filter"]))
+    return pred & compile_filters_on_record(r["filters"], target, typed_cols)
+
+
+def _sub_struct_lit(r) -> Column:
+    """Collected subscription row -> struct literal (schema parity with the
+    subscription dim; `filters` is typed-NULL — consumed at match time only)."""
+    sel = r["selected_columns"]
+    return F.struct(
+        F.lit(r["id"]).cast("bigint").alias("id"),
+        F.lit(r["subscription_id"]).alias("subscription_id"),
+        F.lit(r["schema_name"]).alias("schema_name"),
+        F.lit(r["table_name"]).alias("table_name"),
+        F.lit(None).cast(FILTER_STRUCT_DDL).alias("filters"),
+        F.lit(r["claims_role"]).alias("claims_role"),
+        F.lit(r["action_filter"]).alias("action_filter"),
+        (
+            F.array(*[F.lit(x) for x in sel])
+            if sel is not None
+            else F.lit(None).cast("array<string>")
+        ).alias("selected_columns"),
+    )
+
+
+def _joined_pairs(changes: DataFrame, subs: DataFrame) -> DataFrame:
+    """Interpreter plan: broadcast join with the generic JVM filter interpreter
+    as residual condition (used when the dim exceeds COMPILE_MAX_SUBS)."""
     s = F.broadcast(subs).alias("s")
     c = changes.alias("c")
     filter_target = F.when(
@@ -158,10 +265,80 @@ def matched_pairs(changes: DataFrame, subs: DataFrame) -> DataFrame:
     return c.join(s, cond, "inner")
 
 
-def match_changes(changes: DataFrame, subs: DataFrame) -> DataFrame:
+def matched_pairs(changes: DataFrame, subs: DataFrame, strategy: str = "auto") -> DataFrame:
+    """One row per (change, visible subscription): the pre-aggregation form.
+
+    Default plan (small dim, the realistic case): the subscriptions are
+    **compiled into the plan** — one codegen'd predicate per subscription, the
+    matching subs collected per change with `array_compact` and exploded. The
+    change stream is scanned exactly once with ZERO shuffle and no join at
+    all; Catalyst constant-folds the entity equality per subscription.
+
+    Fallback plan (`strategy="join"` or dim > COMPILE_MAX_SUBS): broadcast
+    hash join on (schema_name, table_name) with the runtime filter
+    interpreter as residual condition.
+
+    Both plans expose change fields as `c.*` and subscription fields as
+    `s.*` (struct columns in the compiled plan, alias qualifiers in the
+    joined plan) so downstream operators are agnostic to the strategy.
+    """
+    rows = _collect_small_dim(subs) if strategy in ("auto", "compile") else None
+    if rows is None:
+        return _joined_pairs(changes, subs)
+    if not rows:
+        empty = changes.sparkSession.createDataFrame([], subs.schema)
+        return _joined_pairs(changes.limit(0), empty)
+    src, cols, typed_cols = _compile_frame(changes)
+    preds = [_sub_pred(r, cols, typed_cols) for r in rows]
+    matches = F.array_compact(
+        F.array(*[F.when(p, _sub_struct_lit(r)) for p, r in zip(preds, rows)])
+    )
+    or_pred = _any_pred(preds)
+    c_struct = _named_struct(cols).alias("c")
+    filtered = src.filter(or_pred)
+    pairs = filtered.select(c_struct, F.explode(matches).alias("s"))
+    # pre-explode form: each change with its full visible-subscription array in
+    # ONE row. projection.project_output groups per (role, selected_columns)
+    # within the row from this frame — zero shuffle instead of explode+groupBy.
+    pairs._rs_match_sets = filtered.select(c_struct, matches.alias("subs"))
+    return pairs
+
+
+def match_changes(changes: DataFrame, subs: DataFrame, strategy: str = "auto") -> DataFrame:
     """Full J1+A5: change rows annotated with the sorted array of visible
-    subscription ids (the reference's `wal_rls.subscription_ids`)."""
-    pairs = matched_pairs(changes, subs)
+    subscription ids (the reference's `wal_rls.subscription_ids`).
+
+    Compiled plan: the id set is assembled per change row inside one codegen
+    stage (`array_compact` of per-subscription conditional ids) — no join, no
+    groupBy, no shuffle anywhere. This mirrors the reference's single pass
+    over each WAL record accumulating visible_role_sub_ids
+    (migrations/20260626120000:500-536)."""
+    rows = _collect_small_dim(subs) if strategy in ("auto", "compile") else None
+    if rows is not None and rows:
+        src, cols, typed_cols = _compile_frame(changes)
+        preds = [_sub_pred(r, cols, typed_cols) for r in rows]
+        ids = F.sort_array(
+            F.array_distinct(
+                F.array_compact(
+                    F.array(
+                        *[
+                            F.when(p, F.lit(r["subscription_id"]))
+                            for p, r in zip(preds, rows)
+                        ]
+                    )
+                )
+            )
+        )
+        # or_pred true <=> the id set is non-empty, so a single scan-pushable
+        # filter replaces the post-projection size() check
+        return src.filter(_any_pred(preds)).select(
+            *[c.alias(n) for n, c in cols.items()], ids.alias("subscription_ids")
+        )
+    if rows is not None:  # empty dim -> no matches
+        return changes.limit(0).withColumn(
+            "subscription_ids", F.lit(None).cast("array<string>")
+        )
+    pairs = _joined_pairs(changes, subs)
     keep = [f for f in changes.columns if f != "change_id"]
     return pairs.groupBy(F.col("c.change_id").alias("change_id")).agg(
         *[F.first(F.col(f"c.{f}")).alias(f) for f in keep],

@@ -26,6 +26,17 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+def spread_by(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition on `key` to the cluster parallelism before per-row
+    heavy work (shingling/hashing). Guarantees the map stage parallelizes
+    regardless of source file row-group layout (a single-row-group parquet
+    file otherwise serializes the explode onto one core), and a later
+    groupBy(key) reuses the partitioning — no additional shuffle. Explicit
+    partition count so AQE does not coalesce the small fixture exchange."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
+
+
 def tokens_expr(text: Column) -> Column:
     """Lowercased word tokens; keeps [a-z0-9]+ runs. Mirrored in SQL by
     regexp_split_to_array(lower(text), '[^a-z0-9]+')-style splits."""
@@ -100,7 +111,7 @@ def jaccard_pairs(
     and this operator only to score them. Output: (doc_a, doc_b, jaccard)
     with doc_a < doc_b.
     """
-    sh = df.select(
+    sh = spread_by(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles_expr(F.col(text_col), k)).alias("shingle"),
     ).select(
@@ -197,7 +208,7 @@ def minhash_lsh_pairs(
     # re-derive the shingle set for every hash function: no CSE in
     # interpreted higher-order functions), and the per-function permutations
     # are 12 map-side-combined min() aggs over (doc, x) pairs.
-    sh = df.select(
+    sh = spread_by(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles_expr(F.col(text_col), k)).alias("s"),
     )
@@ -300,7 +311,7 @@ def simhash_buckets(
     this aggregation form hashes each token exactly once. Docs with zero
     tokens produce no row (dedup semantics: nothing to compare).
     """
-    toks = df.select(
+    toks = spread_by(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(tokens_expr(F.col(text_col))).alias("t")
     )
     hashed = toks.select(

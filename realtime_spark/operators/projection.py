@@ -82,6 +82,67 @@ def privileges_df(spark, grants: Mapping[tuple[str, str, str], Sequence[str]]) -
     )
 
 
+_CHANGE_FIELDS = (
+    "change_id", "action", "schema_name", "table_name", "commit_timestamp",
+    "record", "old_record", "col_types", "col_names", "pk", "record_bytes",
+)
+
+
+def _grouped_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Exploded (change × sub) pairs -> one row per (change, role, selection)
+    group with collected ids. Requires a shuffle (groupBy)."""
+    sel = F.col("s.selected_columns")
+    p = pairs.select(
+        *[F.col(f"c.{f}").alias(f) for f in _CHANGE_FIELDS],
+        F.col("s.claims_role").alias("claims_role"),
+        F.col("s.subscription_id").alias("subscription_id"),
+        sel.alias("selected_columns"),
+        # deterministic group key (W2): roles and selection groups ordered by text
+        F.coalesce(F.array_join(sel, ","), F.lit("")).alias("sel_key"),
+    )
+    return p.groupBy("change_id", "claims_role", "sel_key").agg(
+        *[F.first(f).alias(f) for f in _CHANGE_FIELDS if f != "change_id"],
+        F.first("selected_columns").alias("selected_columns"),
+        F.sort_array(F.collect_set("subscription_id")).alias("subscription_ids"),
+    ).drop("sel_key")
+
+
+def _grouped_from_sets(sets: DataFrame) -> DataFrame:
+    """Pre-exploded match sets (change + array of matched subs, one row per
+    change — cdc.matched_pairs' `_rs_match_sets`) -> the same grouped shape
+    with ZERO shuffle: the distinct (role, selected_columns) groups and their
+    id sets are computed within the row (the reference's per-role /
+    per-selection loop, migrations/20260626120000:413-417,541-545)."""
+    groups = F.array_distinct(
+        F.transform(
+            F.col("subs"),
+            lambda s: F.struct(
+                s["claims_role"].alias("claims_role"),
+                s["selected_columns"].alias("selected_columns"),
+            ),
+        )
+    )
+    exploded = sets.select("c", "subs", F.explode(groups).alias("g"))
+    ids = F.sort_array(
+        F.array_distinct(
+            F.transform(
+                F.filter(
+                    F.col("subs"),
+                    lambda s: (s["claims_role"] == F.col("g.claims_role"))
+                    & s["selected_columns"].eqNullSafe(F.col("g.selected_columns")),
+                ),
+                lambda s: s["subscription_id"],
+            )
+        )
+    )
+    return exploded.select(
+        *[F.col(f"c.{f}").alias(f) for f in _CHANGE_FIELDS],
+        F.col("g.claims_role").alias("claims_role"),
+        F.col("g.selected_columns").alias("selected_columns"),
+        ids.alias("subscription_ids"),
+    )
+
+
 def project_output(
     pairs: DataFrame,
     privileges: DataFrame | None = None,
@@ -96,51 +157,24 @@ def project_output(
 
     Expects the column naming produced by cdc.matched_pairs (c.* / s.*).
     """
-    sel = F.col("s.selected_columns")
-    p = pairs.select(
-        F.col("c.change_id").alias("change_id"),
-        F.col("c.action").alias("action"),
-        F.col("c.schema_name").alias("schema_name"),
-        F.col("c.table_name").alias("table_name"),
-        F.col("c.commit_timestamp").alias("commit_timestamp"),
-        F.col("c.record").alias("record"),
-        F.col("c.old_record").alias("old_record"),
-        F.col("c.col_types").alias("col_types"),
-        F.col("c.col_names").alias("col_names"),
-        F.col("c.pk").alias("pk"),
-        F.col("c.record_bytes").alias("record_bytes"),
-        F.col("s.claims_role").alias("claims_role"),
-        F.col("s.subscription_id").alias("subscription_id"),
-        sel.alias("selected_columns"),
-        # deterministic group key (W2): roles and selection groups ordered by text
-        F.coalesce(F.array_join(sel, ","), F.lit("")).alias("sel_key"),
-    )
+    sets = getattr(pairs, "_rs_match_sets", None)
+    if sets is not None:
+        grouped = _grouped_from_sets(sets)
+    else:
+        grouped = _grouped_from_pairs(pairs)
 
     if privileges is not None:
-        priv = F.broadcast(privileges).alias("p")
-        p = p.alias("e").join(
-            priv,
+        # post-grouping broadcast join: allowed_columns depends only on the
+        # group keys, and the grouped frame is strictly smaller than the pairs
+        grouped = grouped.join(
+            F.broadcast(privileges),
             ["claims_role", "schema_name", "table_name"],
             "left",
         )
     else:
-        p = p.withColumn("allowed_columns", F.lit(None).cast("array<string>"))
-
-    grouped = p.groupBy("change_id", "claims_role", "sel_key").agg(
-        F.first("action").alias("action"),
-        F.first("schema_name").alias("schema_name"),
-        F.first("table_name").alias("table_name"),
-        F.first("commit_timestamp").alias("commit_timestamp"),
-        F.first("record").alias("record"),
-        F.first("old_record").alias("old_record"),
-        F.first("col_types").alias("col_types"),
-        F.first("col_names").alias("col_names"),
-        F.first("pk").alias("pk"),
-        F.first("record_bytes").alias("record_bytes"),
-        F.first("selected_columns").alias("selected_columns"),
-        F.first("allowed_columns").alias("allowed_columns"),
-        F.sort_array(F.collect_set("subscription_id")).alias("subscription_ids"),
-    )
+        grouped = grouped.withColumn(
+            "allowed_columns", F.lit(None).cast("array<string>")
+        )
 
     action = F.col("action")
     pk = F.col("pk")

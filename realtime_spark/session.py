@@ -25,6 +25,10 @@ def get_spark(app_name: str = "realtime_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # duckdb-written parquet carries TIMESTAMP(NANOS); read as long + convert
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # split file scans to at least the cluster parallelism: a small parquet
+        # file is one 128MB-bounded split by default, serializing the whole
+        # pipeline onto one core; scale-neutral (no-op when files >> cores)
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
@@ -37,4 +41,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """Apply engine-required runtime confs to an externally provided session
     (the driver passes its own SparkSession to __spark_entry__.entry)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:
+        par = os.cpu_count() or 4
+    # small files must not serialize the pipeline onto one core (no-op at
+    # scale: files >> maxPartitionBytes already split). openCostInBytes (4 MiB
+    # default) floors the split size, so it must shrink with the fixture files
+    # for minPartitionNum to bite.
+    spark.conf.set("spark.sql.files.minPartitionNum", str(par))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
     return spark
