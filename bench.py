@@ -48,8 +48,10 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("realtime_spark_bench", cpus=cpus)
 
-    # warm the JVM + parquet footer caches so we measure the engine, not startup
-    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    # warm the JVM + parquet footer/page caches for every input table the
+    # headline queries touch, so we measure the engine, not startup or disk
+    for t in ("orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     total_rows = 0

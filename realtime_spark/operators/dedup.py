@@ -272,6 +272,48 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Training-corpus decontamination: find corpus docs sharing at least
+    `min_shared` distinct word-k-shingles with any document of an evaluation/
+    benchmark set (the standard n-gram-overlap contamination check run before
+    training on scraped data).
+
+    Shape: both sides shingle map-side (distinct per doc), the eval side is
+    reduced to its DISTINCT shingle digests — at 100 TB the eval set is tiny
+    relative to the corpus, so that digest set broadcast-joins (semi-join)
+    against the exploded corpus; only (doc, digest) pairs ever shuffle, and
+    only for digests that actually hit. Output: (doc_id, n_shared), the count
+    of the doc's distinct shingles that appear anywhere in the eval set.
+    """
+    def digests(df: DataFrame) -> DataFrame:
+        return spread_by(df, id_col).select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles_expr(F.col(text_col), k)).alias("s"),
+        ).select(
+            "doc",
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("sx"),
+        )
+
+    eval_sx = F.broadcast(digests(eval_df).select("sx").distinct())
+    hits = digests(corpus).join(eval_sx, "sx", "left_semi")
+    out = hits.groupBy(F.col("doc").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return out.filter(F.col("n_shared") >= min_shared)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,105 @@
+"""Deterministic sampling / split-assignment operators for training-data
+pipelines (beyond-reference, BASELINE.json north star).
+
+Everything is hash-based and therefore (a) reproducible across engines — the
+DuckDB oracle recomputes the identical md5-derived bucket — and (b) map-only:
+no shuffle, no RNG state, no driver coordination. At 100 TB a fraction-based
+sample or split assignment must not depend on row order or partition layout;
+a content hash of the stable key is the only scale-safe way to do it.
+
+  - hash_bucket:   key -> uniform bucket in [0, buckets) via md5 (60-bit prefix)
+  - hash_sample:   keep rows whose bucket < fraction * buckets (map-only)
+  - stratified_sample: per-stratum fractions (map-only; one small CASE)
+  - split_assign:  train/val/test split by cumulative weight ranges (map-only)
+  - sample_n_per_group: exactly-n deterministic rows per group (one shuffle on
+    the group key; hash order makes the pick stable, not first-seen order)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, buckets: int = _BUCKETS) -> Column:
+    """Uniform deterministic bucket in [0, buckets): first 15 md5 hex chars
+    (60 bits, always positive) of the key's string form, mod buckets.
+    SQL mirror: ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % n.
+    """
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % buckets
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, buckets: int = _BUCKETS
+) -> DataFrame:
+    """Deterministic ~fraction sample keyed on `key_col`. Map-only: the
+    predicate reaches the scan (partition/row-group pruning applies when the
+    key correlates with layout)."""
+    return df.filter(hash_bucket(F.col(key_col), buckets) < int(fraction * buckets))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    fraction (e.g. downsample boilerplate-heavy sources, keep rare ones).
+    Map-only; the stratum threshold is a small CASE expression."""
+    thresh: Column = F.lit(int(default_fraction * buckets))
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * buckets))
+        ).otherwise(thresh)
+    return df.filter(hash_bucket(F.col(key_col), buckets) < thresh)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.98), ("val", 0.01), ("test", 0.01),
+    ),
+    buckets: int = _BUCKETS,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by cumulative hash-bucket ranges.
+    Weights must sum to <= 1; any remainder falls into the last split.
+    Deterministic per key: the same document always lands in the same split
+    regardless of cluster size, partitioning, or run count."""
+    b = hash_bucket(F.col(key_col), buckets)
+    expr: Column | None = None
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        cond = b < int(cum * buckets)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = splits[-1][0]
+    out = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, out)
+
+
+def sample_n_per_group(
+    df: DataFrame, group_col: str, key_col: str, n: int
+) -> DataFrame:
+    """Exactly min(n, |group|) rows per group, picked by hash order of the
+    key (stable across partitioning). One shuffle on the group key; at scale
+    this is the standard per-source cap ("at most N docs per domain")."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), 2**60), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

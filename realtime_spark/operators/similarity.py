@@ -164,6 +164,98 @@ def ivf_topk(
     )
 
 
+def srp_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5): component
+    (p, i) is derived from md5(f"srp:{p}:{i}") so Spark, the DuckDB oracle,
+    and any re-run agree bit-for-bit with no RNG state to ship around."""
+    import hashlib
+
+    out = []
+    for p in range(num_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"srp:{p}:{i}".encode()).hexdigest()[:12]
+            row.append(int(h, 16) / float(16**12) - 0.5)
+        out.append(row)
+    return out
+
+
+def srp_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Hyperplane LSH (signed random projection) bucket per vector: bit p of
+    the bucket is 1 iff dot(v, plane_p) >= 0. Cosine-similar vectors agree on
+    most sign bits, so near-duplicates collide on the full bucket.
+
+    Shape: the plane set is a tiny broadcast side (num_planes rows); one
+    corpus scan computes all dots, then a groupBy(id) bit-sum (map-side
+    combined) folds the bits — the shuffle carries (id, plane_id, bit) only,
+    never vectors. This is the LSH-bucketed scale path for embedding near-dup:
+    candidates = pairs sharing a bucket, scored exactly afterwards.
+    """
+    spark = df.sparkSession
+    planes = spark.createDataFrame(
+        [(p, vec) for p, vec in enumerate(srp_planes(num_planes, dim))],
+        "plane_id int, plane array<double>",
+    )
+    dots = df.join(F.broadcast(planes)).select(
+        F.col(id_col).alias("doc"),
+        "plane_id",
+        (dot_expr(F.col(vec_col), F.col("plane")) >= 0).alias("bit"),
+    )
+    return (
+        dots.groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.sum(
+                F.when(F.col("bit"), F.expr("shiftleft(CAST(1 AS BIGINT), plane_id)"))
+                .otherwise(F.lit(0).cast("bigint"))
+            ).alias("srp_bucket")
+        )
+    )
+
+
+def srp_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup candidate pairs: vectors sharing an SRP bucket.
+    Bucket sizes are bounded by true near-dup neighborhoods (16 sign bits ≈
+    1/65536 of random space), so the in-bucket pairing stays small; pairs
+    are generated from a bucket groupBy, not a self-join, so the bucket scan
+    runs once. Output: (doc_a, doc_b), doc_a < doc_b."""
+    b = srp_buckets(df, id_col, vec_col, num_planes, dim)
+    buckets = (
+        b.groupBy("srp_bucket")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    n = F.size(F.col("docs"))
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("docs"), i + 1, n),
+                        lambda y: F.struct(
+                            F.element_at(F.col("docs"), i).alias("doc_a"),
+                            y.alias("doc_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.doc_a"), F.col("p.doc_b"))
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

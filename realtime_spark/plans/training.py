@@ -249,6 +249,7 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_SQL_COS.format(a='a', b='b', r=4)} >= 0.42
 """
 
+_EMB_DIM = 64  # testdata embeddings dimension (all SFs)
 _ANN_K = 5
 _ANN_QUERY_PRED = "vec_id < 8"
 
@@ -334,6 +335,165 @@ FROM r WHERE rank <= {_ANN_K}
 
 # NOTE: oracle embeddings.embedding is FLOAT[]; q_vec/c_vec flow through as
 # FLOAT[] and are cast at the dot product, matching Spark's per-element cast.
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splits (map-only, hash-keyed)
+# ---------------------------------------------------------------------------
+
+_SQL_HB = "('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15))::BIGINT % 10000"
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.sampling import hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.25).select("doc_id")
+
+
+ORACLE_SAMPLE_HASH = f"""
+SELECT doc_id FROM documents WHERE {_SQL_HB.format(k='doc_id')} < 2500
+"""
+
+_STRATA_FRACS = {"en": 0.5, "fr": 0.1}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, "lang", _STRATA_FRACS, "doc_id", default_fraction=0.02
+    )
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT lang, COUNT(*) AS n_kept FROM documents
+WHERE {_SQL_HB.format(k='doc_id')} <
+  CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 1000 ELSE 200 END
+GROUP BY lang
+"""
+
+
+def q_sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.sampling import split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    out = split_assign(d, "doc_id")
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+ORACLE_SAMPLE_SPLITS = f"""
+SELECT CASE WHEN {_SQL_HB.format(k='doc_id')} < 9800 THEN 'train'
+            WHEN {_SQL_HB.format(k='doc_id')} < 9900 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+_PER_GROUP_N = 7
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.sampling import sample_n_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sample_n_per_group(d, "source", "doc_id", _PER_GROUP_N)
+    return out.select("source", "doc_id")
+
+
+ORACLE_SAMPLE_PER_GROUP = f"""
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1152921504606846976, doc_id) AS rn
+  FROM documents
+)
+SELECT source, doc_id FROM r WHERE rn <= {_PER_GROUP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_EVAL_PRED = "doc_id % 50 = 3"
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.dedup import contaminated_docs
+
+    d = docs_with_dups(spark, sf_dir)
+    eval_df = d.filter(F.expr(_EVAL_PRED))
+    corpus = d.filter(~F.expr(_EVAL_PRED))
+    return contaminated_docs(corpus, eval_df, "doc_id", "text", k=3)
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH {DOCS_DUP_CTE.strip()},
+ev AS (SELECT doc_id, text FROM _docs_dup WHERE {_EVAL_PRED}),
+co AS (SELECT doc_id, text FROM _docs_dup WHERE NOT ({_EVAL_PRED})),
+evt AS (SELECT doc_id, {SQL_TOKS} AS toks FROM ev),
+evs AS (SELECT DISTINCT ('0x' || substr(md5(unnest({_sql_shingles(3)})), 1, 15))::BIGINT AS sx
+        FROM evt),
+cot AS (SELECT doc_id, {SQL_TOKS} AS toks FROM co),
+cos0 AS (SELECT doc_id AS doc, unnest({_sql_shingles(3)}) AS shingle FROM cot),
+cosx AS (SELECT doc, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sx FROM cos0)
+SELECT doc AS doc_id, COUNT(*) AS n_shared
+FROM cosx WHERE sx IN (SELECT sx FROM evs)
+GROUP BY doc HAVING COUNT(*) >= 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding hyperplane LSH (SRP)
+# ---------------------------------------------------------------------------
+
+_SRP_PLANES = 16
+
+
+def _sql_srp_bucket() -> str:
+    from realtime_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(_SRP_PLANES, _EMB_DIM)
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def q_emb_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.similarity import srp_buckets
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return srp_buckets(e, num_planes=_SRP_PLANES, dim=_EMB_DIM)
+
+
+def _oracle_srp_buckets() -> str:
+    return f"""
+SELECT vec_id, CAST({_sql_srp_bucket()} AS BIGINT) AS srp_bucket FROM embeddings
+"""
+
+
+def q_emb_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.similarity import srp_candidate_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return srp_candidate_pairs(e, num_planes=_SRP_PLANES, dim=_EMB_DIM)
+
+
+def _oracle_srp_pairs() -> str:
+    return f"""
+WITH bk AS (SELECT vec_id, {_sql_srp_bucket()} AS bucket FROM embeddings)
+SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -593,6 +753,13 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "corpus_clean_pipeline": q_corpus_clean_pipeline,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
+        "sample_splits": q_sample_splits,
+        "sample_per_group": q_sample_per_group,
+        "decontaminate": q_decontaminate,
+        "emb_srp_buckets": q_emb_srp_buckets,
+        "emb_srp_pairs": q_emb_srp_pairs,
     }
 
 
@@ -613,4 +780,11 @@ def training_oracles() -> dict[str, str]:
         "media_features": ORACLE_MEDIA_FEATURES,
         "media_frames": ORACLE_MEDIA_FRAMES,
         "corpus_clean_pipeline": _oracle_corpus_clean(),
+        "sample_hash": ORACLE_SAMPLE_HASH,
+        "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+        "sample_splits": ORACLE_SAMPLE_SPLITS,
+        "sample_per_group": ORACLE_SAMPLE_PER_GROUP,
+        "decontaminate": ORACLE_DECONTAMINATE,
+        "emb_srp_buckets": _oracle_srp_buckets(),
+        "emb_srp_pairs": _oracle_srp_pairs(),
     }

@@ -1,0 +1,122 @@
+"""Unit tests for the sampling / decontamination / SRP-LSH training-data
+operators (semantic properties the oracle comparison can't express:
+determinism under repartitioning, sign invariance, etc.)."""
+
+from pyspark.sql import functions as F
+
+from realtime_spark.operators.dedup import contaminated_docs
+from realtime_spark.operators.sampling import (
+    hash_sample,
+    sample_n_per_group,
+    split_assign,
+    stratified_sample,
+)
+from realtime_spark.operators.similarity import srp_buckets, srp_planes
+
+
+def _docs(spark):
+    rows = [(i, f"src{i % 3}", f"alpha beta gamma delta {i} epsilon zeta") for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+class TestSampling:
+    def test_split_assign_partitions_everything(self, spark):
+        d = _docs(spark)
+        out = split_assign(d, "doc_id")
+        counts = dict(out.groupBy("split").count().collect())
+        assert sum(counts.values()) == 200
+        assert set(counts) <= {"train", "val", "test"}
+        assert counts.get("train", 0) > counts.get("val", 0)
+
+    def test_split_assign_deterministic_under_repartition(self, spark):
+        d = _docs(spark)
+        a = {r["doc_id"]: r["split"] for r in split_assign(d, "doc_id").collect()}
+        b = {
+            r["doc_id"]: r["split"]
+            for r in split_assign(d.repartition(7), "doc_id").collect()
+        }
+        assert a == b
+
+    def test_hash_sample_is_subset_and_stable(self, spark):
+        d = _docs(spark)
+        s1 = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.3).collect()}
+        s2 = {r["doc_id"] for r in hash_sample(d.repartition(5), "doc_id", 0.3).collect()}
+        assert s1 == s2
+        assert 0 < len(s1) < 200
+        # larger fraction strictly contains smaller (nested samples)
+        s_big = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.6).collect()}
+        assert s1 <= s_big
+
+    def test_stratified_fractions_apply_per_stratum(self, spark):
+        d = _docs(spark)
+        out = stratified_sample(
+            d, "source", {"src0": 1.0, "src1": 0.0}, "doc_id", default_fraction=0.5
+        )
+        counts = dict(out.groupBy("source").count().collect())
+        assert counts.get("src0") == 67  # all of stratum 0 kept
+        assert "src1" not in counts  # stratum 1 dropped entirely
+
+    def test_sample_n_per_group_exact_counts(self, spark):
+        d = _docs(spark)
+        out = sample_n_per_group(d, "source", "doc_id", 5)
+        counts = dict(out.groupBy("source").count().collect())
+        assert counts == {"src0": 5, "src1": 5, "src2": 5}
+        # stable under repartitioning
+        out2 = sample_n_per_group(d.repartition(9), "source", "doc_id", 5)
+        assert {tuple(r) for r in out.select("source", "doc_id").collect()} == {
+            tuple(r) for r in out2.select("source", "doc_id").collect()
+        }
+
+
+class TestDecontaminate:
+    def test_detects_shared_shingles_only(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated text with different words entirely here"),
+                (3, "quick brown fox story continues beyond the benchmark"),
+            ],
+            "doc_id long, text string",
+        )
+        eval_df = spark.createDataFrame(
+            [(100, "someone saw the quick brown fox jumps today")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["n_shared"] for r in
+               contaminated_docs(corpus, eval_df, "doc_id", "text", k=3).collect()}
+        assert 1 in out and 3 in out and 2 not in out
+        # doc 1 shares 'the quick brown', 'quick brown fox', 'brown fox jumps'
+        assert out[1] == 3
+        assert out[3] == 1  # 'quick brown fox'
+
+    def test_min_shared_threshold(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (3, "quick brown fox story continues beyond the benchmark")],
+            "doc_id long, text string",
+        )
+        eval_df = spark.createDataFrame(
+            [(100, "someone saw the quick brown fox jumps today")],
+            "doc_id long, text string",
+        )
+        out = contaminated_docs(corpus, eval_df, "doc_id", "text", k=3, min_shared=2)
+        assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+class TestSrp:
+    def test_planes_deterministic_and_bounded(self):
+        p1 = srp_planes(4, 16)
+        p2 = srp_planes(4, 16)
+        assert p1 == p2
+        assert all(-0.5 <= x < 0.5 for row in p1 for x in row)
+
+    def test_positive_scaling_preserves_bucket(self, spark):
+        base = [0.5, -1.0, 2.0, 0.25] * 4
+        df = spark.createDataFrame(
+            [(1, base), (2, [x * 10.0 for x in base]), (3, [-x for x in base])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r["vec_id"]: r["srp_bucket"] for r in
+               srp_buckets(df, num_planes=8, dim=16).collect()}
+        assert out[1] == out[2]  # cosine-identical -> same bucket
+        assert out[1] != out[3]  # opposite direction -> different bucket
