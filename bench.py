@@ -59,7 +59,7 @@ def main() -> None:
     for name, fn in _bench_queries().items():
         best = None
         n = 0
-        for _ in range(2):  # min-of-2: drops plan-compile/GC noise, keeps warm cost
+        for _ in range(3):  # min-of-3: drops plan-compile/GC/noisy-host noise
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0

@@ -72,6 +72,10 @@ def main() -> None:
         "ann_ivf_topk",
         "node_routing",
         "corpus_clean_pipeline",
+        "decontaminate",
+        "lsh_jaccard_pipeline",
+        "srp_cosine_pipeline",
+        "sample_per_group",
     ]
     for name in names:
         if name not in qs:

@@ -271,6 +271,68 @@ def minhash_lsh_pairs(
     return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
 
 
+def jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact word-k-shingle Jaccard for a given candidate-pair set — the
+    scoring half of the LSH-then-score pattern (minhash_lsh_pairs /
+    srp_candidate_pairs generate candidates; this scores ONLY those).
+
+    Shape: only docs that appear in some candidate pair are shingled
+    (semi-join pushes the candidate id set into the corpus scan), so the
+    expensive explode is proportional to the candidate neighborhood, not the
+    corpus; the intersection join then touches only candidate shingle rows.
+    At 100 TB this is the difference between quadratic all-pairs Jaccard and
+    work linear in the near-dup population. Output: (doc_a, doc_b, jaccard).
+    """
+    p = pairs.select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"))
+    docs_in = (
+        p.select(F.col("doc_a").alias("doc"))
+        .unionByName(p.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    cand = df.join(
+        F.broadcast(docs_in), F.col(id_col).cast("long") == F.col("doc"), "left_semi"
+    )
+    sh = spread_by(cand, id_col).select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode(shingles_expr(F.col(text_col), k)).alias("shingle"),
+    ).select(
+        "doc",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint").alias("sx"),
+    )
+    sh = sh.persist()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc").alias("doc_a"), "sx")
+    b = sh.select(F.col("doc").alias("_doc_b"), F.col("sx").alias("_sx_b"))
+    inter = (
+        p.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("_doc_b")) & (F.col("sx") == F.col("_sx_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        p.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------

@@ -497,6 +497,113 @@ FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 
 
 # ---------------------------------------------------------------------------
+# LSH-then-score pipelines: candidates from LSH, exact similarity only on
+# candidates — the composition that replaces quadratic all-pairs at scale
+# ---------------------------------------------------------------------------
+
+_LSH_SCORE_T = 0.5
+
+
+def q_lsh_jaccard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs scored by exact shingle Jaccard, keeping
+    real near-dups (>= t). The scale path for text near-dup: the corpus is
+    shingled twice (signatures + scoring of candidate docs only), never
+    self-joined all-pairs."""
+    from realtime_spark.operators.dedup import jaccard_for_pairs
+
+    d = docs_with_dups(spark, sf_dir)
+    cands = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=_MH_HASHES, bands=_MH_BANDS, k=3
+    )
+    scored = jaccard_for_pairs(d, cands, "doc_id", "text", k=3)
+    return scored.filter(F.col("jaccard") >= _LSH_SCORE_T)
+
+
+def _oracle_lsh_jaccard_pipeline() -> str:
+    return f"""
+WITH {DOCS_DUP_CTE.strip()},
+t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM _docs_dup),
+s0 AS (SELECT doc_id AS doc, {_sql_shingles(3)} AS sh FROM t),
+s1 AS (SELECT doc,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MH_PRIME}) AS xs
+       FROM s0 WHERE len(sh) > 0),
+sig AS (SELECT doc, {_sql_minhash_sig()} AS sig FROM s1),
+banded AS (
+  SELECT doc, b.band,
+         md5(array_to_string(list_transform(
+             list_slice(sig, b.band * {_MH_ROWS} + 1, b.band * {_MH_ROWS} + {_MH_ROWS}),
+             v -> CAST(v AS VARCHAR)), '|')) AS key
+  FROM sig, (SELECT unnest(range(0, {_MH_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+),
+shx AS (
+  SELECT doc, ('0x' || substr(md5(u.shingle), 1, 15))::BIGINT AS sx
+  FROM s0, unnest(s0.sh) AS u(shingle)
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shx GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shx a ON a.doc = c.doc_a
+  JOIN shx b ON b.doc = c.doc_b AND b.sx = a.sx
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(COALESCE(i.n_inter, 0)
+             / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc = c.doc_a
+JOIN sizes sb ON sb.doc = c.doc_b
+WHERE round(COALESCE(i.n_inter, 0)
+            / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 6) >= {_LSH_SCORE_T}
+"""
+
+
+_SRP_SCORE_T = 0.42
+
+
+def q_srp_cosine_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH candidate pairs scored by exact cosine, keeping >= t — the
+    LSH-accelerated version of dedup_cosine_pairs (same threshold, so the
+    result is the recall subset the buckets surface)."""
+    from realtime_spark.operators.similarity import cosine_expr, srp_candidate_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cands = srp_candidate_pairs(e, num_planes=_SRP_PLANES, dim=_EMB_DIM)
+    va = e.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
+    vb = e.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
+    return (
+        cands.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= _SRP_SCORE_T)
+    )
+
+
+def _oracle_srp_cosine_pipeline() -> str:
+    return f"""
+WITH bk AS (SELECT vec_id, {_sql_srp_bucket()} AS bucket FROM embeddings),
+cand AS (
+  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.doc_a, c.doc_b, {_SQL_COS.format(a='a', b='b', r=4)} AS cos
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.doc_a
+JOIN embeddings b ON b.vec_id = c.doc_b
+WHERE {_SQL_COS.format(a='a', b='b', r=4)} >= {_SRP_SCORE_T}
+"""
+
+
+# ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
 
@@ -760,6 +867,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "emb_srp_buckets": q_emb_srp_buckets,
         "emb_srp_pairs": q_emb_srp_pairs,
+        "lsh_jaccard_pipeline": q_lsh_jaccard_pipeline,
+        "srp_cosine_pipeline": q_srp_cosine_pipeline,
     }
 
 
@@ -787,4 +896,6 @@ def training_oracles() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "emb_srp_buckets": _oracle_srp_buckets(),
         "emb_srp_pairs": _oracle_srp_pairs(),
+        "lsh_jaccard_pipeline": _oracle_lsh_jaccard_pipeline(),
+        "srp_cosine_pipeline": _oracle_srp_cosine_pipeline(),
     }
