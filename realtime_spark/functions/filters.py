@@ -376,7 +376,10 @@ def filters_match_expr(filters: Column, record: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 def compile_filter_on_record(
-    f: Mapping, record: Column, typed_cols: Mapping[str, Column] | None = None
+    f: Mapping,
+    record: Column,
+    typed_cols: Mapping[str, Column] | None = None,
+    typed_dtypes: Mapping[str, str] | None = None,
 ) -> Column:
     """One filter (as a plain dict/Row with op/value/fam known at plan time)
     -> non-null boolean Column over a record map<string,string>.
@@ -390,11 +393,15 @@ def compile_filter_on_record(
 
     `typed_cols`, when given, maps every record key to the typed base Column
     it was projected from; the predicate then reads the base column directly
-    instead of re-building the record map per lookup, which lets Catalyst
-    push the comparison down to the parquet scan (PushedFilters) — the
-    100 TB-correct plan. String ops go through `.cast("string")`, matching
-    the map representation exactly. A filter naming a key absent from
-    `typed_cols` fails closed (the key set IS the record key set).
+    instead of re-building the record map per lookup. `typed_dtypes` (record
+    key -> Spark dtype string of that typed column) additionally lets the
+    compiler DROP the cast entirely when the column is already the
+    comparison family's native type — the predicate becomes a bare
+    `attr <op> literal` that Catalyst pushes into the parquet scan
+    (PushedFilters) — the 100 TB-correct plan; without it the try_cast
+    wrapper blocks source pushdown. String ops go through `.cast("string")`,
+    matching the map representation exactly. A filter naming a key absent
+    from `typed_cols` fails closed (the key set IS the record key set).
     """
     name = f["column_name"]
     op = f["op"]
@@ -409,8 +416,11 @@ def compile_filter_on_record(
             return F.lit(False)
         base = typed_cols[name]
         present = F.lit(True)
-        raw = base.cast("string")  # the map stores the string representation
-        a = base.try_cast(target)
+        native = (typed_dtypes or {}).get(name)
+        # identity casts dropped: try_cast(T->T) can't fail, cast(str->str)
+        # is a no-op — removing them unblocks parquet predicate pushdown
+        raw = base if native == "string" else base.cast("string")
+        a = base if native == target else base.try_cast(target)
     else:
         present = F.map_contains_key(record, F.lit(name))
         raw = F.try_element_at(record, F.lit(name))
@@ -459,17 +469,27 @@ def compile_filter_on_record(
         raise FilterValidationError(f"unknown op {op!r}")
     if negate:
         res = ~res
+    if typed_cols is not None:
+        # Tri-valued result: NULL (cast failure / NULL column) means
+        # "does not pass" in every consumer context — WHERE, when(), AND/OR
+        # conjunctions — exactly like the coalesced FALSE, but without a
+        # Coalesce wrapper, so Catalyst can translate the bare
+        # `attr <op> literal` into a parquet source filter (PushedFilters).
+        return res
     return present & F.coalesce(res, F.lit(False))
 
 
 def compile_filters_on_record(
-    filters, record: Column, typed_cols: Mapping[str, Column] | None = None
+    filters,
+    record: Column,
+    typed_cols: Mapping[str, Column] | None = None,
+    typed_dtypes: Mapping[str, str] | None = None,
 ) -> Column:
     """Conjunctive visibility (P3) with every filter known at plan time.
     None/empty -> always visible."""
     if not filters:
         return F.lit(True)
-    pred = compile_filter_on_record(filters[0], record, typed_cols)
+    pred = compile_filter_on_record(filters[0], record, typed_cols, typed_dtypes)
     for f in filters[1:]:
-        pred = pred & compile_filter_on_record(f, record, typed_cols)
+        pred = pred & compile_filter_on_record(f, record, typed_cols, typed_dtypes)
     return pred

@@ -188,8 +188,13 @@ def _compile_frame(changes: DataFrame):
     typed = getattr(changes, "_rs_typed_source", None)
     if typed is not None:
         base, change_exprs, typed_cols = typed
-        return base, dict(change_exprs), dict(typed_cols)
-    return changes, {n: F.col(n) for n in changes.columns}, None
+        # dtype of each typed expression (schema analysis only, no job):
+        # native-typed columns compile to cast-free, scan-pushable predicates
+        typed_dtypes = dict(
+            base.select([c.alias(n) for n, c in typed_cols.items()]).dtypes
+        )
+        return base, dict(change_exprs), dict(typed_cols), typed_dtypes
+    return changes, {n: F.col(n) for n in changes.columns}, None, None
 
 
 def _named_struct(cols: Mapping[str, Column]) -> Column:
@@ -209,7 +214,7 @@ def _any_pred(preds) -> Column:
     return out
 
 
-def _sub_pred(r, cols, typed_cols=None) -> Column:
+def _sub_pred(r, cols, typed_cols=None, typed_dtypes=None) -> Column:
     """Plan-time predicate for one collected subscription row: entity equality
     + action filter + compiled filter conjunction over the action-appropriate
     record (DELETE evaluates old_record — wal2json delete identity).
@@ -225,7 +230,7 @@ def _sub_pred(r, cols, typed_cols=None) -> Column:
     )
     if r["action_filter"] != "*":
         pred = pred & (cols["action"] == F.lit(r["action_filter"]))
-    return pred & compile_filters_on_record(r["filters"], target, typed_cols)
+    return pred & compile_filters_on_record(r["filters"], target, typed_cols, typed_dtypes)
 
 
 def _sub_struct_lit(r) -> Column:
@@ -288,8 +293,8 @@ def matched_pairs(changes: DataFrame, subs: DataFrame, strategy: str = "auto") -
     if not rows:
         empty = changes.sparkSession.createDataFrame([], subs.schema)
         return _joined_pairs(changes.limit(0), empty)
-    src, cols, typed_cols = _compile_frame(changes)
-    preds = [_sub_pred(r, cols, typed_cols) for r in rows]
+    src, cols, typed_cols, typed_dtypes = _compile_frame(changes)
+    preds = [_sub_pred(r, cols, typed_cols, typed_dtypes) for r in rows]
     matches = F.array_compact(
         F.array(*[F.when(p, _sub_struct_lit(r)) for p, r in zip(preds, rows)])
     )
@@ -315,8 +320,8 @@ def match_changes(changes: DataFrame, subs: DataFrame, strategy: str = "auto") -
     (migrations/20260626120000:500-536)."""
     rows = _collect_small_dim(subs) if strategy in ("auto", "compile") else None
     if rows is not None and rows:
-        src, cols, typed_cols = _compile_frame(changes)
-        preds = [_sub_pred(r, cols, typed_cols) for r in rows]
+        src, cols, typed_cols, typed_dtypes = _compile_frame(changes)
+        preds = [_sub_pred(r, cols, typed_cols, typed_dtypes) for r in rows]
         ids = F.sort_array(
             F.array_distinct(
                 F.array_compact(
