@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: the acceptance bar at 100 TB is the plan
+shape, not just matching rows. These pin the properties that matter —
+zero-shuffle CDC match, parquet predicate pushdown, broadcast (never
+sort-merge) joins on dim-sized sides, map-only sampling."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as em
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = em.queries()
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = plan_of(qs[name](spark, SF_DIR))
+        return cache[name]
+
+    return get
+
+
+def test_cdc_match_is_zero_shuffle(plans):
+    # compiled subscription matching: one scan, no join, no exchange
+    for q in ("cdc_multi_pairs", "cdc_subscription_ids", "cdc_filter_eq"):
+        p = plans(q)
+        assert "Exchange" not in p, f"{q}: unexpected shuffle\n{p}"
+        assert "SortMergeJoin" not in p, f"{q}: unexpected SMJ"
+        assert "Join" not in p, f"{q}: unexpected join operator"
+
+
+def test_cdc_filters_reach_parquet_scan(plans):
+    p = plans("cdc_filter_eq")
+    assert "EqualTo(o_orderstatus,F)" in p, f"pushdown regressed:\n{p}"
+    p = plans("cdc_filter_and")
+    assert "EqualTo(o_orderstatus,O)" in p
+    assert "GreaterThan(o_totalprice,150000.0)" in p
+
+
+def test_scan_prunes_columns(plans):
+    # eq filter query needs only change_id + the filtered column
+    p = plans("cdc_filter_eq")
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas, "no parquet scan found"
+    for s in schemas:
+        cols = [c.split(":")[0] for c in s.split(",")]
+        assert len(cols) <= 2, f"scan reads {cols}, expected pruned 2-col read"
+
+
+def test_sampling_is_map_only(plans):
+    p = plans("sample_hash")
+    assert "Exchange" not in p, "hash_sample must not shuffle"
+    p = plans("sample_splits")
+    # one exchange for the final groupBy(split) count is fine; the split
+    # assignment itself adds none beyond it
+    assert p.count("Exchange") <= 2
+
+
+def test_dim_joins_stay_broadcast(plans):
+    # every dim-sized join side must broadcast; SMJ on these paths means the
+    # planner lost the size hint (a 100 TB regression even when rows match)
+    for q in ("decontaminate", "ann_ivf_topk", "replay_topk", "node_routing"):
+        p = plans(q)
+        assert "SortMergeJoin" not in p, f"{q}: sort-merge join crept in\n{p}"
+
+
+def test_minhash_shuffles_only_digests(plans):
+    # LSH shuffle rows are (doc, digest/band) scalars — the plan must not
+    # shuffle the document text itself past the first explode projection
+    p = plans("dedup_minhash_lsh")
+    assert "SortMergeJoin" not in p
+    import re
+
+    for exchange_schema in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in exchange_schema, (
+            f"document text in shuffle key: {exchange_schema}"
+        )
