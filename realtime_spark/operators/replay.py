@@ -47,6 +47,14 @@ def replay_topk(
     df = df.filter(F.col("inserted_at") >= F.lit(since))
     if until is not None:
         df = df.filter(F.col("inserted_at") < F.lit(until))
+    if "day" in df.columns:
+        # O11: mirror the timestamp range onto the partition column so a
+        # day-partitioned store prunes partitions (foldable bounds ->
+        # PartitionFilters); conservative at the edges, exact after the
+        # inserted_at predicates above re-filter rows
+        df = df.filter(F.col("day") >= F.to_date(F.lit(since)))
+        if until is not None:
+            df = df.filter(F.col("day") <= F.to_date(F.lit(until)))
     if topic is not None:
         df = df.filter(F.col("topic") == topic)
     w = Window.partitionBy("topic").orderBy(
