@@ -43,7 +43,7 @@ def _bench_queries():
     return {k: qs[k] for k in headline if k in qs}
 
 
-def bench_streaming_cdc(spark, sf_dir: str, micro_batches: int = 20) -> dict:
+def bench_streaming_cdc(spark, sf_dir: str, micro_batches: int | None = None) -> dict:
     """Sustained CDC throughput through the full match+encode pipeline as a
     real Structured Streaming query (file source, maxFilesPerTrigger=1 ->
     one micro-batch per file, availableNow). BASELINE's envelope is ~1000
@@ -59,6 +59,8 @@ def bench_streaming_cdc(spark, sf_dir: str, micro_batches: int = 20) -> dict:
 
     changes = changes_from_orders(spark, sf_dir)
     n_changes = changes.count()
+    if micro_batches is None:  # ~5k changes/batch, bounded: tiny SFs would
+        micro_batches = max(2, min(20, n_changes // 5000))  # drown in overhead
     subs = em.subscriptions_df(spark, em._MULTI_SPECS)
     delivered = {"rows": 0}
 
@@ -94,6 +96,59 @@ def bench_streaming_cdc(spark, sf_dir: str, micro_batches: int = 20) -> dict:
     }
 
 
+def bench_streaming_presence(spark, sf_dir: str, micro_batches: int | None = None) -> dict:
+    """Presence diff throughput (BASELINE envelope: 1000 presence events/s/
+    tenant): the stateful applyInPandasWithState operator driven by a real
+    streaming query over the event log, measured end-to-end."""
+    import tempfile
+
+    from realtime_spark.plans.realtime_extra import presence_events
+
+    ev = presence_events(spark, sf_dir)
+    n_events = ev.count()
+    if micro_batches is None:
+        micro_batches = max(2, min(10, n_events // 10000))
+    counted = {"diffs": 0}
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ckpt = os.path.join(d, "ckpt")
+        # range-partition by ts: micro-batches arrive in event-time order
+        # (realistic and deterministic — shuffled batches reorder the per-key
+        # track/untrack sequence and change the diff count run-to-run)
+        ev.repartitionByRange(micro_batches, "ts").write.parquet(src)
+
+        from realtime_spark.streaming.presence import presence_diffs_stateful
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = presence_diffs_stateful(stream.drop("seq"))
+
+        def on_batch(batch_df, epoch_id):
+            counted["diffs"] += batch_df.count()
+
+        t0 = time.perf_counter()
+        q = (
+            out.writeStream.foreachBatch(on_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+    return {
+        "presence_events_per_sec": round(n_events / wall, 1),
+        "events": n_events,
+        "diffs": counted["diffs"],
+        "micro_batches": micro_batches,
+        "wall_sec": round(wall, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -118,7 +173,10 @@ def main() -> None:
         timings[name] = round(best, 3)
         total_rows += n
     total = round(sum(timings.values()), 3)
-    streaming = bench_streaming_cdc(spark, sf_dir)
+    streaming = {
+        "cdc": bench_streaming_cdc(spark, sf_dir),
+        "presence": bench_streaming_presence(spark, sf_dir),
+    }
     wall = round(time.perf_counter() - t_all, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

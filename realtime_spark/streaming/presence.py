@@ -63,19 +63,26 @@ def presence_diffs_stateful(events: DataFrame) -> DataFrame:
             out["meta"].append(meta)
             out["ts"].append(ts)
 
-        for pdf in pdfs:
-            for _, row in pdf.sort_values("ts").iterrows():
-                if row["action"] == "track":
-                    if current is None:
-                        current = row["meta"]
-                        emit("join", current, row["ts"])
-                    elif current != row["meta"]:
-                        current = row["meta"]
-                        emit("update", current, row["ts"])
-                    # unchanged re-track: no-op
-                elif row["action"] == "untrack" and current is not None:
-                    emit("leave", current, row["ts"])
-                    current = None
+        # concatenate the micro-batch's chunks before sorting: Arrow delivers
+        # a group's rows split across frames with no global order guarantee
+        frames = [p for p in pdfs if len(p)]
+        merged = (
+            pd.concat(frames, ignore_index=True)
+            if len(frames) > 1
+            else (frames[0] if frames else pd.DataFrame(columns=["action", "meta", "ts"]))
+        )
+        for _, row in merged.sort_values("ts", kind="mergesort").iterrows():
+            if row["action"] == "track":
+                if current is None:
+                    current = row["meta"]
+                    emit("join", current, row["ts"])
+                elif current != row["meta"]:
+                    current = row["meta"]
+                    emit("update", current, row["ts"])
+                # unchanged re-track: no-op
+            elif row["action"] == "untrack" and current is not None:
+                emit("leave", current, row["ts"])
+                current = None
         if current is None:
             state.remove()
         else:
