@@ -164,6 +164,86 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Build and persist the IVF index: corpus vectors assigned to their
+    nearest centroid, stored partitioned BY centroid_id. At scale this is the
+    one-time (or incremental) index build; every subsequent search reads only
+    the probed centroid partitions — the on-disk analog of an inverted file.
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    assigned.write.mode(mode).partitionBy("centroid_id").parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def ivf_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ANN top-k over a persisted IVF index (see write_ivf_index).
+
+    The probe set (queries × nprobe nearest centroids) is resolved first and
+    its centroid ids are baked into the scan filter as literals, so the
+    partitioned index prunes to the probed partitions (PartitionFilters:
+    In(centroid_id, …)) — the search reads |probes| buckets, not the corpus.
+    Output matches ivf_topk exactly for the same corpus/centroids.
+    """
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_scored = q.join(cents).select(
+        "query_id",
+        "q_vec",
+        "centroid_id",
+        F.round(cosine_expr(F.col("q_vec"), F.col("cent_vec")), 6).alias("qc_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qc_cos"), F.asc("centroid_id"))
+    probes = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    probe_rows = probes.select("query_id", "centroid_id").collect()
+    probed_ids = sorted({r["centroid_id"] for r in probe_rows})
+    bucket_scan = index.filter(F.col("centroid_id").isin(probed_ids)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "centroid_id",
+    )
+    scored = (
+        bucket_scan.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def srp_planes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-0.5, 0.5): component
     (p, i) is derived from md5(f"srp:{p}:{i}") so Spark, the DuckDB oracle,

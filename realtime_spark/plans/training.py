@@ -337,6 +337,29 @@ FROM r WHERE rank <= {_ANN_K}
 # FLOAT[] and are cast at the dot product, matching Spark's per-element cast.
 
 
+def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over the PERSISTED index (built to a scratch path, stored
+    partitioned by centroid_id, search prunes to probed partitions). Result
+    is identical to the direct ivf_topk plan, so it shares its oracle."""
+    import os
+
+    from realtime_spark.operators.similarity import (
+        ivf_topk_from_index,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.expr(_ANN_QUERY_PRED))
+    cents = e.filter(F.expr(_IVF_CENT_PRED))
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/realtime_spark_ivf_index_{sf_tag}"
+    write_ivf_index(e, cents, path)
+    return ivf_topk_from_index(
+        read_ivf_index(spark, path), q, cents, k=_ANN_K, nprobe=_IVF_NPROBE
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling / splits (map-only, hash-keyed)
 # ---------------------------------------------------------------------------
@@ -853,6 +876,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_index": q_ann_ivf_index,
         "text_token_counts": q_text_token_counts,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -882,6 +906,7 @@ def training_oracles() -> dict[str, str]:
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
         "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,
         "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
+        "ann_ivf_index": ORACLE_ANN_IVF_TOPK,
         "text_token_counts": ORACLE_TEXT_TOKEN_COUNTS,
         "text_lang_id": _oracle_lang_id(),
         "text_quality": _oracle_quality(),

@@ -1,0 +1,76 @@
+"""Persisted IVF index: build/read roundtrip, result parity with the direct
+ivf_topk plan, and partition pruning down to the probed centroid buckets."""
+
+from __future__ import annotations
+
+import io
+import tempfile
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from realtime_spark.operators.similarity import (
+    ivf_topk,
+    ivf_topk_from_index,
+    read_ivf_index,
+    write_ivf_index,
+)
+from realtime_spark.sources.testdata import load_table
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _result_set(df):
+    return {
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"]) for r in df.collect()
+    }
+
+
+def test_index_search_matches_direct(spark):
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter("vec_id < 8")
+    cents = e.filter("vec_id % 100 = 0")
+    direct = _result_set(ivf_topk(e, q, cents, k=5, nprobe=2))
+    with tempfile.TemporaryDirectory() as d:
+        write_ivf_index(e, cents, d)
+        idx = read_ivf_index(spark, d)
+        from_index = ivf_topk_from_index(idx, q, cents, k=5, nprobe=2)
+        assert _result_set(from_index) == direct
+        assert len(direct) > 0
+
+
+def test_index_scan_prunes_to_probed_buckets(spark):
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter("vec_id < 8")
+    cents = e.filter("vec_id % 100 = 0")
+    with tempfile.TemporaryDirectory() as d:
+        write_ivf_index(e, cents, d)
+        idx = read_ivf_index(spark, d)
+        out = ivf_topk_from_index(idx, q, cents, k=5, nprobe=1)
+        p = _plan(out)
+        seg = p.split("PartitionFilters", 1)
+        assert len(seg) == 2, f"no partition pruning on index scan:\n{p}"
+        assert "centroid_id" in seg[1][:400]
+
+
+def test_index_layout_is_per_centroid(spark):
+    import os
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    cents = e.filter("vec_id % 100 = 0")
+    n_cents = cents.count()
+    with tempfile.TemporaryDirectory() as d:
+        write_ivf_index(e, cents, d)
+        parts = [x for x in os.listdir(d) if x.startswith("centroid_id=")]
+        assert 0 < len(parts) <= n_cents
+        # every corpus vector appears in exactly one bucket
+        assert read_ivf_index(spark, d).count() == e.count()
+        assert (
+            read_ivf_index(spark, d).select("vec_id").distinct().count() == e.count()
+        )
