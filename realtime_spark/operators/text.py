@@ -208,3 +208,45 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": content_fingerprint(t),
         }
     )
+
+
+def pack_by_token_budget(
+    df,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    partition_col: str | None = None,
+):
+    """Sequence packing for training-data batching: documents are laid out in
+    a deterministic order (hash of the id — stable under repartitioning) and
+    chunked into packs of ~`budget` tokens, concat-then-chunk semantics: a
+    pack ends once its running token total reaches the budget, so packs can
+    overflow by at most one document (the standard greedy packer).
+
+    pack_id = floor(exclusive_running_token_sum / budget) over the hash order.
+    With `partition_col` (e.g. source/shard), packing runs independently per
+    partition — at 100 TB that bounds the window to one shuffle on the
+    partition key instead of a global total order; omit it only for corpus
+    sizes where a single total order is acceptable.
+
+    Output: df + (pack_id bigint, pack_pos bigint). Deterministic and
+    engine-reproducible (the DuckDB oracle replays the same window).
+    """
+    from pyspark.sql import Window
+
+    from realtime_spark.operators.sampling import hash_bucket
+
+    keys = [partition_col] if partition_col else []
+    order = [hash_bucket(F.col(id_col), 2**60).asc(), F.col(id_col).asc()]
+    w = (
+        Window.partitionBy(*keys).orderBy(*order)
+        if keys
+        else Window.partitionBy(F.lit(1)).orderBy(*order)
+    )
+    cum_excl = F.coalesce(
+        F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    pack = F.floor(cum_excl / F.lit(budget)).cast("bigint")
+    pos = F.row_number().over(w).cast("bigint")
+    return df.withColumn("pack_id", pack).withColumn("pack_pos", pos)

@@ -732,6 +732,46 @@ FROM t
 """
 
 
+# -- sequence packing -------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.text import pack_by_token_budget
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", whitespace_token_count(F.col("text")).alias("n_ws")
+    )
+    packed = pack_by_token_budget(
+        t, "doc_id", "n_ws", budget=_PACK_BUDGET, partition_col="source"
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").cast("bigint").alias("n_tokens"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT) AS n_ws,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1152921504606846976 AS hb
+  FROM documents
+),
+o AS (
+  SELECT *, COALESCE(SUM(n_ws) OVER (PARTITION BY source ORDER BY hb, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM t
+)
+SELECT source, CAST(floor(cum_excl / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_ws) AS BIGINT) AS n_tokens
+FROM o GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -893,6 +933,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_srp_pairs": q_emb_srp_pairs,
         "lsh_jaccard_pipeline": q_lsh_jaccard_pipeline,
         "srp_cosine_pipeline": q_srp_cosine_pipeline,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -923,4 +964,5 @@ def training_oracles() -> dict[str, str]:
         "emb_srp_pairs": _oracle_srp_pairs(),
         "lsh_jaccard_pipeline": _oracle_lsh_jaccard_pipeline(),
         "srp_cosine_pipeline": _oracle_srp_cosine_pipeline(),
+        "pack_sequences": ORACLE_PACK_SEQUENCES,
     }

@@ -120,3 +120,47 @@ class TestSrp:
                srp_buckets(df, num_planes=8, dim=16).collect()}
         assert out[1] == out[2]  # cosine-identical -> same bucket
         assert out[1] != out[3]  # opposite direction -> different bucket
+
+
+class TestPacking:
+    def test_pack_invariants(self, spark):
+        from realtime_spark.operators.text import pack_by_token_budget
+
+        d = _docs(spark).select(
+            "doc_id", "source",
+            (F.col("doc_id") % 37 + 1).cast("int").alias("n_tok"),
+        )
+        out = pack_by_token_budget(d, "doc_id", "n_tok", budget=50,
+                                   partition_col="source")
+        rows = out.collect()
+        assert len(rows) == 200
+        # per (source, pack): token total < budget + max single doc (overflow
+        # by at most one document), and pack ids are contiguous from 0
+        from collections import defaultdict
+
+        packs = defaultdict(int)
+        for r in rows:
+            packs[(r["source"], r["pack_id"])] += r["n_tok"]
+        for (src, pid), tot in packs.items():
+            assert tot < 50 + 37, f"pack {(src, pid)} too large: {tot}"
+        for src in {s for s, _ in packs}:
+            ids = sorted(p for s, p in packs if s == src)
+            assert ids == list(range(len(ids)))
+        # every pack except the last per source reaches the budget
+        for src in {s for s, _ in packs}:
+            ids = sorted(p for s, p in packs if s == src)
+            for p in ids[:-1]:
+                assert packs[(src, p)] >= 50 - 37
+
+    def test_pack_deterministic_under_repartition(self, spark):
+        from realtime_spark.operators.text import pack_by_token_budget
+
+        d = _docs(spark).select(
+            "doc_id", "source", (F.col("doc_id") % 11 + 1).cast("int").alias("n_tok")
+        )
+        a = {(r["doc_id"], r["pack_id"], r["pack_pos"])
+             for r in pack_by_token_budget(d, "doc_id", "n_tok", 40, "source").collect()}
+        b = {(r["doc_id"], r["pack_id"], r["pack_pos"])
+             for r in pack_by_token_budget(
+                 d.repartition(13), "doc_id", "n_tok", 40, "source").collect()}
+        assert a == b
