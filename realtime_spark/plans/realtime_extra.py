@@ -447,6 +447,56 @@ FROM pairs GROUP BY node, change_id
 """
 
 
+# ---------------------------------------------------------------------------
+# sessionization (connection-lifecycle analytics over the event log)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 86400  # events are sparse at test SF; 1-day gap -> several
+# sessions per user
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.functions.scalar import iso_ms
+    from realtime_spark.operators.sessions import session_stats
+
+    e = load_table(spark, sf_dir, "events")
+    out = session_stats(e, ["user_id"], "ts", gap_seconds=_SESSION_GAP_S)
+    return out.select(
+        "user_id",
+        "session_id",
+        iso_ms(F.col("session_start")).alias("session_start"),
+        iso_ms(F.col("session_end")).alias("session_end"),
+        "n_events",
+        "duration_sec",
+    )
+
+
+ORACLE_SESSION_STATS = f"""
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR epoch(ts) - epoch(prev) >= {_SESSION_GAP_S}
+            THEN 1 ELSE 0 END AS ns
+  FROM o
+),
+s AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+  FROM f
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       strftime(MIN(ts), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS session_start,
+       strftime(MAX(ts), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS session_end,
+       COUNT(*) AS n_events,
+       CAST(floor(epoch(MAX(ts)) - epoch(MIN(ts))) AS BIGINT) AS duration_sec
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "jwt_claims": q_jwt_claims,
@@ -458,6 +508,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "rls_row_filter": q_rls_row_filter,
         "wal2json_parse": q_wal2json_parse,
         "node_routing": q_node_routing,
+        "session_stats": q_session_stats,
     }
 
 
@@ -472,4 +523,5 @@ def realtime_extra_oracles() -> dict[str, str]:
         "rls_row_filter": _oracle_rls(),
         "wal2json_parse": ORACLE_WAL2JSON_PARSE,
         "node_routing": _oracle_node_routing(),
+        "session_stats": ORACLE_SESSION_STATS,
     }
