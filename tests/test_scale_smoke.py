@@ -1,0 +1,61 @@
+"""Scale smoke: replicate the sf change stream N× (distinct change ids) and
+drive the full compiled CDC match — row counts must scale exactly linearly
+and the plan must stay shuffle-free regardless of input size.
+
+Gated behind SPARK_GRAFT_SCALE_TEST=1 (adds ~1-2 min): run before claiming a
+plan change is scale-safe.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from realtime_spark.operators.cdc import match_changes
+from realtime_spark.sources.testdata import changes_from_orders
+
+REPLICAS = 20
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_TEST") != "1",
+    reason="set SPARK_GRAFT_SCALE_TEST=1 to run the scale smoke",
+)
+
+
+def _replicate(changes, n: int):
+    """n copies with distinct change ids; every other column (and so every
+    filter decision) is identical per copy."""
+    reps = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+    rep = changes.select("*", reps)
+    return rep.withColumn(
+        "change_id", F.col("change_id") + F.col("rep") * F.lit(10_000_000_000)
+    ).drop("rep")
+
+
+def test_match_scales_linearly_and_stays_shuffle_free(spark):
+    sf_dir = os.environ.get("SPARK_GRAFT_SCALE_SF_DIR", "/root/testdata/sf0.1")
+    changes = changes_from_orders(spark, sf_dir)
+    subs = em.subscriptions_df(spark, em._MULTI_SPECS)
+
+    base = match_changes(changes, subs)
+    base_rows = base.count()
+    base_pairs = base.select(F.explode("subscription_ids")).count()
+
+    big = _replicate(changes, REPLICAS)
+    # replication strips the typed-source contract -> exercises the generic
+    # (record-map) compiled path, the one a real wal2json stream uses
+    out = match_changes(big, subs)
+    plan = io.StringIO()
+    with redirect_stdout(plan):
+        out.explain("formatted")
+    assert "Exchange" not in plan.getvalue(), "match must stay shuffle-free"
+
+    assert out.count() == base_rows * REPLICAS
+    assert (
+        out.select(F.explode("subscription_ids")).count() == base_pairs * REPLICAS
+    )
