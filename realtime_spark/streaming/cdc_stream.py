@@ -34,7 +34,7 @@ from realtime_spark.operators.cdc import match_changes
 
 def run_cdc_stream(
     stream: DataFrame,
-    subs: DataFrame,
+    subs: DataFrame | Callable[[int], DataFrame],
     sink: Callable[[DataFrame, int], Any],
     checkpoint_dir: str,
     trigger_ms: int = 100,
@@ -46,12 +46,21 @@ def run_cdc_stream(
     `sink(batch_df, epoch_id)` receives the matched+aggregated output of each
     micro-batch. `shed_gate(batch_df)` returning True drops the batch whole
     (P16) — the callable inspects tenant rate state however it likes.
+
+    `subs` may be a static dim DataFrame or a callable `epoch_id -> DataFrame`
+    re-resolved at every micro-batch — the analog of the reference re-reading
+    `realtime.subscription` / re-checking publication tables on each poll
+    cycle (S3/S4: subscriptions.ex:208-244, replication_poller.ex:240-292),
+    so subscribes/unsubscribes take effect on the next batch without
+    restarting the query. The compiled match re-plans per batch either way;
+    a dim refresh costs nothing extra.
     """
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if shed_gate is not None and shed_gate(batch_df):
             return
-        out = match_changes(batch_df, subs)
+        dim = subs(epoch_id) if callable(subs) else subs
+        out = match_changes(batch_df, dim)
         sink(out, epoch_id)
 
     return (

@@ -187,3 +187,62 @@ def test_encode_once_fanout(spark, sf_dir):
         assert r["topic"].startswith("realtime:public:")
         assert r["n_subscribers"] == len(r["subscription_ids"])
         assert r["encoded"].startswith("{")
+
+
+def test_cdc_stream_subscription_refresh(spark, sf_dir):
+    """S3/S4 refresh semantics: a subscription dim provider is re-resolved
+    every micro-batch, so an upsert between batches changes matching without
+    restarting the query."""
+    import os
+    import time
+
+    from realtime_spark.sources.testdata import changes_from_orders
+
+    import __spark_entry__ as em
+
+    changes = changes_from_orders(spark, sf_dir).limit(100).cache()
+    changes.count()
+
+    sub_a = [{"subscription_id": "sub-a", "table": "orders"}]
+    sub_b = [{"subscription_id": "sub-b", "table": "orders", "action": "INSERT"}]
+    current = {"specs": sub_a}
+
+    def provider(epoch_id):
+        return em.subscriptions_df(spark, current["specs"])
+
+    seen: list[tuple[int, set]] = []
+
+    def sink(batch_df, epoch_id):
+        ids = {
+            x for r in batch_df.collect() for x in r["subscription_ids"]
+        }
+        seen.append((epoch_id, ids))
+        current["specs"] = sub_b  # upsert between batches
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ckpt = os.path.join(d, "ckpt")
+        # two files -> two micro-batches
+        changes.filter(F.col("change_id") % 2 == 0).coalesce(1).write.parquet(src)
+        changes.filter(F.col("change_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        from realtime_spark.streaming.cdc_stream import run_cdc_stream
+
+        q = run_cdc_stream(stream, provider, sink, ckpt, trigger_ms=50)
+        for _ in range(200):
+            if len(seen) >= 2:
+                break
+            time.sleep(0.25)
+        q.stop()
+
+    assert len(seen) >= 2, f"expected 2 micro-batches, saw {len(seen)}"
+    first_ids = seen[0][1]
+    later_ids = set().union(*(ids for _, ids in seen[1:]))
+    assert first_ids == {"sub-a"}
+    assert "sub-b" in later_ids and "sub-a" not in later_ids
