@@ -113,10 +113,12 @@ def bench_streaming_presence(spark, sf_dir: str, micro_batches: int | None = Non
     with tempfile.TemporaryDirectory() as d:
         src = os.path.join(d, "src")
         ckpt = os.path.join(d, "ckpt")
-        # range-partition by ts: micro-batches arrive in event-time order
-        # (realistic and deterministic — shuffled batches reorder the per-key
-        # track/untrack sequence and change the diff count run-to-run)
-        ev.repartitionByRange(micro_batches, "ts").write.parquet(src)
+        # range-partition by (ts, seq) so batches approximate event-time
+        # arrival. The file source orders same-write files by mtime, so batch
+        # order (and hence the diff count) can still vary ~0.1% run-to-run —
+        # acceptable for a throughput metric; the operator's determinism on a
+        # fixed arrival order is pinned by tests/test_streaming.py
+        ev.repartitionByRange(micro_batches, "ts", "seq").write.parquet(src)
 
         from realtime_spark.streaming.presence import presence_diffs_stateful
 
@@ -125,7 +127,7 @@ def bench_streaming_presence(spark, sf_dir: str, micro_batches: int | None = Non
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        out = presence_diffs_stateful(stream.drop("seq"))
+        out = presence_diffs_stateful(stream)
 
         def on_batch(batch_df, epoch_id):
             counted["diffs"] += batch_df.count()
@@ -172,6 +174,9 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         total_rows += n
+        # queries are standalone: drop any frames they persisted so cache
+        # memory/GC pressure never leaks into the next measurement
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     streaming = {
         "cdc": bench_streaming_cdc(spark, sf_dir),

@@ -71,7 +71,8 @@ def presence_diffs_stateful(events: DataFrame) -> DataFrame:
             if len(frames) > 1
             else (frames[0] if frames else pd.DataFrame(columns=["action", "meta", "ts"]))
         )
-        for _, row in merged.sort_values("ts", kind="mergesort").iterrows():
+        sort_keys = ["ts", "seq"] if "seq" in merged.columns else ["ts"]
+        for _, row in merged.sort_values(sort_keys, kind="mergesort").iterrows():
             if row["action"] == "track":
                 if current is None:
                     current = row["meta"]
