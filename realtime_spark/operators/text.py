@@ -250,3 +250,42 @@ def pack_by_token_budget(
     pack = F.floor(cum_excl / F.lit(budget)).cast("bigint")
     pos = F.row_number().over(w).cast("bigint")
     return df.withColumn("pack_id", pack).withColumn("pack_pos", pos)
+
+
+def ngrams_expr(text: Column, n: int = 2) -> Column:
+    """All word n-grams (non-distinct — frequency analysis wants counts)."""
+    toks = words_expr(text)
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngrams(
+    df,
+    text_col: str,
+    n: int = 3,
+    k: int = 10,
+    by: str | None = None,
+):
+    """Corpus statistics: the k most frequent word n-grams, optionally per
+    group (language/source). Shape: explode -> hash-agg count (map-side
+    combined, so the shuffle carries (gram, partial_count), never documents)
+    -> per-group top-k window over the tiny aggregated frame. Ties broken by
+    gram text for cross-engine determinism. Output: [by,] ngram, n_occur,
+    rank.
+    """
+    from pyspark.sql import Window
+
+    keys = [by] if by else []
+    grams = df.select(
+        *keys, F.explode(ngrams_expr(F.col(text_col), n)).alias("ngram")
+    )
+    counts = grams.groupBy(*keys, "ngram").agg(F.count(F.lit(1)).alias("n_occur"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("n_occur"), F.asc("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -732,6 +732,39 @@ FROM t
 """
 
 
+# -- corpus n-gram statistics ----------------------------------------------
+
+_NGRAM_N, _NGRAM_K = 3, 5
+# words_expr keeps apostrophes: [^a-z0-9']+ split
+_SQL_WORDS = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.text import top_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    return top_ngrams(d, "text", n=_NGRAM_N, k=_NGRAM_K, by="lang")
+
+
+ORACLE_TOP_NGRAMS = f"""
+WITH t AS (SELECT lang, {_SQL_WORDS} AS toks FROM documents),
+g AS (
+  SELECT lang, unnest(CASE WHEN len(toks) >= {_NGRAM_N}
+    THEN list_transform(range(1, greatest(len(toks) - {_NGRAM_N - 1}, 1) + 1),
+         i -> array_to_string(list_slice(toks, i, i + {_NGRAM_N - 1}), ' '))
+    ELSE [] END) AS ngram
+  FROM t
+),
+c AS (SELECT lang, ngram, COUNT(*) AS n_occur FROM g GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY n_occur DESC, ngram) AS rank
+  FROM c
+)
+SELECT lang, ngram, n_occur, CAST(rank AS INT) AS rank FROM r WHERE rank <= {_NGRAM_K}
+"""
+
+
 # -- sequence packing -------------------------------------------------------
 
 _PACK_BUDGET = 2048
@@ -934,6 +967,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_pipeline": q_lsh_jaccard_pipeline,
         "srp_cosine_pipeline": q_srp_cosine_pipeline,
         "pack_sequences": q_pack_sequences,
+        "top_ngrams": q_top_ngrams,
     }
 
 
@@ -965,4 +999,5 @@ def training_oracles() -> dict[str, str]:
         "lsh_jaccard_pipeline": _oracle_lsh_jaccard_pipeline(),
         "srp_cosine_pipeline": _oracle_srp_cosine_pipeline(),
         "pack_sequences": ORACLE_PACK_SEQUENCES,
+        "top_ngrams": ORACLE_TOP_NGRAMS,
     }
