@@ -64,3 +64,32 @@ def apply_retention(messages: DataFrame, now: datetime, hours: int = RETENTION_H
     data (drop-partition equivalence)."""
     cutoff = retention_cutoff(now, hours).date()
     return messages.filter(F.col("day") >= F.lit(cutoff))
+
+
+def drop_old_partitions(
+    path: str, now: datetime, hours: int = RETENTION_HOURS
+) -> list[str]:
+    """S10 physical form — the janitor's maintenance task: drop whole day
+    partitions older than the cutoff by removing their directories, exactly
+    like the reference's partition-name date compare + DROP TABLE
+    (reference: lib/realtime/messages.ex:72-102, janitor/maintenance_task.ex).
+    Metadata-only: no data is scanned or rewritten. Returns dropped partition
+    names. On Delta this would be a partition-predicate DELETE + VACUUM.
+    """
+    import os
+    import shutil
+    from datetime import date
+
+    cutoff = retention_cutoff(now, hours).date()
+    dropped: list[str] = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("day="):
+            continue
+        try:
+            part_day = date.fromisoformat(entry.split("=", 1)[1])
+        except ValueError:
+            continue
+        if part_day < cutoff:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(entry)
+    return dropped

@@ -85,3 +85,25 @@ class TestMatchStrategyEquivalence:
         p = _plan(matched_pairs(changes, subs, strategy="join"))
         assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
         assert "SortMergeJoin" not in p
+
+
+class TestPhysicalRetention:
+    def test_drop_old_partitions(self, spark):
+        from realtime_spark.operators.messages import drop_old_partitions
+
+        msgs = messages_from_events(spark, SF_DIR)
+        now = datetime(2024, 1, 30, 23, 59, 59)
+        expected_kept = apply_retention(msgs, now=now).count()
+        with tempfile.TemporaryDirectory() as d:
+            write_messages(msgs, d)
+            import os
+
+            before = {e for e in os.listdir(d) if e.startswith("day=")}
+            dropped = drop_old_partitions(d, now=now)
+            after = {e for e in os.listdir(d) if e.startswith("day=")}
+            assert set(dropped) == before - after
+            assert all(e < "day=2024-01-28" for e in dropped)
+            # surviving data identical to the logical-filter form
+            assert read_messages(spark, d).count() == expected_kept
+            # idempotent
+            assert drop_old_partitions(d, now=now) == []
