@@ -135,10 +135,13 @@ def quality_score(text: Column, lang: str = "en", round_digits: int = 4) -> Colu
     wl_score = F.greatest(
         F.lit(0.0), F.least(F.lit(1.0), 1.0 - F.abs(wl - 5.0) / 10.0)
     )
-    return F.round(
-        0.3 * len_score + 0.3 * (1.0 - p_ratio) + 0.2 * stop_score + 0.2 * wl_score,
-        round_digits,
-    )
+    # floor(x*10^d + 0.5)/10^d instead of round(): Spark rounds HALF_UP on the
+    # double's exact binary expansion while DuckDB rounds via scaled float —
+    # they disagree when the score lands exactly on a .5 boundary (e.g.
+    # 0.59925). floor of identical IEEE arithmetic is engine-agnostic.
+    scale = float(10**round_digits)
+    raw = 0.3 * len_score + 0.3 * (1.0 - p_ratio) + 0.2 * stop_score + 0.2 * wl_score
+    return F.floor(raw * scale + F.lit(0.5)) / F.lit(scale)
 
 
 def content_fingerprint(text: Column) -> Column:

@@ -708,10 +708,11 @@ c AS (
   FROM t
 )
 SELECT doc_id,
-  round(0.3 * (least(CAST(n AS DOUBLE), 100.0) / 100.0)
+  floor((0.3 * (least(CAST(n AS DOUBLE), 100.0) / 100.0)
       + 0.3 * (1.0 - punct)
       + 0.2 * least(stop_ratio * 5.0, 1.0)
-      + 0.2 * greatest(0.0, least(1.0, 1.0 - abs(wl - 5.0) / 10.0)), 4) AS quality
+      + 0.2 * greatest(0.0, least(1.0, 1.0 - abs(wl - 5.0) / 10.0))) * 10000.0
+      + 0.5) / 10000.0 AS quality
 FROM c
 """
 

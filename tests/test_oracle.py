@@ -4,7 +4,7 @@ the local replica of the driver's t2 correctness gate."""
 import pytest
 
 import __spark_entry__ as entry_mod
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR_ORACLE
 from tests.oracle_utils import compare, duckdb_con
 
 QUERIES = entry_mod.queries()
@@ -13,7 +13,10 @@ ORACLES = entry_mod.oracle_sql()
 
 @pytest.fixture(scope="module")
 def con():
-    c = duckdb_con(SF_DIR)
+    # sf0.01 — the driver's correctness gate runs there, so the local gate
+    # must too (a smaller SF can miss value-boundary rows, e.g. rounding
+    # halves that only occur in the larger corpus)
+    c = duckdb_con(SF_DIR_ORACLE)
     yield c
     c.close()
 
@@ -25,7 +28,7 @@ def test_every_query_has_oracle_or_is_declared():
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, con, name):
-    df = QUERIES[name](spark, SF_DIR)
+    df = QUERIES[name](spark, SF_DIR_ORACLE)
     if name not in ORACLES:
         assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
         return
