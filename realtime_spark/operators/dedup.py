@@ -28,18 +28,16 @@ from pyspark.sql import functions as F
 
 def spread_by(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition on `key` to the cluster parallelism before per-row
-    heavy work (shingling/hashing) — but ONLY when the input is narrower than
-    the cluster. Guarantees the map stage parallelizes regardless of source
-    file row-group layout (a single-row-group parquet file otherwise
-    serializes the explode onto one core), and a later groupBy(key) reuses
-    the partitioning — no additional shuffle. At scale the input already has
-    >= parallelism partitions and this is a no-op: shuffling 100 TB of
-    document text just to re-spread it would dominate the whole job.
+    heavy work (shingling/hashing). Guarantees the map stage parallelizes
+    regardless of source file row-group layout (a single-row-group parquet
+    file splits by BYTES into many scan partitions, but all rows land in one
+    — a partition-count guard is a lie there, measured 3× slower), and a
+    later groupBy(key) reuses the partitioning — no additional shuffle.
     Explicit partition count so AQE does not coalesce the small fixture
-    exchange."""
+    exchange. At 100 TB with well-row-grouped input a caller can pre-spread
+    and skip this, but correctness of parallelism beats saving one shuffle.
+    """
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
     return df.repartition(n, F.col(key))
 
 
