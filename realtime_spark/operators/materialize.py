@@ -1,0 +1,75 @@
+"""Change-feed materialization: apply a CDC stream to derive the latest
+table state (last-writer-wins per primary key, DELETE = tombstone).
+
+The reference delivers ordered change events (`NewRecord`/`UpdatedRecord`/
+`DeletedRecord`, /root/reference/lib/realtime/adapters/changes.ex:15-64) and
+leaves state reconstruction to consumers, who fold the stream into a current
+snapshot keyed by primary key. This operator is that fold, done engine-side —
+the missing piece that turns the CDC feed into a queryable table.
+
+Spark-first design for 100 TB:
+  - **One shuffle, partial-aggregated.** Last-writer-wins is `groupBy(pk)
+    .agg(max_by(payload, version))`, not a `row_number()` window. `max_by`
+    compiles to SortAggregate with a *partial* phase (verified in
+    tests/test_materialize.py): every map task reduces its partition to one
+    candidate row per key before the exchange, so the shuffle carries
+    ~|keys| rows instead of |changes| rows. A window would shuffle every
+    change row and sort the full reduce partition; here only the map side
+    sorts, on the grouping key.
+  - The version key is `(commit_timestamp, seq)`: commit order first, then
+    the within-transaction sequence, so replayed/out-of-order micro-batches
+    converge to the same snapshot (idempotent re-materialization).
+  - DELETE rows participate in the max like any other version; the tombstone
+    filter runs *after* the fold, so a DELETE followed by a later re-INSERT
+    of the same key resurfaces the row (matching Postgres semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pk_text_expr(record: Column, old_record: Column, pk: Column) -> Column:
+    """Canonical primary-key string: pk values (from the record present on
+    this action) joined with '|' in pk-array order."""
+    src = F.coalesce(record, old_record)
+    return F.array_join(
+        F.transform(pk, lambda k: F.element_at(src, k)), "|"
+    )
+
+
+def materialize_latest(
+    changes: DataFrame,
+    seq_col: str = "seq",
+    ts_col: str = "commit_timestamp",
+) -> DataFrame:
+    """Fold a change feed into the latest per-key state.
+
+    Input: change frame with (schema_name, table_name, action, record map,
+    old_record map, pk array, `ts_col`, `seq_col`). Output: one row per
+    surviving key: (schema_name, table_name, pk_text, record,
+    last_action, last_ts, n_versions).
+    """
+    keyed = changes.withColumn(
+        "pk_text", pk_text_expr(F.col("record"), F.col("old_record"), F.col("pk"))
+    )
+    version = F.struct(F.col(ts_col), F.col(seq_col))
+    payload = F.struct(
+        F.col("action").alias("action"),
+        F.col("record").alias("record"),
+        F.col(ts_col).alias("ts"),
+    )
+    latest = keyed.groupBy("schema_name", "table_name", "pk_text").agg(
+        F.max_by(payload, version).alias("last"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    return latest.filter(F.col("last.action") != "DELETE").select(
+        "schema_name",
+        "table_name",
+        "pk_text",
+        F.col("last.record").alias("record"),
+        F.col("last.action").alias("last_action"),
+        F.col("last.ts").alias("last_ts"),
+        "n_versions",
+    )

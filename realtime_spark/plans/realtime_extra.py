@@ -497,6 +497,46 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Change-feed materialization: CDC stream -> latest table state
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold the versioned change feed into the current snapshot: last write
+    per pk wins, DELETE tombstones drop the key, a later re-INSERT
+    resurfaces it (operators/materialize.py)."""
+    from realtime_spark.operators.materialize import materialize_latest
+    from realtime_spark.sources.testdata import versioned_changes_from_orders
+
+    changes = versioned_changes_from_orders(spark, sf_dir)
+    out = materialize_latest(changes)
+    return out.select(
+        F.col("pk_text").cast("bigint").alias("o_orderkey"),
+        F.element_at("record", "o_orderstatus").alias("status"),
+        F.element_at("record", "o_totalprice").alias("price"),
+        "last_action",
+        "n_versions",
+    )
+
+
+def _oracle_materialize() -> str:
+    from realtime_spark.sources.testdata import ORDERS_VERSIONS_SQL_CTE
+
+    return f"""
+WITH {ORDERS_VERSIONS_SQL_CTE.strip()},
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+            ORDER BY commit_ts DESC, seq DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderkey) AS n_versions
+  FROM _orders_versions
+)
+SELECT o_orderkey, status, CAST(price AS VARCHAR) AS price,
+       action AS last_action, n_versions
+FROM r WHERE rn = 1 AND action <> 'DELETE'
+"""
+
+
 def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "jwt_claims": q_jwt_claims,
@@ -509,6 +549,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "wal2json_parse": q_wal2json_parse,
         "node_routing": q_node_routing,
         "session_stats": q_session_stats,
+        "cdc_materialize": q_cdc_materialize,
     }
 
 
@@ -524,4 +565,5 @@ def realtime_extra_oracles() -> dict[str, str]:
         "wal2json_parse": ORACLE_WAL2JSON_PARSE,
         "node_routing": _oracle_node_routing(),
         "session_stats": ORACLE_SESSION_STATS,
+        "cdc_materialize": _oracle_materialize(),
     }

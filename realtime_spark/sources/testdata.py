@@ -157,6 +157,79 @@ _messages AS (
 """
 
 
+def versioned_changes_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-version change feed derived from `orders` (for materialization):
+
+      seq 1: INSERT  (status, totalprice as-is)          at o_orderdate
+      seq 2: UPDATE  (status 'U2', totalprice + 100)     at +1h, keys %3=0
+      seq 3: DELETE                                      at +2h, keys %5=0
+      seq 4: INSERT  (status 'R4', totalprice + 200)     at +3h, keys %15=0
+             (re-insert after delete: the key must resurface)
+
+    Mirrored by ORDERS_VERSIONS_SQL_CTE.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+    def version(seq: int, action: str, status, price, hours: int, keep) -> DataFrame:
+        rec = F.map_from_arrays(
+            F.array(F.lit("o_orderkey"), F.lit("o_orderstatus"), F.lit("o_totalprice")),
+            F.array(
+                F.col("o_orderkey").cast("string"),
+                status.cast("string"),
+                price.cast("string"),
+            ),
+        )
+        base = o.filter(keep) if keep is not None else o
+        return base.select(
+            F.col("o_orderkey").alias("change_id"),
+            F.lit(seq).alias("seq"),
+            F.lit(action).alias("action"),
+            F.lit("public").alias("schema_name"),
+            F.lit("orders").alias("table_name"),
+            (F.col("o_orderdate") + F.expr(f"INTERVAL {hours} HOURS")).alias(
+                "commit_timestamp"
+            ),
+            F.when(F.lit(action) != "DELETE", rec).alias("record"),
+            F.when(F.lit(action) != "INSERT", rec).alias("old_record"),
+            F.array(F.lit("o_orderkey")).alias("pk"),
+        )
+
+    price = F.col("o_totalprice")
+    return (
+        version(1, "INSERT", F.col("o_orderstatus"), price, 0, None)
+        .unionByName(version(2, "UPDATE", F.lit("U2"), price + 100, 1,
+                             F.col("o_orderkey") % 3 == 0))
+        .unionByName(version(3, "DELETE", F.lit("U2"), price + 100, 2,
+                             F.col("o_orderkey") % 5 == 0))
+        .unionByName(version(4, "INSERT", F.lit("R4"), price + 200, 3,
+                             F.col("o_orderkey") % 15 == 0))
+    )
+
+
+ORDERS_VERSIONS_SQL_CTE = """
+_orders_versions AS (
+  SELECT o_orderkey, 1 AS seq, 'INSERT' AS action,
+         o_orderstatus AS status, o_totalprice AS price,
+         o_orderdate AS commit_ts
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'UPDATE', 'U2', o_totalprice + 100,
+         o_orderdate + INTERVAL 1 HOUR
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'DELETE', 'U2', o_totalprice + 100,
+         o_orderdate + INTERVAL 2 HOUR
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 4, 'INSERT', 'R4', o_totalprice + 200,
+         o_orderdate + INTERVAL 3 HOUR
+  FROM orders WHERE o_orderkey % 15 = 0
+)
+"""
+
+
 # SQL fragment (DuckDB + Spark compatible) mirroring changes_from_orders for
 # the oracle side: action + the synthetic nullable column.
 ORDERS_CHANGES_SQL_CTE = """

@@ -1,0 +1,103 @@
+"""Change-feed materialization (operators/materialize.py): last-writer-wins
+fold semantics + the plan property that makes it scale (partial-aggregated
+max_by, no window sort)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from realtime_spark.operators.materialize import materialize_latest
+
+
+def _changes(spark, rows):
+    """rows: (change_id, seq, action, ts, value) on table public.t, pk=id."""
+    data = [
+        {
+            "change_id": cid,
+            "seq": seq,
+            "action": action,
+            "schema_name": "public",
+            "table_name": "t",
+            "commit_timestamp": ts,
+            "record": None if action == "DELETE" else {"id": str(cid), "v": v},
+            "old_record": {"id": str(cid), "v": v} if action != "INSERT" else None,
+            "pk": ["id"],
+        }
+        for cid, seq, action, ts, v in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "change_id bigint, seq bigint, action string, schema_name string, "
+        "table_name string, commit_timestamp timestamp, "
+        "record map<string,string>, old_record map<string,string>, "
+        "pk array<string>",
+    )
+
+
+class TestMaterializeSemantics:
+    def test_last_write_wins_delete_and_reinsert(self, spark):
+        import datetime as dt
+
+        t = lambda h: dt.datetime(2026, 1, 1, h)
+        rows = [
+            # key 1: insert -> update: survives with v=b
+            (1, 1, "INSERT", t(0), "a"),
+            (1, 2, "UPDATE", t(1), "b"),
+            # key 2: insert -> delete: gone
+            (2, 1, "INSERT", t(0), "a"),
+            (2, 2, "DELETE", t(1), "a"),
+            # key 3: insert -> delete -> re-insert: resurfaces with v=c
+            (3, 1, "INSERT", t(0), "a"),
+            (3, 2, "DELETE", t(1), "a"),
+            (3, 3, "INSERT", t(2), "c"),
+            # key 4: same timestamp, seq breaks the tie
+            (4, 1, "INSERT", t(0), "x"),
+            (4, 2, "UPDATE", t(0), "y"),
+        ]
+        # shuffle arrival order: materialization must not depend on input order
+        shuffled = [rows[i] for i in (5, 2, 8, 0, 6, 3, 1, 7, 4)]
+        out = materialize_latest(_changes(spark, shuffled))
+        got = {
+            r["pk_text"]: (r["record"]["v"], r["last_action"], r["n_versions"])
+            for r in out.collect()
+        }
+        assert got == {
+            "1": ("b", "UPDATE", 2),
+            "3": ("c", "INSERT", 3),
+            "4": ("y", "UPDATE", 2),
+        }
+
+    def test_idempotent_on_replay(self, spark):
+        import datetime as dt
+
+        rows = [
+            (1, 1, "INSERT", dt.datetime(2026, 1, 1), "a"),
+            (1, 2, "UPDATE", dt.datetime(2026, 1, 2), "b"),
+        ]
+        once = materialize_latest(_changes(spark, rows))
+        twice = materialize_latest(_changes(spark, rows + rows))
+        assert once.select("pk_text", "record").collect()[0]["record"]["v"] == "b"
+        assert twice.select("pk_text", "record").collect()[0]["record"]["v"] == "b"
+
+
+class TestMaterializePlan:
+    def test_no_window_sort_single_aggregate_exchange(self, spark):
+        from realtime_spark.sources.testdata import versioned_changes_from_orders
+        from tests.conftest import SF_DIR
+
+        out = materialize_latest(versioned_changes_from_orders(spark, SF_DIR))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        p = buf.getvalue()
+        # max_by fold: aggregate (partial -> final), never a window
+        assert "Window" not in p, p
+        # map-side combine: the shuffle carries one candidate row per key
+        # per map partition, not every change row
+        assert "partial_max_by" in p, p
+        # exactly one shuffle: the hash exchange on the grouping key
+        # ("formatted" prints each node once in the tree as "Exchange (n)")
+        assert p.count("Exchange (") == 1, p
