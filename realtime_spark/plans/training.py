@@ -127,8 +127,10 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
 
 
-ORACLE_DEDUP_JACCARD = f"""
-WITH {DOCS_DUP_CTE.strip()},
+# the jaccard-pair derivation as a reusable CTE chain (also feeds the
+# duplicate-cluster oracle below)
+_JACCARD_CTES = f"""
+{DOCS_DUP_CTE.strip()},
 t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM _docs_dup),
 sh0 AS (
   SELECT doc_id AS doc, unnest({_sql_shingles(3)}) AS shingle FROM t
@@ -143,13 +145,56 @@ inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
   FROM shf a JOIN shf b ON a.sx = b.sx AND a.doc < b.doc
   GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc_a, doc_b,
+         round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
 )
-SELECT doc_a, doc_b,
-       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc = doc_a
-JOIN sizes sb ON sb.doc = doc_b
-WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+"""
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH {_JACCARD_CTES.strip()}
+SELECT doc_a, doc_b, jaccard FROM jpairs
+"""
+
+
+# -- duplicate clustering (connected components over the pair graph) --------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A~B, B~C collapse to one cluster even though A~C was never scored:
+    iterative min-label propagation (dedup.duplicate_clusters) over the
+    jaccard pair graph."""
+    from realtime_spark.operators.dedup import duplicate_clusters
+
+    d = docs_with_dups(spark, sf_dir)
+    pairs = jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    return duplicate_clusters(pairs)
+
+
+# DuckDB replays the distributed label propagation with a recursive CTE:
+# reach(node, label) holds every (node, smaller-reachable-label) pair; the
+# min per node is the cluster id. Labels >= the hop's destination are pruned
+# (they can never become a min — the cluster min is below every member).
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_JACCARD_CTES.strip()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION
+  SELECT doc_b, doc_a FROM jpairs
+),
+reach AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.label < e.dst
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
@@ -945,6 +990,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
@@ -977,6 +1023,7 @@ def training_oracles() -> dict[str, str]:
         "dedup_exact_groups": ORACLE_DEDUP_EXACT_GROUPS,
         "dedup_exact_keep": ORACLE_DEDUP_EXACT_KEEP,
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,

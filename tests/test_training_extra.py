@@ -164,3 +164,38 @@ class TestPacking:
              for r in pack_by_token_budget(
                  d.repartition(13), "doc_id", "n_tok", 40, "source").collect()}
         assert a == b
+
+
+class TestDuplicateClusters:
+    def test_chain_cycle_and_separate_components(self, spark):
+        from realtime_spark.operators.dedup import duplicate_clusters
+
+        pairs = spark.createDataFrame(
+            [
+                # chain: 10-20, 20-30 (transitive via unscored 10~30)
+                (10, 20), (20, 30),
+                # cycle: 40-50, 50-60, 60-40
+                (40, 50), (50, 60), (60, 40),
+                # pair given in descending order
+                (80, 70),
+            ],
+            "doc_a bigint, doc_b bigint",
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in duplicate_clusters(pairs).collect()
+        }
+        assert got == {10: 10, 20: 10, 30: 10,
+                       40: 40, 50: 40, 60: 40,
+                       70: 70, 80: 70}
+
+    def test_long_chain_converges(self, spark):
+        from realtime_spark.operators.dedup import duplicate_clusters
+
+        n = 12
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n)], "doc_a bigint, doc_b bigint"
+        )
+        got = duplicate_clusters(pairs).collect()
+        assert {r["cluster_id"] for r in got} == {1}
+        assert len(got) == n
