@@ -1,0 +1,120 @@
+"""Keyword search over a document corpus: inverted-index postings + BM25
+ranking, expressed as pure DataFrame aggregations.
+
+Beyond-reference training-data operator (the reference has no text search;
+its only text predicates are the filter ops, SURVEY §2.2 P2). A corpus
+pipeline needs keyword retrieval for decontamination probes, quality audits,
+and eval-set curation, so it is built here on the same explode -> codegen'd
+aggregation shape as the dedup operators.
+
+Scale shape (100 TB):
+  - postings = explode(tokens) -> groupBy(doc, term) count: map-side
+    combine collapses each document's repeated terms before the shuffle, so
+    the exchange carries ~|distinct (doc,term)| not |tokens|.
+  - Query-time scoring filters postings to the query's terms FIRST (a
+    handful of terms -> the shuffle after the filter is tiny), then joins
+    per-term document frequencies and per-doc lengths. Corpus-level scalars
+    (N, avgdl) ride along as a broadcast single-row frame.
+  - For a standing index, persist `postings(df)` partitioned by term
+    (write once, prune per query) — the same pattern as the persisted IVF
+    index in similarity.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from realtime_spark.operators.dedup import spread_by, tokens_expr
+
+
+def postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted-index postings: (term, doc, tf)."""
+    toks = spread_by(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    )
+    return toks.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, dl): token count per document (BM25 length normalization)."""
+    return spread_by(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.size(tokens_expr(F.col(text_col))).cast("bigint").alias("dl"),
+    )
+
+
+def term_stats(post: DataFrame) -> DataFrame:
+    """(term, n_docs, total_tf) — per-term corpus statistics."""
+    return post.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tf").alias("total_tf"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25.
+
+    idf = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))   (Robertson-Sparck Jones)
+    score(d) = sum_t idf_t * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Scores are rounded before ranking and ties broken by doc id, so the
+    result is engine-stable (the DuckDB oracle replays the same formula).
+    """
+    terms = [t.lower() for t in query_terms]
+    post = postings(df, id_col, text_col)
+    lengths = doc_lengths(df, id_col, text_col)
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qpost = post.filter(F.col("term").isin(terms))
+    dfreq = qpost.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        qpost.join(dfreq, "term")
+        .join(lengths, "doc")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs_total") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    scores = scored.groupBy("doc").agg(
+        F.round(F.sum("contrib"), round_digits).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject: each task keeps its
+    # local top-k, the driver merges — no single-partition global sort.
+    # row_number then ranks only the k surviving rows.
+    top = scores.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc", "score", "n_terms_matched", "rank"
+    )

@@ -198,6 +198,70 @@ SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
+# -- keyword search: inverted index + BM25 ----------------------------------
+
+_BM25_TERMS = ("spark", "window", "merge")
+_BM25_K = 20
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.search import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=_BM25_K)
+
+
+def q_search_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.search import postings, term_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    post = postings(d, "doc_id", "text")
+    return term_stats(post.filter(F.col("term").isin(list(_BM25_TERMS))))
+
+
+# shared CTE chain: tokenization -> postings -> doc lengths -> corpus stats
+_SEARCH_CTES = f"""
+t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id AS doc, unnest(toks) AS term FROM t),
+post AS (SELECT term, doc, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id AS doc, len(toks) AS dl FROM t),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+qpost AS (SELECT * FROM post
+          WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM qpost GROUP BY 1)
+"""
+
+ORACLE_SEARCH_BM25 = f"""
+WITH {_SEARCH_CTES.strip()},
+scored AS (
+  SELECT p.doc,
+         ln(1.0 + (s.n - d.df_t + 0.5) / (d.df_t + 0.5))
+         * (p.tf * (1.2 + 1.0))
+         / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS contrib
+  FROM qpost p
+  JOIN dfreq d USING (term)
+  JOIN dl l ON l.doc = p.doc
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT doc, round(SUM(contrib), 4) AS score,
+         COUNT(*) AS n_terms_matched
+  FROM scored GROUP BY doc
+)
+SELECT doc, score, n_terms_matched,
+       CAST(row_number() OVER (ORDER BY score DESC, doc) AS INTEGER) AS rank
+FROM scores
+ORDER BY score DESC, doc
+LIMIT {_BM25_K}
+"""
+
+ORACLE_SEARCH_TERM_STATS = f"""
+WITH {_SEARCH_CTES.strip()}
+SELECT term, COUNT(*) AS n_docs, SUM(tf) AS total_tf
+FROM qpost GROUP BY term
+"""
+
+
 # -- MinHash LSH ------------------------------------------------------------
 
 _MH_HASHES, _MH_BANDS, _MH_ROWS = 12, 4, 3
@@ -991,6 +1055,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "search_bm25": q_search_bm25,
+        "search_term_stats": q_search_term_stats,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
@@ -1024,6 +1090,8 @@ def training_oracles() -> dict[str, str]:
         "dedup_exact_keep": ORACLE_DEDUP_EXACT_KEEP,
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "search_bm25": ORACLE_SEARCH_BM25,
+        "search_term_stats": ORACLE_SEARCH_TERM_STATS,
         "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
