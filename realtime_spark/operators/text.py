@@ -117,6 +117,18 @@ def mean_word_len(text: Column) -> Column:
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
+def quantize(x: Column, digits: int = 4) -> Column:
+    """Engine-agnostic decimal quantization: floor(x*10^d + 0.5)/10^d.
+
+    Spark's round() is HALF_UP on the double's exact binary expansion while
+    DuckDB rounds via scaled floats — they disagree when a value lands
+    exactly on a .5 boundary. floor over identical left-to-right IEEE ops is
+    bit-stable across engines; the oracle mirrors the same expression.
+    """
+    scale = float(10**digits)
+    return F.floor(x * scale + F.lit(0.5)) / F.lit(scale)
+
+
 def quality_score(text: Column, lang: str = "en", round_digits: int = 4) -> Column:
     """Composite document-quality heuristic in [0, 1].
 
@@ -292,3 +304,31 @@ def top_ngrams(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def corpus_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    digits: int = 4,
+) -> DataFrame:
+    """Per-group exact percentiles (linear interpolation) of a numeric
+    column — corpus length/quality distribution profiling.
+
+    Exact `percentile`, not `approx_percentile`: the oracle (DuckDB
+    quantile_cont) interpolates identically, and at 100 TB the per-group
+    sorted-counts aggregation is still map-side combined on the value
+    (percentile's buffer is a value->count map, merged across partitions —
+    the shuffle carries group cardinality x distinct values, not rows).
+    Swap to approx_percentile(err) for truly high-cardinality value domains.
+    """
+    pct = F.expr(
+        f"percentile({value_col}, array({', '.join(str(p) for p in ps)}))"
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows"), pct.alias("_pct")]
+    out = df.groupBy(*group_cols).agg(*aggs)
+    for i, p in enumerate(ps):
+        name = f"p{str(p)[2:].ljust(2, '0')}_{value_col}"
+        out = out.withColumn(name, quantize(F.col("_pct")[i], digits))
+    return out.drop("_pct")

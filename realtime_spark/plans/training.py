@@ -262,6 +262,29 @@ FROM qpost GROUP BY term
 """
 
 
+# -- corpus length-distribution percentiles ---------------------------------
+
+
+def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.text import corpus_percentiles
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_percentiles(d, ["lang"], "n_chars", ps=(0.5, 0.9, 0.99))
+
+
+def _quantile_sql(p: float) -> str:
+    return f"floor(quantile_cont(n_chars, {p}) * 10000.0 + 0.5) / 10000.0"
+
+
+ORACLE_CORPUS_PERCENTILES = f"""
+SELECT lang, COUNT(*) AS n_rows,
+       {_quantile_sql(0.5)} AS p50_n_chars,
+       {_quantile_sql(0.9)} AS p90_n_chars,
+       {_quantile_sql(0.99)} AS p99_n_chars
+FROM documents GROUP BY lang
+"""
+
+
 # -- MinHash LSH ------------------------------------------------------------
 
 _MH_HASHES, _MH_BANDS, _MH_ROWS = 12, 4, 3
@@ -1057,6 +1080,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "search_bm25": q_search_bm25,
         "search_term_stats": q_search_term_stats,
+        "corpus_percentiles": q_corpus_percentiles,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
@@ -1092,6 +1116,7 @@ def training_oracles() -> dict[str, str]:
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "search_bm25": ORACLE_SEARCH_BM25,
         "search_term_stats": ORACLE_SEARCH_TERM_STATS,
+        "corpus_percentiles": ORACLE_CORPUS_PERCENTILES,
         "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
