@@ -33,10 +33,13 @@ def _bench_queries():
         "dedup_minhash_lsh",
         "dedup_jaccard",
         "dedup_simhash",
+        "dedup_clusters",
         "ann_brute_topk",
         "ann_ivf_topk",
         "text_quality",
         "text_fingerprints",
+        "search_bm25",
+        "cdc_materialize",
         "media_features",
         "presence_diffs",
     ]

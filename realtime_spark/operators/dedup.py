@@ -469,17 +469,14 @@ def duplicate_clusters(
     distributed. Not expressible as one SQL plan; the DuckDB oracle replays
     it with a recursive CTE.
     """
+    # persist the (usually expensive) pair derivation once: the symmetric
+    # edge union would otherwise evaluate the upstream LSH/scoring plan twice
+    p = pairs.select(
+        F.col(a_col).cast("bigint").alias("src"),
+        F.col(b_col).cast("bigint").alias("dst"),
+    ).persist()
     edges = (
-        pairs.select(
-            F.col(a_col).cast("bigint").alias("src"),
-            F.col(b_col).cast("bigint").alias("dst"),
-        )
-        .union(
-            pairs.select(
-                F.col(b_col).cast("bigint").alias("src"),
-                F.col(a_col).cast("bigint").alias("dst"),
-            )
-        )
+        p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
@@ -511,6 +508,7 @@ def duplicate_clusters(
         if improved == 0:
             break
     edges.unpersist()
+    p.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
