@@ -497,14 +497,12 @@ def duplicate_clusters(
             F.least(
                 labels.label, F.coalesce(prop.plabel, labels.label)
             ).alias("label"),
+            (F.coalesce(prop.plabel, labels.label) < labels.label).alias("_chg"),
         ).localCheckpoint()
-        improved = (
-            new.withColumnRenamed("label", "nlabel")
-            .join(labels, "node")
-            .filter(F.col("nlabel") < F.col("label"))
-            .count()
-        )
-        labels = new
+        # the convergence count scans the just-checkpointed result — no
+        # recompute and no second join against the previous labels
+        improved = new.filter(F.col("_chg")).count()
+        labels = new.drop("_chg")
         if improved == 0:
             break
     edges.unpersist()
