@@ -1,0 +1,69 @@
+"""Ordered-step funnel analysis over an event stream.
+
+Beyond-reference analytics operator: given an ordered list of step event
+types, compute how far each user progressed — step i counts only if it
+happened strictly AFTER the user's completion of step i-1 (first qualifying
+occurrence). The classic product-analytics query over the same `events`
+stream the realtime engine fans out.
+
+Scale shape (100 TB): one filtered min-aggregation per step (map-side
+combined, shuffle keyed by user), chained by per-user joins. All joins are
+equi-joins on the user key and reuse the same hash partitioning — with AQE
+these collapse into co-partitioned stages; nothing is sorted and no window
+over the raw event stream is needed (a per-user ordered window would sort
+every event; this sorts nothing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user funnel progression. Output: (user, ts_1..ts_n, stage) where
+    ts_i is the first qualifying timestamp of step i (NULL if never reached)
+    and stage = number of steps completed."""
+    user = F.col(user_col).alias("user")
+    cur: DataFrame | None = None
+    for i, step in enumerate(steps, start=1):
+        step_events = events.filter(F.col(type_col) == step).select(
+            user, F.col(ts_col).alias("_ts")
+        )
+        if cur is None:
+            reached = step_events.groupBy("user").agg(F.min("_ts").alias(f"ts_{i}"))
+            cur = reached
+        else:
+            prev = f"ts_{i - 1}"
+            reached = (
+                step_events.join(cur.select("user", prev), "user")
+                .filter(F.col("_ts") > F.col(prev))
+                .groupBy("user")
+                .agg(F.min("_ts").alias(f"ts_{i}"))
+            )
+            cur = cur.join(reached, "user", "left")
+    stage = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        stage = stage + F.when(F.col(f"ts_{i}").isNotNull(), 1).otherwise(0)
+    return cur.withColumn("stage", stage.cast("int"))
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Users per completed stage (stage 0 rows never enter: only users who
+    did step 1 appear in the funnel)."""
+    f = funnel_steps(events, steps, user_col, type_col, ts_col)
+    return f.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))

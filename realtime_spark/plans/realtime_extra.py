@@ -498,6 +498,55 @@ FROM s GROUP BY user_id, session_id
 
 
 # ---------------------------------------------------------------------------
+# Funnel analysis over the events stream (ordered steps view->click->purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+_FUNNEL_CTES = """
+s1 AS (SELECT user_id AS usr, MIN(ts) AS ts_1
+       FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id AS usr, MIN(e.ts) AS ts_2
+       FROM events e JOIN s1 ON s1.usr = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.ts_1 GROUP BY 1),
+s3 AS (SELECT e.user_id AS usr, MIN(e.ts) AS ts_3
+       FROM events e JOIN s2 ON s2.usr = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.ts_2 GROUP BY 1),
+f AS (
+  SELECT s1.usr,
+         1 + (s2.usr IS NOT NULL)::INT + (s3.usr IS NOT NULL)::INT AS stage
+  FROM s1 LEFT JOIN s2 ON s1.usr = s2.usr LEFT JOIN s3 ON s1.usr = s3.usr
+)
+"""
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.funnel import funnel_steps
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel_steps(e, _FUNNEL_STEPS).select("user", "stage")
+
+
+ORACLE_FUNNEL_STAGES = f"""
+WITH {_FUNNEL_CTES.strip()}
+SELECT usr AS user, stage FROM f
+"""
+
+
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.funnel import funnel_counts
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel_counts(e, _FUNNEL_STEPS)
+
+
+ORACLE_FUNNEL_COUNTS = f"""
+WITH {_FUNNEL_CTES.strip()}
+SELECT stage, COUNT(*) AS n_users FROM f GROUP BY stage
+"""
+
+
+# ---------------------------------------------------------------------------
 # Change-feed materialization: CDC stream -> latest table state
 # ---------------------------------------------------------------------------
 
@@ -550,6 +599,8 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "node_routing": q_node_routing,
         "session_stats": q_session_stats,
         "cdc_materialize": q_cdc_materialize,
+        "funnel_stages": q_funnel_stages,
+        "funnel_counts": q_funnel_counts,
     }
 
 
@@ -566,4 +617,6 @@ def realtime_extra_oracles() -> dict[str, str]:
         "node_routing": _oracle_node_routing(),
         "session_stats": ORACLE_SESSION_STATS,
         "cdc_materialize": _oracle_materialize(),
+        "funnel_stages": ORACLE_FUNNEL_STAGES,
+        "funnel_counts": ORACLE_FUNNEL_COUNTS,
     }
