@@ -360,3 +360,52 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> DataFrame:
+    """Lloyd's k-means refinement of IVF centroids: assign each vector to
+    its nearest centroid (cosine), recompute each centroid as the
+    element-wise mean of its members, repeat. Output: (centroid_id,
+    cent_vec array<double>, n_members). Clusters that lose all members drop
+    out (standard Lloyd behavior).
+
+    Scale shape per iteration:
+      - assignment: broadcast centroids + per-row argmax — a single corpus
+        scan, no vector shuffle (ivf_assign).
+      - mean: posexplode to (centroid, dim, value) then two map-side-
+        combined aggregations; the shuffle carries |partitions| x k x dim
+        partial sums, never the vectors. No driver-side .collect() of
+        vectors at any point; iteration count is the only driver loop.
+    """
+    cents = centroids.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    )
+    for _ in range(iters):
+        asg = ivf_assign(corpus, cents, id_col, vec_col).select(
+            "centroid_id", F.posexplode(vec_col).alias("pos", "val")
+        )
+        dims = asg.groupBy("centroid_id", "pos").agg(
+            F.avg(F.col("val").cast("double")).alias("mean"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        new = dims.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                lambda s: s.getField("mean"),
+            ).alias("cent_vec"),
+            F.max("cnt").alias("n_members"),
+        )
+        cents = new.select(
+            F.col("centroid_id").alias(id_col),
+            F.col("cent_vec").alias(vec_col),
+        )
+        last = new
+    return last.select(
+        "centroid_id", F.col("cent_vec"), F.col("n_members")
+    )

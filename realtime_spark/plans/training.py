@@ -469,6 +469,58 @@ FROM r WHERE rank <= {_ANN_K}
 # FLOAT[] and are cast at the dot product, matching Spark's per-element cast.
 
 
+# -- k-means centroid refinement (Lloyd iteration over the IVF seeds) -------
+
+
+def q_ann_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the sampled IVF seeds: nearest-centroid
+    assignment + element-wise mean (similarity.kmeans_refine). Emits member
+    count and the first two centroid components, quantized."""
+    from realtime_spark.operators.similarity import kmeans_refine
+    from realtime_spark.operators.text import quantize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.expr(_IVF_CENT_PRED))
+    out = kmeans_refine(e, cents, iters=1)
+    return out.select(
+        "centroid_id",
+        "n_members",
+        quantize(F.col("cent_vec")[0]).alias("c0"),
+        quantize(F.col("cent_vec")[1]).alias("c1"),
+    )
+
+
+ORACLE_ANN_KMEANS_REFINE = f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE {_IVF_CENT_PRED}),
+asg0 AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.centroid_id,
+         {_SQL_COS.format(a='e', b='c', r=6)} AS c_cos
+  FROM embeddings e CROSS JOIN cents c
+),
+asg AS (
+  SELECT neighbor_id, c_vec, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+              ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM asg0
+  ) WHERE rn = 1
+),
+ex AS (
+  SELECT centroid_id, r.range AS pos, c_vec[CAST(r.range + 1 AS INT)] AS val
+  FROM asg, range({_EMB_DIM}) r
+),
+m AS (
+  SELECT centroid_id, pos,
+         floor(AVG(CAST(val AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean,
+         COUNT(*) AS cnt
+  FROM ex GROUP BY 1, 2
+)
+SELECT centroid_id, MAX(cnt) AS n_members,
+       MAX(CASE WHEN pos = 0 THEN mean END) AS c0,
+       MAX(CASE WHEN pos = 1 THEN mean END) AS c1
+FROM m GROUP BY 1
+"""
+
+
 def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over the PERSISTED index (built to a scratch path, stored
     partitioned by centroid_id, search prunes to probed partitions). Result
@@ -1087,6 +1139,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index": q_ann_ivf_index,
+        "ann_kmeans_refine": q_ann_kmeans_refine,
         "text_token_counts": q_text_token_counts,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -1123,6 +1176,7 @@ def training_oracles() -> dict[str, str]:
         "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,
         "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
         "ann_ivf_index": ORACLE_ANN_IVF_TOPK,
+        "ann_kmeans_refine": ORACLE_ANN_KMEANS_REFINE,
         "text_token_counts": ORACLE_TEXT_TOKEN_COUNTS,
         "text_lang_id": _oracle_lang_id(),
         "text_quality": _oracle_quality(),

@@ -199,3 +199,24 @@ class TestDuplicateClusters:
         got = duplicate_clusters(pairs).collect()
         assert {r["cluster_id"] for r in got} == {1}
         assert len(got) == n
+
+
+class TestKmeansRefine:
+    def test_two_clear_clusters_converge(self, spark):
+        from realtime_spark.operators.similarity import kmeans_refine
+
+        # two tight blobs around (1,0) and (0,1); seeds off-center
+        rows = [
+            (1, [1.0, 0.1]), (2, [1.0, -0.1]), (3, [0.9, 0.0]),
+            (4, [0.1, 1.0]), (5, [-0.1, 1.0]), (6, [0.0, 0.9]),
+        ]
+        corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        seeds = corpus.filter("vec_id in (1, 4)")
+        out = kmeans_refine(corpus, seeds, iters=2)
+        got = {r["centroid_id"]: r for r in out.collect()}
+        assert set(got) == {1, 4}
+        assert got[1]["n_members"] == 3 and got[4]["n_members"] == 3
+        # centroid 1 ~ mean of blob A
+        c1 = got[1]["cent_vec"]
+        assert abs(c1[0] - (1.0 + 1.0 + 0.9) / 3) < 1e-6
+        assert abs(c1[1] - 0.0) < 1e-6
