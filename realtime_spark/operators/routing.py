@@ -98,3 +98,32 @@ def encode_frames(messages: DataFrame) -> DataFrame:
     return messages.withColumn(
         "frame", v2_frame(F.col("topic"), F.col("event"), meta, payload_bin)
     )
+
+
+def fanout_subscribers(
+    msgs: DataFrame,
+    subs: DataFrame,
+    topic_col: str = "topic",
+    sender_col: str = "sender_id",
+    sub_col: str = "subscriber_id",
+    self_col: str = "self_broadcast",
+) -> DataFrame:
+    """Per-subscriber delivery pairs for a broadcast batch, honoring the
+    self-broadcast flag: the sender's own connection is skipped unless the
+    message was published with `self: true`.
+
+    Reference: RealtimeChannel.MessageDispatcher skips `from` unless the
+    self flag chose `pubsub_broadcast` over `pubsub_broadcast_from`
+    (lib/realtime_web/channels/realtime_channel/message_dispatcher.ex:87-116;
+    flag wiring lib/realtime_web/channels/realtime_channel/broadcast_handler.ex:22-118).
+
+    Spark-first: subscribers are a per-topic dimension -> broadcast hash
+    join on topic; the skip-sender rule is a residual predicate, so the
+    message stream never shuffles. `is_self` marks echo deliveries (the
+    reference's ack/echo path) for sink-side accounting.
+    """
+    pairs = msgs.join(F.broadcast(subs), topic_col)
+    keep = F.col(self_col) | (F.col(sub_col) != F.col(sender_col))
+    return pairs.filter(keep).withColumn(
+        "is_self", F.col(sub_col) == F.col(sender_col)
+    )

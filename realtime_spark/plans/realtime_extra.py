@@ -498,6 +498,46 @@ FROM s GROUP BY user_id, session_id
 
 
 # ---------------------------------------------------------------------------
+# Broadcast fan-out with self-exclusion (S9 dispatch, P14 family)
+# ---------------------------------------------------------------------------
+
+
+def q_broadcast_fanout_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-sender fan-out: every ~97th event becomes a broadcast from its
+    user; subscribers are everyone seen on the topic; echo only when the
+    self flag (event_id parity) is set."""
+    from realtime_spark.operators.routing import fanout_subscribers
+
+    e = load_table(spark, sf_dir, "events")
+    msgs = e.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("topic"),
+        F.col("user_id").alias("sender_id"),
+        (F.col("event_id") % 2 == 0).alias("self_broadcast"),
+    )
+    subs = e.select(
+        F.col("event_type").alias("topic"),
+        F.col("user_id").alias("subscriber_id"),
+    ).distinct()
+    out = fanout_subscribers(msgs, subs)
+    return out.select("id", "subscriber_id", "is_self")
+
+
+ORACLE_BROADCAST_FANOUT_SELF = """
+WITH m AS (
+  SELECT event_id AS id, event_type AS topic, user_id AS sender,
+         (event_id % 2 = 0) AS self_b
+  FROM events WHERE event_id % 97 = 0
+),
+s AS (SELECT DISTINCT event_type AS topic, user_id AS subscriber FROM events)
+SELECT m.id, s.subscriber AS subscriber_id,
+       (s.subscriber = m.sender) AS is_self
+FROM m JOIN s USING (topic)
+WHERE m.self_b OR s.subscriber <> m.sender
+"""
+
+
+# ---------------------------------------------------------------------------
 # Funnel analysis over the events stream (ordered steps view->click->purchase)
 # ---------------------------------------------------------------------------
 
@@ -600,6 +640,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "session_stats": q_session_stats,
         "cdc_materialize": q_cdc_materialize,
         "funnel_stages": q_funnel_stages,
+        "broadcast_fanout_self": q_broadcast_fanout_self,
         "funnel_counts": q_funnel_counts,
     }
 
@@ -618,5 +659,6 @@ def realtime_extra_oracles() -> dict[str, str]:
         "session_stats": ORACLE_SESSION_STATS,
         "cdc_materialize": _oracle_materialize(),
         "funnel_stages": ORACLE_FUNNEL_STAGES,
+        "broadcast_fanout_self": ORACLE_BROADCAST_FANOUT_SELF,
         "funnel_counts": ORACLE_FUNNEL_COUNTS,
     }
