@@ -67,3 +67,31 @@ def funnel_counts(
     did step 1 appear in the funnel)."""
     f = funnel_steps(events, steps, user_col, type_col, ts_col)
     return f.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on each
+    later active day as (cohort_day, day_offset, n_users).
+
+    Shape: distinct (user, day) -> min-agg per user (cohort) -> equi-join on
+    user -> count-distinct per (cohort, offset). All shuffles are keyed by
+    user or by the (cohort, offset) group — map-side combined, no windows,
+    no event-stream sort. The distinct collapses the raw stream first, so
+    the join input is |users x active-days|, not |events|.
+    """
+    days = events.select(
+        F.col(user_col).alias("user"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    first = days.groupBy("user").agg(F.min("day").alias("cohort_day"))
+    ret = days.join(first, "user").select(
+        "cohort_day",
+        F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        "user",
+    )
+    return ret.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user").alias("n_users")
+    )

@@ -586,6 +586,25 @@ SELECT stage, COUNT(*) AS n_users FROM f GROUP BY stage
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.funnel import retention_cohorts
+
+    e = load_table(spark, sf_dir, "events")
+    out = retention_cohorts(e)
+    return out.withColumn("cohort_day", F.col("cohort_day").cast("string"))
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH days AS (SELECT DISTINCT user_id AS usr, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT usr, MIN(day) AS cohort_day FROM days GROUP BY 1)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', f.cohort_day, d.day) AS day_offset,
+       COUNT(DISTINCT d.usr) AS n_users
+FROM days d JOIN first f USING (usr)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Change-feed materialization: CDC stream -> latest table state
 # ---------------------------------------------------------------------------
@@ -642,6 +661,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "funnel_stages": q_funnel_stages,
         "broadcast_fanout_self": q_broadcast_fanout_self,
         "funnel_counts": q_funnel_counts,
+        "retention_cohorts": q_retention_cohorts,
     }
 
 
@@ -661,4 +681,5 @@ def realtime_extra_oracles() -> dict[str, str]:
         "funnel_stages": ORACLE_FUNNEL_STAGES,
         "broadcast_fanout_self": ORACLE_BROADCAST_FANOUT_SELF,
         "funnel_counts": ORACLE_FUNNEL_COUNTS,
+        "retention_cohorts": ORACLE_RETENTION_COHORTS,
     }
