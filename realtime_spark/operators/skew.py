@@ -1,0 +1,50 @@
+"""Skew mitigation for shuffle joins: explicit key salting.
+
+At 100 TB a handful of hot keys (one viral topic, one mega-tenant) can pin
+an entire shuffle join on one reducer. Two remedies, in preference order:
+
+1. **AQE skew-join** (`spark.sql.adaptive.skewJoin.enabled`, on in
+   session.tune_session): splits oversized partitions at runtime. Use it
+   first — zero code.
+2. **Explicit salting** (this module): when AQE can't help — e.g. the skew
+   is in a `groupBy` feeding the join, or the build side must be replicated
+   anyway — spread each hot key over `salt` sub-keys and replicate the
+   other side `salt`×.
+
+`salted_join` is deterministic: the salt is `xxhash64(row) % salt`, not
+rand(), so retries/recomputations of a lost partition produce identical
+results (a rand() salt breaks exactly-once under task retry — the shuffle
+files no longer agree between attempts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where `skewed` has hot keys: each skewed row gets a
+    deterministic salt bucket, `other` is replicated `salt`x, and the join
+    runs on (keys + salt bucket) — hot keys spread over `salt` reducers.
+
+    Replication multiplies the non-skewed side's shuffle volume by `salt`;
+    use only when `other` is much smaller than the skewed side's hot keys
+    (but too big / too dynamic to broadcast outright).
+    """
+    on = list(on)
+    l = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt))
+    )
+    r = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salt)]))
+    )
+    return l.join(r, on + ["_salt"], how).drop("_salt")

@@ -91,3 +91,40 @@ def test_minhash_shuffles_only_digests(plans):
         assert "text" not in exchange_schema, (
             f"document text in shuffle key: {exchange_schema}"
         )
+
+
+class TestSaltedJoin:
+    def test_equivalent_to_plain_join_on_skewed_data(self, spark):
+        from pyspark.sql import functions as F
+
+        from realtime_spark.operators.skew import salted_join
+
+        # 90% of rows share one hot key
+        left = spark.range(2000).select(
+            F.when(F.col("id") % 10 != 0, F.lit("hot")).otherwise(
+                F.concat(F.lit("k"), F.col("id"))
+            ).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.createDataFrame(
+            [("hot", 1), ("k0", 2), ("k10", 3), ("missing", 4)], "k string, w int"
+        )
+        got = salted_join(left, right, ["k"], salt=4)
+        plain = left.join(right, "k")
+        assert got.count() == plain.count()
+        assert (
+            got.groupBy().agg(F.sum(F.col("v") * F.col("w"))).collect()
+            == plain.groupBy().agg(F.sum(F.col("v") * F.col("w"))).collect()
+        )
+
+    def test_salt_is_deterministic_across_recompute(self, spark):
+        from pyspark.sql import functions as F
+
+        from realtime_spark.operators.skew import salted_join
+
+        left = spark.range(500).select(F.lit("hot").alias("k"), F.col("id").alias("v"))
+        right = spark.createDataFrame([("hot", 7)], "k string, w int")
+        out = salted_join(left, right, ["k"], salt=8)
+        a = sorted(r["v"] for r in out.collect())
+        b = sorted(r["v"] for r in out.collect())
+        assert a == b == list(range(500))
