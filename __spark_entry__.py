@@ -581,6 +581,41 @@ GROUP BY e.event_type
 """
 
 
+def q_rate_limit_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 hysteresis edges: the seconds where the limit flag flips, i.e.
+    where the reference fires its trigger/un-trigger telemetry."""
+    from realtime_spark.operators.rate_limit import rate_limit_edges
+
+    events = load_table(spark, sf_dir, "events")
+    return rate_limit_edges(
+        events, keys=["event_type"], limit_per_sec=0.004, ts_col="ts",
+        window_seconds=3600,
+    )
+
+
+ORACLE_RATE_LIMIT_EDGES = """
+WITH b AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, COUNT(*) AS bucket_count
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, sec,
+         CAST(SUM(bucket_count) OVER (PARTITION BY event_type ORDER BY sec
+           RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS window_sum
+  FROM b
+),
+f AS (SELECT event_type, sec, (window_sum / 3600.0 > 0.004) AS trig FROM r),
+e AS (
+  SELECT event_type, sec, trig,
+         COALESCE(lag(trig) OVER (PARTITION BY event_type ORDER BY sec), FALSE) AS ptrig
+  FROM f
+)
+SELECT event_type, sec,
+       CASE WHEN trig AND NOT ptrig THEN 'trigger' ELSE 'untrigger' END AS edge
+FROM e WHERE trig <> ptrig
+"""
+
+
 def q_billable_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: billable event counting = pairs delivered per action type."""
     changes = changes_from_orders(spark, sf_dir)
@@ -681,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["rate_sliding_60s"] = q_rate_sliding_60s
     qs["rate_limit_trigger"] = q_rate_limit_trigger
     qs["rate_shed"] = q_rate_shed
+    qs["rate_limit_edges"] = q_rate_limit_edges
     qs["billable_events"] = q_billable_events
     qs["presence_state"] = q_presence_state
     qs["users_counter"] = q_users_counter
@@ -709,6 +745,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["rate_sliding_60s"] = ORACLE_RATE_SLIDING_60S
     sqls["rate_limit_trigger"] = ORACLE_RATE_LIMIT_TRIGGER
     sqls["rate_shed"] = ORACLE_RATE_SHED
+    sqls["rate_limit_edges"] = ORACLE_RATE_LIMIT_EDGES
     sqls["billable_events"] = ORACLE_BILLABLE_EVENTS
     sqls["presence_state"] = ORACLE_PRESENCE_STATE
     sqls["users_counter"] = ORACLE_USERS_COUNTER

@@ -97,3 +97,34 @@ def shed_rate_limited(
     ]
     joined = e.join(F.broadcast(triggered), cond, "left_anti")
     return joined.drop("_sec")
+
+
+def rate_limit_edges(
+    df: DataFrame,
+    keys: Sequence[str],
+    limit_per_sec: float,
+    ts_col: str = "ts",
+    window_seconds: int = WINDOW_SECONDS,
+) -> DataFrame:
+    """Trigger/un-trigger transitions of the limit flag — the reference
+    fires telemetry exactly on these edges: `rate_limit_triggered` when the
+    average first exceeds the limit and the matching un-trigger when it
+    falls back under (reference: lib/realtime/rate_counter/rate_counter.ex:
+    197-224 check, 259-279 edge emission on state change).
+
+    lag() over the per-second flag stream per key; the first active second
+    of a key is an edge when already triggered (lag NULL -> treated as
+    untriggered, matching a fresh counter). Output: (*keys, sec, edge)
+    with edge in {'trigger', 'untrigger'}. One window over the already-
+    aggregated per-second frame — row counts are seconds, not events.
+    """
+    flags = rate_limit_flags(df, keys, limit_per_sec, ts_col, window_seconds)
+    w = Window.partitionBy(*keys).orderBy("sec")
+    prev = F.lag("limit_triggered", 1, False).over(w)
+    edges = flags.withColumn(
+        "edge",
+        F.when(F.col("limit_triggered") & ~prev, F.lit("trigger")).when(
+            ~F.col("limit_triggered") & prev, F.lit("untrigger")
+        ),
+    )
+    return edges.filter(F.col("edge").isNotNull()).select(*keys, "sec", "edge")

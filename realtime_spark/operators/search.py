@@ -30,12 +30,22 @@ from pyspark.sql import functions as F
 from realtime_spark.operators.dedup import spread_by, tokens_expr
 
 
-def postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Inverted-index postings: (term, doc, tf)."""
+def postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: Sequence[str] | None = None,
+) -> DataFrame:
+    """Inverted-index postings: (term, doc, tf). With `terms`, only those
+    terms' postings are built — the filter sits between the explode and the
+    aggregation, so a 3-term query aggregates 3 terms' tokens instead of
+    the whole corpus vocabulary."""
     toks = spread_by(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(tokens_expr(F.col(text_col))).alias("term"),
     )
+    if terms is not None:
+        toks = toks.filter(F.col("term").isin(list(terms)))
     return toks.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf"))
 
 
@@ -74,13 +84,12 @@ def bm25_topk(
     result is engine-stable (the DuckDB oracle replays the same formula).
     """
     terms = [t.lower() for t in query_terms]
-    post = postings(df, id_col, text_col)
     lengths = doc_lengths(df, id_col, text_col)
     stats = lengths.agg(
         F.count(F.lit(1)).alias("n_docs_total"),
         F.avg("dl").alias("avgdl"),
     )
-    qpost = post.filter(F.col("term").isin(terms))
+    qpost = postings(df, id_col, text_col, terms=terms)
     dfreq = qpost.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     scored = (
         qpost.join(dfreq, "term")
