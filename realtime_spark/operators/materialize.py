@@ -43,13 +43,19 @@ def materialize_latest(
     changes: DataFrame,
     seq_col: str = "seq",
     ts_col: str = "commit_timestamp",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Fold a change feed into the latest per-key state.
 
     Input: change frame with (schema_name, table_name, action, record map,
     old_record map, pk array, `ts_col`, `seq_col`). Output: one row per
     surviving key: (schema_name, table_name, pk_text, record,
-    last_action, last_ts, n_versions).
+    last_action, last_ts, last_seq, n_versions).
+
+    `keep_tombstones=True` keeps keys whose latest version is a DELETE —
+    required when the result is an *intermediate* state that will be merged
+    with another snapshot (streaming micro-batches): dropping the tombstone
+    would resurrect the key's older row from the other side of the merge.
     """
     keyed = changes.withColumn(
         "pk_text", pk_text_expr(F.col("record"), F.col("old_record"), F.col("pk"))
@@ -59,17 +65,51 @@ def materialize_latest(
         F.col("action").alias("action"),
         F.col("record").alias("record"),
         F.col(ts_col).alias("ts"),
+        F.col(seq_col).alias("seq"),
     )
     latest = keyed.groupBy("schema_name", "table_name", "pk_text").agg(
         F.max_by(payload, version).alias("last"),
         F.count(F.lit(1)).alias("n_versions"),
     )
-    return latest.filter(F.col("last.action") != "DELETE").select(
+    if not keep_tombstones:
+        latest = latest.filter(F.col("last.action") != "DELETE")
+    return latest.select(
         "schema_name",
         "table_name",
         "pk_text",
         F.col("last.record").alias("record"),
         F.col("last.action").alias("last_action"),
         F.col("last.ts").alias("last_ts"),
+        F.col("last.seq").alias("last_seq"),
+        "n_versions",
+    )
+
+
+def merge_snapshots(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two tombstone-preserving snapshots: per key, the row with the
+    larger (last_ts, last_seq) version wins; n_versions accumulates. Both
+    inputs must come from materialize_latest(keep_tombstones=True). The
+    result still carries tombstones — filter `last_action != 'DELETE'` when
+    serving. Same partial-aggregated max_by shape as the base fold."""
+    u = a.unionByName(b)
+    payload = F.struct(
+        F.col("record").alias("record"),
+        F.col("last_action").alias("action"),
+        F.col("last_ts").alias("ts"),
+        F.col("last_seq").alias("seq"),
+    )
+    version = F.struct(F.col("last_ts"), F.col("last_seq"))
+    m = u.groupBy("schema_name", "table_name", "pk_text").agg(
+        F.max_by(payload, version).alias("last"),
+        F.sum("n_versions").alias("n_versions"),
+    )
+    return m.select(
+        "schema_name",
+        "table_name",
+        "pk_text",
+        F.col("last.record").alias("record"),
+        F.col("last.action").alias("last_action"),
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.seq").alias("last_seq"),
         "n_versions",
     )

@@ -101,3 +101,46 @@ class TestMaterializePlan:
         # exactly one shuffle: the hash exchange on the grouping key
         # ("formatted" prints each node once in the tree as "Exchange (n)")
         assert p.count("Exchange (") == 1, p
+
+
+class TestStreamingMaterializedView:
+    def test_snapshot_converges_to_batch_fold(self, spark):
+        import os
+        import tempfile
+
+        from realtime_spark.operators.materialize import materialize_latest
+        from realtime_spark.sources.testdata import versioned_changes_from_orders
+        from realtime_spark.streaming.materialize_stream import (
+            run_materialize_stream,
+            serve_snapshot,
+        )
+        from tests.conftest import SF_DIR
+
+        changes = versioned_changes_from_orders(spark, SF_DIR)
+        with tempfile.TemporaryDirectory() as d:
+            src = os.path.join(d, "src")
+            store = os.path.join(d, "store")
+            ckpt = os.path.join(d, "ckpt")
+            # micro-batch boundary between early and late versions
+            changes.filter("seq <= 1").write.parquet(os.path.join(src, "b1"))
+            changes.filter("seq >= 2").write.parquet(os.path.join(src, "b2"))
+            stream = (
+                spark.readStream.schema(changes.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .parquet(src)
+            )
+            q = run_materialize_stream(stream, store, ckpt)
+            q.awaitTermination(120)
+
+            got = serve_snapshot(spark, store)
+            want = materialize_latest(changes)
+            g = {
+                r["pk_text"]: (r["record"]["o_orderstatus"], r["n_versions"])
+                for r in got.collect()
+            }
+            w = {
+                r["pk_text"]: (r["record"]["o_orderstatus"], r["n_versions"])
+                for r in want.collect()
+            }
+            assert g == w and len(g) > 0
