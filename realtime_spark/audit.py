@@ -76,6 +76,11 @@ def main() -> None:
         "lsh_jaccard_pipeline",
         "srp_cosine_pipeline",
         "sample_per_group",
+        "cdc_materialize",
+        "search_bm25",
+        "funnel_stages",
+        "retention_cohorts",
+        "corpus_percentiles",
     ]
     for name in names:
         if name not in qs:
