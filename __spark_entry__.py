@@ -209,6 +209,62 @@ FROM _orders_changes WHERE o_orderstatus = 'P'
 """
 
 
+def q_cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two relations with different dynamic schemas in ONE change stream
+    (schema-on-read, SURVEY §1.2): orders changes unioned with nation
+    changes, matched against per-table subscriptions. The union has no
+    typed-source contract, so this exercises the generic map-record
+    interpreter path across heterogeneous relations."""
+    orders = changes_from_orders(spark, sf_dir)
+    n = load_table(spark, sf_dir, "nation")
+    nation = n.select(
+        (F.col("n_nationkey") + 10_000_000).alias("change_id"),
+        F.lit("INSERT").alias("action"),
+        F.lit("public").alias("schema_name"),
+        F.lit("nation").alias("table_name"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("commit_timestamp"),
+        F.map_from_arrays(
+            F.array(F.lit("n_nationkey"), F.lit("n_name")),
+            F.array(F.col("n_nationkey").cast("string"), F.col("n_name")),
+        ).alias("record"),
+        F.lit(None).cast("map<string,string>").alias("old_record"),
+        F.create_map(
+            F.lit("n_nationkey"), F.lit("int8"), F.lit("n_name"), F.lit("text")
+        ).alias("col_types"),
+        F.array(F.lit("n_nationkey"), F.lit("n_name")).alias("col_names"),
+        F.array(F.lit("n_nationkey")).alias("pk"),
+        F.lit(None).cast("bigint").alias("record_bytes"),
+    )
+    changes = orders.unionByName(nation)
+    subs = _subscriptions_df(
+        spark,
+        [
+            {"subscription_id": "s-ord", "table": "orders",
+             "filters": "o_orderstatus=eq.F"},
+            {"subscription_id": "s-nat", "table": "nation",
+             "filters": "n_name=like.%IA"},
+        ],
+        type_maps={
+            ("public", "orders"): ORDERS_PG_TYPES,
+            ("public", "nation"): {"n_nationkey": "int8", "n_name": "text"},
+        },
+    )
+    return matched_pairs(changes, subs).select(
+        F.col("c.change_id").alias("change_id"),
+        F.col("s.subscription_id").alias("subscription_id"),
+    )
+
+
+ORACLE_CDC_MULTI_TABLE = f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id, 's-ord' AS subscription_id
+FROM _orders_changes WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT n_nationkey + 10000000 AS change_id, 's-nat' AS subscription_id
+FROM nation WHERE n_name LIKE '%IA'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Projection & error semantics (SURVEY §2.2 P8-P13, §2.6 F3)
 # ---------------------------------------------------------------------------
@@ -703,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["cdc_multi_pairs"] = q_cdc_multi_pairs
     qs["cdc_subscription_ids"] = q_cdc_subscription_ids
     qs["cdc_wildcard"] = q_cdc_wildcard
+    qs["cdc_multi_table"] = q_cdc_multi_table
     qs["cdc_selected_columns"] = q_cdc_selected_columns
     qs["cdc_toast_merge"] = q_cdc_toast_merge
     qs["cdc_delete_pk_only"] = q_cdc_delete_pk_only
@@ -732,6 +789,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["cdc_multi_pairs"] = ORACLE_CDC_MULTI_PAIRS
     sqls["cdc_subscription_ids"] = ORACLE_CDC_SUBSCRIPTION_IDS
     sqls["cdc_wildcard"] = ORACLE_CDC_WILDCARD
+    sqls["cdc_multi_table"] = ORACLE_CDC_MULTI_TABLE
     sqls["cdc_selected_columns"] = ORACLE_CDC_SELECTED_COLUMNS
     sqls["cdc_toast_merge"] = ORACLE_CDC_TOAST_MERGE
     sqls["cdc_delete_pk_only"] = ORACLE_CDC_DELETE_PK_ONLY

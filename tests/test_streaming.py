@@ -246,3 +246,49 @@ def test_cdc_stream_subscription_refresh(spark, sf_dir):
     later_ids = set().union(*(ids for _, ids in seen[1:]))
     assert first_ids == {"sub-a"}
     assert "sub-b" in later_ids and "sub-a" not in later_ids
+
+
+def test_watermark_dedup_across_microbatches(spark):
+    """ST2: Structured Streaming delivers at-least-once; the reference is
+    at-most-once per socket. The documented bridge is id-dedup at the sink —
+    dropDuplicatesWithinWatermark keeps state only for the watermark horizon
+    so the dedup map cannot grow unboundedly (the 100 TB concern)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    rows_a = [(1, "2026-01-01 00:00:01"), (2, "2026-01-01 00:00:02")]
+    rows_b = [(2, "2026-01-01 00:00:02"),  # redelivered duplicate
+              (3, "2026-01-01 00:00:03")]
+    schema = "id bigint, ts_s string"
+    delivered = []
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(
+            os.path.join(src, "b1")
+        )
+        spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(
+            os.path.join(src, "b2")
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["id"])
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _eid: delivered.extend(r["id"] for r in df.collect())
+            )
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    assert sorted(delivered) == [1, 2, 3], delivered
