@@ -93,3 +93,47 @@ def drop_old_partitions(
             shutil.rmtree(os.path.join(path, entry))
             dropped.append(entry)
     return dropped
+
+
+def db_broadcast_from_changes(
+    changes: DataFrame, max_payload_kb: int = 3000
+) -> DataFrame:
+    """DB-sourced broadcast: turn `realtime.messages` INSERT change events
+    into validated user-broadcast rows — the Spark analog of the streaming
+    replication connection's message handler.
+
+    Reference (lib/realtime/tenants/replication_connection.ex:358-467):
+      - only INSERTs on relation realtime.messages* (daily partitions
+        included) are considered (358-366)
+      - required fields id/topic/event/private/inserted_at; rows missing
+        any are dropped (406-430)
+      - binary_payload wins over payload when present, tagged with its
+        encoding (515-517; F12)
+      - tenant payload-size check before fan-out (F8)
+
+    Pure row-level projection+filter: pipelined into the change scan, no
+    shuffle; the fan-out downstream is the broadcast dispatcher path.
+    """
+    r = F.col("record")
+    msgs = changes.filter(
+        (F.col("schema_name") == "realtime")
+        & F.col("table_name").startswith("messages")
+        & (F.col("action") == "INSERT")
+        & (F.element_at(r, "extension") == F.lit("broadcast"))
+    )
+    for k in ("id", "topic", "event", "private", "inserted_at"):
+        msgs = msgs.filter(F.element_at(r, k).isNotNull())
+    binary = F.element_at(r, "binary_payload")
+    payload = F.coalesce(binary, F.element_at(r, "payload"))
+    out = msgs.select(
+        F.element_at(r, "id").alias("id"),
+        F.element_at(r, "topic").alias("topic"),
+        F.element_at(r, "event").alias("event"),
+        (F.element_at(r, "private") == "true").alias("private"),
+        F.element_at(r, "inserted_at").alias("inserted_at"),
+        payload.alias("payload"),
+        F.when(binary.isNotNull(), F.lit("binary"))
+        .otherwise(F.lit("json"))
+        .alias("encoding"),
+    )
+    return out.filter(F.octet_length("payload") <= max_payload_kb * 1000)

@@ -586,6 +586,59 @@ SELECT stage, COUNT(*) AS n_users FROM f GROUP BY stage
 """
 
 
+# ---------------------------------------------------------------------------
+# DB-sourced broadcast (S6 ingress side): realtime.messages INSERT changes ->
+# validated user-broadcast rows (replication_connection.ex:358-467)
+# ---------------------------------------------------------------------------
+
+
+def q_db_broadcast_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """messages-table INSERT changes derived from events; every ~11th row
+    lacks `topic` (dropped by validation); every 4th carries a binary
+    payload (wins over json payload, tagged 'binary')."""
+    from realtime_spark.operators.messages import db_broadcast_from_changes
+
+    e = load_table(spark, sf_dir, "events")
+    topic = F.when(F.col("event_id") % 11 != 0, F.col("event_type"))
+    binp = F.when(F.col("event_id") % 4 == 0, F.hex(F.col("props").cast("binary")))
+    record = F.map_from_arrays(
+        F.array(
+            F.lit("id"), F.lit("topic"), F.lit("event"), F.lit("private"),
+            F.lit("inserted_at"), F.lit("payload"), F.lit("binary_payload"),
+            F.lit("extension"),
+        ),
+        F.array(
+            F.col("event_id").cast("string"),
+            topic,
+            F.lit("broadcast"),
+            F.when(F.col("user_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+            F.col("ts").cast("string"),
+            F.col("props"),
+            binp,
+            F.lit("broadcast"),
+        ),
+    )
+    changes = e.select(
+        F.lit("INSERT").alias("action"),
+        F.lit("realtime").alias("schema_name"),
+        F.lit("messages_2026_01_01").alias("table_name"),
+        record.alias("record"),
+    )
+    out = db_broadcast_from_changes(changes, max_payload_kb=1)
+    return out.select("id", "topic", "private", "encoding", "payload")
+
+
+ORACLE_DB_BROADCAST_PARSE = """
+SELECT CAST(event_id AS VARCHAR) AS id, event_type AS topic,
+       (user_id % 2 = 0) AS private,
+       CASE WHEN event_id % 4 = 0 THEN 'binary' ELSE 'json' END AS encoding,
+       CASE WHEN event_id % 4 = 0 THEN upper(hex(props::BLOB)) ELSE props END AS payload
+FROM events
+WHERE event_id % 11 <> 0
+  AND strlen(CASE WHEN event_id % 4 = 0 THEN upper(hex(props::BLOB)) ELSE props END) <= 1000
+"""
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_spark.operators.funnel import retention_cohorts
 
@@ -662,6 +715,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "broadcast_fanout_self": q_broadcast_fanout_self,
         "funnel_counts": q_funnel_counts,
         "retention_cohorts": q_retention_cohorts,
+        "db_broadcast_parse": q_db_broadcast_parse,
     }
 
 
@@ -682,4 +736,5 @@ def realtime_extra_oracles() -> dict[str, str]:
         "broadcast_fanout_self": ORACLE_BROADCAST_FANOUT_SELF,
         "funnel_counts": ORACLE_FUNNEL_COUNTS,
         "retention_cohorts": ORACLE_RETENTION_COHORTS,
+        "db_broadcast_parse": ORACLE_DB_BROADCAST_PARSE,
     }
