@@ -40,6 +40,9 @@ def _bench_queries():
         "text_fingerprints",
         "search_bm25",
         "cdc_materialize",
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q5",
         "media_features",
         "presence_diffs",
     ]

@@ -81,6 +81,9 @@ def main() -> None:
         "funnel_stages",
         "retention_cohorts",
         "corpus_percentiles",
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q5",
     ]
     for name in names:
         if name not in qs:
