@@ -332,3 +332,54 @@ def corpus_percentiles(
         name = f"p{str(p)[2:].ljust(2, '0')}_{value_col}"
         out = out.withColumn(name, quantize(F.col("_pct")[i], digits))
     return out.drop("_pct")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + repetition signal (corpus-cleaning projections)
+# ---------------------------------------------------------------------------
+
+# deliberately simple, fully regex-expressible patterns so the scrub stays
+# JVM-side and the oracle can mirror it; production pipelines swap richer
+# pattern sets into the same projection
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+    ("uuid", r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace each PII pattern with a <TYPE> token, applied in declaration
+    order (email before phone so the digits of a mailbox never half-match).
+    Pure regexp_replace chain: zero shuffle, whole-stage codegen."""
+    out = text
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """map<type, count> of PII hits (pre-redaction audit metric)."""
+    entries = [
+        F.struct(
+            F.lit(name).alias("k"),
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias("v"),
+        )
+        for name, pat in PII_PATTERNS
+    ]
+    return F.map_from_entries(F.array(*entries))
+
+
+def repetition_ratio(text: Column, round_digits: int = 4) -> Column:
+    """1 - distinct_tokens/tokens: near-1 means heavily repeated content
+    (boilerplate, keyword stuffing) — a standard corpus-quality gate next to
+    quality_score. Empty docs -> 0. Tokenization matches dedup.tokens_expr
+    (the SQL_TOKS mirror), not words_expr (which keeps apostrophes)."""
+    from realtime_spark.operators.dedup import tokens_expr
+
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    ratio = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(toks)) / n
+    ).otherwise(F.lit(0.0))
+    return quantize(ratio, round_digits)

@@ -262,6 +262,96 @@ FROM qpost GROUP BY term
 """
 
 
+# -- PII redaction + repetition-ratio quality gate --------------------------
+
+# documents are synthetic word soup, so PII is injected deterministically:
+# every 7th doc gains an email, every 13th a phone number
+_PII_EMAIL = " contact bob.smith+spam@mail.example.com now"
+_PII_PHONE = " call +1 (555) 123-4567 today"
+
+
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_PII_EMAIL)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(_PII_PHONE)).otherwise(F.lit("")),
+        ),
+    )
+
+
+_PII_CTE = f"""
+_docs_pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN '{_PII_EMAIL}' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN '{_PII_PHONE}' ELSE '' END AS text
+  FROM documents
+)
+"""
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.text import pii_counts, redact_pii
+
+    d = _docs_with_pii(spark, sf_dir)
+    counts = pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("redacted"),
+        F.element_at(counts, "email").alias("n_email"),
+        F.element_at(counts, "phone").alias("n_phone"),
+    ).filter((F.col("n_email") > 0) | (F.col("n_phone") > 0))
+
+
+def _sql_redact(col: str) -> str:
+    from realtime_spark.operators.text import PII_PATTERNS
+
+    out = col
+    for name, pat in PII_PATTERNS:
+        # DuckDB single-quoted strings are not backslash-escape-processed:
+        # pass the RE2 pattern verbatim (only SQL-quote single quotes)
+        esc = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{esc}', '<{name.upper()}>', 'g')"
+    return out
+
+
+def _oracle_redact() -> str:
+    from realtime_spark.operators.text import PII_PATTERNS
+
+    pats = {name: pat.replace("'", "''") for name, pat in PII_PATTERNS}
+    return f"""
+WITH {_PII_CTE.strip()}
+SELECT doc_id, {_sql_redact('text')} AS redacted,
+       len(regexp_extract_all(text, '{pats['email']}')) AS n_email,
+       len(regexp_extract_all(text, '{pats['phone']}')) AS n_phone
+FROM _docs_pii
+WHERE len(regexp_extract_all(text, '{pats['email']}')) > 0
+   OR len(regexp_extract_all(text, '{pats['phone']}')) > 0
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.text import repetition_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", repetition_ratio(F.col("text")).alias("rep_ratio")
+    )
+
+
+ORACLE_TEXT_REPETITION = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CASE WHEN len(toks) > 0 THEN
+         floor((1.0 - (len(list_distinct(toks)) / len(toks))) * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS rep_ratio
+FROM t
+"""
+
+
 # -- corpus length-distribution percentiles ---------------------------------
 
 
@@ -1133,6 +1223,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "search_term_stats": q_search_term_stats,
         "corpus_percentiles": q_corpus_percentiles,
+        "text_redact_pii": q_text_redact_pii,
+        "text_repetition": q_text_repetition,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
@@ -1170,6 +1262,8 @@ def training_oracles() -> dict[str, str]:
         "search_bm25": ORACLE_SEARCH_BM25,
         "search_term_stats": ORACLE_SEARCH_TERM_STATS,
         "corpus_percentiles": ORACLE_CORPUS_PERCENTILES,
+        "text_redact_pii": _oracle_redact(),
+        "text_repetition": ORACLE_TEXT_REPETITION,
         "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
