@@ -383,6 +383,8 @@ def kmeans_refine(
         partial sums, never the vectors. No driver-side .collect() of
         vectors at any point; iteration count is the only driver loop.
     """
+    if iters < 1:
+        raise ValueError("kmeans_refine: iters must be >= 1")
     cents = centroids.select(
         F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
     )
