@@ -586,6 +586,89 @@ SELECT stage, COUNT(*) AS n_users FROM f GROUP BY stage
 """
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for fully converted users (stage 3),
+    percentiles of seconds from first view to the qualifying purchase."""
+    from realtime_spark.operators.funnel import funnel_steps
+    from realtime_spark.operators.text import quantize
+
+    e = load_table(spark, sf_dir, "events")
+    f = funnel_steps(e, _FUNNEL_STEPS).filter(F.col("stage") == 3)
+    lat = f.select(
+        (F.col("ts_3").cast("double") - F.col("ts_1").cast("double")).alias("secs")
+    )
+    pct = F.expr("percentile(secs, array(0.5, 0.9))")
+    out = lat.agg(F.count(F.lit(1)).alias("n_converted"), pct.alias("_p"))
+    return out.select(
+        "n_converted",
+        quantize(F.col("_p")[0], 2).alias("p50_secs"),
+        quantize(F.col("_p")[1], 2).alias("p90_secs"),
+    )
+
+
+ORACLE_FUNNEL_LATENCY = f"""
+WITH {_FUNNEL_CTES.strip()},
+lat AS (
+  SELECT epoch(s3.ts_3) - epoch(s1.ts_1) AS secs
+  FROM s3 JOIN s1 USING (usr)
+)
+SELECT COUNT(*) AS n_converted,
+       floor(quantile_cont(secs, 0.5) * 100.0 + 0.5) / 100.0 AS p50_secs,
+       floor(quantile_cont(secs, 0.9) * 100.0 + 0.5) / 100.0 AS p90_secs
+FROM lat
+"""
+
+
+def q_traffic_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte/event accounting per (topic, day) — the reference's billable
+    traffic measurement (test/integration/measure_traffic_test.exs:1-60;
+    GenCounter byte counters via tenant max_bytes_per_second). Map-side
+    combined groupBy; at 100 TB this is the metering job over the
+    day-partitioned message store (partition-pruned per billing window)."""
+    from realtime_spark.sources.testdata import messages_from_events
+
+    m = messages_from_events(spark, sf_dir)
+    return m.groupBy("topic", F.col("day").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.octet_length(F.element_at("payload", "props"))).alias("total_bytes"),
+        F.sum(F.when(F.col("private"), 1).otherwise(0)).alias("n_private"),
+    )
+
+
+ORACLE_TRAFFIC_ACCOUNTING = """
+SELECT event_type AS topic, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       SUM(strlen(props)) AS total_bytes,
+       SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_private
+FROM events
+GROUP BY 1, 2
+"""
+
+
+_CHANNEL_LIMIT = 3
+
+
+def q_channel_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_channels_per_client admission check: channels (topics) joined per
+    client, flagged when over the tenant limit (reference:
+    realtime_channel.ex limits + tenant.max_channels_per_client;
+    config/runtime.exs:98). Fixture limit = 3 so flags actually fire."""
+    e = load_table(spark, sf_dir, "events")
+    per_client = e.groupBy(F.col("user_id").alias("client")).agg(
+        F.countDistinct("event_type").alias("n_channels")
+    )
+    return per_client.withColumn(
+        "over_limit", F.col("n_channels") > _CHANNEL_LIMIT
+    )
+
+
+ORACLE_CHANNEL_LIMITS = f"""
+SELECT user_id AS client, COUNT(DISTINCT event_type) AS n_channels,
+       COUNT(DISTINCT event_type) > {_CHANNEL_LIMIT} AS over_limit
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # DB-sourced broadcast (S6 ingress side): realtime.messages INSERT changes ->
 # validated user-broadcast rows (replication_connection.ex:358-467)
@@ -716,6 +799,9 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "funnel_counts": q_funnel_counts,
         "retention_cohorts": q_retention_cohorts,
         "db_broadcast_parse": q_db_broadcast_parse,
+        "funnel_latency": q_funnel_latency,
+        "traffic_accounting": q_traffic_accounting,
+        "channel_limits": q_channel_limits,
     }
 
 
@@ -737,4 +823,7 @@ def realtime_extra_oracles() -> dict[str, str]:
         "funnel_counts": ORACLE_FUNNEL_COUNTS,
         "retention_cohorts": ORACLE_RETENTION_COHORTS,
         "db_broadcast_parse": ORACLE_DB_BROADCAST_PARSE,
+        "funnel_latency": ORACLE_FUNNEL_LATENCY,
+        "traffic_accounting": ORACLE_TRAFFIC_ACCOUNTING,
+        "channel_limits": ORACLE_CHANNEL_LIMITS,
     }
