@@ -127,3 +127,54 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc", "score", "n_terms_matched", "rank"
     )
+
+
+def build_vocab(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 1000
+) -> DataFrame:
+    """Tokenizer-prep vocabulary: the top_n corpus terms by frequency
+    (ties broken lexicographically). (term, cnt, rank). The count is a
+    map-side-combined groupBy; the top-n is TakeOrderedAndProject — no
+    global sort of the vocabulary."""
+    counts = (
+        spread_by(df, id_col)
+        .select(F.explode(tokens_expr(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(top_n)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a (broadcast) vocab:
+    (doc, n_tokens, n_oov, oov_rate). The vocab is a tokenizer-sized
+    dimension (10k-100k terms) — broadcast hash join on the exploded token
+    stream, then one groupBy(doc) that reuses the spread partitioning."""
+    from realtime_spark.operators.text import quantize
+
+    toks = spread_by(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    )
+    hit = toks.join(
+        F.broadcast(vocab.select("term", F.lit(1).alias("_in_vocab"))),
+        "term",
+        "left",
+    )
+    per_doc = hit.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return per_doc.withColumn(
+        "oov_rate", quantize(F.col("n_oov") / F.col("n_tokens"), round_digits)
+    )

@@ -262,6 +262,54 @@ FROM qpost GROUP BY term
 """
 
 
+# -- tokenizer vocabulary + OOV rate ----------------------------------------
+
+_VOCAB_N = 20
+
+
+def q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.search import build_vocab
+
+    d = load_table(spark, sf_dir, "documents")
+    return build_vocab(d, "doc_id", "text", top_n=_VOCAB_N)
+
+
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.search import build_vocab, oov_rate
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(d, "doc_id", "text", top_n=_VOCAB_N)
+    return oov_rate(d, vocab, "doc_id", "text")
+
+
+_VOCAB_CTES = f"""
+t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id AS doc, unnest(toks) AS term FROM t),
+counts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+vocab AS (
+  SELECT term, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INTEGER) AS rank
+  FROM counts
+  ORDER BY cnt DESC, term LIMIT {_VOCAB_N}
+)
+"""
+
+ORACLE_VOCAB_TOP = f"""
+WITH {_VOCAB_CTES.strip()}
+SELECT term, cnt, rank FROM vocab
+"""
+
+ORACLE_VOCAB_OOV = f"""
+WITH {_VOCAB_CTES.strip()}
+SELECT tok.doc, COUNT(*) AS n_tokens,
+       SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       floor((SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) / COUNT(*))
+             * 10000.0 + 0.5) / 10000.0 AS oov_rate
+FROM tok LEFT JOIN vocab v USING (term)
+GROUP BY tok.doc
+"""
+
+
 # -- PII redaction + repetition-ratio quality gate --------------------------
 
 # documents are synthetic word soup, so PII is injected deterministically:
@@ -1224,6 +1272,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_term_stats": q_search_term_stats,
         "corpus_percentiles": q_corpus_percentiles,
         "text_redact_pii": q_text_redact_pii,
+        "vocab_top": q_vocab_top,
+        "vocab_oov": q_vocab_oov,
         "text_repetition": q_text_repetition,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1263,6 +1313,8 @@ def training_oracles() -> dict[str, str]:
         "search_term_stats": ORACLE_SEARCH_TERM_STATS,
         "corpus_percentiles": ORACLE_CORPUS_PERCENTILES,
         "text_redact_pii": _oracle_redact(),
+        "vocab_top": ORACLE_VOCAB_TOP,
+        "vocab_oov": ORACLE_VOCAB_OOV,
         "text_repetition": ORACLE_TEXT_REPETITION,
         "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
