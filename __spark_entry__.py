@@ -672,6 +672,32 @@ FROM e WHERE trig <> ptrig
 """
 
 
+def q_client_window_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier rate limiting, client side: per-user trailing-window call
+    count with accept/reject flag (5 calls / 30 s scaled to the sparse
+    fixture: 2 calls / 1 h)."""
+    from realtime_spark.operators.rate_limit import client_window_limit
+
+    events = load_table(spark, sf_dir, "events")
+    out = client_window_limit(
+        events, client_keys=["user_id"], max_calls=2, window_seconds=3600
+    )
+    return out.select("event_id", "user_id", "calls_in_window", "accepted")
+
+
+ORACLE_CLIENT_WINDOW_LIMIT = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+)
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS calls_in_window,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) <= 2 AS accepted
+FROM e
+"""
+
+
 def q_billable_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: billable event counting = pairs delivered per action type."""
     changes = changes_from_orders(spark, sf_dir)
@@ -779,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["rate_limit_trigger"] = q_rate_limit_trigger
     qs["rate_shed"] = q_rate_shed
     qs["rate_limit_edges"] = q_rate_limit_edges
+    qs["client_window_limit"] = q_client_window_limit
     qs["billable_events"] = q_billable_events
     qs["presence_state"] = q_presence_state
     qs["users_counter"] = q_users_counter
@@ -810,6 +837,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["rate_limit_trigger"] = ORACLE_RATE_LIMIT_TRIGGER
     sqls["rate_shed"] = ORACLE_RATE_SHED
     sqls["rate_limit_edges"] = ORACLE_RATE_LIMIT_EDGES
+    sqls["client_window_limit"] = ORACLE_CLIENT_WINDOW_LIMIT
     sqls["billable_events"] = ORACLE_BILLABLE_EVENTS
     sqls["presence_state"] = ORACLE_PRESENCE_STATE
     sqls["users_counter"] = ORACLE_USERS_COUNTER

@@ -137,3 +137,54 @@ def db_broadcast_from_changes(
         .alias("encoding"),
     )
     return out.filter(F.octet_length("payload") <= max_payload_kb * 1000)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    days: list[str] | None = None,
+    target_files_per_partition: int = 1,
+) -> dict[str, tuple[int, int]]:
+    """Small-file compaction for the day-partitioned store: rewrite each day
+    partition into `target_files_per_partition` files.
+
+    A streaming writer appends one file per micro-batch per partition — at a
+    100 ms trigger that's ~864k files/day/partition-column-value, which
+    destroys scan planning long before data volume does. The janitor
+    maintenance analog alongside retention (S10): compact closed (past) day
+    partitions once, newest day stays append-hot. Each partition is
+    rewritten atomically via a temp dir + rename; `days=None` compacts all
+    but the lexicographically-last (hot) day. Returns
+    {day: (files_before, files_after)}.
+    """
+    import os
+    import shutil
+
+    part_dirs = sorted(
+        d for d in os.listdir(path)
+        if d.startswith("day=") and os.path.isdir(os.path.join(path, d))
+    )
+    if days is None:
+        targets = part_dirs[:-1]  # keep the hot (latest) day append-only
+    else:
+        want = {f"day={d}" for d in days}
+        targets = [d for d in part_dirs if d in want]
+    result: dict[str, tuple[int, int]] = {}
+    for d in targets:
+        pdir = os.path.join(path, d)
+        before = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        if len(before) <= target_files_per_partition:
+            result[d[4:]] = (len(before), len(before))
+            continue
+        tmp = pdir + "._compact_tmp"
+        (
+            spark.read.parquet(pdir)
+            .repartition(target_files_per_partition)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        shutil.rmtree(pdir)
+        os.rename(tmp, pdir)
+        after = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        result[d[4:]] = (len(before), len(after))
+    return result

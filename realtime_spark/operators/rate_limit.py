@@ -128,3 +128,37 @@ def rate_limit_edges(
         ),
     )
     return edges.filter(F.col("edge").isNotNull()).select(*keys, "sec", "edge")
+
+
+def client_window_limit(
+    df: DataFrame,
+    client_keys: Sequence[str],
+    max_calls: int = 5,
+    window_seconds: int = 30,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-client fixed-count sliding window: an event is rejected when the
+    client already made `max_calls` calls in the trailing `window_seconds`.
+
+    The reference's client presence window (default 5 calls / 30 000 ms,
+    lib/realtime_web/channels/realtime_channel.ex:756; applied in
+    presence_handler.ex:215-237) — the two-tier companion to the per-tenant
+    sliding average (A6): tenant limits shed load, the client window stops
+    one chatty socket.
+
+    RANGE-frame count on the second bucket: every event sees all events of
+    its client in the trailing window *including same-second peers*, which
+    makes the count independent of intra-second row order — deterministic
+    without any tiebreak column. One shuffle on the client key.
+    """
+    base = df.withColumn("_sec", F.col(ts_col).cast("long"))
+    w = (
+        Window.partitionBy(*client_keys)
+        .orderBy("_sec")
+        .rangeBetween(-(window_seconds - 1), 0)
+    )
+    return (
+        base.withColumn("calls_in_window", F.count(F.lit(1)).over(w))
+        .withColumn("accepted", F.col("calls_in_window") <= F.lit(max_calls))
+        .drop("_sec")
+    )

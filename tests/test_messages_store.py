@@ -107,3 +107,34 @@ class TestPhysicalRetention:
             assert read_messages(spark, d).count() == expected_kept
             # idempotent
             assert drop_old_partitions(d, now=now) == []
+
+
+class TestCompaction:
+    def test_compact_reduces_files_preserves_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from realtime_spark.operators.messages import compact_partitions
+
+        path = str(tmp_path / "store")
+        base = spark.range(300).select(
+            F.col("id").cast("string").alias("id"),
+            F.lit("t").alias("topic"),
+            F.when(F.col("id") % 3 == 0, "2024-01-01")
+            .when(F.col("id") % 3 == 1, "2024-01-02")
+            .otherwise("2024-01-03")
+            .alias("day"),
+        )
+        # simulate micro-batch appends: 5 writes -> many small files per day
+        for i in range(5):
+            base.filter(F.col("id").cast("long") % 5 == i).repartition(4).write.mode(
+                "append"
+            ).partitionBy("day").parquet(path)
+
+        before_rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
+        stats = compact_partitions(spark, path)
+        # hot (latest) day untouched; closed days compacted to 1 file
+        assert set(stats) == {"2024-01-01", "2024-01-02"}
+        for day, (nb, na) in stats.items():
+            assert nb > 1 and na == 1, (day, nb, na)
+        after_rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
+        assert after_rows == before_rows
