@@ -510,3 +510,31 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    existing_digests: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental exact dedup for a daily-ingest pipeline: keep the rows of
+    `new_docs` whose content digest is neither already in the corpus
+    (`existing_digests`: one `digest` column) nor claimed by an earlier row
+    (min id) of the same batch.
+
+    Scale shape: the corpus digest set is the big side — the anti-join
+    shuffles on digest and AQE picks the join strategy (broadcast only if
+    the *new batch* is the small side after dedup, which it is for daily
+    increments against a year of corpus). Within-batch dedup is the same
+    min-id groupBy as dedup_exact. The digest store is append-only: each
+    accepted batch contributes its digests for the next run.
+    """
+    batch = new_docs.withColumn("_digest", F.md5(F.col(text_col)))
+    fresh = batch.join(
+        existing_digests.select(F.col("digest").alias("_digest")),
+        "_digest",
+        "left_anti",
+    )
+    canon = fresh.groupBy("_digest").agg(F.min(F.col(id_col)).alias(id_col))
+    return fresh.join(canon, ["_digest", id_col], "left_semi").drop("_digest")

@@ -262,6 +262,98 @@ FROM qpost GROUP BY term
 """
 
 
+# -- incremental exact dedup (daily-ingest pattern) -------------------------
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New batch (docs + injected dups) deduped against an existing corpus
+    digest set (even doc_ids): corpus members and within-batch copies are
+    both dropped; the earliest new row per digest survives."""
+    from realtime_spark.operators.dedup import dedup_incremental
+
+    existing = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    batch = docs_with_dups(spark, sf_dir)
+    return dedup_incremental(batch, existing, "doc_id", "text").select("doc_id")
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH {DOCS_DUP_CTE.strip()},
+existing AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 2 = 0
+),
+b AS (SELECT doc_id, md5(text) AS digest FROM _docs_dup),
+fresh AS (
+  SELECT b.* FROM b LEFT JOIN existing e USING (digest) WHERE e.digest IS NULL
+)
+SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY digest
+"""
+
+
+# -- error-rate spike detection (z-score vs trailing day) -------------------
+
+
+def q_anomaly_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops-analytics over the realtime event stream: hourly event counts per
+    type, z-scored against the trailing 24 h; the spike flag fires at
+    quantized z >= 2. One groupBy + one RANGE window — the monitoring job
+    that watches the same stream the engine fans out."""
+    from pyspark.sql import Window
+
+    from realtime_spark.operators.text import quantize
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", (F.col("ts").cast("long") / 3600).cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("hr").rangeBetween(-23, 0)
+    # gate on integer window stats (n>=2, not-all-equal), NOT on _std > 0:
+    # stddev of identical values is exactly 0 in one engine and ~1e-16 in
+    # the other, so a float gate would make the row SETS diverge
+    scored = hourly.select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.avg("cnt").over(w).alias("_avg"),
+        F.stddev_samp("cnt").over(w).alias("_std"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.max("cnt").over(w).alias("_mx"),
+        F.min("cnt").over(w).alias("_mn"),
+    ).filter((F.col("_n") >= 2) & (F.col("_mx") != F.col("_mn")))
+    z = quantize((F.col("cnt") - F.col("_avg")) / F.col("_std"), 2)
+    return scored.select(
+        "event_type", "hr", "cnt", z.alias("z"), (z >= 2.0).alias("spike")
+    )
+
+
+ORACLE_ANOMALY_SPIKES = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hr, cnt,
+         AVG(cnt) OVER w AS a,
+         STDDEV_SAMP(cnt) OVER w AS s,
+         COUNT(*) OVER w AS n,
+         MAX(cnt) OVER w AS mx,
+         MIN(cnt) OVER w AS mn
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hr, cnt,
+       floor(((cnt - a) / s) * 100.0 + 0.5) / 100.0 AS z,
+       floor(((cnt - a) / s) * 100.0 + 0.5) / 100.0 >= 2.0 AS spike
+FROM scored WHERE n >= 2 AND mx <> mn
+"""
+
+
 # -- tokenizer vocabulary + OOV rate ----------------------------------------
 
 _VOCAB_N = 20
@@ -1273,6 +1365,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_percentiles": q_corpus_percentiles,
         "text_redact_pii": q_text_redact_pii,
         "vocab_top": q_vocab_top,
+        "dedup_incremental": q_dedup_incremental,
+        "anomaly_spikes": q_anomaly_spikes,
         "vocab_oov": q_vocab_oov,
         "text_repetition": q_text_repetition,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1314,6 +1408,8 @@ def training_oracles() -> dict[str, str]:
         "corpus_percentiles": ORACLE_CORPUS_PERCENTILES,
         "text_redact_pii": _oracle_redact(),
         "vocab_top": ORACLE_VOCAB_TOP,
+        "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+        "anomaly_spikes": ORACLE_ANOMALY_SPIKES,
         "vocab_oov": ORACLE_VOCAB_OOV,
         "text_repetition": ORACLE_TEXT_REPETITION,
         "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
