@@ -411,3 +411,19 @@ def kmeans_refine(
     return last.select(
         "centroid_id", F.col("cent_vec"), F.col("n_members")
     )
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: assign only the NEW vectors (one scan of
+    the increment, centroids broadcast) and append them into the existing
+    centroid partitions — daily-ingest indexing without touching the
+    standing corpus. Buckets drift as data distribution shifts; periodically
+    re-run kmeans_refine + write_ivf_index to re-balance (index rebuild is
+    the compaction analog for the vector store)."""
+    write_ivf_index(new_vectors, centroids, path, id_col, vec_col, mode="append")

@@ -74,3 +74,34 @@ def test_index_layout_is_per_centroid(spark):
         assert (
             read_ivf_index(spark, d).select("vec_id").distinct().count() == e.count()
         )
+
+
+class TestIncrementalAppend:
+    def test_appended_vectors_are_searchable(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from realtime_spark.operators.similarity import (
+            append_to_ivf_index,
+            ivf_topk_from_index,
+            read_ivf_index,
+            write_ivf_index,
+        )
+        from realtime_spark.sources.testdata import load_table
+        from tests.conftest import SF_DIR
+
+        path = str(tmp_path / "ivf")
+        e = load_table(spark, SF_DIR, "embeddings")
+        cents = e.filter("vec_id % 100 = 0")
+        base = e.filter("vec_id % 2 = 0")
+        incr = e.filter("vec_id % 2 = 1")
+        write_ivf_index(base, cents, path)
+        n_base = read_ivf_index(spark, path).count()
+        append_to_ivf_index(incr, cents, path)
+        idx = read_ivf_index(spark, path)
+        assert idx.count() == e.count() and n_base < e.count()
+
+        # a query must now retrieve odd (appended) neighbors too
+        q = e.filter("vec_id < 2")
+        got = ivf_topk_from_index(idx, q, cents, k=10, nprobe=2)
+        neighbors = {r["neighbor_id"] for r in got.collect()}
+        assert any(n % 2 == 1 for n in neighbors), neighbors
