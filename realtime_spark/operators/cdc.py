@@ -122,6 +122,16 @@ def upsert_subscriptions(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     return kept.unionByName(inc).drop("_k")
 
 
+def delete_subscriptions(existing: DataFrame, subscription_ids) -> DataFrame:
+    """S4 counterpart: unsubscribe. The reference deletes the subscriber's
+    rows from `realtime.subscription` on channel leave / socket close
+    (reference: lib/extensions/postgres_cdc_rls/subscriptions.ex:139-206 —
+    delete_by_subscription_ids / delete_all). On the dim frame this is a
+    filter; on a Delta table a DELETE WHERE subscription_id IN (...)."""
+    ids = list(subscription_ids)
+    return existing.filter(~F.col("subscription_id").isin(ids))
+
+
 def expand_wildcards(
     subs: DataFrame, publication_tables: Sequence[tuple[str, str]]
 ) -> DataFrame:

@@ -198,6 +198,40 @@ SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def q_dedup_clusters_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of near-dup removal: keep every doc except
+    non-canonical cluster members (cluster = connected component of the
+    near-dup graph; canonical = min doc_id). Docs in no pair survive
+    untouched — the drop list is a broadcast anti-join."""
+    from realtime_spark.operators.dedup import duplicate_clusters
+
+    d = docs_with_dups(spark, sf_dir)
+    pairs = jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    clusters = duplicate_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return d.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id")
+
+
+ORACLE_DEDUP_CLUSTERS_KEEP = f"""
+WITH RECURSIVE {_JACCARD_CTES.strip()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION
+  SELECT doc_b, doc_a FROM jpairs
+),
+reach AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.label < e.dst
+),
+clusters AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id FROM _docs_dup
+WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster_id)
+"""
+
+
 # -- keyword search: inverted index + BM25 ----------------------------------
 
 _BM25_TERMS = ("spark", "window", "merge")
@@ -1360,6 +1394,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_keep": q_dedup_clusters_keep,
         "search_bm25": q_search_bm25,
         "search_term_stats": q_search_term_stats,
         "corpus_percentiles": q_corpus_percentiles,
@@ -1403,6 +1438,7 @@ def training_oracles() -> dict[str, str]:
         "dedup_exact_keep": ORACLE_DEDUP_EXACT_KEEP,
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "dedup_clusters_keep": ORACLE_DEDUP_CLUSTERS_KEEP,
         "search_bm25": ORACLE_SEARCH_BM25,
         "search_term_stats": ORACLE_SEARCH_TERM_STATS,
         "corpus_percentiles": ORACLE_CORPUS_PERCENTILES,

@@ -108,3 +108,14 @@ class TestRouting:
         assert out[("n1", 1)]["subscription_ids"] == ["sa"]
         assert out[("*", 1)]["subscription_ids"] == ["sb"]
         assert out[("*", 2)]["subscription_ids"] == ["sb"]
+
+
+class TestSubscriptionDelete:
+    def test_unsubscribe_removes_only_target_ids(self, spark):
+        import __spark_entry__ as em
+        from realtime_spark.operators.cdc import delete_subscriptions
+
+        subs = em.subscriptions_df(spark, em._MULTI_SPECS)
+        left = delete_subscriptions(subs, ["sub-gt", "sub-null"])
+        got = {r["subscription_id"] for r in left.select("subscription_id").collect()}
+        assert got == {"sub-eq-f", "sub-ins", "sub-and"}
