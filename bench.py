@@ -43,6 +43,8 @@ def _bench_queries():
         "tpch_q1",
         "tpch_q3",
         "tpch_q5",
+        "retention_cohorts",
+        "anomaly_spikes",
         "media_features",
         "presence_diffs",
     ]
