@@ -777,6 +777,8 @@ from realtime_spark.plans.analytics import (  # noqa: E402
     analytics_oracles,
     analytics_queries,
 )
+from realtime_spark.plans.embeddings import embeddings_oracles, embeddings_queries  # noqa: E402
+from realtime_spark.plans.profiling import profiling_oracles, profiling_queries  # noqa: E402
 from realtime_spark.plans.temporal import temporal_oracles, temporal_queries  # noqa: E402
 from realtime_spark.plans.tpch import tpch_oracles, tpch_queries  # noqa: E402
 from realtime_spark.plans.training import training_oracles, training_queries  # noqa: E402
@@ -790,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(analytics_queries())
     qs.update(tpch_queries())
     qs.update(temporal_queries())
+    qs.update(embeddings_queries())
+    qs.update(profiling_queries())
     qs.update(realtime_extra_queries())
     qs["cdc_multi_pairs"] = q_cdc_multi_pairs
     qs["cdc_subscription_ids"] = q_cdc_subscription_ids
@@ -824,6 +828,8 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(analytics_oracles())
     sqls.update(tpch_oracles())
     sqls.update(temporal_oracles())
+    sqls.update(embeddings_oracles())
+    sqls.update(profiling_oracles())
     sqls.update(realtime_extra_oracles())
     sqls["cdc_multi_pairs"] = ORACLE_CDC_MULTI_PAIRS
     sqls["cdc_subscription_ids"] = ORACLE_CDC_SUBSCRIPTION_IDS

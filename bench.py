@@ -43,6 +43,11 @@ def _bench_queries():
         "tpch_q1",
         "tpch_q3",
         "tpch_q5",
+        "tpch_q9",
+        "tpch_q18",
+        "tpch_q21",
+        "asof_last_purchase",
+        "interval_follow_count",
         "retention_cohorts",
         "anomaly_spikes",
         "media_features",
