@@ -773,6 +773,10 @@ from realtime_spark.plans.realtime_extra import (  # noqa: E402
     realtime_extra_oracles,
     realtime_extra_queries,
 )
+from realtime_spark.plans.activity import (  # noqa: E402
+    activity_oracles,
+    activity_queries,
+)
 from realtime_spark.plans.analytics import (  # noqa: E402
     analytics_oracles,
     analytics_queries,
@@ -795,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(embeddings_queries())
     qs.update(profiling_queries())
     qs.update(realtime_extra_queries())
+    qs.update(activity_queries())
     qs["cdc_multi_pairs"] = q_cdc_multi_pairs
     qs["cdc_subscription_ids"] = q_cdc_subscription_ids
     qs["cdc_wildcard"] = q_cdc_wildcard
@@ -831,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(embeddings_oracles())
     sqls.update(profiling_oracles())
     sqls.update(realtime_extra_oracles())
+    sqls.update(activity_oracles())
     sqls["cdc_multi_pairs"] = ORACLE_CDC_MULTI_PAIRS
     sqls["cdc_subscription_ids"] = ORACLE_CDC_SUBSCRIPTION_IDS
     sqls["cdc_wildcard"] = ORACLE_CDC_WILDCARD

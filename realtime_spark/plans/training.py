@@ -342,7 +342,12 @@ def q_anomaly_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
-        "event_type", (F.col("ts").cast("long") / 3600).cast("bigint").alias("hr")
+        "event_type",
+        # ts arrives as TIMESTAMP_NTZ from parquet; NTZ has no direct
+        # bigint cast, so hop through LTZ (session tz is pinned to UTC)
+        (F.col("ts").cast("timestamp_ltz").cast("long") / 3600)
+        .cast("bigint")
+        .alias("hr"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("event_type").orderBy("hr").rangeBetween(-23, 0)
     # gate on integer window stats (n>=2, not-all-equal), NOT on _std > 0:
