@@ -582,7 +582,7 @@ def q_rate_limit_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 limit trigger over a 1h window (events are sparse at test SF)."""
     events = load_table(spark, sf_dir, "events")
     flags = rate_limit_flags(
-        events, keys=["event_type"], limit_per_sec=0.004, ts_col="ts",
+        events, keys=["event_type"], limit_per_sec=0.0011, ts_col="ts",
         window_seconds=3600,
     )
     return flags.filter(F.col("limit_triggered")).select(
@@ -601,7 +601,7 @@ r AS (
            RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS window_sum
   FROM b
 )
-SELECT event_type, sec, window_sum FROM r WHERE window_sum / 3600.0 > 0.004
+SELECT event_type, sec, window_sum FROM r WHERE window_sum / 3600.0 > 0.0011
 """
 
 
@@ -609,7 +609,7 @@ def q_rate_shed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P16: events landing in limit-triggered seconds are shed."""
     events = load_table(spark, sf_dir, "events")
     kept = shed_rate_limited(
-        events, keys=["event_type"], limit_per_sec=0.004, ts_col="ts",
+        events, keys=["event_type"], limit_per_sec=0.0011, ts_col="ts",
         window_seconds=3600,
     )
     return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
@@ -626,7 +626,7 @@ r AS (
            RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS window_sum
   FROM b
 ),
-shed AS (SELECT event_type, sec FROM r WHERE window_sum / 3600.0 > 0.004)
+shed AS (SELECT event_type, sec FROM r WHERE window_sum / 3600.0 > 0.0011)
 SELECT e.event_type, COUNT(*) AS n_kept
 FROM events e
 WHERE NOT EXISTS (
@@ -644,7 +644,7 @@ def q_rate_limit_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return rate_limit_edges(
-        events, keys=["event_type"], limit_per_sec=0.004, ts_col="ts",
+        events, keys=["event_type"], limit_per_sec=0.0011, ts_col="ts",
         window_seconds=3600,
     )
 
@@ -660,7 +660,7 @@ r AS (
            RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS window_sum
   FROM b
 ),
-f AS (SELECT event_type, sec, (window_sum / 3600.0 > 0.004) AS trig FROM r),
+f AS (SELECT event_type, sec, (window_sum / 3600.0 > 0.0011) AS trig FROM r),
 e AS (
   SELECT event_type, sec, trig,
          COALESCE(lag(trig) OVER (PARTITION BY event_type ORDER BY sec), FALSE) AS ptrig

@@ -143,10 +143,17 @@ SELECT event_id, user_id, event_type FROM r WHERE rn = 1
 
 def changed_columns(record, old_record):
     """Sorted list of keys whose value differs (NULL-safe) between the new
-    and old record maps — generic over any relation's dynamic schema."""
+    and old record maps — generic over any relation's dynamic schema.
+
+    The key set is the UNION of both maps' keys, so a column present only on
+    one side (e.g. dropped or added by a DDL change mid-stream) counts as
+    changed rather than being silently missed."""
+    all_keys = F.array_distinct(
+        F.concat(F.map_keys(record), F.map_keys(old_record))
+    )
     return F.array_sort(
         F.filter(
-            F.map_keys(record),
+            all_keys,
             lambda k: ~F.element_at(record, k).eqNullSafe(
                 F.element_at(old_record, k)
             ),
@@ -200,6 +207,11 @@ def q_cdc_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle relies on two generator invariants to state the expected diff in
+# closed form: o_orderstatus is never 'X' (TPC-H statuses are O/F/P), and
+# o_totalprice is NOT NULL — so the %3=1 status swap and the %3=0 price bump
+# are always real changes. If the generator ever changes either invariant,
+# recompute the diff null-safely instead of hardcoding it.
 ORACLE_CDC_CHANGED_COLUMNS = f"""
 WITH {ORDERS_CHANGES_SQL_CTE.strip()}
 SELECT change_id,
@@ -232,8 +244,12 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = vocab.crossJoin(F.broadcast(total)).select(
         "tok", (F.log(F.col("cnt")) - F.log(F.col("total"))).alias("logp")
     )
+    # no explicit broadcast hint on lm: at test SF it is tiny, but a real
+    # 100 TB corpus' distinct-token table (typos, numbers, hashes) can reach
+    # hundreds of millions of rows and exceed broadcast limits — AQE picks
+    # broadcast when the vocabulary actually fits, shuffle join otherwise
     scored = (
-        toks.join(F.broadcast(lm), "tok")
+        toks.join(lm, "tok")
         .groupBy("doc_id")
         .agg(F.avg("logp").alias("avg_logp"), F.count(F.lit(1)).alias("n_tok"))
     )

@@ -638,8 +638,8 @@ def q_traffic_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TRAFFIC_ACCOUNTING = """
 SELECT event_type AS topic, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
        COUNT(*) AS n_events,
-       SUM(strlen(props)) AS total_bytes,
-       SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_private
+       CAST(SUM(strlen(props)) AS BIGINT) AS total_bytes,
+       CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_private
 FROM events
 GROUP BY 1, 2
 """

@@ -291,7 +291,7 @@ LIMIT {_BM25_K}
 
 ORACLE_SEARCH_TERM_STATS = f"""
 WITH {_SEARCH_CTES.strip()}
-SELECT term, COUNT(*) AS n_docs, SUM(tf) AS total_tf
+SELECT term, COUNT(*) AS n_docs, CAST(SUM(tf) AS BIGINT) AS total_tf
 FROM qpost GROUP BY term
 """
 
@@ -433,7 +433,7 @@ SELECT term, cnt, rank FROM vocab
 ORACLE_VOCAB_OOV = f"""
 WITH {_VOCAB_CTES.strip()}
 SELECT tok.doc, COUNT(*) AS n_tokens,
-       SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
        floor((SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) / COUNT(*))
              * 10000.0 + 0.5) / 10000.0 AS oov_rate
 FROM tok LEFT JOIN vocab v USING (term)

@@ -53,6 +53,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get(c) == "bigint":
             # integer div keeps full precision (double division would not)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) reads as TIMESTAMP_NTZ under
+    # Spark 4's inferTimestampNTZ; the engine (and the duckdb oracle, which
+    # treats naive timestamps as UTC) works in session-UTC TIMESTAMP. The
+    # cast keeps the wall-clock value because tune_session pins the session
+    # timezone to UTC. Centralized here so no operator ever sees NTZ.
+    ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 

@@ -21,10 +21,12 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _norm(v):
     if v is None:
         return None
+    # float vs int stay DISTINCT (the driver hashes "123.0" != "123"; DuckDB
+    # SUM(BIGINT) -> HUGEINT reaches pandas as float64 — oracles must CAST)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
+        return ("f", round(v, 9))
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     if hasattr(v, "isoformat"):

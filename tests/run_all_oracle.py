@@ -1,0 +1,118 @@
+"""Local full-matrix oracle runner replicating the driver's correctness pass:
+runs EVERY queries() entry against its oracle_sql() at sf0.01 with per-query
+error capture, so no driver-side crash can truncate the grading again.
+
+Usage: python tests/run_all_oracle.py [sf_dir] [name_filter_substr]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+from realtime_spark.session import get_spark  # noqa: E402
+from realtime_spark.sources.testdata import TABLES  # noqa: E402
+
+
+def _norm(v):
+    if v is None:
+        return None
+    # float vs int must stay DISTINCT (driver hashes "123.0" != "123"):
+    # DuckDB SUM(BIGINT) -> HUGEINT -> pandas float64 while Spark keeps
+    # bigint; tuple equality (123.0 == 123) would hide that, so tag floats.
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return ("f", round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    import __spark_entry__ as em
+
+    spark = get_spark("oracle_all", cpus=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    results: dict[str, dict] = {}
+    t_all = time.time()
+    for name, fn in qs.items():
+        if name_filter and name_filter not in name:
+            continue
+        rec: dict = {}
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+            rec["spark_rows"] = len(sdf)
+        except Exception:
+            rec["err"] = "spark: " + traceback.format_exc().splitlines()[-1]
+            results[name] = rec
+            print(f"FAIL(spark) {name}: {rec['err']}", flush=True)
+            continue
+        if name not in oracles:
+            rec["rows_only"] = True
+            results[name] = rec
+            print(f"ok(rows-only) {name} rows={len(sdf)} {time.time()-t0:.1f}s", flush=True)
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception:
+            rec["err"] = "oracle: " + traceback.format_exc().splitlines()[-1]
+            results[name] = rec
+            print(f"FAIL(oracle) {name}: {rec['err']}", flush=True)
+            continue
+        rec["oracle_rows"] = len(odf)
+        rec["rows_match"] = len(sdf) == len(odf)
+        s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+        rec["schema_match"] = s_cols == o_cols
+        hash_match = False
+        if rec["rows_match"] and rec["schema_match"]:
+            s_rows = sorted(
+                (tuple(_norm(v) for v in r) for r in sdf[s_cols].itertuples(index=False)),
+                key=repr,
+            )
+            o_rows = sorted(
+                (tuple(_norm(v) for v in r) for r in odf[o_cols].itertuples(index=False)),
+                key=repr,
+            )
+            hash_match = s_rows == o_rows
+            if not hash_match:
+                bad = [(a, b) for a, b in zip(s_rows, o_rows) if a != b][:2]
+                rec["first_diff"] = repr(bad)[:500]
+        rec["hash_match"] = hash_match
+        results[name] = rec
+        status = "ok" if hash_match else "MISMATCH"
+        print(
+            f"{status} {name} rows={len(sdf)}/{len(odf)} cols={rec['schema_match']} "
+            f"{time.time()-t0:.1f}s",
+            flush=True,
+        )
+
+    n_ok = sum(1 for r in results.values() if r.get("hash_match") or r.get("rows_only"))
+    print(f"\n{n_ok}/{len(results)} pass in {time.time()-t_all:.0f}s")
+    bad = {k: v for k, v in results.items() if not (v.get("hash_match") or v.get("rows_only"))}
+    if bad:
+        print(json.dumps(bad, indent=1, default=str))
+
+
+if __name__ == "__main__":
+    main()
