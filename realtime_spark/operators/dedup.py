@@ -486,25 +486,34 @@ def duplicate_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # convergence by checksum: labels only ever decrease, so the label sum
+    # strictly decreases on every improving round and is stable exactly at
+    # the fixpoint — no changed-flag join needed. decimal(38,0) so the sum
+    # cannot overflow at any realistic node-id scale.
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).collect()[0][0]
     for _ in range(max_iter):
-        prop = (
-            edges.join(labels, F.col("src") == F.col("node"))
-            .groupBy(F.col("dst").alias("pnode"))
-            .agg(F.min("label").alias("plabel"))
+        # one round = neighbor messages UNION self labels -> min per node:
+        # a single shuffle join + a single map-side-combined aggregation.
+        # (The union replaces a separate left join back onto the old labels,
+        # which cost a third shuffle per round.)
+        msgs = edges.join(labels, F.col("src") == F.col("node")).select(
+            F.col("dst").alias("node"), F.col("label")
         )
-        new = labels.join(prop, labels.node == prop.pnode, "left").select(
-            labels.node,
-            F.least(
-                labels.label, F.coalesce(prop.plabel, labels.label)
-            ).alias("label"),
-            (F.coalesce(prop.plabel, labels.label) < labels.label).alias("_chg"),
-        ).localCheckpoint()
-        # the convergence count scans the just-checkpointed result — no
-        # recompute and no second join against the previous labels
-        improved = new.filter(F.col("_chg")).count()
-        labels = new.drop("_chg")
-        if improved == 0:
+        new = (
+            msgs.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        new_sum = new.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        labels = new
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     p.unpersist()
     return labels.select(

@@ -85,6 +85,35 @@ def materialize_latest(
     )
 
 
+def apply_truncates(
+    changes: DataFrame, seq_col: str = "seq", ts_col: str = "commit_timestamp"
+) -> DataFrame:
+    """Apply TRUNCATE semantics to a change feed before materialization.
+
+    The reference decodes WAL Truncate messages into `TruncatedRelation`
+    events carrying only (schema, table, commit_timestamp) — no rows
+    (/root/reference/lib/realtime/adapters/changes.ex:50-56, decoder
+    /root/reference/lib/realtime/adapters/postgres/decoder.ex:96-104). For
+    state reconstruction a TRUNCATE wipes every key of the relation as of
+    its commit point; rows written AFTER it (re-inserts) survive.
+
+    Spark-first: the per-relation last-truncate version is a tiny dimension
+    (one row per truncated relation) — aggregate it, broadcast it back, and
+    keep only data changes whose (ts, seq) version sorts after it. No
+    window, no per-key state: one broadcast hash join over the feed.
+    """
+    version = F.struct(F.col(ts_col).alias("ts"), F.col(seq_col).alias("seq"))
+    trunc = (
+        changes.filter(F.col("action") == "TRUNCATE")
+        .groupBy("schema_name", "table_name")
+        .agg(F.max(version).alias("_trunc_v"))
+    )
+    data = changes.filter(F.col("action") != "TRUNCATE")
+    joined = data.join(F.broadcast(trunc), ["schema_name", "table_name"], "left")
+    keep = F.col("_trunc_v").isNull() | (version > F.col("_trunc_v"))
+    return joined.filter(keep).drop("_trunc_v")
+
+
 def merge_snapshots(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two tombstone-preserving snapshots: per key, the row with the
     larger (last_ts, last_seq) version wins; n_versions accumulates. Both

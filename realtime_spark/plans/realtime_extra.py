@@ -781,6 +781,67 @@ FROM r WHERE rn = 1 AND action <> 'DELETE'
 """
 
 
+_TRUNCATE_AT = "1998-01-01 00:00:00"
+
+
+def q_cdc_materialize_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialization with a TRUNCATE in the feed (TruncatedRelation,
+    changes.ex:50-56): a relation-wide TRUNCATE at _TRUNCATE_AT wipes all
+    state as of that point; only versions committed after it survive the
+    fold. Re-inserts after the truncate resurface their keys."""
+    from realtime_spark.operators.materialize import (
+        apply_truncates,
+        materialize_latest,
+    )
+    from realtime_spark.sources.testdata import versioned_changes_from_orders
+
+    changes = versioned_changes_from_orders(spark, sf_dir)
+    trunc_row = changes.sparkSession.createDataFrame(
+        [("TRUNCATE", "public", "orders")], "action string, schema_name string, table_name string"
+    ).select(
+        F.lit(None).cast("bigint").alias("change_id"),
+        F.lit(0).alias("seq"),
+        "action",
+        "schema_name",
+        "table_name",
+        F.lit(_TRUNCATE_AT).cast("timestamp").alias("commit_timestamp"),
+        F.lit(None).cast("map<string,string>").alias("record"),
+        F.lit(None).cast("map<string,string>").alias("old_record"),
+        F.lit(None).cast("array<string>").alias("pk"),
+    )
+    feed = changes.unionByName(trunc_row)
+    out = materialize_latest(apply_truncates(feed))
+    return out.select(
+        F.col("pk_text").cast("bigint").alias("o_orderkey"),
+        F.element_at("record", "o_orderstatus").alias("status"),
+        "last_action",
+        "n_versions",
+    )
+
+
+def _oracle_materialize_truncate() -> str:
+    from realtime_spark.sources.testdata import ORDERS_VERSIONS_SQL_CTE
+
+    return f"""
+WITH {ORDERS_VERSIONS_SQL_CTE.strip()},
+kept AS (
+  -- the truncate's version is (T, seq 0): same-timestamp data rows carry
+  -- seq >= 1 and therefore sort AFTER the truncate and survive
+  SELECT * FROM _orders_versions
+  WHERE commit_ts > TIMESTAMP '{_TRUNCATE_AT}'
+     OR (commit_ts = TIMESTAMP '{_TRUNCATE_AT}' AND seq > 0)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+            ORDER BY commit_ts DESC, seq DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderkey) AS n_versions
+  FROM kept
+)
+SELECT o_orderkey, status, action AS last_action, n_versions
+FROM r WHERE rn = 1 AND action <> 'DELETE'
+"""
+
+
 def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "jwt_claims": q_jwt_claims,
@@ -794,6 +855,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "node_routing": q_node_routing,
         "session_stats": q_session_stats,
         "cdc_materialize": q_cdc_materialize,
+        "cdc_materialize_truncate": q_cdc_materialize_truncate,
         "funnel_stages": q_funnel_stages,
         "broadcast_fanout_self": q_broadcast_fanout_self,
         "funnel_counts": q_funnel_counts,
@@ -818,6 +880,7 @@ def realtime_extra_oracles() -> dict[str, str]:
         "node_routing": _oracle_node_routing(),
         "session_stats": ORACLE_SESSION_STATS,
         "cdc_materialize": _oracle_materialize(),
+        "cdc_materialize_truncate": _oracle_materialize_truncate(),
         "funnel_stages": ORACLE_FUNNEL_STAGES,
         "broadcast_fanout_self": ORACLE_BROADCAST_FANOUT_SELF,
         "funnel_counts": ORACLE_FUNNEL_COUNTS,

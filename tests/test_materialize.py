@@ -70,6 +70,72 @@ class TestMaterializeSemantics:
             "4": ("y", "UPDATE", 2),
         }
 
+    def test_truncate_wipes_then_reinsert_resurfaces(self, spark):
+        import datetime as dt
+
+        from realtime_spark.operators.materialize import apply_truncates
+
+        t = lambda h: dt.datetime(2026, 1, 1, h)
+        rows = [
+            # key 1: only pre-truncate writes -> wiped
+            (1, 1, "INSERT", t(0), "a"),
+            (1, 2, "UPDATE", t(1), "b"),
+            # key 2: pre-truncate insert, post-truncate update -> survives
+            # with only the post-truncate version counted
+            (2, 1, "INSERT", t(0), "a"),
+            (2, 2, "UPDATE", t(3), "c"),
+            # key 3: re-insert after the truncate -> resurfaces
+            (3, 1, "INSERT", t(0), "a"),
+            (3, 2, "INSERT", t(4), "d"),
+        ]
+        feed = _changes(spark, rows)
+        trunc = spark.createDataFrame(
+            [
+                {
+                    "change_id": None,
+                    "seq": 0,
+                    "action": "TRUNCATE",
+                    "schema_name": "public",
+                    "table_name": "t",
+                    "commit_timestamp": t(2),
+                    "record": None,
+                    "old_record": None,
+                    "pk": None,
+                }
+            ],
+            feed.schema,
+        )
+        out = materialize_latest(apply_truncates(feed.unionByName(trunc)))
+        got = {
+            r["pk_text"]: (r["record"]["v"], r["n_versions"]) for r in out.collect()
+        }
+        assert got == {"2": ("c", 1), "3": ("d", 1)}
+
+    def test_truncate_other_table_untouched(self, spark):
+        import datetime as dt
+
+        from realtime_spark.operators.materialize import apply_truncates
+
+        feed = _changes(spark, [(1, 1, "INSERT", dt.datetime(2026, 1, 2), "a")])
+        trunc = spark.createDataFrame(
+            [
+                {
+                    "change_id": None,
+                    "seq": 0,
+                    "action": "TRUNCATE",
+                    "schema_name": "public",
+                    "table_name": "other",
+                    "commit_timestamp": dt.datetime(2026, 1, 3),
+                    "record": None,
+                    "old_record": None,
+                    "pk": None,
+                }
+            ],
+            feed.schema,
+        )
+        out = materialize_latest(apply_truncates(feed.unionByName(trunc)))
+        assert [r["pk_text"] for r in out.collect()] == ["1"]
+
     def test_idempotent_on_replay(self, spark):
         import datetime as dt
 
