@@ -786,6 +786,10 @@ from realtime_spark.plans.profiling import profiling_oracles, profiling_queries 
 from realtime_spark.plans.temporal import temporal_oracles, temporal_queries  # noqa: E402
 from realtime_spark.plans.tpch import tpch_oracles, tpch_queries  # noqa: E402
 from realtime_spark.plans.training import training_oracles, training_queries  # noqa: E402
+from realtime_spark.plans.window_analytics import (  # noqa: E402
+    window_analytics_oracles,
+    window_analytics_queries,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -800,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(profiling_queries())
     qs.update(realtime_extra_queries())
     qs.update(activity_queries())
+    qs.update(window_analytics_queries())
     qs["cdc_multi_pairs"] = q_cdc_multi_pairs
     qs["cdc_subscription_ids"] = q_cdc_subscription_ids
     qs["cdc_wildcard"] = q_cdc_wildcard
@@ -837,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(profiling_oracles())
     sqls.update(realtime_extra_oracles())
     sqls.update(activity_oracles())
+    sqls.update(window_analytics_oracles())
     sqls["cdc_multi_pairs"] = ORACLE_CDC_MULTI_PAIRS
     sqls["cdc_subscription_ids"] = ORACLE_CDC_SUBSCRIPTION_IDS
     sqls["cdc_wildcard"] = ORACLE_CDC_WILDCARD
