@@ -253,3 +253,44 @@ def project_output(
         "selected_columns",
         "subscription_ids",
     )
+
+
+def apply_replica_identity(changes: DataFrame, identities: DataFrame) -> DataFrame:
+    """Shape old_record by each relation's REPLICA IDENTITY setting.
+
+    The pgoutput Relation message carries replica_identity per relation
+    (reference: lib/realtime/adapters/postgres/decoder.ex:52-55,186-203 maps
+    'd'→default, 'n'→nothing, 'f'→all_columns, 'i'→index), which controls
+    what old-tuple data the WAL ships for UPDATE/DELETE:
+
+      full    → the complete old row (unchanged here)
+      default → only the primary-key columns
+      index   → only the declared identity-index columns (we use the pk
+                array as that set, matching the common pk-index case)
+      nothing → no old tuple at all
+
+    `identities`: (schema_name, table_name, replica_identity) — one row per
+    relation, like the decoder's per-relation Relation state. It is a tiny
+    dimension: broadcast hash join, no shuffle of the change stream. Changes
+    for relations absent from `identities` default to 'd' (Postgres's
+    default), fail-closed toward shipping less data.
+    """
+    ident = F.broadcast(
+        identities.select(
+            "schema_name",
+            "table_name",
+            F.col("replica_identity").alias("_rident"),
+        )
+    )
+    joined = changes.join(ident, ["schema_name", "table_name"], "left")
+    mode = F.coalesce(F.col("_rident"), F.lit("d"))
+    pk_only = F.map_filter(
+        F.col("old_record"), lambda k, v: F.array_contains(F.col("pk"), k)
+    )
+    shaped = (
+        F.when(F.col("action") == "INSERT", F.lit(None).cast("map<string,string>"))
+        .when(mode == "f", F.col("old_record"))
+        .when(mode == "n", F.lit(None).cast("map<string,string>"))
+        .otherwise(pk_only)  # 'd' and 'i': identity columns only
+    )
+    return joined.withColumn("old_record", shaped).drop("_rident")

@@ -103,3 +103,75 @@ def sample_n_per_group(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Temperature-scaled domain mixing: sample ~budget rows total with
+    per-group take counts proportional to (group share)^alpha — the standard
+    multilingual/multi-domain pretraining reweighting (alpha < 1 upsamples
+    small domains relative to their natural share; alpha = 1 is natural
+    sampling, alpha = 0 uniform).
+
+    take_k(g) = (budget * w_g) div (sum_h w_h) with integer weights
+    w_g = floor(n_g^alpha * 1e6), rows picked by deterministic hash order of
+    `key_col` within each group. Weights are quantized to integers BEFORE
+    the normalizing sum so take counts are exact integer arithmetic —
+    a floating z would depend on summation order and could flip a floor at
+    a boundary between engines/partitionings.
+
+    Scale shape: group counts are a map-side-combined aggregate collapsed to
+    a |groups|-row dimension; weights compute on that tiny frame and
+    broadcast-join back; the per-group take is ONE row_number window whose
+    partition key is the group — the same single shuffle the cap operator
+    pays. Wall-clock is indistinguishable from sample_n_per_group.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
+    # pow with alpha=0.5 is sqrt (IEEE correctly rounded — engine-identical);
+    # floor(x * 1e6) quantizes to an exact bigint weight
+    counts = counts.withColumn(
+        "_wi",
+        F.floor(F.pow(F.col("_n_g"), F.lit(alpha)) * F.lit(1e6)).cast("bigint"),
+    )
+    total = counts.agg(F.sum("_wi").alias("_z"))
+    takes = counts.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "_n_g",
+        F.expr(f"CAST(({int(budget)} * _wi) DIV _z AS BIGINT)").alias("_take_k"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), 2**60), F.col(key_col)
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(takes), group_col)
+        .filter(F.col("_rn") <= F.least(F.col("_take_k"), F.col("_n_g")))
+        .drop("_n_g", "_take_k")
+        .withColumnRenamed("_rn", "mix_rank")
+    )
+
+
+def training_order(
+    df: DataFrame, key_col: str, n_shards: int
+) -> DataFrame:
+    """Deterministic global training order as (shard, position): shard by
+    hash of the key, position by hash order within the shard. Equivalent to
+    one global pseudo-random permutation, but the only sort is per-shard —
+    a global row_number would serialize 100 TB through one partition, while
+    this shape is n_shards independent sorts that each fit an executor.
+    Readers stream shards round-robin to consume the permutation."""
+    shard = hash_bucket(F.col(key_col), n_shards)
+    w = Window.partitionBy(shard).orderBy(
+        hash_bucket(F.col(key_col), 2**60), F.col(key_col)
+    )
+    return df.select(
+        F.col(key_col),
+        shard.alias("shard"),
+        F.row_number().over(w).alias("position"),
+    )

@@ -781,6 +781,82 @@ FROM r WHERE rn = 1 AND action <> 'DELETE'
 """
 
 
+def q_cdc_replica_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-relation REPLICA IDENTITY shaping of old_record (decoder.ex:
+    186-203): a three-relation change feed where orders runs identity
+    'd' (old = pk only), customer 'f' (full old row), supplier 'n' (no old
+    tuple). Output inspects which old columns actually survive."""
+    from realtime_spark.operators.projection import apply_replica_identity
+    from realtime_spark.sources.testdata import changes_from_orders
+
+    orders = changes_from_orders(spark, sf_dir)
+
+    def _rel_changes(table, id_col, cols, action, offset):
+        t = load_table(spark, sf_dir, table)
+        rec = F.map_from_arrays(
+            F.array(*[F.lit(c) for c in cols]),
+            F.array(*[F.col(c).cast("string") for c in cols]),
+        )
+        return t.select(
+            (F.col(id_col) + offset).alias("change_id"),
+            F.lit(action).alias("action"),
+            F.lit("public").alias("schema_name"),
+            F.lit(table).alias("table_name"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("commit_timestamp"),
+            F.when(F.lit(action) != "DELETE", rec).alias("record"),
+            F.when(F.lit(action) != "INSERT", rec).alias("old_record"),
+            F.array(F.lit(id_col)).alias("pk"),
+        )
+
+    customer = _rel_changes(
+        "customer", "c_custkey", ["c_custkey", "c_name", "c_mktsegment"],
+        "UPDATE", 20_000_000,
+    )
+    supplier = _rel_changes(
+        "supplier", "s_suppkey", ["s_suppkey", "s_name"], "DELETE", 30_000_000
+    )
+    feed = (
+        orders.select(customer.columns)
+        .unionByName(customer)
+        .unionByName(supplier)
+    )
+    identities = spark.createDataFrame(
+        [
+            ("public", "orders", "d"),
+            ("public", "customer", "f"),
+            ("public", "supplier", "n"),
+        ],
+        "schema_name string, table_name string, replica_identity string",
+    )
+    out = apply_replica_identity(feed, identities)
+    return out.select(
+        "change_id",
+        "table_name",
+        "action",
+        F.array_join(F.array_sort(F.map_keys("old_record")), ",").alias("old_cols"),
+        F.col("old_record").isNull().alias("old_is_null"),
+    )
+
+
+def _oracle_replica_identity() -> str:
+    from realtime_spark.sources.testdata import ORDERS_CHANGES_SQL_CTE
+
+    return f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id, 'orders' AS table_name, action,
+       CASE WHEN action = 'INSERT' THEN NULL ELSE 'o_orderkey' END AS old_cols,
+       (action = 'INSERT') AS old_is_null
+FROM _orders_changes
+UNION ALL
+SELECT c_custkey + 20000000, 'customer', 'UPDATE',
+       'c_custkey,c_mktsegment,c_name', FALSE
+FROM customer
+UNION ALL
+SELECT s_suppkey + 30000000, 'supplier', 'DELETE', NULL, TRUE
+FROM supplier
+"""
+
+
 _TRUNCATE_AT = "1998-01-01 00:00:00"
 
 
@@ -856,6 +932,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "session_stats": q_session_stats,
         "cdc_materialize": q_cdc_materialize,
         "cdc_materialize_truncate": q_cdc_materialize_truncate,
+        "cdc_replica_identity": q_cdc_replica_identity,
         "funnel_stages": q_funnel_stages,
         "broadcast_fanout_self": q_broadcast_fanout_self,
         "funnel_counts": q_funnel_counts,
@@ -881,6 +958,7 @@ def realtime_extra_oracles() -> dict[str, str]:
         "session_stats": ORACLE_SESSION_STATS,
         "cdc_materialize": _oracle_materialize(),
         "cdc_materialize_truncate": _oracle_materialize_truncate(),
+        "cdc_replica_identity": _oracle_replica_identity(),
         "funnel_stages": ORACLE_FUNNEL_STAGES,
         "broadcast_fanout_self": ORACLE_BROADCAST_FANOUT_SELF,
         "funnel_counts": ORACLE_FUNNEL_COUNTS,

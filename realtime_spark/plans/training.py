@@ -891,6 +891,73 @@ SELECT source, doc_id FROM r WHERE rn <= {_PER_GROUP_N}
 """
 
 
+_MIX_BUDGET, _MIX_ALPHA = 300, 0.5
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (alpha=0.5): per-source take counts
+    proportional to sqrt(source share) of a fixed budget — small domains
+    upsampled relative to natural sampling, the standard multi-domain
+    pretraining reweighting."""
+    from realtime_spark.operators.sampling import temperature_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    out = temperature_mix(
+        d, "source", "doc_id", budget=_MIX_BUDGET, alpha=_MIX_ALPHA
+    )
+    return out.select("source", "doc_id", "mix_rank")
+
+
+ORACLE_DOMAIN_MIX = f"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n_g,
+         CAST(floor(pow(COUNT(*), {_MIX_ALPHA}) * 1000000) AS BIGINT) AS wi
+  FROM documents GROUP BY source
+),
+z AS (SELECT CAST(SUM(wi) AS BIGINT) AS z FROM c),
+takes AS (
+  SELECT source, n_g, ({_MIX_BUDGET} * wi) // z AS take_k
+  FROM c CROSS JOIN z
+),
+r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1152921504606846976, doc_id) AS rn
+  FROM documents
+)
+SELECT r.source, r.doc_id, CAST(r.rn AS INT) AS mix_rank
+FROM r JOIN takes t ON r.source = t.source
+WHERE r.rn <= least(t.take_k, t.n_g)
+"""
+
+
+_N_SHARDS = 8
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training permutation as (shard, position):
+    hash-sharded, hash-ordered within shard — n_shards independent sorts,
+    never one global row_number partition."""
+    from realtime_spark.operators.sampling import training_order
+
+    d = load_table(spark, sf_dir, "documents")
+    return training_order(d, "doc_id", _N_SHARDS)
+
+
+ORACLE_TRAINING_ORDER = f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hb
+  FROM documents
+)
+SELECT doc_id, CAST(hb % {_N_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hb % {_N_SHARDS}
+            ORDER BY hb % 1152921504606846976, doc_id) AS INT) AS position
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (train/eval n-gram overlap)
 # ---------------------------------------------------------------------------
@@ -1427,6 +1494,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_splits": q_sample_splits,
         "sample_per_group": q_sample_per_group,
+        "domain_mix": q_domain_mix,
+        "training_order": q_training_order,
         "decontaminate": q_decontaminate,
         "emb_srp_buckets": q_emb_srp_buckets,
         "emb_srp_pairs": q_emb_srp_pairs,
@@ -1471,6 +1540,8 @@ def training_oracles() -> dict[str, str]:
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "sample_splits": ORACLE_SAMPLE_SPLITS,
         "sample_per_group": ORACLE_SAMPLE_PER_GROUP,
+        "domain_mix": ORACLE_DOMAIN_MIX,
+        "training_order": ORACLE_TRAINING_ORDER,
         "decontaminate": ORACLE_DECONTAMINATE,
         "emb_srp_buckets": _oracle_srp_buckets(),
         "emb_srp_pairs": _oracle_srp_pairs(),
