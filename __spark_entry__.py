@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_spark.operators.cdc import (
@@ -85,6 +85,83 @@ _FILTER_CASES: dict[str, tuple[str, str, str]] = {
     "cdc_action_delete": ("", "TRUE", "DELETE"),
     "cdc_action_update_and_filter": ("o_totalprice=gte.100000", "o_totalprice >= 100000", "UPDATE"),
 }
+
+
+# -- `is` boolean keywords (is.true / is.false / not.is.true) ---------------
+# The reference's `is` op accepts null/true/false/unknown with a
+# boolean-column rule (migrations/20260626120000:188-304 keyword whitelist).
+# The orders feed has no bool column, so one is derived IN the query — NULL
+# every 11th change, else `o_orderpriority LIKE '1-%'` rendered as the
+# wal2json text 'true'/'false'. Deriving locally (map_concat onto the record
+# maps) also exercises the compiled-generic path: the frame loses its
+# typed-source contract, so predicates evaluate against the record map —
+# a path the typed filter matrix above never takes.
+
+_URGENT_TYPES = {**ORDERS_PG_TYPES, "o_urgent": "bool"}
+
+
+def _urgent_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    changes = changes_from_orders(spark, sf_dir)
+    prio = F.coalesce(
+        F.try_element_at(F.col("record"), F.lit("o_orderpriority")),
+        F.try_element_at(F.col("old_record"), F.lit("o_orderpriority")),
+    )
+    urgent = F.when(F.col("change_id") % 11 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(prio.startswith("1-"), F.lit("true")).otherwise(F.lit("false"))
+    )
+    add = F.create_map(F.lit("o_urgent"), urgent)
+
+    def extend(m: str) -> Column:
+        return F.when(F.col(m).isNull(), F.col(m)).otherwise(
+            F.map_concat(F.col(m), add)
+        )
+
+    return changes.withColumn("record", extend("record")).withColumn(
+        "old_record", extend("old_record")
+    )
+
+
+_URGENT_SQL = "CASE WHEN change_id % 11 = 0 THEN NULL ELSE (o_orderpriority LIKE '1-%') END"
+
+# name -> (filter string, oracle WHERE clause over o_urgent)
+_IS_BOOL_CASES: dict[str, tuple[str, str]] = {
+    "cdc_filter_is_true": ("o_urgent=is.true", "o_urgent = TRUE"),
+    "cdc_filter_is_false": ("o_urgent=is.false", "o_urgent = FALSE"),
+    # NOT (x IS TRUE): never-null in Postgres, so NULLs pass the negation
+    "cdc_filter_not_is_true": (
+        "o_urgent=not.is.true",
+        "o_urgent IS DISTINCT FROM TRUE",
+    ),
+}
+
+
+def _is_bool_query(filter_str: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        changes = _urgent_changes(spark, sf_dir)
+        subs = _subscriptions_df(
+            spark,
+            [{
+                "subscription_id": "s1",
+                "schema": "public",
+                "table": "orders",
+                "filters": filter_str,
+            }],
+            type_maps={("public", "orders"): _URGENT_TYPES},
+        )
+        return matched_pairs(changes, subs).select(
+            F.col("c.change_id").alias("change_id"),
+            F.col("s.subscription_id").alias("subscription_id"),
+        )
+
+    return q
+
+
+def _is_bool_oracle(where: str) -> str:
+    return f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()},
+_uc AS (SELECT *, {_URGENT_SQL} AS o_urgent FROM _orders_changes)
+SELECT change_id, 's1' AS subscription_id FROM _uc WHERE {where}
+"""
 
 
 def _pairs_query(filter_str: str, action: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -781,6 +858,10 @@ from realtime_spark.plans.analytics import (  # noqa: E402
     analytics_oracles,
     analytics_queries,
 )
+from realtime_spark.plans.corpus_lines import (  # noqa: E402
+    corpus_lines_oracles,
+    corpus_lines_queries,
+)
 from realtime_spark.plans.embeddings import embeddings_oracles, embeddings_queries  # noqa: E402
 from realtime_spark.plans.profiling import profiling_oracles, profiling_queries  # noqa: E402
 from realtime_spark.plans.temporal import temporal_oracles, temporal_queries  # noqa: E402
@@ -796,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (fstr, _, action) in _FILTER_CASES.items():
         qs[name] = _pairs_query(fstr, action)
+    for name, (fstr, _) in _IS_BOOL_CASES.items():
+        qs[name] = _is_bool_query(fstr)
     qs.update(training_queries())
     qs.update(analytics_queries())
     qs.update(tpch_queries())
@@ -805,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(realtime_extra_queries())
     qs.update(activity_queries())
     qs.update(window_analytics_queries())
+    qs.update(corpus_lines_queries())
     qs["cdc_multi_pairs"] = q_cdc_multi_pairs
     qs["cdc_subscription_ids"] = q_cdc_subscription_ids
     qs["cdc_wildcard"] = q_cdc_wildcard
@@ -834,6 +918,8 @@ def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
     for name, (_, where, action) in _FILTER_CASES.items():
         sqls[name] = _pairs_oracle(where, action)
+    for name, (_, where) in _IS_BOOL_CASES.items():
+        sqls[name] = _is_bool_oracle(where)
     sqls.update(training_oracles())
     sqls.update(analytics_oracles())
     sqls.update(tpch_oracles())
@@ -843,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(realtime_extra_oracles())
     sqls.update(activity_oracles())
     sqls.update(window_analytics_oracles())
+    sqls.update(corpus_lines_oracles())
     sqls["cdc_multi_pairs"] = ORACLE_CDC_MULTI_PAIRS
     sqls["cdc_subscription_ids"] = ORACLE_CDC_SUBSCRIPTION_IDS
     sqls["cdc_wildcard"] = ORACLE_CDC_WILDCARD
