@@ -292,3 +292,82 @@ def test_watermark_dedup_across_microbatches(spark):
         q.awaitTermination(120)
 
     assert sorted(delivered) == [1, 2, 3], delivered
+
+
+def test_watermark_drops_late_data(spark):
+    """ST2/ST7: an event arriving after the watermark has passed its window
+    is dropped from the windowed aggregate — finalized counts never change.
+    This is the bound that keeps rate-window state finite at 100 TB: the
+    reference's ring buffer simply overwrites old seconds
+    (rate_counter.ex:209-216); Structured Streaming gets the same bound from
+    the watermark, at the cost of discarding stragglers instead of
+    re-opening the bucket.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    # batch 1: seconds 0..9 (one event each) then a probe far ahead at
+    # t=20:00 that advances the watermark (10 min delay) past second 9.
+    b1 = [("k", f"2026-01-01 00:00:0{i}") for i in range(10)]
+    b1.append(("k", "2026-01-01 00:20:00"))
+    # batch 2: a straggler back at second 5 — behind the advanced watermark
+    b2 = [("k", "2026-01-01 00:00:05")]
+    schema = "key string, ts_s string"
+    got: dict = {}
+
+    import time
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+            os.path.join(src, "b1")
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 seconds").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+        batches = []
+
+        def sink(df, eid):
+            batches.append(eid)
+            for r in df.collect():
+                got[r["win"]["start"].strftime("%H:%M:%S")] = r["n"]
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        # wait until batch 1 (b1) is fully committed — its completion is
+        # what advances the watermark past the straggler's window
+        for _ in range(200):
+            if got.get("00:00:00") == 10:
+                break
+            time.sleep(0.25)
+        assert got.get("00:00:00") == 10, f"b1 window never finalized: {got}"
+        done_batches = len(batches)
+        # now the straggler arrives, behind the watermark
+        spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+            os.path.join(src, "b2")
+        )
+        for _ in range(200):
+            if len(batches) > done_batches:
+                break
+            time.sleep(0.25)
+        time.sleep(1.0)  # let any (incorrect) re-emission land
+        q.stop()
+
+    # the 00:00:00 window finalized with 10 events; the batch-2 straggler
+    # at 00:00:05 was late past the watermark and must NOT re-emit/alter it
+    assert got.get("00:00:00") == 10, got
