@@ -61,6 +61,13 @@ def brute_force_topk(
     `queries` (small) is broadcast against `corpus` (one scan); ranking uses
     the rounded cosine with id tie-break so results are representation-stable
     across engines. Output: (query_id, neighbor_id, cos, rank).
+
+    Scale shape: cosines are computed JVM-side during the broadcast join;
+    each scan partition then pre-prunes to its LOCAL top-k per query
+    (mapInPandas over the narrow (query_id, neighbor_id, cos) triplets —
+    Python never sees a vector), so the ranking exchange carries at most
+    q x k x partitions rows instead of q x |corpus|. The local prune keeps a
+    superset of the global top-k, so the final window is still exact.
     """
     q = F.broadcast(
         queries.select(
@@ -76,9 +83,21 @@ def brute_force_topk(
             F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cos"),
         )
     )
+
+    def _local_topk(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        allp = pd.concat(parts, ignore_index=True)
+        allp = allp.sort_values(
+            ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
+        )
+        yield allp.groupby("query_id", sort=False).head(k)
+
+    pruned = scored.mapInPandas(_local_topk, scored.schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
