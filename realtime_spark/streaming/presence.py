@@ -49,46 +49,49 @@ def presence_diffs_stateful(events: DataFrame) -> DataFrame:
     re-tracks emit nothing (presence_handler.ex:190).
     """
 
+    # the state function runs once per ACTIVE GROUP per micro-batch — with
+    # user-keyed presence that is ~one invocation per row, so the body is
+    # written for the 1-row case: column arrays instead of iterrows (a
+    # ~10x-per-row pandas tax), tuple rows instead of dict-of-lists, and no
+    # output frame at all when a group produced no diffs
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (topic, presence_key) = key
         current: str | None = state.get[0] if state.exists else None
-        out: dict[str, list[Any]] = {c: [] for c in ("topic", "presence_key", "kind", "meta", "ts")}
-
-        def emit(kind: str, meta: str | None, ts: Any) -> None:
-            out["topic"].append(topic)
-            out["presence_key"].append(presence_key)
-            out["kind"].append(kind)
-            out["meta"].append(meta)
-            out["ts"].append(ts)
+        rows: list[tuple[Any, ...]] = []
 
         # concatenate the micro-batch's chunks before sorting: Arrow delivers
         # a group's rows split across frames with no global order guarantee
         frames = [p for p in pdfs if len(p)]
-        merged = (
-            pd.concat(frames, ignore_index=True)
-            if len(frames) > 1
-            else (frames[0] if frames else pd.DataFrame(columns=["action", "meta", "ts"]))
-        )
-        sort_keys = ["ts", "seq"] if "seq" in merged.columns else ["ts"]
-        for _, row in merged.sort_values(sort_keys, kind="mergesort").iterrows():
-            if row["action"] == "track":
-                if current is None:
-                    current = row["meta"]
-                    emit("join", current, row["ts"])
-                elif current != row["meta"]:
-                    current = row["meta"]
-                    emit("update", current, row["ts"])
-                # unchanged re-track: no-op
-            elif row["action"] == "untrack" and current is not None:
-                emit("leave", current, row["ts"])
-                current = None
+        if frames:
+            merged = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            sort_keys = ["ts", "seq"] if "seq" in merged.columns else ["ts"]
+            if len(merged) > 1:
+                merged = merged.sort_values(sort_keys, kind="mergesort")
+            actions = merged["action"].to_numpy()
+            metas = merged["meta"].to_numpy()
+            tss = merged["ts"].to_numpy()
+            for action, meta, ts in zip(actions, metas, tss):
+                if action == "track":
+                    if current is None:
+                        current = meta
+                        rows.append((topic, presence_key, "join", current, ts))
+                    elif current != meta:
+                        current = meta
+                        rows.append((topic, presence_key, "update", current, ts))
+                    # unchanged re-track: no-op
+                elif action == "untrack" and current is not None:
+                    rows.append((topic, presence_key, "leave", current, ts))
+                    current = None
         if current is None:
             state.remove()
         else:
             state.update((current,))
-        yield pd.DataFrame(out)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["topic", "presence_key", "kind", "meta", "ts"]
+            )
 
     return events.groupBy("topic", "presence_key").applyInPandasWithState(
         fn,
