@@ -454,6 +454,29 @@ FROM _orders_changes
 """
 
 
+def q_cdc_error_401(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: a role whose SELECT privileges exclude a pk column cannot be
+    authorized for the row -> Error 401 (reference:
+    migrations/20260626120000_readd_postgrest_filter_ops.ex:449-488)."""
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(
+        spark, [{"subscription_id": "s-e401", "table": "orders",
+                 "claims_role": "anon"}]
+    )
+    priv = privileges_df(
+        spark, {("anon", "public", "orders"): ["o_orderstatus", "o_totalprice"]}
+    )
+    out = project_output(matched_pairs(changes, subs), privileges=priv)
+    return out.select("change_id", F.array_join("errors", ",").alias("errors"))
+
+
+ORACLE_CDC_ERROR_401 = f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id, 'Error 401: Unauthorized' AS errors
+FROM _orders_changes
+"""
+
+
 def q_cdc_column_privileges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8: per-role allowed-column mask drops unprivileged columns."""
     changes = changes_from_orders(spark, sf_dir)
@@ -897,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["cdc_toast_merge"] = q_cdc_toast_merge
     qs["cdc_delete_pk_only"] = q_cdc_delete_pk_only
     qs["cdc_error_400"] = q_cdc_error_400
+    qs["cdc_error_401"] = q_cdc_error_401
     qs["cdc_column_privileges"] = q_cdc_column_privileges
     qs["cdc_payload_clamp"] = q_cdc_payload_clamp
     qs["cdc_commit_ts_iso"] = q_cdc_commit_ts_iso
@@ -938,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["cdc_toast_merge"] = ORACLE_CDC_TOAST_MERGE
     sqls["cdc_delete_pk_only"] = ORACLE_CDC_DELETE_PK_ONLY
     sqls["cdc_error_400"] = ORACLE_CDC_ERROR_400
+    sqls["cdc_error_401"] = ORACLE_CDC_ERROR_401
     sqls["cdc_column_privileges"] = ORACLE_CDC_COLUMN_PRIVILEGES
     sqls["cdc_payload_clamp"] = ORACLE_CDC_PAYLOAD_CLAMP
     sqls["cdc_commit_ts_iso"] = ORACLE_CDC_COMMIT_TS_ISO

@@ -484,7 +484,7 @@ def duplicate_clusters(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # convergence by checksum: labels only ever decrease, so the label sum
     # strictly decreases on every improving round and is stable exactly at
@@ -497,7 +497,9 @@ def duplicate_clusters(
         # one round = neighbor messages UNION self labels -> min per node:
         # a single shuffle join + a single map-side-combined aggregation.
         # (The union replaces a separate left join back onto the old labels,
-        # which cost a third shuffle per round.)
+        # which cost a third shuffle per round.) The checkpoint is LAZY: the
+        # convergence-sum collect below materializes it, so each round runs
+        # exactly one job instead of checkpoint-job + sum-job.
         msgs = edges.join(labels, F.col("src") == F.col("node")).select(
             F.col("dst").alias("node"), F.col("label")
         )
@@ -505,7 +507,7 @@ def duplicate_clusters(
             msgs.unionByName(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = new.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
