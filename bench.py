@@ -13,6 +13,8 @@ import json
 import os
 import time
 
+from pyspark.sql import functions as F
+
 from realtime_spark.session import get_spark
 
 
@@ -100,12 +102,42 @@ def bench_streaming_cdc(spark, sf_dir: str, micro_batches: int | None = None) ->
         )
         q.awaitTermination(600)
         wall = time.perf_counter() - t0
+
+        # native mode: the same stateless pipeline as ONE continuous streaming
+        # plan (no foreachBatch, so no per-micro-batch re-planning — the shape
+        # a long-running cluster deployment actually runs). Delivered rows are
+        # counted via observe() so the sink stays a true noop.
+        stream2 = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out2 = encode_once_fanout(match_changes(stream2, subs)).observe(
+            "m", F.count(F.lit(1)).alias("rows")
+        )
+        t1 = time.perf_counter()
+        q2 = (
+            out2.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(d, "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(600)
+        wall2 = time.perf_counter() - t1
+        native_rows = sum(
+            p["observedMetrics"]["m"]["rows"]
+            for p in q2.recentProgress
+            if p.get("observedMetrics", {}).get("m")
+        )
     return {
         "cdc_changes_per_sec": round(n_changes / wall, 1),
         "changes": n_changes,
         "delivered": delivered["rows"],
         "micro_batches": micro_batches,
         "wall_sec": round(wall, 3),
+        "cdc_native_changes_per_sec": round(n_changes / wall2, 1),
+        "native_delivered": int(native_rows),
+        "native_wall_sec": round(wall2, 3),
     }
 
 
