@@ -893,6 +893,7 @@ from realtime_spark.plans.sketches_plan import (  # noqa: E402
 )
 from realtime_spark.plans.temporal import temporal_oracles, temporal_queries  # noqa: E402
 from realtime_spark.plans.tpch import tpch_oracles, tpch_queries  # noqa: E402
+from realtime_spark.plans.winnow_plan import winnow_oracles, winnow_queries  # noqa: E402
 from realtime_spark.plans.training import training_oracles, training_queries  # noqa: E402
 from realtime_spark.plans.window_analytics import (  # noqa: E402
     window_analytics_oracles,
@@ -917,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(window_analytics_queries())
     qs.update(corpus_lines_queries())
     qs.update(sketches_queries())
+    qs.update(winnow_queries())
     qs["cdc_multi_pairs"] = q_cdc_multi_pairs
     qs["cdc_subscription_ids"] = q_cdc_subscription_ids
     qs["cdc_wildcard"] = q_cdc_wildcard
@@ -960,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(window_analytics_oracles())
     sqls.update(corpus_lines_oracles())
     sqls.update(sketches_oracles())
+    sqls.update(winnow_oracles())
     sqls["cdc_multi_pairs"] = ORACLE_CDC_MULTI_PAIRS
     sqls["cdc_subscription_ids"] = ORACLE_CDC_SUBSCRIPTION_IDS
     sqls["cdc_wildcard"] = ORACLE_CDC_WILDCARD
