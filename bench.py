@@ -54,6 +54,10 @@ def _bench_queries():
         "anomaly_spikes",
         "media_features",
         "presence_diffs",
+        "lines_dedup_stats",
+        "winnow_pairs",
+        "cms_user_counts",
+        "bloom_membership",
     ]
     return {k: qs[k] for k in headline if k in qs}
 
