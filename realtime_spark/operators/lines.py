@@ -17,11 +17,11 @@ identity was already delivered).
 
 Scale shape (100 TB):
 - Explode to lines is narrow (no shuffle); line frames are ~1.3x the corpus.
-- All grouping shuffles key on the line TEXT here for exactness at test SF;
-  at corpus scale group on xxhash64(line) instead (8-byte shuffle keys, then
-  a broadcast semi-join of the tiny survivor-hash set back onto the lines to
-  recover text) — the boilerplate survivor set is orders of magnitude smaller
-  than the corpus, so the second pass is cheap.
+- Flagging (`line_flags` and everything built on it) groups and joins on the
+  line's 60-bit md5 digest — 8-byte shuffle keys, text never shuffles.
+  `boilerplate_lines` (the human-facing survivor report) groups on text
+  directly: its output is the tiny thresholded set and the grouping is one
+  map-side-combined pass.
 - First-occurrence keeper = min(struct(doc_id, line_idx)) is a map-side
   combinable aggregate: one shuffle, no window function, no skew risk beyond
   the boilerplate keys themselves (bounded by the same threshold that marks
@@ -86,25 +86,27 @@ def line_flags(lines: DataFrame, min_docs: int = 20) -> DataFrame:
     takes precedence) and is_dup (non-boiler line seen earlier at a smaller
     (doc, line_idx) anywhere in the corpus; the first occurrence is kept).
 
-    Two aggregations over the same `line` key — Catalyst reuses the exchange
-    for the keeper aggregate and the count aggregate share a partitioning.
-    The boilerplate set is tiny -> broadcast joined back.
+    All grouping/join keys are the line's 60-bit md5 digest, never the line
+    text: the stats shuffle and the flag join carry 8-byte keys, and the
+    text rides only on the lines frame itself. A digest collision would
+    merge two distinct lines (~n²/2^60 — negligible, and the oracle gate
+    compares against text-keyed SQL so a real collision would surface as a
+    hash mismatch). The boilerplate digest set is tiny -> broadcast.
     """
-    stats = (
-        lines.groupBy("line")
-        .agg(
-            F.countDistinct("doc").alias("n_docs"),
-            F.min(F.struct("doc", "line_idx")).alias("keeper"),
-        )
+    keyed = lines.withColumn(
+        "_ldig",
+        F.conv(F.substring(F.md5("line"), 1, 15), 16, 10).cast("bigint"),
+    )
+    stats = keyed.groupBy("_ldig").agg(
+        F.countDistinct("doc").alias("n_docs"),
+        F.min(F.struct("doc", "line_idx")).alias("keeper"),
     )
     boiler = stats.filter(F.col("n_docs") >= F.lit(min_docs)).select(
-        "line", F.lit(True).alias("is_boiler")
+        "_ldig", F.lit(True).alias("is_boiler")
     )
     flagged = (
-        lines.join(
-            stats.select("line", "keeper"), "line", "left"
-        )
-        .join(F.broadcast(boiler), "line", "left")
+        keyed.join(stats.select("_ldig", "keeper"), "_ldig", "left")
+        .join(F.broadcast(boiler), "_ldig", "left")
         .select(
             "doc",
             "line_idx",
