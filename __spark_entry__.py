@@ -886,6 +886,7 @@ from realtime_spark.plans.corpus_lines import (  # noqa: E402
     corpus_lines_queries,
 )
 from realtime_spark.plans.embeddings import embeddings_oracles, embeddings_queries  # noqa: E402
+from realtime_spark.plans.lexical import lexical_oracles, lexical_queries  # noqa: E402
 from realtime_spark.plans.profiling import profiling_oracles, profiling_queries  # noqa: E402
 from realtime_spark.plans.sketches_plan import (  # noqa: E402
     sketches_oracles,
@@ -919,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(corpus_lines_queries())
     qs.update(sketches_queries())
     qs.update(winnow_queries())
+    qs.update(lexical_queries())
     qs["cdc_multi_pairs"] = q_cdc_multi_pairs
     qs["cdc_subscription_ids"] = q_cdc_subscription_ids
     qs["cdc_wildcard"] = q_cdc_wildcard
@@ -963,6 +965,7 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(corpus_lines_oracles())
     sqls.update(sketches_oracles())
     sqls.update(winnow_oracles())
+    sqls.update(lexical_oracles())
     sqls["cdc_multi_pairs"] = ORACLE_CDC_MULTI_PAIRS
     sqls["cdc_subscription_ids"] = ORACLE_CDC_SUBSCRIPTION_IDS
     sqls["cdc_wildcard"] = ORACLE_CDC_WILDCARD

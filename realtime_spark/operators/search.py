@@ -178,3 +178,83 @@ def oov_rate(
     return per_doc.withColumn(
         "oov_rate", quantize(F.col("n_oov") / F.col("n_tokens"), round_digits)
     )
+
+
+def tfidf_weights(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Sparse TF-IDF document vectors as (doc, term, w) rows with the
+    per-doc L2 norm attached: (doc, term, w, norm).
+
+    idf = ln(1 + N/df_t) (smoothed: stays positive even for terms present
+    in every document, so tiny-vocabulary corpora keep usable norms);
+    w = tf * idf.
+    """
+    from realtime_spark.operators.text import quantize  # noqa: F401 (parity)
+
+    post = postings(df, id_col, text_col)
+    n_docs = df.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    w = (
+        post.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "term",
+            (F.col("tf") * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df_t"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    return w.join(norms, "doc")
+
+
+def tfidf_nearest_neighbor(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_digits: int = 4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Each document's most-similar other document in TF-IDF space:
+    (doc, neighbor, cos). The sparse dot-product join — postings self-joined
+    on term, partial products summed — is the standard all-pairs lexical
+    similarity shape; `max_df` drops stop-terms to bound the join fan-out
+    (essential at corpus scale: a term in d docs contributes d^2 join rows).
+
+    Ties on the quantized cosine break toward the smallest neighbor id, so
+    the result is engine-stable.
+    """
+    from pyspark.sql import Window
+    from realtime_spark.operators.text import quantize
+
+    w = tfidf_weights(df, id_col, text_col)
+    if max_df is not None:
+        keep = (
+            w.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df_t"))
+            .filter(F.col("df_t") <= max_df)
+        )
+        w = w.join(keep.select("term"), "term", "left_semi")
+    a = w.alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc") != F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("doc"),
+            F.col("b.doc").alias("neighbor"),
+            F.col("a.norm").alias("na"),
+            F.col("b.norm").alias("nb"),
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+        .select(
+            "doc",
+            "neighbor",
+            quantize(F.col("dot") / (F.col("na") * F.col("nb")), round_digits).alias("cos"),
+        )
+    )
+    rank = Window.partitionBy("doc").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (
+        dots.withColumn("_rn", F.row_number().over(rank))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -129,6 +129,37 @@ def quantize(x: Column, digits: int = 4) -> Column:
     return F.floor(x * scale + F.lit(0.5)) / F.lit(scale)
 
 
+def char_entropy(df, id_col: str, text_col: str, round_digits: int = 4):
+    """Shannon entropy of the per-document character distribution (bits):
+    (id, n_chars_counted, entropy). Low entropy flags repetitive/gibberish
+    text (a CCNet-style quality signal) orthogonal to the stopword/punct
+    heuristics in quality_score.
+
+    Shape: explode to (doc, char) -> map-side-combined counts -> per-doc
+    fold H = log2(N) - (1/N) * sum(cnt * log2(cnt)). Shuffles carry only
+    (doc, char, cnt) aggregates. The cross-term sum commutes to ~1e-15;
+    results are quantized to round_digits, which both engines reproduce.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), ""), lambda c: c != "")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.log2("cnt")).alias("s"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n").alias("n_chars_counted"),
+        quantize(F.log2("n") - F.col("s") / F.col("n"), round_digits).alias(
+            "entropy"
+        ),
+    )
+
+
 def quality_score(text: Column, lang: str = "en", round_digits: int = 4) -> Column:
     """Composite document-quality heuristic in [0, 1].
 
