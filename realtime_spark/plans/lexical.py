@@ -69,10 +69,110 @@ SELECT doc, neighbor, cos FROM ranked WHERE rn = 1
 """
 
 
+_KN_D = 0.75  # absolute discount (standard KN default)
+
+
+def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average log-probability under an interpolated
+    Kneser-Ney bigram model — the smoothed upgrade of the MLE bigram LM
+    (window_analytics.q_bigram_lm), the form actually used for
+    perplexity-based corpus filtering:
+
+      P(w2|w1) = (c12 - d)/c1 + d * N1+(w1,.)/c1 * N1+(.,w2)/N1+(.,.)
+
+    All five count tables are map-side-combined aggregations over the
+    bigram frame; the model join keys on the bigram. Probabilities are
+    strictly positive for every seen bigram, and the continuation term is
+    the novel-context distribution (how many distinct left contexts a word
+    follows), not raw frequency — KN's defining property.
+    """
+    from pyspark.sql import functions as F  # local: keep module imports lean
+
+    from realtime_spark.operators.text import quantize
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+        ).alias("toks"),
+    )
+    idx = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg_counts.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p1")
+    )
+    cont = bg_counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1pr"))
+    tot = bg_counts.agg(F.count(F.lit(1)).alias("tot"))
+    lm = (
+        bg_counts.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c12") - F.lit(_KN_D)) / F.col("c1")
+                + F.lit(_KN_D) * F.col("n1p1") / F.col("c1")
+                * (F.col("n1pr") / F.col("tot"))
+            ).alias("logp"),
+        )
+    )
+    scored = (
+        bigrams.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.avg("logp").alias("avg_logp"), F.count(F.lit(1)).alias("n_bigrams"))
+    )
+    return scored.select(
+        "doc_id", quantize(F.col("avg_logp"), 4).alias("avg_logp"), "n_bigrams"
+    )
+
+
+ORACLE_KN_BIGRAM_LM = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+  FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+),
+bgc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p1 FROM bgc GROUP BY 1),
+cont AS (SELECT w2, COUNT(*) AS n1pr FROM bgc GROUP BY 1),
+tot AS (SELECT COUNT(*) AS tot FROM bgc),
+lm AS (
+  SELECT bgc.w1, bgc.w2,
+         ln((c12 - {_KN_D}) / c1.c1
+            + {_KN_D} * c1.n1p1 / c1.c1 * (cont.n1pr / tot.tot)) AS logp
+  FROM bgc JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, AVG(logp) AS avg_logp, COUNT(*) AS n_bigrams
+  FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id
+)
+SELECT doc_id, floor(avg_logp * 10000.0 + 0.5) / 10000.0 AS avg_logp,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams
+FROM scored
+"""
+
+
 def lexical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_char_entropy": q_text_char_entropy,
         "tfidf_nn": q_tfidf_nn,
+        "kn_bigram_lm": q_kn_bigram_lm,
     }
 
 
@@ -80,4 +180,5 @@ def lexical_oracles() -> dict[str, str]:
     return {
         "text_char_entropy": ORACLE_TEXT_CHAR_ENTROPY,
         "tfidf_nn": ORACLE_TFIDF_NN,
+        "kn_bigram_lm": ORACLE_KN_BIGRAM_LM,
     }
