@@ -53,6 +53,12 @@ def main() -> None:
 
     qs = em.queries()
     oracles = em.oracle_sql()
+    orphan_oracles = sorted(set(oracles) - set(qs))
+    if orphan_oracles:
+        print(f"WARN: oracles with no matching query: {orphan_oracles}", flush=True)
+    missing_oracles = sorted(set(qs) - set(oracles))
+    if missing_oracles:
+        print(f"NOTE: rows-only queries (no oracle): {missing_oracles}", flush=True)
     results: dict[str, dict] = {}
     t_all = time.time()
     for name, fn in qs.items():
