@@ -79,3 +79,38 @@ def parse_wal2json(raw: DataFrame, json_col: str = "value") -> DataFrame:
         F.octet_length(F.col(json_col)).alias("record_bytes"),
     )
     return out
+
+
+def parse_wal2json_quarantine(
+    raw: DataFrame, json_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: (events, quarantined).
+
+    `from_json` maps malformed JSON to a NULL struct, which would otherwise
+    flow through the pipeline as an all-NULL change row. Production CDC
+    quarantines such rows instead of dropping or crashing — the WAL position
+    is still consumed (the reference's poller likewise skips undecodable
+    entries and keeps draining the slot), but the payload is preserved for
+    replay/debugging. Quarantine reasons: 'malformed json' (unparseable) and
+    'unknown action' (action not in I/U/D/T — e.g. wal2json 'B'/'C'
+    begin/commit frames when the publication is misconfigured to emit them).
+
+    Rows are classified in one pass; the good branch re-parses, which
+    Catalyst keeps cheap (the filter prunes before the wide projection).
+    """
+    w = F.from_json(F.col(json_col), WAL2JSON_SCHEMA_DDL)
+    known = F.col("_w.action").isin(*_ACTION_MAP.keys())
+    flagged = raw.withColumn("_w", w)
+    # from_json in PERMISSIVE mode yields an all-NULL struct for unparseable
+    # input (not a NULL struct), so "no action field" IS the malformed signal
+    unparsed = F.col("_w").isNull() | F.col("_w.action").isNull()
+    bad = flagged.filter(unparsed | ~known).select(
+        F.col(json_col).alias("raw_payload"),
+        F.when(unparsed, F.lit("malformed json"))
+        .otherwise(F.concat(F.lit("unknown action: "), F.col("_w.action")))
+        .alias("reason"),
+    )
+    good = parse_wal2json(
+        flagged.filter(~unparsed & known).drop("_w"), json_col
+    )
+    return good, bad
