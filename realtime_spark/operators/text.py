@@ -14,8 +14,10 @@ are classic map-side-combine groupBys.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # Tiny per-language stopword tables for the n-gram/stopword language
 # heuristic. Real pipelines ship a few hundred entries per language; the
@@ -157,6 +159,45 @@ def char_entropy(df, id_col: str, text_col: str, round_digits: int = 4):
         quantize(F.log2("n") - F.col("s") / F.col("n"), round_digits).alias(
             "entropy"
         ),
+    )
+
+
+def compression_ratio(df, id_col: str, text_col: str, round_digits: int = 4):
+    """Per-document zlib compression ratio (compressed/raw bytes): a
+    classic corpus-quality signal — ratios near 0 flag pathological
+    repetition, near/above 1 flag high-entropy noise (base64 blobs,
+    minified data). Natural prose sits in a stable band.
+
+    zlib at a fixed level is deterministic across runs and platforms (same
+    library version), but NOT expressible in SQL — the driver records this
+    query under the weaker rows-only check; the distribution contract is
+    pinned by tests instead. Arrow-batched pandas UDF: one Python pass per
+    batch, no shuffle, output is fixed-width (id, n_raw, n_compressed,
+    ratio).
+    """
+    import zlib
+
+    scale = 10.0 ** round_digits
+
+    @pandas_udf("struct<n_raw:bigint,n_compressed:bigint,ratio:double>")
+    def _ratio(texts: pd.Series) -> pd.DataFrame:
+        raws, comps, ratios = [], [], []
+        for t in texts:
+            b = (t or "").encode("utf-8")
+            c = len(zlib.compress(b, 6))
+            raws.append(len(b))
+            comps.append(c)
+            ratios.append(
+                (int(c * scale / len(b) + 0.5) / scale) if b else None
+            )
+        return pd.DataFrame({"n_raw": raws, "n_compressed": comps, "ratio": ratios})
+
+    out = df.select(F.col(id_col), _ratio(F.col(text_col)).alias("_r"))
+    return out.select(
+        id_col,
+        F.col("_r.n_raw").alias("n_raw"),
+        F.col("_r.n_compressed").alias("n_compressed"),
+        F.col("_r.ratio").alias("ratio"),
     )
 
 

@@ -168,9 +168,20 @@ FROM scored
 """
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib ratio quality signal. Deliberately has NO oracle_sql entry:
+    zlib is not expressible in SQL, so the driver records the weaker
+    rows-only check; tests/test_lexical.py pins the value contract."""
+    from realtime_spark.operators.text import compression_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    return compression_ratio(d, "doc_id", "text")
+
+
 def lexical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_char_entropy": q_text_char_entropy,
+        "compression_ratio": q_compression_ratio,
         "tfidf_nn": q_tfidf_nn,
         "kn_bigram_lm": q_kn_bigram_lm,
     }
