@@ -169,14 +169,17 @@ def bench_streaming_presence(spark, sf_dir: str, micro_batches: int | None = Non
         # fixed arrival order is pinned by tests/test_streaming.py
         ev.repartitionByRange(micro_batches, "ts", "seq").write.parquet(src)
 
-        from realtime_spark.streaming.presence import presence_diffs_stateful
+        # sharded state keying: per-(topic,key) keying costs one Python state-
+        # fn invocation per row (~10x the rest of the pipeline at user-keyed
+        # cardinality); sharding bounds invocations at |topics| x 32 per batch
+        from realtime_spark.streaming.presence import presence_diffs_sharded
 
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        out = presence_diffs_stateful(stream)
+        out = presence_diffs_sharded(stream)
 
         def on_batch(batch_df, epoch_id):
             counted["diffs"] += batch_df.count()

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from realtime_spark.streaming.presence import (
     presence_diffs_batch,
+    presence_diffs_sharded,
     presence_diffs_stateful,
 )
 
@@ -75,6 +76,81 @@ def test_presence_diffs_stateful_streaming(spark):
         q.awaitTermination(120)
         got = _as_set(spark.sql("SELECT * FROM presence_diffs_test"))
         assert got == EXPECTED
+
+
+def test_presence_diffs_sharded_streaming(spark):
+    """The shard-keyed variant must emit exactly the per-key-keyed diffs, on
+    both the toy fixture and a cross-micro-batch state-carryover sequence."""
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ckpt = os.path.join(d, "ckpt")
+        _events_df(spark).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            "topic string, presence_key string, action string, meta string, ts timestamp"
+        ).parquet(src)
+        out = presence_diffs_sharded(stream, n_shards=4)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("presence_sharded_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = _as_set(spark.sql("SELECT * FROM presence_sharded_test"))
+        assert got == EXPECTED
+
+
+def test_presence_diffs_sharded_multi_batch(spark):
+    """State carries across micro-batches: a key tracked in batch 1 and
+    re-tracked unchanged in batch 2 must NOT re-join; untrack in batch 2 must
+    emit leave with the batch-1 meta. Output equals the batch analog on the
+    full ordered log."""
+    import os
+
+    rows = [
+        (f"room{i % 3}", f"u{i % 17}", "track" if i % 5 else "untrack",
+         f"m{i % 7}", float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "topic string, presence_key string, action string, meta string, sec double",
+    ).withColumn("ts", F.col("sec").cast("timestamp")).drop("sec")
+    expected = _as_set(presence_diffs_batch(df))
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ckpt = os.path.join(d, "ckpt")
+        # two files, maxFilesPerTrigger=1 -> two micro-batches split on time
+        df.filter(F.col("ts").cast("double") < 100).coalesce(1).write.parquet(
+            os.path.join(src, "a")
+        )
+        df.filter(F.col("ts").cast("double") >= 100).coalesce(1).write.parquet(
+            os.path.join(src, "b")
+        )
+        stream = (
+            spark.readStream.schema(
+                "topic string, presence_key string, action string, meta string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        out = presence_diffs_sharded(stream, n_shards=4)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("presence_sharded_mb")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = _as_set(spark.sql("SELECT * FROM presence_sharded_mb"))
+        assert got == expected
 
 
 def test_cdc_stream_foreachbatch(spark, sf_dir):
