@@ -214,26 +214,35 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total_rows = 0
     t_all = time.perf_counter()
     for name, fn in _bench_queries().items():
         best = None
         n = 0
-        for _ in range(3):  # min-of-3: drops plan-compile/GC/noisy-host noise
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        total_rows += n
+        try:
+            for _ in range(3):  # min-of-3: drops plan-compile/GC/host noise
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            total_rows += n
+        except Exception as e:  # one broken query must not void the run
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
         # queries are standalone: drop any frames they persisted so cache
         # memory/GC pressure never leaks into the next measurement
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
-    streaming = {
-        "cdc": bench_streaming_cdc(spark, sf_dir),
-        "presence": bench_streaming_presence(spark, sf_dir),
-    }
+    streaming = {}
+    for key, bench_fn in (
+        ("cdc", bench_streaming_cdc),
+        ("presence", bench_streaming_presence),
+    ):
+        try:
+            streaming[key] = bench_fn(spark, sf_dir)
+        except Exception as e:
+            errors[f"streaming_{key}"] = f"{type(e).__name__}: {e}"[:300]
     wall = round(time.perf_counter() - t_all, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -247,6 +256,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "rows": total_rows,
                 "streaming": streaming,
+                "errors": errors,
                 "wall_including_warmup": wall,
             }
         )

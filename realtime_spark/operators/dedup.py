@@ -188,7 +188,7 @@ def minhash_signature(text: Column, num_hashes: int = 12, k: int = 3) -> Column:
     )
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -196,22 +196,16 @@ def minhash_lsh_pairs(
     bands: int = 4,
     k: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash LSH.
+    """(doc, band, key) banded-MinHash rows — the shared LSH front half of
+    minhash_lsh_pairs and the persisted LSH index.
 
-    num_hashes/bands rows per band; docs sharing any band digest are
-    candidates. Only (band_id, band_key, doc) leaves each row — the corpus
-    itself never shuffles, and the signature plan is computed exactly once:
-    pairs come from a bucket groupBy + in-bucket combination, not a self-join
-    (a self-join would execute the signature scan twice). Buckets are bounded
-    by true near-dup group sizes; at 100 TB run exact dedup first so no
-    bucket degenerates. Output: distinct (doc_a, doc_b), doc_a < doc_b.
+    Shape: explode -> scalar md5 -> groupBy(doc) min-aggregates: the md5 runs
+    once per shingle inside whole-stage codegen (array-lambda evaluation
+    would re-derive the shingle set for every hash function: no CSE in
+    interpreted higher-order functions), and the per-function permutations
+    are num_hashes map-side-combined min() aggs over (doc, x) pairs.
     """
     rows_per_band = num_hashes // bands
-    # explode -> scalar md5 -> groupBy(doc) min-aggregates: the md5 runs once
-    # per shingle inside whole-stage codegen (array-lambda evaluation would
-    # re-derive the shingle set for every hash function: no CSE in
-    # interpreted higher-order functions), and the per-function permutations
-    # are 12 map-side-combined min() aggs over (doc, x) pairs.
     sh = spread_by(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles_expr(F.col(text_col), k)).alias("s"),
@@ -230,7 +224,7 @@ def minhash_lsh_pairs(
         ]
     )
     sig = mins.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
-    banded = sig.select(
+    return sig.select(
         "doc",
         F.explode(
             F.transform(
@@ -250,6 +244,27 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    num_hashes/bands rows per band; docs sharing any band digest are
+    candidates. Only (band_id, band_key, doc) leaves each row — the corpus
+    itself never shuffles, and the signature plan is computed exactly once:
+    pairs come from a bucket groupBy + in-bucket combination, not a self-join
+    (a self-join would execute the signature scan twice). Buckets are bounded
+    by true near-dup group sizes; at 100 TB run exact dedup first so no
+    bucket degenerates. Output: distinct (doc_a, doc_b), doc_a < doc_b.
+    """
+    banded = minhash_bands(df, id_col, text_col, num_hashes, bands, k)
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
@@ -549,3 +564,79 @@ def dedup_incremental(
     )
     canon = fresh.groupBy("_digest").agg(F.min(F.col(id_col)).alias(id_col))
     return fresh.join(canon, ["_digest", id_col], "left_semi").drop("_digest")
+
+
+# ---------------------------------------------------------------------------
+# persisted MinHash-LSH index: incremental near-dup for a daily-ingest corpus
+# ---------------------------------------------------------------------------
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Build and persist the banded-MinHash index: (doc, band, key) rows
+    stored partitioned BY band. The near-dup analog of write_ivf_index —
+    at 100 TB the standing corpus is signed ONCE, and each daily batch
+    probes the index instead of re-shingling the whole corpus. Partitioning
+    by band lets a probe that only uses a band subset prune partitions, and
+    keeps per-file key locality for row-group min/max skipping on `key`.
+    """
+    banded = minhash_bands(df, id_col, text_col, num_hashes, bands, k)
+    # sort within partitions by key so parquet row-group statistics on `key`
+    # are tight — an index probe join reads only matching row groups
+    banded.repartition("band").sortWithinPartitions("key").write.mode(
+        mode
+    ).partitionBy("band").parquet(path)
+
+
+def append_to_lsh_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+) -> None:
+    """Sign an accepted batch and append its band rows to the standing index
+    (dynamic partition append — only touched band partitions gain files)."""
+    write_lsh_index(
+        df, path, id_col, text_col, num_hashes, bands, k, mode="append"
+    )
+
+
+def lsh_candidates_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup candidates of a new batch against the persisted corpus index:
+    sign ONLY the batch, join its (band, key) rows against the index, and
+    return distinct (new_doc, corpus_doc) candidate pairs.
+
+    Scale shape: the batch side is small (a daily increment), so its banded
+    rows broadcast; the index side never shuffles — the join is a broadcast
+    hash probe into the index scan, and only (band, key) pairs that occur in
+    the batch are even hashed. Batch docs already present in the index are
+    excluded by id inequality (re-ingest protection). Score survivors with
+    jaccard_for_pairs, then cluster with duplicate_clusters.
+    """
+    probe = minhash_bands(new_docs, id_col, text_col, num_hashes, bands, k)
+    hits = index.join(
+        F.broadcast(probe.withColumnRenamed("doc", "new_doc")),
+        ["band", "key"],
+    ).filter(F.col("doc") != F.col("new_doc"))
+    return hits.select(
+        F.col("new_doc"), F.col("doc").alias("corpus_doc")
+    ).distinct()

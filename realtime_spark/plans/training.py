@@ -579,8 +579,7 @@ def _sql_minhash_sig() -> str:
     )
 
 
-ORACLE_DEDUP_MINHASH_LSH = f"""
-WITH {DOCS_DUP_CTE.strip()},
+_SQL_BANDED_CTES = f"""
 t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM _docs_dup),
 s0 AS (SELECT doc_id AS doc, {_sql_shingles(3)} AS sh FROM t),
 s1 AS (SELECT doc,
@@ -594,9 +593,59 @@ banded AS (
              v -> CAST(v AS VARCHAR)), '|')) AS key
   FROM sig, (SELECT unnest(range(0, {_MH_BANDS})) AS band) b
 )
+"""
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH {DOCS_DUP_CTE.strip()},
+{_SQL_BANDED_CTES.strip()}
 SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+"""
+
+
+def q_dedup_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup via the PERSISTED LSH index: the standing corpus
+    (original doc_ids) is signed and written band-partitioned to a scratch
+    path once; the 'daily batch' (the injected exact/near duplicates,
+    doc_id >= 1000000) probes the index without touching corpus text. The
+    same docs_with_dups fixture split lets the oracle state the expected
+    candidates in closed form."""
+    import os
+
+    from realtime_spark.operators.dedup import (
+        lsh_candidates_against_index,
+        write_lsh_index,
+    )
+
+    d = docs_with_dups(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") < 1000000)
+    batch = d.filter(F.col("doc_id") >= 1000000)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/realtime_spark_lsh_index_{sf_tag}"
+    write_lsh_index(
+        corpus, path, num_hashes=_MH_HASHES, bands=_MH_BANDS, k=3
+    )
+    out = lsh_candidates_against_index(
+        batch,
+        spark.read.parquet(path),
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        k=3,
+    )
+    return out.select(
+        F.col("new_doc").cast("long").alias("new_doc"),
+        F.col("corpus_doc").cast("long").alias("corpus_doc"),
+    )
+
+
+ORACLE_DEDUP_LSH_INDEX = f"""
+WITH {DOCS_DUP_CTE.strip()},
+{_SQL_BANDED_CTES.strip()}
+SELECT DISTINCT n.doc AS new_doc, c.doc AS corpus_doc
+FROM banded n JOIN banded c
+  ON n.band = c.band AND n.key = c.key AND n.doc <> c.doc
+WHERE n.doc >= 1000000 AND c.doc < 1000000
 """
 
 
@@ -1477,6 +1526,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov": q_vocab_oov,
         "text_repetition": q_text_repetition,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_lsh_index": q_dedup_lsh_index,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1523,6 +1573,7 @@ def training_oracles() -> dict[str, str]:
         "vocab_oov": ORACLE_VOCAB_OOV,
         "text_repetition": ORACLE_TEXT_REPETITION,
         "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+        "dedup_lsh_index": ORACLE_DEDUP_LSH_INDEX,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
         "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,

@@ -105,3 +105,64 @@ class TestIncrementalAppend:
         got = ivf_topk_from_index(idx, q, cents, k=10, nprobe=2)
         neighbors = {r["neighbor_id"] for r in got.collect()}
         assert any(n % 2 == 1 for n in neighbors), neighbors
+
+
+class TestLshIndex:
+    """Persisted MinHash-LSH index: build, probe, incremental append."""
+
+    def test_probe_matches_direct(self, spark, sf_dir, tmp_path):
+        from realtime_spark.operators.dedup import (
+            lsh_candidates_against_index,
+            minhash_bands,
+            write_lsh_index,
+        )
+        from realtime_spark.plans.training import docs_with_dups
+
+        d = docs_with_dups(spark, sf_dir)
+        corpus = d.filter("doc_id < 1000000")
+        batch = d.filter("doc_id >= 1000000")
+        path = str(tmp_path / "lsh")
+        write_lsh_index(corpus, path)
+        got = {
+            (r["new_doc"], r["corpus_doc"])
+            for r in lsh_candidates_against_index(
+                batch, spark.read.parquet(path)
+            ).collect()
+        }
+        # direct (no index) computation over the union gives the same pairs
+        cb = minhash_bands(corpus, "doc_id", "text").withColumnRenamed("doc", "cdoc")
+        bb = minhash_bands(batch, "doc_id", "text").withColumnRenamed("doc", "ndoc")
+        want = {
+            (r["ndoc"], r["cdoc"])
+            for r in bb.join(cb, ["band", "key"]).select("ndoc", "cdoc").distinct().collect()
+        }
+        assert got == want
+        assert got  # the injected duplicates must actually collide
+
+    def test_append_then_probe_sees_new_docs(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from realtime_spark.operators.dedup import (
+            append_to_lsh_index,
+            lsh_candidates_against_index,
+            write_lsh_index,
+        )
+        from realtime_spark.plans.training import docs_with_dups
+
+        d = docs_with_dups(spark, sf_dir)
+        corpus = d.filter("doc_id < 1000000")
+        day1 = d.filter("doc_id >= 1000000 AND doc_id < 2000000")  # exact dups
+        # day2: a fresh third copy of the same texts -> must collide with BOTH
+        # the original corpus rows and the day-1 appended rows
+        day2 = day1.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        path = str(tmp_path / "lsh")
+        write_lsh_index(corpus, path)
+        append_to_lsh_index(day1, path)
+        hits = lsh_candidates_against_index(day2, spark.read.parquet(path))
+        partners = {
+            r[0]
+            for r in hits.select(
+                (F.col("corpus_doc") >= 1000000).alias("from_day1")
+            ).distinct().collect()
+        }
+        assert partners == {True, False}
