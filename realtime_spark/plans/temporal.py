@@ -165,6 +165,8 @@ def temporal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": q_asof_last_purchase,
         "range_band_join": q_range_band_join,
         "interval_follow_count": q_interval_follow_count,
+        "stream_interval_join": q_stream_interval_join,
+        "delivery_latency": q_delivery_latency,
     }
 
 
@@ -173,4 +175,82 @@ def temporal_oracles() -> dict[str, str]:
         "asof_last_purchase": ORACLE_ASOF_LAST_PURCHASE,
         "range_band_join": ORACLE_RANGE_BAND_JOIN,
         "interval_follow_count": ORACLE_INTERVAL_FOLLOW_COUNT,
+        "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
+        "delivery_latency": ORACLE_DELIVERY_LATENCY,
     }
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (streaming/joins.py): the SAME operator runs
+# on batch inputs (this oracle-checked query) and on two watermarked streams
+# (tests/test_streaming.py::test_interval_join_streaming) — batch is the
+# oracle for the streaming run.
+# ---------------------------------------------------------------------------
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks followed by a purchase of the same user within 1 hour."""
+    from realtime_spark.streaming.joins import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    j = interval_join(
+        clicks, purchases, key="user_id", horizon="3600 seconds"
+    )
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        "user_id",
+        (F.col("r_ts").cast("long") - F.col("l_ts").cast("long")).alias("delay_s"),
+    )
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS delay_s
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3600 SECOND
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+def q_delivery_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-to-dispatch latency telemetry (replication_connection.ex:442-448)
+    over a derived send/deliver pair of flows: sends are click events; the
+    delivery of msg event_id arrives event_id%7 seconds later, and messages
+    with event_id%3=0 are never delivered (they age out of join state)."""
+    from realtime_spark.streaming.joins import delivery_latency
+
+    events = load_table(spark, sf_dir, "events")
+    sends = events.filter(F.col("event_type") == "click").select(
+        (F.col("user_id") % 20).cast("string").alias("topic"),
+        F.col("event_id").alias("msg_id"),
+        "ts",
+    )
+    delivers = (
+        events.filter((F.col("event_type") == "click") & (F.col("event_id") % 3 != 0))
+        .select(
+            (F.col("user_id") % 20).cast("string").alias("topic"),
+            F.col("event_id").alias("msg_id"),
+            (F.col("ts") + F.make_interval(secs=(F.col("event_id") % 7).cast("double"))).alias("ts"),
+        )
+    )
+    out = delivery_latency(sends, delivers, horizon="60 seconds")
+    return out.select(
+        "topic",
+        "msg_id",
+        "latency_ms",
+    )
+
+
+ORACLE_DELIVERY_LATENCY = """
+SELECT CAST(user_id % 20 AS VARCHAR) AS topic, event_id AS msg_id,
+       (event_id % 7) * 1000 AS latency_ms
+FROM events
+WHERE event_type = 'click' AND event_id % 3 <> 0
+"""

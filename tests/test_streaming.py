@@ -518,3 +518,69 @@ def test_cdc_stream_checkpoint_recovery(spark, sf_dir):
         assert seen[1] == {i for i in ids_all if i % 2 == 1}, (
             "restart reprocessed already-committed files"
         )
+
+
+def test_interval_join_streaming(spark, sf_dir):
+    """Stream-stream interval join: two watermarked file-source streams over
+    multiple micro-batches must emit exactly the batch-mode pairs (state
+    buffers the open horizon across batches)."""
+    import os
+
+    from realtime_spark.sources.testdata import load_table
+    from realtime_spark.streaming.joins import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    batch = interval_join(clicks, purchases, key="user_id", horizon="3600 seconds")
+    expected = {
+        (r["event_id"], r["event_id_r"]) for r in batch.collect()
+    }
+    assert expected  # fixture must produce matches or the test is vacuous
+
+    with tempfile.TemporaryDirectory() as d:
+        csrc, psrc = os.path.join(d, "c"), os.path.join(d, "p")
+        # 3 time-ordered files per side, written as SEQUENTIAL jobs so file
+        # mtimes (the file source's batch order) follow event time — one
+        # shared write would order batches arbitrarily and a high-ts file
+        # first would make the rest late behind the watermark. Pairs that
+        # span a batch boundary only match if join state carries over.
+        qs = events.select(
+            F.col("ts").cast("double").alias("tsd")
+        ).approxQuantile("tsd", [0.33, 0.66], 0.0)
+        q1, q2 = (F.lit(q).cast("timestamp") for q in qs)
+        import time as _time
+        for name, df_side, base in (("c", clicks, csrc), ("p", purchases, psrc)):
+            df_side.filter(F.col("ts") < q1).coalesce(1).write.parquet(base + "/1")
+            _time.sleep(0.05)
+            df_side.filter((F.col("ts") >= q1) & (F.col("ts") < q2)).coalesce(
+                1
+            ).write.parquet(base + "/2")
+            _time.sleep(0.05)
+            df_side.filter(F.col("ts") >= q2).coalesce(1).write.parquet(base + "/3")
+            _time.sleep(0.05)
+        cs = spark.readStream.schema(clicks.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(csrc + "/*")
+        ps = spark.readStream.schema(purchases.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(psrc + "/*")
+        out = interval_join(cs, ps, key="user_id", horizon="3600 seconds")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ssij")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["event_id"], r["event_id_r"])
+            for r in spark.sql("SELECT * FROM ssij").collect()
+        }
+    assert got == expected
