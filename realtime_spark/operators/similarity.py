@@ -493,3 +493,51 @@ def append_to_ivf_index(
     re-run kmeans_refine + write_ivf_index to re-balance (index rebuild is
     the compaction analog for the vector store)."""
     write_ivf_index(new_vectors, centroids, path, id_col, vec_col, mode="append")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv:
+    2303.09540): cluster the embedding space, then inside each cluster drop
+    every vector that has a near-identical (cosine >= threshold) neighbor
+    with a smaller id — keepers are the per-duplicate-set minima.
+
+    Scale shape: the O(n^2) cosine search is confined to clusters (the
+    ivf_assign scan is shuffle-free; the pair join shuffles only on
+    centroid_id), so cost is sum over clusters of |c|^2 instead of corpus^2
+    — the entire point of SemDeDup at 100 TB. The keep/drop rule is local
+    to a cluster: one semi-join decides droppers, no iterative clustering.
+    Output: (vec_id, centroid_id, dropped) for every input vector.
+    """
+    asg = ivf_assign(df, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "centroid_id"
+    )
+    a = asg.select(
+        F.col("centroid_id"), F.col("vid").alias("keep_id"), F.col("vec").alias("va")
+    )
+    b = asg.select(
+        F.col("centroid_id"), F.col("vid").alias("drop_id"), F.col("vec").alias("vb")
+    )
+    droppers = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .filter(
+            F.round(cosine_expr(F.col("va"), F.col("vb")), round_digits)
+            >= threshold
+        )
+        .select("drop_id")
+        .distinct()
+    )
+    return asg.join(
+        droppers, asg["vid"] == droppers["drop_id"], "left"
+    ).select(
+        F.col("vid").alias(id_col),
+        "centroid_id",
+        F.col("drop_id").isNotNull().alias("dropped"),
+    )

@@ -1527,6 +1527,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_lsh_index": q_dedup_lsh_index,
+        "semdedup": q_semdedup,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1574,6 +1575,7 @@ def training_oracles() -> dict[str, str]:
         "text_repetition": ORACLE_TEXT_REPETITION,
         "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
         "dedup_lsh_index": ORACLE_DEDUP_LSH_INDEX,
+        "semdedup": ORACLE_SEMDEDUP,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
         "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,
@@ -1601,3 +1603,48 @@ def training_oracles() -> dict[str, str]:
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "top_ngrams": ORACLE_TOP_NGRAMS,
     }
+
+
+# -- SemDeDup: semantic dedup over clustered embeddings ---------------------
+
+_SEMDEDUP_T = 0.42
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.expr(_IVF_CENT_PRED))
+    return semantic_dedup(e, cents, threshold=_SEMDEDUP_T)
+
+
+_SQL_VEC_COS = (
+    "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), {r})"
+)
+
+ORACLE_SEMDEDUP = f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE {_IVF_CENT_PRED}),
+asg0 AS (
+  SELECT e.vec_id, e.embedding AS vec, c.centroid_id,
+         {_SQL_VEC_COS.format(a='e.embedding', b='c.embedding', r=6)} AS c_cos
+  FROM embeddings e CROSS JOIN cents c
+),
+asg AS (
+  SELECT vec_id, vec, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM asg0
+  ) WHERE rn = 1
+),
+droppers AS (
+  SELECT DISTINCT b.vec_id AS drop_id
+  FROM asg a JOIN asg b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {_SQL_VEC_COS.format(a='a.vec', b='b.vec', r=4)} >= {_SEMDEDUP_T}
+)
+SELECT a.vec_id, a.centroid_id,
+       (a.vec_id IN (SELECT drop_id FROM droppers)) AS dropped
+FROM asg a
+"""
