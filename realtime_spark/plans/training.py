@@ -1528,6 +1528,9 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_lsh_index": q_dedup_lsh_index,
         "semdedup": q_semdedup,
+        "span_dup_stats": q_span_dup_stats,
+        "span_top_repeats": q_span_top_repeats,
+        "dsir_weights": q_dsir_weights,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1576,6 +1579,9 @@ def training_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
         "dedup_lsh_index": ORACLE_DEDUP_LSH_INDEX,
         "semdedup": ORACLE_SEMDEDUP,
+        "span_dup_stats": ORACLE_SPAN_DUP_STATS,
+        "span_top_repeats": ORACLE_SPAN_TOP_REPEATS,
+        "dsir_weights": ORACLE_DSIR_WEIGHTS,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
         "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,
@@ -1647,4 +1653,189 @@ droppers AS (
 SELECT a.vec_id, a.centroid_id,
        (a.vec_id IN (SELECT drop_id FROM droppers)) AS dropped
 FROM asg a
+"""
+
+
+# -- token-span exact-substring dedup (Lee et al., arXiv:2107.06499) --------
+
+_SPAN_W = 10
+
+
+def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.spans import span_dedup_stats
+
+    d = docs_with_dups(spark, sf_dir)
+    return span_dedup_stats(d, "doc_id", "text", w=_SPAN_W).select(
+        "doc_id",
+        "n_spans",
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        "dup_frac",
+    )
+
+
+_SQL_SPAN_CTES = f"""
+t AS (SELECT doc_id AS doc, {SQL_TOKS} AS toks FROM _docs_dup),
+sp0 AS (
+  SELECT doc, unnest(list_transform(range(1, greatest(len(toks) - {_SPAN_W - 1}, 1) + 1),
+         i -> struct_pack(pos := i,
+              s := array_to_string(list_slice(toks, i, i + {_SPAN_W - 1}), ' ')))) AS sp
+  FROM t WHERE len(toks) >= {_SPAN_W}
+),
+sp AS (SELECT doc, sp.pos AS pos,
+              ('0x' || substr(md5(sp.s), 1, 15))::BIGINT AS sx FROM sp0),
+r AS (SELECT doc, pos, sx,
+             row_number() OVER (PARTITION BY sx ORDER BY doc, pos) AS rn FROM sp)
+"""
+
+ORACLE_SPAN_DUP_STATS = f"""
+WITH {DOCS_DUP_CTE.strip()},
+{_SQL_SPAN_CTES.strip()}
+SELECT doc AS doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       floor(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+             * 10000.0 + 0.5) / 10000.0 AS dup_frac
+FROM r GROUP BY doc
+"""
+
+
+def q_span_top_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most-repeated w-token spans corpus-wide with their canonical
+    first occurrence — the report a curation run reads before deciding trim
+    rules."""
+    from realtime_spark.operators.spans import span_digests
+
+    d = docs_with_dups(spark, sf_dir)
+    sp = span_digests(d, "doc_id", "text", w=_SPAN_W)
+    g = sp.groupBy("sx").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.min(F.struct("doc", "pos")).alias("first"),
+    )
+    return (
+        g.filter(F.col("occurrences") >= 2)
+        .orderBy(F.col("occurrences").desc(), F.col("sx").asc())
+        .limit(20)
+        .select(
+            "sx",
+            "occurrences",
+            F.col("first.doc").alias("first_doc"),
+            F.col("first.pos").alias("first_pos"),
+        )
+    )
+
+
+ORACLE_SPAN_TOP_REPEATS = f"""
+WITH {DOCS_DUP_CTE.strip()},
+{_SQL_SPAN_CTES.strip()}
+SELECT sx, COUNT(*) AS occurrences,
+       arg_min(doc, rn) AS first_doc, arg_min(pos, rn) AS first_pos
+FROM r GROUP BY sx HAVING COUNT(*) >= 2
+ORDER BY occurrences DESC, sx ASC LIMIT 20
+"""
+
+
+# -- DSIR hashed n-gram importance weights (Xie et al., arXiv:2302.03169) ---
+
+_DSIR_B = 256  # hashed feature buckets
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling: score every raw document by
+    how target-like its hashed-bigram distribution is.
+
+    Target = the 'src0' slice of the corpus (stand-in for a curated domain);
+    raw = the whole corpus. Features are word bigrams hashed into B=256
+    buckets; both distributions are add-one smoothed over the buckets; the
+    per-doc weight is the mean log-likelihood ratio of its features.
+
+    Scale shape: the two distributions are ONE map-side-combined count agg
+    each over (bucket) — 256 rows out; the per-bucket log-ratio dim
+    broadcasts back onto the exploded feature stream, and the per-doc mean
+    is the only real shuffle (keyed by doc_id). The raw corpus is scanned
+    twice (once for the raw distribution, once for scoring) — at 100 TB
+    materialize the feature stream or fold the raw counts into the scoring
+    scan via an accumulator-style two-pass on the same cached frame."""
+    from realtime_spark.operators.dedup import tokens_expr
+    from realtime_spark.operators.text import quantize
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = d.select(
+        "doc_id", F.explode(bigrams).alias("g"), "source"
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+            % F.lit(_DSIR_B)
+        ).alias("b"),
+    )
+    raw_counts = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_counts = (
+        feats.filter(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    # dense bucket dim: every bucket 0..B-1 with smoothed log-ratio
+    buckets = spark.range(_DSIR_B).select(F.col("id").alias("b"))
+    totals_r = raw_counts.agg(F.sum("c_raw").alias("t_raw"))
+    totals_t = tgt_counts.agg(F.sum("c_tgt").alias("t_tgt"))
+    dim = (
+        buckets.join(raw_counts, "b", "left")
+        .join(tgt_counts, "b", "left")
+        .crossJoin(totals_r)
+        .crossJoin(totals_t)
+        .select(
+            "b",
+            (
+                F.log(F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
+                - F.log(F.col("t_tgt") + _DSIR_B)
+                - F.log(F.coalesce(F.col("c_raw"), F.lit(0)) + 1)
+                + F.log(F.col("t_raw") + _DSIR_B)
+            ).alias("log_ratio"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(dim), "b")
+        .groupBy("doc_id")
+        .agg(F.avg("log_ratio").alias("w"), F.count(F.lit(1)).alias("n_feats"))
+    )
+    return scored.select(
+        "doc_id", quantize(F.col("w"), 4).alias("dsir_weight"), "n_feats"
+    )
+
+
+ORACLE_DSIR_WEIGHTS = f"""
+WITH t AS (SELECT doc_id, source, {SQL_TOKS} AS toks FROM documents),
+g0 AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+  FROM t WHERE len(toks) >= 2
+),
+f AS (SELECT doc_id, source,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % {_DSIR_B} AS b FROM g0),
+rc AS (SELECT b, COUNT(*) AS c_raw FROM f GROUP BY b),
+tc AS (SELECT b, COUNT(*) AS c_tgt FROM f WHERE source = 'src0' GROUP BY b),
+tot AS (SELECT (SELECT SUM(c_raw) FROM rc) AS t_raw,
+               (SELECT SUM(c_tgt) FROM tc) AS t_tgt),
+dim AS (
+  SELECT bb.b,
+         ln(COALESCE(tc.c_tgt, 0) + 1) - ln(tot.t_tgt + {_DSIR_B})
+         - ln(COALESCE(rc.c_raw, 0) + 1) + ln(tot.t_raw + {_DSIR_B}) AS log_ratio
+  FROM (SELECT unnest(range(0, {_DSIR_B})) AS b) bb
+  LEFT JOIN rc ON bb.b = rc.b LEFT JOIN tc ON bb.b = tc.b CROSS JOIN tot
+)
+SELECT f.doc_id,
+       floor(AVG(dim.log_ratio) * 10000.0 + 0.5) / 10000.0 AS dsir_weight,
+       COUNT(*) AS n_feats
+FROM f JOIN dim ON f.b = dim.b
+GROUP BY f.doc_id
 """
