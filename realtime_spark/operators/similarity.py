@@ -541,3 +541,64 @@ def semantic_dedup(
         "centroid_id",
         F.col("drop_id").isNotNull().alias("dropped"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query vector,
+    the k most-similar corpus vectors with a DIFFERENT label — the negatives
+    that sit closest to the decision boundary (the standard dense-retrieval
+    negative-sampling step, e.g. DPR/Contriever pipelines).
+
+    Same scale shape as brute_force_topk: queries broadcast, cosines JVM-side
+    in one corpus scan, per-partition local top-k pre-prune (Python sees only
+    (query_id, neighbor_id, cos) triplets), exact global window at the end.
+    The label-inequality predicate rides the broadcast join, so same-label
+    vectors never reach the ranking path at all.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col(label_col).alias("q_label"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = c.join(q, F.col("q_label") != F.col("c_label")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), round_digits).alias(
+            "cos"
+        ),
+    )
+
+    def _local_topk(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        allp = pd.concat(parts, ignore_index=True)
+        allp = allp.sort_values(
+            ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
+        )
+        yield allp.groupby("query_id", sort=False).head(k)
+
+    pruned = scored.mapInPandas(_local_topk, scored.schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )

@@ -1531,6 +1531,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dup_stats": q_span_dup_stats,
         "span_top_repeats": q_span_top_repeats,
         "dsir_weights": q_dsir_weights,
+        "ann_hard_negatives": q_ann_hard_negatives,
+        "gopher_rules": q_gopher_rules,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1582,6 +1584,8 @@ def training_oracles() -> dict[str, str]:
         "span_dup_stats": ORACLE_SPAN_DUP_STATS,
         "span_top_repeats": ORACLE_SPAN_TOP_REPEATS,
         "dsir_weights": ORACLE_DSIR_WEIGHTS,
+        "ann_hard_negatives": ORACLE_ANN_HARD_NEGATIVES,
+        "gopher_rules": ORACLE_GOPHER_RULES,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
         "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,
@@ -1838,4 +1842,111 @@ SELECT f.doc_id,
        COUNT(*) AS n_feats
 FROM f JOIN dim ON f.b = dim.b
 GROUP BY f.doc_id
+"""
+
+
+# -- hard-negative mining (dense-retrieval negative sampling) ---------------
+
+
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.similarity import hard_negatives
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.expr(_ANN_QUERY_PRED))
+    return hard_negatives(e, q, k=_ANN_K)
+
+
+ORACLE_ANN_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE {_ANN_QUERY_PRED}),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_SQL_COS.format(a='q', b='e', r=4)} AS cos
+  FROM q CROSS JOIN embeddings e WHERE e.label <> q.label
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {_ANN_K}
+"""
+
+
+# -- Gopher-style quality rule bundle (Rae et al. 2021, arXiv:2112.11446) ---
+
+_GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "that", "is")
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The named Gopher/RefinedWeb repetition-and-shape rules as per-doc
+    boolean flags (word-count bounds, mean-word-length band, alpha-word
+    fraction, stopword evidence, top-word dominance) plus the composite
+    keep decision. Expression-only: one scan, no shuffle before the final
+    projection — each rule is a codegen'd array aggregate."""
+    from realtime_spark.operators.dedup import tokens_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    n = F.size(toks)
+    mean_wl = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / n.cast("double")
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n.cast("double")
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    # top-word dominance: max occurrences of any single token / n
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda u: F.size(F.filter(toks, lambda t: t == u)),
+            )
+        ).cast("double")
+        / n.cast("double")
+    )
+    r_wc = (n >= 20) & (n <= 100000)
+    r_wl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    r_alpha = alpha_frac >= 0.8
+    r_stop = stop_hits >= 2
+    r_top = top_frac <= 0.2
+    return d.filter(n > 0).select(
+        "doc_id",
+        r_wc.alias("ok_word_count"),
+        r_wl.alias("ok_word_len"),
+        r_alpha.alias("ok_alpha"),
+        r_stop.alias("ok_stopwords"),
+        r_top.alias("ok_top_word"),
+        (r_wc & r_wl & r_alpha & r_stop & r_top).alias("keep"),
+    )
+
+
+_SQL_GOPHER_STOPS = ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+
+ORACLE_GOPHER_RULES = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n,
+         list_sum(list_transform(toks, x -> strlen(x))) * 1.0 / len(toks) AS mean_wl,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(toks) AS alpha_frac,
+         len(list_intersect(list_distinct(toks), [{_SQL_GOPHER_STOPS}])) AS stop_hits,
+         list_max(list_transform(list_distinct(toks),
+             u -> len(list_filter(toks, x -> x = u)))) * 1.0 / len(toks) AS top_frac
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       (n >= 20 AND n <= 100000) AS ok_word_count,
+       (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_word_len,
+       (alpha_frac >= 0.8) AS ok_alpha,
+       (stop_hits >= 2) AS ok_stopwords,
+       (top_frac <= 0.2) AS ok_top_word,
+       (n >= 20 AND n <= 100000 AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        AND alpha_frac >= 0.8 AND stop_hits >= 2 AND top_frac <= 0.2) AS keep
+FROM m
 """
