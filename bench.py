@@ -58,6 +58,13 @@ def _bench_queries():
         "winnow_pairs",
         "cms_user_counts",
         "bloom_membership",
+        "semdedup",
+        "span_dup_stats",
+        "dsir_weights",
+        "dedup_lsh_index",
+        "stream_interval_join",
+        "gopher_rules",
+        "ann_hard_negatives",
     ]
     return {k: qs[k] for k in headline if k in qs}
 
