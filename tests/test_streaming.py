@@ -584,3 +584,56 @@ def test_interval_join_streaming(spark, sf_dir):
             for r in spark.sql("SELECT * FROM ssij").collect()
         }
     assert got == expected
+
+
+def test_presence_diffs_tws_multi_batch(spark):
+    """transformWithStateInPandas presence (MapState per member) must match
+    the batch analog across micro-batches, including state carryover."""
+    import os
+
+    import pytest
+
+    # the TWS state server speaks protobuf; absent in this container
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from realtime_spark.streaming.presence import presence_diffs_tws
+
+    rows = [
+        (f"room{i % 3}", f"u{i % 17}", "track" if i % 5 else "untrack",
+         f"m{i % 7}", float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "topic string, presence_key string, action string, meta string, sec double",
+    ).withColumn("ts", F.col("sec").cast("timestamp")).drop("sec")
+    expected = _as_set(presence_diffs_batch(df))
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ckpt = os.path.join(d, "ckpt")
+        df.filter(F.col("ts").cast("double") < 100).coalesce(1).write.parquet(
+            os.path.join(src, "a")
+        )
+        df.filter(F.col("ts").cast("double") >= 100).coalesce(1).write.parquet(
+            os.path.join(src, "b")
+        )
+        stream = (
+            spark.readStream.schema(
+                "topic string, presence_key string, action string, meta string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        out = presence_diffs_tws(stream, n_shards=4)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("presence_tws_mb")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = _as_set(spark.sql("SELECT * FROM presence_tws_mb"))
+        assert got == expected
