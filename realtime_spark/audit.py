@@ -84,6 +84,13 @@ def main() -> None:
         "tpch_q1",
         "tpch_q3",
         "tpch_q5",
+        "semdedup",
+        "span_dup_stats",
+        "dsir_weights",
+        "dedup_lsh_index",
+        "stream_interval_join",
+        "gopher_rules",
+        "ann_hard_negatives",
     ]
     for name in names:
         if name not in qs:

@@ -1780,7 +1780,8 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
             % F.lit(_DSIR_B)
         ).alias("b"),
-    )
+    ).persist()  # three consumers (raw counts, target counts, scoring):
+    # without this the tokenize+explode scan runs three times
     raw_counts = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
     tgt_counts = (
         feats.filter(F.col("source") == "src0")
