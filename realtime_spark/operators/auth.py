@@ -85,6 +85,111 @@ def verify_jwt(token: str, secret: str, now_epoch: int | None = None) -> dict | 
         return None
 
 
+# -- JWKS signer resolution (HS*/RS*), stdlib-only --------------------------
+# Mirrors lib/realtime_web/channels/auth/jwt_verification.ex:63-150: RS* needs
+# an RSA JWK matched by kid; HS* prefers an 'oct' JWK by kid, else falls back
+# to the tenant secret; exp/iat decimals are rounded. ES*/Ed* would need
+# elliptic-curve libs (absent here) and return None — declared limitation.
+
+_HS_ALGS = {"HS256": hashlib.sha256, "HS384": hashlib.sha384, "HS512": hashlib.sha512}
+# EMSA-PKCS1-v1_5 DigestInfo prefixes (RFC 8017 §9.2 notes)
+_RS_ALGS = {
+    "RS256": (hashlib.sha256, bytes.fromhex("3031300d060960864801650304020105000420")),
+    "RS384": (hashlib.sha384, bytes.fromhex("3041300d060960864801650304020205000430")),
+    "RS512": (hashlib.sha512, bytes.fromhex("3051300d060960864801650304020305000440")),
+}
+
+
+def _rsa_verify(n: int, e: int, msg: bytes, sig: bytes, alg: str) -> bool:
+    """RSASSA-PKCS1-v1_5 verification by direct modexp: EM' = sig^e mod n
+    must equal 0x00 0x01 FF..FF 0x00 DigestInfo || H(msg)."""
+    h, prefix = _RS_ALGS[alg]
+    k = (n.bit_length() + 7) // 8
+    if len(sig) != k:
+        return False
+    em = pow(int.from_bytes(sig, "big"), e, n).to_bytes(k, "big")
+    t = prefix + h(msg).digest()
+    ps_len = k - len(t) - 3
+    if ps_len < 8:
+        return False
+    expected = b"\x00\x01" + b"\xff" * ps_len + b"\x00" + t
+    return hmac.compare_digest(em, expected)
+
+
+def verify_jwt_jwks(
+    token: str,
+    jwt_secret: str | None = None,
+    jwks: Mapping | None = None,
+    now_epoch: int | None = None,
+) -> dict | None:
+    """Full signer-resolution verify path (jwt_verification.ex:49-150):
+
+    - RS256/384/512 + kid -> RSA JWK from jwks['keys'] (kty=RSA, kid match)
+    - HS256/384/512 + kid -> 'oct' JWK by kid (base64url 'k' is the secret),
+      else fall back to jwt_secret (the common Supabase-auth case)
+    - HS* without jwks -> jwt_secret
+    - required claims: role, exp; exp/iat decimals rounded; exp > now
+
+    Returns claims dict or None.
+    """
+    try:
+        header_b64, body_b64, sig_b64 = token.split(".")
+        header = json.loads(_b64url_decode(header_b64))
+        alg = header.get("alg")
+        kid = header.get("kid")
+        msg = f"{header_b64}.{body_b64}".encode()
+        sig = _b64url_decode(sig_b64)
+        keys = (jwks or {}).get("keys", [])
+
+        if alg in _RS_ALGS:
+            jwk = next(
+                (j for j in keys if j.get("kty") == "RSA" and j.get("kid") == kid),
+                None,
+            )
+            if jwk is None or not isinstance(kid, str):
+                return None
+            n = int.from_bytes(_b64url_decode(jwk["n"]), "big")
+            e = int.from_bytes(_b64url_decode(jwk["e"]), "big")
+            if not _rsa_verify(n, e, msg, sig, alg):
+                return None
+        elif alg in _HS_ALGS:
+            secret: bytes | None = None
+            if isinstance(kid, str):
+                jwk = next(
+                    (
+                        j
+                        for j in keys
+                        if j.get("kty") == "oct"
+                        and j.get("kid") == kid
+                        and isinstance(j.get("k"), str)
+                    ),
+                    None,
+                )
+                if jwk is not None:
+                    secret = _b64url_decode(jwk["k"])
+            if secret is None:
+                if jwt_secret is None:
+                    return None
+                secret = jwt_secret.encode()
+            expected = hmac.new(secret, msg, _HS_ALGS[alg]).digest()
+            if not hmac.compare_digest(expected, sig):
+                return None
+        else:
+            return None  # ES*/Ed*: no EC primitives in this environment
+
+        claims = json.loads(_b64url_decode(body_b64))
+        for key in ("exp", "iat"):  # decimal exp/iat rounded like the reference
+            if isinstance(claims.get(key), float):
+                claims[key] = round(claims[key])
+        if "role" not in claims or "exp" not in claims:
+            return None
+        if now_epoch is not None and int(claims["exp"]) <= now_epoch:
+            return None
+        return claims
+    except Exception:
+        return None
+
+
 def verified_claims_col(token: Column, secret: str, now_epoch: int) -> Column:
     """Arrow-batched claims extraction: token -> claims JSON string or NULL."""
 

@@ -111,3 +111,130 @@ class TestReplayClamp:
         ).withColumn("inserted_at", F.col("sec").cast("timestamp"))
         out = replay_topk(msgs, since="1970-01-01", limit=100)
         assert out.count() == 25  # clamped to the reference hard limit
+
+
+class TestJwtJwks:
+    """Signer resolution parity with jwt_verification.ex:63-150: RS* via RSA
+    JWK by kid, HS* via oct JWK by kid with tenant-secret fallback, decimal
+    exp rounding, fail-closed on unknown kid/alg."""
+
+    @staticmethod
+    def _rsa_testkey():
+        # deterministic 512-bit test-only RSA key (stdlib Miller-Rabin)
+        import random
+
+        rnd = random.Random(20260814)
+
+        def is_prime(n):
+            if n % 2 == 0:
+                return False
+            d, r = n - 1, 0
+            while d % 2 == 0:
+                d //= 2
+                r += 1
+            for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+                x = pow(a, d, n)
+                if x in (1, n - 1):
+                    continue
+                for _ in range(r - 1):
+                    x = x * x % n
+                    if x == n - 1:
+                        break
+                else:
+                    return False
+            return True
+
+        def gen_prime(bits):
+            while True:
+                p = rnd.getrandbits(bits) | (1 << (bits - 1)) | 1
+                if is_prime(p):
+                    return p
+
+        p, q = gen_prime(256), gen_prime(256)
+        n, e = p * q, 65537
+        d = pow(e, -1, (p - 1) * (q - 1))
+        return n, e, d
+
+    @classmethod
+    def _sign_rs256(cls, claims, n, d, kid):
+        import hashlib
+        import json as _json
+
+        from realtime_spark.operators.auth import _RS_ALGS, _b64url_encode
+
+        header = _b64url_encode(
+            _json.dumps({"alg": "RS256", "typ": "JWT", "kid": kid}).encode()
+        )
+        body = _b64url_encode(_json.dumps(claims, sort_keys=True).encode())
+        msg = f"{header}.{body}".encode()
+        _, prefix = _RS_ALGS["RS256"]
+        t = prefix + hashlib.sha256(msg).digest()
+        k = (n.bit_length() + 7) // 8
+        em = b"\x00\x01" + b"\xff" * (k - len(t) - 3) + b"\x00" + t
+        sig = pow(int.from_bytes(em, "big"), d, n).to_bytes(k, "big")
+        return f"{header}.{body}." + _b64url_encode(sig)
+
+    def _jwks(self, n, kid):
+        from realtime_spark.operators.auth import _b64url_encode
+
+        nb = n.to_bytes((n.bit_length() + 7) // 8, "big")
+        eb = (65537).to_bytes(3, "big")
+        return {
+            "keys": [
+                {"kty": "RSA", "kid": kid, "n": _b64url_encode(nb), "e": _b64url_encode(eb)}
+            ]
+        }
+
+    def test_rs256_roundtrip_and_tamper(self):
+        from realtime_spark.operators.auth import verify_jwt_jwks
+
+        n, e, d = self._rsa_testkey()
+        claims = {"role": "authenticated", "exp": 2000000000}
+        tok = self._sign_rs256(claims, n, d, "key1")
+        jwks = self._jwks(n, "key1")
+        got = verify_jwt_jwks(tok, None, jwks, now_epoch=1700000000)
+        assert got and got["role"] == "authenticated"
+        # expired
+        assert verify_jwt_jwks(tok, None, jwks, now_epoch=2100000000) is None
+        # tampered payload
+        h, b, s = tok.split(".")
+        bad = f"{h}.{b[:-2]}aa.{s}"
+        assert verify_jwt_jwks(bad, None, jwks, now_epoch=1) is None
+        # unknown kid -> fail closed (no secret fallback for RS*)
+        assert verify_jwt_jwks(tok, "sec", self._jwks(n, "other"), 1) is None
+
+    def test_hs_oct_jwk_and_secret_fallback(self):
+        import hashlib
+        import hmac as _hmac
+        import json as _json
+
+        from realtime_spark.operators.auth import _b64url_encode, verify_jwt_jwks
+
+        secret = b"supersecretsupersecret"
+        header = _b64url_encode(
+            _json.dumps({"alg": "HS256", "typ": "JWT", "kid": "k9"}).encode()
+        )
+        body = _b64url_encode(
+            _json.dumps({"role": "anon", "exp": 2000000000.7}).encode()
+        )
+        msg = f"{header}.{body}".encode()
+        sig = _b64url_encode(_hmac.new(secret, msg, hashlib.sha256).digest())
+        tok = f"{header}.{body}.{sig}"
+        jwks = {"keys": [{"kty": "oct", "kid": "k9", "k": _b64url_encode(secret)}]}
+        got = verify_jwt_jwks(tok, None, jwks, now_epoch=1700000000)
+        assert got and got["exp"] == 2000000001  # decimal exp rounded
+        # no matching oct key -> falls back to jwt_secret (the Supabase case)
+        got2 = verify_jwt_jwks(
+            tok, secret.decode(), {"keys": []}, now_epoch=1700000000
+        )
+        assert got2 and got2["role"] == "anon"
+        # wrong fallback secret -> None
+        assert verify_jwt_jwks(tok, "wrong", {"keys": []}, 1) is None
+
+    def test_unsupported_alg_fails_closed(self):
+        from realtime_spark.operators.auth import _b64url_encode, verify_jwt_jwks
+        import json as _json
+
+        header = _b64url_encode(_json.dumps({"alg": "ES256", "kid": "x"}).encode())
+        body = _b64url_encode(_json.dumps({"role": "r", "exp": 2}).encode())
+        assert verify_jwt_jwks(f"{header}.{body}.AAAA", "s", None, 1) is None
