@@ -170,8 +170,10 @@ def training_order(
     w = Window.partitionBy(shard).orderBy(
         hash_bucket(F.col(key_col), 2**60), F.col(key_col)
     )
+    # payload columns ride along so the permutation can be materialized
+    # (shards.write_training_shards) without a join back onto the corpus
     return df.select(
-        F.col(key_col),
+        "*",
         shard.alias("shard"),
         F.row_number().over(w).alias("position"),
     )

@@ -991,7 +991,9 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_spark.operators.sampling import training_order
 
     d = load_table(spark, sf_dir, "documents")
-    return training_order(d, "doc_id", _N_SHARDS)
+    return training_order(d, "doc_id", _N_SHARDS).select(
+        "doc_id", "shard", "position"
+    )
 
 
 ORACLE_TRAINING_ORDER = f"""

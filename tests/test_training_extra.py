@@ -220,3 +220,50 @@ class TestKmeansRefine:
         c1 = got[1]["cent_vec"]
         assert abs(c1[0] - (1.0 + 1.0 + 0.9) / 3) < 1e-6
         assert abs(c1[1] - 0.0) < 1e-6
+
+
+class TestTrainingShards:
+    """write_training_shards materializes the training_order permutation:
+    partitioned by shard, in-file rows sorted by position, manifest
+    certifies the written data."""
+
+    def test_roundtrip_and_order(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from realtime_spark.operators.sampling import training_order
+        from realtime_spark.operators.shards import (
+            read_training_shards,
+            shard_manifest,
+            write_training_shards,
+        )
+        from realtime_spark.sources.testdata import load_table
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        path = str(tmp_path / "shards")
+        write_training_shards(d, path, "doc_id", n_shards=8)
+
+        back = read_training_shards(spark, path)
+        assert back.count() == d.count()
+        # the written permutation equals the computed one
+        want = {
+            (r["doc_id"], r["shard"], r["position"])
+            for r in training_order(d, "doc_id", 8).collect()
+        }
+        got = {
+            (r["doc_id"], r["shard"], r["position"])
+            for r in back.select("doc_id", "shard", "position").collect()
+        }
+        assert got == want
+        # in-file physical order: row order within each parquet file must be
+        # ascending position (dataloaders stream files sequentially)
+        import glob
+
+        import pyarrow.parquet as pq
+
+        for f in glob.glob(path + "/shard=*/*.parquet"):
+            pos = pq.read_table(f, columns=["position"])["position"].to_pylist()
+            assert pos == sorted(pos), f
+        # manifest: contiguous 1..rows positions per shard
+        m = shard_manifest(spark, path, "doc_id")
+        for r in m.collect():
+            assert r["min_pos"] == 1 and r["max_pos"] == r["rows"]
