@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from realtime_spark.operators.dedup import tokens_expr
+from realtime_spark.operators.dedup import spread_by, tokens_expr
 from realtime_spark.operators.text import quantize
 
 
@@ -45,7 +45,7 @@ def span_digests(
             i.alias("pos"), F.array_join(F.slice(toks, i, w), " ").alias("s")
         ),
     )
-    rows = df.select(
+    rows = spread_by(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(F.when(n >= w, spans).otherwise(F.array())).alias("sp"),
     )
