@@ -175,3 +175,107 @@ def media_from_documents(docs: DataFrame, media_type: str = "image") -> DataFram
             F.lit(16000).alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# real (non-stubbed) container header parsing: PNG / GIF / JPEG / BMP / WAV
+# dimensions and audio params are plain byte structures — no codec needed
+# ---------------------------------------------------------------------------
+
+
+def sniff_media_header(payload: bytes) -> dict | None:
+    """Parse real container headers from raw bytes (stdlib-only): returns
+    {format, width, height, sample_rate, channels} with None for fields the
+    container lacks, or None when no known magic matches. Unlike
+    decode_media (stubbed pixel decode), this is a REAL parser — corrupt or
+    truncated headers return None rather than raising (quarantine-friendly).
+    """
+    import struct
+
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return {"format": "png", "width": w, "height": h,
+                    "sample_rate": None, "channels": None}
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", payload[6:10])
+            return {"format": "gif", "width": w, "height": h,
+                    "sample_rate": None, "channels": None}
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            return {"format": "bmp", "width": w, "height": abs(h),
+                    "sample_rate": None, "channels": None}
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            # walk chunks to fmt
+            off = 12
+            while off + 8 <= len(payload):
+                cid, sz = payload[off:off + 4], struct.unpack("<I", payload[off + 4:off + 8])[0]
+                if cid == b"fmt ":
+                    ch, sr = struct.unpack("<HI", payload[off + 10:off + 16])
+                    return {"format": "wav", "width": None, "height": None,
+                            "sample_rate": sr, "channels": ch}
+                off += 8 + sz + (sz & 1)
+            return None
+        if payload[:2] == b"\xff\xd8":  # JPEG: scan segments for SOFn
+            off = 2
+            while off + 9 <= len(payload):
+                if payload[off] != 0xFF:
+                    return None
+                marker = payload[off + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    off += 2
+                    continue
+                seg_len = struct.unpack(">H", payload[off + 2:off + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", payload[off + 5:off + 9])
+                    return {"format": "jpeg", "width": w, "height": h,
+                            "sample_rate": None, "channels": None}
+                off += 2 + seg_len
+            return None
+    except Exception:
+        return None
+    return None
+
+
+SNIFF_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "sample_rate int, channels int, header_ok boolean"
+)
+
+
+def sniff_media(media: DataFrame, id_col: str = "media_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched real header sniffing over a media frame: one row per
+    payload with parsed container facts and header_ok=false for unknown/
+    corrupt magics (the quarantine split for a media-ingest pipeline).
+    mapInPandas preserves partitioning — no shuffle; payloads are read once
+    per batch and never re-emitted."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            metas = [sniff_media_header(p if isinstance(p, bytes) else bytes(p))
+                     for p in b[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": b[id_col].to_numpy(),
+                    "format": [m["format"] if m else None for m in metas],
+                    "width": pd.array(
+                        [m["width"] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m["height"] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [m["sample_rate"] if m else None for m in metas],
+                        dtype="Int32",
+                    ),
+                    "channels": pd.array(
+                        [m["channels"] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "header_ok": [m is not None for m in metas],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(run, SNIFF_SCHEMA)

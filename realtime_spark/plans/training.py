@@ -1535,6 +1535,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "ann_hard_negatives": q_ann_hard_negatives,
         "gopher_rules": q_gopher_rules,
+        "media_sniff": q_media_sniff,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1588,6 +1589,7 @@ def training_oracles() -> dict[str, str]:
         "dsir_weights": ORACLE_DSIR_WEIGHTS,
         "ann_hard_negatives": ORACLE_ANN_HARD_NEGATIVES,
         "gopher_rules": ORACLE_GOPHER_RULES,
+        "media_sniff": ORACLE_MEDIA_SNIFF,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
         "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,
@@ -1952,4 +1954,69 @@ SELECT doc_id,
        (n >= 20 AND n <= 100000 AND mean_wl >= 3.0 AND mean_wl <= 10.0
         AND alpha_frac >= 0.8 AND stop_hits >= 2 AND top_frac <= 0.2) AS keep
 FROM m
+"""
+
+
+# -- real media header sniffing (PNG/GIF/JPEG/WAV, stdlib byte parsing) -----
+
+
+def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-stubbed media metadata: synthesize REAL container headers
+    (PNG IHDR / GIF logical screen / JPEG SOF0 / WAV fmt chunk) with
+    doc_id-determined dimensions, then parse them back with
+    multimodal.sniff_media_header. Construction and parsing are independent
+    implementations, and the oracle states the expected round-trip in
+    closed form — doc_id % 5 == 4 rows carry garbage bytes and must come
+    back header_ok = false."""
+    import struct
+
+    from realtime_spark.operators.multimodal import sniff_media
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            payloads = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = did % 300 + 1, did % 200 + 1
+                sr, ch = 8000 + (did % 3) * 4000, 1 + did % 2
+                kind = did % 5
+                if kind == 0:  # PNG
+                    p = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                         + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00")
+                elif kind == 1:  # GIF
+                    p = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+                elif kind == 2:  # JPEG: APP0 then SOF0
+                    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+                    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                            + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9)
+                    p = b"\xff\xd8" + app0 + sof0
+                elif kind == 3:  # WAV
+                    fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+                    p = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+                         + b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+                else:  # garbage
+                    p = b"NOTAMEDIAFILE" + did.to_bytes(8, "big")
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": b["doc_id"].to_numpy(), "payload": payloads})
+
+    media = d.mapInPandas(build, "media_id long, payload binary")
+    return sniff_media(media)
+
+
+ORACLE_MEDIA_SNIFF = """
+SELECT doc_id AS media_id,
+  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                  WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' END AS format,
+  CASE WHEN doc_id % 5 IN (0, 1, 2) THEN CAST(doc_id % 300 + 1 AS INT) END AS width,
+  CASE WHEN doc_id % 5 IN (0, 1, 2) THEN CAST(doc_id % 200 + 1 AS INT) END AS height,
+  CASE WHEN doc_id % 5 = 3 THEN CAST(8000 + (doc_id % 3) * 4000 AS INT) END AS sample_rate,
+  CASE WHEN doc_id % 5 = 3 THEN CAST(1 + doc_id % 2 AS INT) END AS channels,
+  (doc_id % 5 <> 4) AS header_ok
+FROM documents
 """

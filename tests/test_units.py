@@ -238,3 +238,39 @@ class TestJwtJwks:
         header = _b64url_encode(_json.dumps({"alg": "ES256", "kid": "x"}).encode())
         body = _b64url_encode(_json.dumps({"role": "r", "exp": 2}).encode())
         assert verify_jwt_jwks(f"{header}.{body}.AAAA", "s", None, 1) is None
+
+
+class TestMediaSniff:
+    """sniff_media_header: real byte-level container parsing, fail-closed on
+    truncation/corruption."""
+
+    def test_truncated_and_corrupt(self):
+        from realtime_spark.operators.multimodal import sniff_media_header
+
+        assert sniff_media_header(b"") is None
+        assert sniff_media_header(b"\x89PNG\r\n\x1a\n") is None  # no IHDR
+        assert sniff_media_header(b"GIF89a\x01") is None  # truncated dims
+        assert sniff_media_header(b"\xff\xd8\x00\x00") is None  # bad marker
+        assert sniff_media_header(b"RIFF\x04\x00\x00\x00WAVE") is None  # no fmt
+
+    def test_png_parse(self):
+        import struct
+
+        from realtime_spark.operators.multimodal import sniff_media_header
+
+        p = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+             + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+        m = sniff_media_header(p)
+        assert m == {"format": "png", "width": 640, "height": 480,
+                     "sample_rate": None, "channels": None}
+
+    def test_jpeg_skips_app_segments(self):
+        import struct
+
+        from realtime_spark.operators.multimodal import sniff_media_header
+
+        app1 = b"\xff\xe1" + struct.pack(">H", 10) + b"\x00" * 8
+        sof2 = (b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"
+                + struct.pack(">HH", 99, 77) + b"\x03" + b"\x00" * 9)
+        m = sniff_media_header(b"\xff\xd8" + app1 + sof2)
+        assert m and m["format"] == "jpeg" and (m["width"], m["height"]) == (77, 99)
