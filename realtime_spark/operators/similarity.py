@@ -602,3 +602,138 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization (PQ): compact codes + asymmetric-distance ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(
+    centroids: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, np.ndarray]]]:
+    """Codebook from a centroid frame: subspace j's entries are the
+    centroids' j-th subvectors, as [(centroid_id, subvec)] sorted by id.
+    Tiny by contract (k x d floats) — collected and broadcast into encode/
+    score closures, exactly like ivf_assign's centroid matrix."""
+    rows = sorted(centroids.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    if not rows:
+        raise ValueError("pq_codebook: centroid set is empty")
+    d = len(rows[0][1])
+    if d % m:
+        raise ValueError(f"pq_codebook: dim {d} not divisible by m={m}")
+    dsub = d // m
+    full = [(r[0], np.array(list(r[1]), dtype=np.float64)) for r in rows]
+    return [
+        [(cid, vec[j * dsub:(j + 1) * dsub]) for cid, vec in full]
+        for j in range(m)
+    ]
+
+
+def _l2sq_micro(a: np.ndarray, b: np.ndarray) -> int:
+    """Squared L2 distance, dims accumulated LEFT-TO-RIGHT in float64, then
+    fixed to integer micro-units (x 1e6, HALF_UP). Integer distances make
+    every downstream SUM exact and order-independent — float ADC sums would
+    differ between engines in the last ulp depending on add order."""
+    acc = 0.0
+    for i in range(a.shape[0]):
+        t = a[i] - b[i]
+        acc += t * t
+    return int(np.floor(acc * 1e6 + 0.5))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[tuple[int, np.ndarray]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to m codebook ids: code_j = argmin micro-L2² to
+    subspace j's entries (ties -> smallest centroid id, which is the scan
+    order of the sorted codebook). One Arrow-batched scan, ZERO shuffle; the
+    output (vec_id, codes array<int>) is the compact index — m*4 bytes per
+    vector instead of d*4, the entire point of PQ at 100 TB."""
+    m = len(codebook)
+    dsub = codebook[0][0][1].shape[0]
+    cids = [np.array([cid for cid, _ in sub]) for sub in codebook]
+    mats = [np.stack([sv for _, sv in sub]) for sub in codebook]
+
+    @pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            va = np.array(list(v), dtype=np.float64)
+            codes = []
+            for j in range(m):
+                sub = va[j * dsub:(j + 1) * dsub]
+                best_i, best_d = 0, None
+                for i in range(mats[j].shape[0]):
+                    dist = _l2sq_micro(sub, mats[j][i])
+                    if best_d is None or dist < best_d:
+                        best_i, best_d = i, dist
+                codes.append(int(cids[j][best_i]))
+            out.append(codes)
+        return pd.Series(out)
+
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), _encode(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[tuple[int, np.ndarray]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: approximate dist(q, v) = Σ_j
+    micro-L2²(q_sub_j, codebook[j][code_j]).
+
+    The per-(query, subspace, code) distance table is q x m x k rows —
+    tiny — and broadcasts onto the exploded code stream; the per-(query,
+    vector) sum is an exact integer aggregation (micro-units), so results
+    are bit-stable across engines and partition orders. Scale shape: codes
+    (not vectors) shuffle once keyed by (query, vec); at 100 TB pair with
+    IVF bucketing so only probed buckets' codes enter the join.
+    Output: (query_id, neighbor_id, adc_micro, rank)."""
+    m = len(codebook)
+    dsub = codebook[0][0][1].shape[0]
+    qrows = queries.select(id_col, vec_col).collect()
+    dtab = []
+    for qr in qrows:
+        qv = np.array(list(qr[1]), dtype=np.float64)
+        for j in range(m):
+            sub = qv[j * dsub:(j + 1) * dsub]
+            for cid, sv in codebook[j]:
+                dtab.append((int(qr[0]), j, int(cid), _l2sq_micro(sub, sv)))
+    spark = encoded.sparkSession
+    dt = F.broadcast(
+        spark.createDataFrame(
+            dtab, "query_id long, j int, code int, d_micro long"
+        )
+    )
+    ex = encoded.select(
+        "vec_id", F.posexplode("codes").alias("j", "code")
+    )
+    summed = (
+        ex.join(dt, ["j", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "adc_micro",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

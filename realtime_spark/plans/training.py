@@ -1536,6 +1536,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hard_negatives": q_ann_hard_negatives,
         "gopher_rules": q_gopher_rules,
         "media_sniff": q_media_sniff,
+        "ann_pq_topk": q_ann_pq_topk,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1590,6 +1591,7 @@ def training_oracles() -> dict[str, str]:
         "ann_hard_negatives": ORACLE_ANN_HARD_NEGATIVES,
         "gopher_rules": ORACLE_GOPHER_RULES,
         "media_sniff": ORACLE_MEDIA_SNIFF,
+        "ann_pq_topk": ORACLE_ANN_PQ_TOPK,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
         "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,
@@ -2019,4 +2021,84 @@ SELECT doc_id AS media_id,
   CASE WHEN doc_id % 5 = 3 THEN CAST(1 + doc_id % 2 AS INT) END AS channels,
   (doc_id % 5 <> 4) AS header_ok
 FROM documents
+"""
+
+
+# -- IVF-PQ: product-quantization codes + asymmetric-distance ANN -----------
+
+_PQ_M, _PQ_DSUB = 4, _EMB_DIM // 4
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN: centroid subvectors form per-subspace codebooks,
+    the corpus is encoded to m=4 codes, and queries rank neighbors by the
+    exact-integer ADC sum (micro-L2² units). Distances are fixed to integer
+    micro-units before any aggregation, so sums are order-independent and
+    the DuckDB oracle reproduces every value bit-for-bit."""
+    from realtime_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.expr(_IVF_CENT_PRED))
+    q = e.filter(F.expr(_ANN_QUERY_PRED))
+    cb = pq_codebook(cents, m=_PQ_M)
+    codes = pq_encode(e, cb)
+    return pq_adc_topk(codes, q, cb, k=_ANN_K)
+
+
+def _sql_l2_micro(a: str, b: str) -> str:
+    return (
+        f"CAST(floor(list_sum(list_transform(range(1, {_PQ_DSUB} + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))) "
+        f"* 1000000.0 + 0.5) AS BIGINT)"
+    )
+
+
+ORACLE_ANN_PQ_TOPK = f"""
+WITH sub AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+cents AS (
+  SELECT c.vec_id AS cid, s.j,
+         list_slice(c.embedding, s.j * {_PQ_DSUB} + 1, s.j * {_PQ_DSUB} + {_PQ_DSUB}) AS sv
+  FROM embeddings c CROSS JOIN sub s WHERE {_IVF_CENT_PRED}
+),
+vsub AS (
+  SELECT e.vec_id, s.j,
+         list_slice(e.embedding, s.j * {_PQ_DSUB} + 1, s.j * {_PQ_DSUB} + {_PQ_DSUB}) AS sv
+  FROM embeddings e CROSS JOIN sub s
+),
+dists AS (
+  SELECT v.vec_id, v.j, c.cid, {_sql_l2_micro('v.sv', 'c.sv')} AS d
+  FROM vsub v JOIN cents c ON v.j = c.j
+),
+codes AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qsub AS (
+  SELECT q.vec_id AS query_id, s.j,
+         list_slice(q.embedding, s.j * {_PQ_DSUB} + 1, s.j * {_PQ_DSUB} + {_PQ_DSUB}) AS sv
+  FROM embeddings q CROSS JOIN sub s WHERE {_ANN_QUERY_PRED}
+),
+dtab AS (
+  SELECT q.query_id, q.j, c.cid AS code, {_sql_l2_micro('q.sv', 'c.sv')} AS d_micro
+  FROM qsub q JOIN cents c ON q.j = c.j
+),
+adc AS (
+  SELECT t.query_id, k.vec_id AS neighbor_id,
+         CAST(SUM(t.d_micro) AS BIGINT) AS adc_micro
+  FROM codes k JOIN dtab t ON k.j = t.j AND k.code = t.code
+  WHERE t.query_id <> k.vec_id
+  GROUP BY t.query_id, k.vec_id
+)
+SELECT query_id, neighbor_id, adc_micro, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_micro, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {_ANN_K}
 """

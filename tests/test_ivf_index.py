@@ -166,3 +166,47 @@ class TestLshIndex:
             ).distinct().collect()
         }
         assert partners == {True, False}
+
+
+class TestPq:
+    """Product quantization: code compactness and ADC recall vs exact."""
+
+    def test_codes_and_recall(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from realtime_spark.operators.similarity import (
+            brute_force_topk,
+            pq_adc_topk,
+            pq_codebook,
+            pq_encode,
+        )
+        from realtime_spark.sources.testdata import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        cents = e.filter("vec_id % 100 = 0")
+        q = e.filter("vec_id < 8")
+        cb = pq_codebook(cents, m=4)
+        codes = pq_encode(e, cb)
+        # every vector encodes to m codes drawn from the centroid id set
+        row = codes.first()
+        assert len(row["codes"]) == 4
+        cid_set = {r[0] for r in cents.select("vec_id").collect()}
+        assert set(row["codes"]) <= cid_set
+        # ADC top-10 must overlap exact cosine top-10 for most queries
+        # (loose bound: PQ with a tiny codebook is coarse, but cannot be
+        # uncorrelated with true similarity)
+        pq10 = pq_adc_topk(codes, q, cb, k=10)
+        ex10 = brute_force_topk(e, q, k=10)
+        j = (
+            pq10.select("query_id", "neighbor_id")
+            .join(ex10.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        hits = {r["query_id"]: r["hits"] for r in j.collect()}
+        # chance overlap of two random top-10 sets over n vectors is
+        # 100/n per query (~1 total here); require clearly above chance
+        n_q = q.count()
+        n_vec = e.count()
+        chance = n_q * 100.0 / n_vec
+        assert sum(hits.values()) >= max(3.0 * chance, 0.1 * n_q)
