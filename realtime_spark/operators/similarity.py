@@ -737,3 +737,83 @@ def pq_adc_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: list[list[tuple[int, np.ndarray]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-PQ: the production 100 TB ANN shape. The corpus is bucketed by
+    nearest centroid (ivf_assign: one shuffle-free scan) AND compressed to
+    PQ codes (pq_encode: one shuffle-free scan); a query probes its nprobe
+    nearest buckets and ranks ONLY those buckets' codes by the exact-integer
+    ADC sum. Vectors never enter the search join — the probe stream carries
+    (vec_id, centroid_id, codes), m*4 bytes of payload per vector.
+    Output: (query_id, neighbor_id, adc_micro, rank)."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("nid"), "centroid_id"
+    )
+    codes = pq_encode(corpus, codebook, id_col, vec_col)
+    bucketed = assigned.join(
+        codes.withColumnRenamed("vec_id", "nid"), "nid"
+    )
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_scored = q.join(cents).select(
+        "query_id",
+        "centroid_id",
+        F.round(cosine_expr(F.col("q_vec"), F.col("cent_vec")), 6).alias("qc_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qc_cos"), F.asc("centroid_id"))
+    probes = F.broadcast(
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    # ADC distance table (q x m x k rows) — built driver-side like pq_adc_topk
+    m = len(codebook)
+    dsub = codebook[0][0][1].shape[0]
+    dtab_rows = []
+    for qr in queries.select(id_col, vec_col).collect():
+        qv = np.array(list(qr[1]), dtype=np.float64)
+        for j in range(m):
+            sub = qv[j * dsub:(j + 1) * dsub]
+            for cid, sv in codebook[j]:
+                dtab_rows.append((int(qr[0]), j, int(cid), _l2sq_micro(sub, sv)))
+    dt = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            dtab_rows, "query_id long, j int, code int, d_micro long"
+        )
+    )
+    cand = (
+        bucketed.join(probes, "centroid_id")
+        .filter(F.col("query_id") != F.col("nid"))
+        .select("query_id", F.col("nid").alias("neighbor_id"), "codes")
+    )
+    summed = (
+        cand.select("query_id", "neighbor_id", F.posexplode("codes").alias("j", "code"))
+        .join(dt, ["query_id", "j", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "adc_micro",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

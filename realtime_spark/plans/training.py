@@ -1537,6 +1537,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "media_sniff": q_media_sniff,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1592,6 +1593,7 @@ def training_oracles() -> dict[str, str]:
         "gopher_rules": ORACLE_GOPHER_RULES,
         "media_sniff": ORACLE_MEDIA_SNIFF,
         "ann_pq_topk": ORACLE_ANN_PQ_TOPK,
+        "ann_ivf_pq_topk": ORACLE_ANN_IVF_PQ_TOPK,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
         "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,
@@ -2093,6 +2095,91 @@ adc AS (
   SELECT t.query_id, k.vec_id AS neighbor_id,
          CAST(SUM(t.d_micro) AS BIGINT) AS adc_micro
   FROM codes k JOIN dtab t ON k.j = t.j AND k.code = t.code
+  WHERE t.query_id <> k.vec_id
+  GROUP BY t.query_id, k.vec_id
+)
+SELECT query_id, neighbor_id, adc_micro, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_micro, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {_ANN_K}
+"""
+
+
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF bucket pruning + PQ code scoring — the composed production ANN."""
+    from realtime_spark.operators.similarity import ivf_pq_topk, pq_codebook
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.expr(_IVF_CENT_PRED))
+    q = e.filter(F.expr(_ANN_QUERY_PRED))
+    cb = pq_codebook(cents, m=_PQ_M)
+    return ivf_pq_topk(e, q, cents, cb, k=_ANN_K, nprobe=_IVF_NPROBE)
+
+
+ORACLE_ANN_IVF_PQ_TOPK = f"""
+WITH cents0 AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE {_IVF_CENT_PRED}),
+asg0 AS (
+  SELECT e.vec_id AS nid, c.centroid_id,
+         {_SQL_VEC_COS.format(a='e.embedding', b='c.embedding', r=6)} AS c_cos
+  FROM embeddings e CROSS JOIN cents0 c
+),
+asg AS (
+  SELECT nid, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY nid
+              ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM asg0
+  ) WHERE rn = 1
+),
+probes0 AS (
+  SELECT q.vec_id AS query_id, c.centroid_id,
+         {_SQL_VEC_COS.format(a='q.embedding', b='c.embedding', r=6)} AS qc_cos
+  FROM embeddings q CROSS JOIN cents0 c WHERE {_ANN_QUERY_PRED}
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY qc_cos DESC, centroid_id) AS rn
+    FROM probes0
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+sub AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+csub AS (
+  SELECT c.centroid_id AS cid, s.j,
+         list_slice(c.embedding, s.j * {_PQ_DSUB} + 1, s.j * {_PQ_DSUB} + {_PQ_DSUB}) AS sv
+  FROM cents0 c CROSS JOIN sub s
+),
+vsub AS (
+  SELECT e.vec_id, s.j,
+         list_slice(e.embedding, s.j * {_PQ_DSUB} + 1, s.j * {_PQ_DSUB} + {_PQ_DSUB}) AS sv
+  FROM embeddings e CROSS JOIN sub s
+),
+dists AS (
+  SELECT v.vec_id, v.j, c.cid, {_sql_l2_micro('v.sv', 'c.sv')} AS d
+  FROM vsub v JOIN csub c ON v.j = c.j
+),
+codes AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qsub AS (
+  SELECT q.vec_id AS query_id, s.j,
+         list_slice(q.embedding, s.j * {_PQ_DSUB} + 1, s.j * {_PQ_DSUB} + {_PQ_DSUB}) AS sv
+  FROM embeddings q CROSS JOIN sub s WHERE {_ANN_QUERY_PRED}
+),
+dtab AS (
+  SELECT q.query_id, q.j, c.cid AS code, {_sql_l2_micro('q.sv', 'c.sv')} AS d_micro
+  FROM qsub q JOIN csub c ON q.j = c.j
+),
+adc AS (
+  SELECT t.query_id, k.vec_id AS neighbor_id,
+         CAST(SUM(t.d_micro) AS BIGINT) AS adc_micro
+  FROM codes k
+  JOIN asg a ON a.nid = k.vec_id
+  JOIN probes p ON p.centroid_id = a.centroid_id
+  JOIN dtab t ON k.j = t.j AND k.code = t.code AND t.query_id = p.query_id
   WHERE t.query_id <> k.vec_id
   GROUP BY t.query_id, k.vec_id
 )
