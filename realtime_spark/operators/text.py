@@ -455,3 +455,40 @@ def repetition_ratio(text: Column, round_digits: int = 4) -> Column:
         n > 0, 1.0 - F.size(F.array_distinct(toks)) / n
     ).otherwise(F.lit(0.0))
     return quantize(ratio, round_digits)
+
+
+def unicode_normalize_cols(text: Column) -> Column:
+    """Arrow-batched Unicode hygiene: struct(raw_len, nfc, nfc_len,
+    stripped) — NFC composition plus NFKD-based accent stripping (drop
+    combining marks), the standard pre-tokenization normalization of web
+    corpora. A pandas UDF because the JVM exposes no normalizer function;
+    the per-batch python cost is one normalize pass per string (no
+    per-char Python loop: unicodedata works on whole strings).
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd
+
+    @pandas_udf("struct<raw_len:int,nfc:string,nfc_len:int,stripped:string>")
+    def _norm(col: pd.Series) -> pd.DataFrame:
+        raw_len, nfcs, nfc_len, stripped = [], [], [], []
+        for s in col:
+            if s is None:
+                raw_len.append(None); nfcs.append(None)
+                nfc_len.append(None); stripped.append(None)
+                continue
+            n = unicodedata.normalize("NFC", s)
+            st = "".join(
+                c for c in unicodedata.normalize("NFKD", n)
+                if not unicodedata.combining(c)
+            )
+            raw_len.append(len(s)); nfcs.append(n)
+            nfc_len.append(len(n)); stripped.append(st)
+        return pd.DataFrame(
+            {"raw_len": pd.array(raw_len, dtype="Int32"), "nfc": nfcs,
+             "nfc_len": pd.array(nfc_len, dtype="Int32"), "stripped": stripped}
+        )
+
+    return _norm(text)

@@ -1538,6 +1538,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_sniff": q_media_sniff,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+        "text_unicode": q_text_unicode,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1594,6 +1595,7 @@ def training_oracles() -> dict[str, str]:
         "media_sniff": ORACLE_MEDIA_SNIFF,
         "ann_pq_topk": ORACLE_ANN_PQ_TOPK,
         "ann_ivf_pq_topk": ORACLE_ANN_IVF_PQ_TOPK,
+        "text_unicode": ORACLE_TEXT_UNICODE,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
         "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,
@@ -2188,4 +2190,41 @@ SELECT query_id, neighbor_id, adc_micro, CAST(rank AS INT) AS rank FROM (
             ORDER BY adc_micro, neighbor_id) AS rank
   FROM adc
 ) WHERE rank <= {_ANN_K}
+"""
+
+
+# -- Unicode normalization hygiene (NFC + accent strip) ---------------------
+
+
+def q_text_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Unicode work on a synthetic accent injection: every 'a' becomes
+    decomposed a+COMBINING ACUTE (two codepoints); NFC must re-compose it
+    (length shrinks back) and accent stripping must restore the original
+    text byte-for-byte. Python unicodedata vs DuckDB nfc_normalize/
+    strip_accents are independent implementations of the same standard."""
+    from realtime_spark.operators.text import unicode_normalize_cols
+
+    d = load_table(spark, sf_dir, "documents")
+    mod = F.regexp_replace(F.col("text"), "a", "a\u0301")
+    u = unicode_normalize_cols(mod)
+    return d.select(
+        "doc_id",
+        u["raw_len"].alias("raw_len"),
+        u["nfc_len"].alias("nfc_len"),
+        F.md5(u["stripped"]).alias("stripped_md5"),
+        (u["stripped"] == F.col("text")).alias("strip_restores"),
+    )
+
+
+ORACLE_TEXT_UNICODE = """
+WITH m AS (
+  SELECT doc_id, text, replace(text, 'a', 'a' || chr(769)) AS mod
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(mod) AS INT) AS raw_len,
+       CAST(length(nfc_normalize(mod)) AS INT) AS nfc_len,
+       md5(strip_accents(nfc_normalize(mod))) AS stripped_md5,
+       (strip_accents(nfc_normalize(mod)) = text) AS strip_restores
+FROM m
 """
