@@ -1539,6 +1539,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
         "text_unicode": q_text_unicode,
+        "text_readability": q_text_readability,
+        "lang_mix": q_lang_mix,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1596,6 +1598,8 @@ def training_oracles() -> dict[str, str]:
         "ann_pq_topk": ORACLE_ANN_PQ_TOPK,
         "ann_ivf_pq_topk": ORACLE_ANN_IVF_PQ_TOPK,
         "text_unicode": ORACLE_TEXT_UNICODE,
+        "text_readability": ORACLE_TEXT_READABILITY,
+        "lang_mix": _oracle_lang_mix(),
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
         "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,
@@ -2227,4 +2231,107 @@ SELECT doc_id,
        md5(strip_accents(nfc_normalize(mod))) AS stripped_md5,
        (strip_accents(nfc_normalize(mod)) = text) AS strip_restores
 FROM m
+"""
+
+
+# -- Flesch reading ease + language-mix ratio -------------------------------
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease with the standard vowel-group syllable heuristic:
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words). Pure
+    codegen'd expressions: regexp_count per token for syllables (explode-
+    free: transform + aggregate over the token array), sentence count from
+    terminal punctuation runs."""
+    from realtime_spark.operators.dedup import tokens_expr
+    from realtime_spark.operators.text import quantize
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    n_words = F.size(toks)
+    syls = F.aggregate(
+        F.transform(
+            toks, lambda t: F.greatest(F.regexp_count(t, F.lit("[aeiouy]+")), F.lit(1))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sentences = F.greatest(F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1))
+    score = (
+        F.lit(206.835)
+        - 1.015 * (n_words.cast("double") / sentences.cast("double"))
+        - 84.6 * (syls.cast("double") / n_words.cast("double"))
+    )
+    return d.filter(n_words > 0).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        syls.alias("n_syllables"),
+        sentences.alias("n_sentences"),
+        quantize(score, 4).alias("flesch"),
+    )
+
+
+ORACLE_TEXT_READABILITY = f"""
+WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks,
+             tk -> greatest(len(regexp_extract_all(tk, '[aeiouy]+')), 1))) AS n_syllables,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       CAST(n_syllables AS INT) AS n_syllables,
+       CAST(n_sentences AS INT) AS n_sentences,
+       floor((206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+              - 84.6 * (n_syllables * 1.0 / n_words)) * 10000.0 + 0.5) / 10000.0 AS flesch
+FROM m
+"""
+
+
+def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language evidence: ratio of the runner-up language's stopword
+    score to the winner's. ~0 = clean single-language doc; near 1 = code-
+    switching or concatenated-language content (a standard corpus filter)."""
+    from realtime_spark.operators.text import STOPWORDS, quantize, words_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = words_expr(F.col("text"))
+    n = F.size(toks)
+    scored = []
+    for lang, stops in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(s) for s in stops])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scored.append(
+            F.round(F.when(n > 0, hits / n).otherwise(F.lit(0.0)), 6)
+        )
+    allscores = F.array_sort(F.array(*scored))
+    best = F.element_at(allscores, -1)
+    second = F.element_at(allscores, -2)
+    return d.select(
+        "doc_id",
+        quantize(best, 4).alias("best_score"),
+        quantize(
+            F.when(best > 0, second / best).otherwise(F.lit(0.0)), 4
+        ).alias("mix_ratio"),
+    )
+
+
+def _oracle_lang_mix() -> str:
+    from realtime_spark.operators.text import STOPWORDS
+
+    scores = ", ".join(
+        f"{_sql_lang_score(lg, STOPWORDS[lg])} AS s_{lg}" for lg in _LANGS
+    )
+    lst = "[" + ", ".join(f"s_{lg}" for lg in _LANGS) + "]"
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {scores} FROM t),
+o AS (SELECT doc_id, list_sort({lst}) AS ss FROM s)
+SELECT doc_id,
+       floor(ss[5] * 10000.0 + 0.5) / 10000.0 AS best_score,
+       floor((CASE WHEN ss[5] > 0 THEN ss[4] / ss[5] ELSE 0.0 END)
+             * 10000.0 + 0.5) / 10000.0 AS mix_ratio
+FROM o
 """
