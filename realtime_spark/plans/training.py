@@ -1541,6 +1541,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unicode": q_text_unicode,
         "text_readability": q_text_readability,
         "lang_mix": q_lang_mix,
+        "daily_ingest_keep": q_daily_ingest_keep,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1600,6 +1601,7 @@ def training_oracles() -> dict[str, str]:
         "text_unicode": ORACLE_TEXT_UNICODE,
         "text_readability": ORACLE_TEXT_READABILITY,
         "lang_mix": _oracle_lang_mix(),
+        "daily_ingest_keep": _oracle_daily_ingest(),
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
         "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,
@@ -2334,4 +2336,101 @@ SELECT doc_id,
        floor((CASE WHEN ss[5] > 0 THEN ss[4] / ss[5] ELSE 0.0 END)
              * 10000.0 + 0.5) / 10000.0 AS mix_ratio
 FROM o
+"""
+
+
+# -- daily-ingest keep list: the composed incremental production pipeline ---
+
+
+def q_daily_ingest_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One day's batch against the standing corpus, end to end: quality+lang
+    admission gates, incremental exact dedup against the corpus digest set,
+    then LSH near-dup rejection against the persisted band index — the
+    composition a production ingest actually runs (dedup_incremental +
+    write_lsh_index/lsh_candidates_against_index + the corpus_clean gates).
+    Standing corpus = original doc_ids; batch = the injected exact (1M) and
+    near (2M) duplicates. Output: the batch doc_ids that survive."""
+    import os
+
+    from realtime_spark.operators.dedup import (
+        dedup_incremental,
+        lsh_candidates_against_index,
+        write_lsh_index,
+    )
+    from realtime_spark.operators.text import detect_lang, quality_score
+
+    from realtime_spark.operators.dedup import tokens_expr
+
+    d = docs_with_dups(spark, sf_dir)
+    standing = d.filter(F.col("doc_id") < 1000000)
+    # batch = injected exact (1M) + near (2M) dups PLUS genuinely new docs
+    # (token-reversed originals, 3M range) — so the keep list is non-trivial:
+    # the dups must be rejected and the new docs must survive
+    new_docs = standing.filter(F.col("doc_id") % 10 == 2).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(F.reverse(tokens_expr(F.col("text"))), " ").alias("text"),
+    )
+    batch = d.filter(F.col("doc_id") >= 1000000).unionByName(new_docs)
+
+    gated = batch.select(
+        "doc_id", "text",
+        quality_score(F.col("text")).alias("q"),
+        detect_lang(F.col("text")).alias("lg"),
+    ).filter((F.col("q") >= 0.5) & (F.col("lg") != "und")).select("doc_id", "text")
+
+    digests = standing.select(F.md5("text").alias("digest"))
+    fresh = dedup_incremental(gated, digests, "doc_id", "text")
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/realtime_spark_ingest_lsh_{sf_tag}"
+    write_lsh_index(standing, path, num_hashes=_MH_HASHES, bands=_MH_BANDS, k=3)
+    near = lsh_candidates_against_index(
+        fresh, spark.read.parquet(path),
+        num_hashes=_MH_HASHES, bands=_MH_BANDS, k=3,
+    ).select(F.col("new_doc").alias("doc_id")).distinct()
+
+    return fresh.join(F.broadcast(near), "doc_id", "left_anti").select("doc_id")
+
+
+def _oracle_daily_ingest() -> str:
+    lang = _oracle_lang_id().replace("FROM documents", "FROM _docs_ingest")
+    quality = _oracle_quality().replace("FROM documents", "FROM _docs_ingest")
+    banded = _SQL_BANDED_CTES.replace("_docs_dup", "_docs_ingest")
+    return f"""
+WITH {DOCS_DUP_CTE.strip()},
+_docs_ingest AS (
+  SELECT doc_id, text FROM _docs_dup
+  UNION ALL
+  SELECT doc_id + 3000000,
+         array_to_string(list_reverse({SQL_TOKS}), ' ')
+  FROM _docs_dup WHERE doc_id % 10 = 2 AND doc_id < 1000000
+),
+lg AS ({lang}),
+qu AS ({quality}),
+gated AS (
+  SELECT d.doc_id, d.text
+  FROM _docs_ingest d JOIN lg USING (doc_id) JOIN qu USING (doc_id)
+  WHERE d.doc_id >= 1000000 AND qu.quality >= 0.5 AND lg.detected_lang <> 'und'
+),
+standing_digests AS (
+  SELECT DISTINCT md5(text) AS digest FROM _docs_ingest WHERE doc_id < 1000000
+),
+no_exact AS (
+  SELECT g.doc_id, g.text FROM gated g
+  WHERE md5(g.text) NOT IN (SELECT digest FROM standing_digests)
+),
+fresh AS (
+  SELECT doc_id, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM no_exact
+  ) WHERE rn = 1
+),
+{banded.strip().rstrip()},
+near AS (
+  SELECT DISTINCT f.doc_id
+  FROM fresh f
+  JOIN banded nb ON nb.doc = f.doc_id
+  JOIN banded cb ON cb.band = nb.band AND cb.key = nb.key AND cb.doc < 1000000
+)
+SELECT doc_id FROM fresh WHERE doc_id NOT IN (SELECT doc_id FROM near)
 """
