@@ -42,7 +42,8 @@ SUBSCRIPTION_SCHEMA_DDL = (
     "id bigint, subscription_id string, schema_name string, table_name string, "
     "filters array<struct<column_name:string,op:string,value:string,"
     "values:array<string>,negate:boolean,fam:string>>, "
-    "claims_role string, action_filter string, selected_columns array<string>"
+    "claims_role string, action_filter string, selected_columns array<string>, "
+    "claims map<string,string>"
 )
 
 
@@ -84,6 +85,11 @@ def subscriptions_df(
                 "claims_role": s.get("claims_role", "authenticated"),
                 "action_filter": s.get("action", "*"),
                 "selected_columns": s.get("selected_columns"),
+                # session claims (jwt payload) for claims-parameterized RLS
+                # (set_config('request.jwt.claims') analog, P7)
+                "claims": {
+                    str(k): str(v) for k, v in (s.get("claims") or {}).items()
+                },
             }
         )
     df = spark.createDataFrame(rows, schema=SUBSCRIPTION_SCHEMA_DDL)
@@ -260,6 +266,13 @@ def _sub_struct_lit(r) -> Column:
             if sel is not None
             else F.lit(None).cast("array<string>")
         ).alias("selected_columns"),
+        (
+            F.create_map(
+                *[F.lit(x) for kv in sorted(r["claims"].items()) for x in kv]
+            )
+            if r["claims"]
+            else F.lit(None).cast("map<string,string>")
+        ).alias("claims"),
     )
 
 

@@ -927,6 +927,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "presence_diffs": q_presence_diffs,
         "presence_current_state": q_presence_current_state,
         "rls_row_filter": q_rls_row_filter,
+        "rls_claims_param": q_rls_claims_param,
         "wal2json_parse": q_wal2json_parse,
         "node_routing": q_node_routing,
         "session_stats": q_session_stats,
@@ -953,6 +954,7 @@ def realtime_extra_oracles() -> dict[str, str]:
         "presence_diffs": ORACLE_PRESENCE_DIFFS,
         "presence_current_state": ORACLE_PRESENCE_CURRENT_STATE,
         "rls_row_filter": _oracle_rls(),
+        "rls_claims_param": _oracle_rls_claims(),
         "wal2json_parse": ORACLE_WAL2JSON_PARSE,
         "node_routing": _oracle_node_routing(),
         "session_stats": ORACLE_SESSION_STATS,
@@ -968,3 +970,54 @@ def realtime_extra_oracles() -> dict[str, str]:
         "traffic_accounting": ORACLE_TRAFFIC_ACCOUNTING,
         "channel_limits": ORACLE_CHANNEL_LIMITS,
     }
+
+
+def q_rls_claims_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Claims-parameterized RLS (the SURVEY §7 hard part): the policy
+    expression reads the SUBSCRIBER's session claims, not just the row —
+    `record.o_custkey = claims['sub']` is row ownership exactly as a tenant
+    policy `USING (user_id = current_setting('request.jwt.claims')::json->>'sub')`
+    would express it (reference: set_config claims injection,
+    migrations/20260626120000:524-530). Three subscribers with different
+    `sub` claims each see ONLY their own customer's changes."""
+    from realtime_spark.operators.auth import apply_rls_policies, rls_policies_df
+    from realtime_spark.operators.cdc import matched_pairs, subscriptions_df
+    from realtime_spark.sources.testdata import changes_from_orders
+
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(
+        spark,
+        [
+            {"subscription_id": f"s-{c}", "table": "orders",
+             "claims_role": "authenticated", "claims": {"sub": str(c)}}
+            for c in (1, 7, 13)
+        ],
+    )
+    pols = rls_policies_df(
+        spark,
+        [
+            {
+                "table": "orders",
+                "claims_role": "authenticated",
+                "policy_expr": "coalesce(element_at(c.record, 'o_custkey'), "
+                "element_at(c.old_record, 'o_custkey')) = "
+                "element_at(s.claims, 'sub')",
+            }
+        ],
+    )
+    pairs = matched_pairs(changes, subs)
+    out = apply_rls_policies(pairs, pols)
+    return out.select(
+        F.col("c.change_id").alias("change_id"),
+        F.col("s.subscription_id").alias("subscription_id"),
+    )
+
+
+def _oracle_rls_claims() -> str:
+    from realtime_spark.sources.testdata import ORDERS_CHANGES_SQL_CTE
+
+    return f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id, 's-' || CAST(o_custkey AS VARCHAR) AS subscription_id
+FROM _orders_changes WHERE o_custkey IN (1, 7, 13)
+"""

@@ -622,7 +622,7 @@ def q_dedup_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") < 1000000)
     batch = d.filter(F.col("doc_id") >= 1000000)
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/realtime_spark_lsh_index_{sf_tag}"
+    path = f"/tmp/realtime_spark_lsh_index_{sf_tag}_{os.getpid()}"  # pid-scoped: concurrent sessions must not race on the scratch index
     write_lsh_index(
         corpus, path, num_hashes=_MH_HASHES, bands=_MH_BANDS, k=3
     )
@@ -855,7 +855,7 @@ def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.expr(_ANN_QUERY_PRED))
     cents = e.filter(F.expr(_IVF_CENT_PRED))
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/realtime_spark_ivf_index_{sf_tag}"
+    path = f"/tmp/realtime_spark_ivf_index_{sf_tag}_{os.getpid()}"  # pid-scoped: concurrent sessions must not race on the scratch index
     write_ivf_index(e, cents, path)
     return ivf_topk_from_index(
         read_ivf_index(spark, path), q, cents, k=_ANN_K, nprobe=_IVF_NPROBE
@@ -2382,7 +2382,7 @@ def q_daily_ingest_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = dedup_incremental(gated, digests, "doc_id", "text")
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/realtime_spark_ingest_lsh_{sf_tag}"
+    path = f"/tmp/realtime_spark_ingest_lsh_{sf_tag}_{os.getpid()}"  # pid-scoped: concurrent sessions must not race on the scratch index
     write_lsh_index(standing, path, num_hashes=_MH_HASHES, bands=_MH_BANDS, k=3)
     near = lsh_candidates_against_index(
         fresh, spark.read.parquet(path),
