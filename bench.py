@@ -65,6 +65,9 @@ def _bench_queries():
         "stream_interval_join",
         "gopher_rules",
         "ann_hard_negatives",
+        "ann_ivf_pq_topk",
+        "daily_ingest_keep",
+        "text_readability",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

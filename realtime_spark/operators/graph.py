@@ -1,0 +1,85 @@
+"""Iterative graph algorithms over edge DataFrames.
+
+`duplicate_clusters` (dedup.py) covers connected components; this module
+adds damped PageRank — the standard importance measure for link/interaction
+graphs (web-crawl prioritization in corpus pipelines, influence ranking in
+event graphs).
+
+Determinism contract: ranks are INTEGER micro-units (1.0 == 1_000_000).
+Each iteration distributes floor(rank / out_degree) to every out-neighbor
+and applies damping as integer arithmetic (`(85 * s) div 100`), so every
+step is exact — no float summation order anywhere, and the DuckDB oracle
+replays the exact same integers with a recursive CTE.
+
+Scale shape (100 TB): per iteration, one shuffle join (ranks ⋈ edges on
+src) + one map-side-combined sum keyed by dst — identical shape to the
+label-propagation rounds of duplicate_clusters, and like there the driver
+loop never collects data (localCheckpoint truncates lineage). Out-degrees
+are computed once. Skewed hubs (a node with millions of in-edges) combine
+map-side before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 8,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Damped PageRank in exact integer micro-units.
+
+    rank_0(v) = MICRO;
+    rank_{i+1}(v) = (100-d)% * MICRO + d% * Σ_{u→v} floor(rank_i(u)/deg(u)),
+    every operation on bigints (floor division), so the result is exactly
+    reproducible. Nodes = union of srcs and dsts; dangling nodes keep the
+    base rank (their mass is dropped, the common simplification).
+    Output: (node, rank_micro).
+    """
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("src"),
+        F.col(dst_col).cast("bigint").alias("dst"),
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src")  # (src, dst, deg): deg is static across iters
+    base = MICRO * (100 - damping_pct) // 100
+    ranks = nodes.withColumn("rank_micro", F.lit(MICRO).cast("bigint"))
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_micro div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0L)) div 100"
+                    )
+                ).alias("rank_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = ranks
+    e.unpersist()
+    return out

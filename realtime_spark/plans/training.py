@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realtime_spark.operators.dedup import (
@@ -1542,6 +1542,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": q_text_readability,
         "lang_mix": q_lang_mix,
         "daily_ingest_keep": q_daily_ingest_keep,
+        "pagerank": q_pagerank,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1602,6 +1603,7 @@ def training_oracles() -> dict[str, str]:
         "text_readability": ORACLE_TEXT_READABILITY,
         "lang_mix": _oracle_lang_mix(),
         "daily_ingest_keep": _oracle_daily_ingest(),
+        "pagerank": _oracle_pagerank(),
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
         "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,
@@ -2434,3 +2436,69 @@ near AS (
 )
 SELECT doc_id FROM fresh WHERE doc_id NOT IN (SELECT doc_id FROM near)
 """
+
+
+# -- PageRank (exact integer micro-units) over the user/event-type graph ----
+
+_PR_ITERS = 8
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank on the bipartite user <-> event_type interaction
+    graph (types as nodes 1000000+idx). Integer micro-unit arithmetic makes
+    every iteration exact; the oracle unrolls the same 8 iterations as
+    chained CTEs."""
+    from realtime_spark.operators.graph import pagerank
+
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    types = (
+        ut.select("event_type").distinct()
+        .withColumn(
+            "tid",
+            1000000
+            + F.row_number().over(
+                Window.orderBy("event_type")
+            ).cast("bigint"),
+        )
+    )
+    utt = ut.join(types, "event_type")
+    edges = utt.select(
+        F.col("user_id").alias("src"), F.col("tid").alias("dst")
+    ).unionByName(utt.select(F.col("tid").alias("src"), F.col("user_id").alias("dst")))
+    return pagerank(edges, iterations=_PR_ITERS).select("node", "rank_micro")
+
+
+def _oracle_pagerank() -> str:
+    head = """
+ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tidx AS (
+  SELECT event_type,
+         1000000 + row_number() OVER (ORDER BY event_type) AS tid
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+edges AS (
+  SELECT u.user_id AS src, t.tid AS dst FROM ut u JOIN tidx t USING (event_type)
+  UNION ALL
+  SELECT t.tid AS src, u.user_id AS dst FROM ut u JOIN tidx t USING (event_type)
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst AS node FROM edges),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    parts = [head]
+    for i in range(_PR_ITERS):
+        parts.append(f""",
+c{i + 1} AS (
+  SELECT e.dst AS node, SUM(p.r // d.deg) AS s
+  FROM edges e JOIN deg d ON e.src = d.src JOIN pr{i} p ON p.node = e.src
+  GROUP BY e.dst
+),
+pr{i + 1} AS (
+  SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{i + 1} c USING (node)
+)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"\nSELECT node, r AS rank_micro FROM pr{_PR_ITERS}"
+    )
