@@ -1543,6 +1543,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix": q_lang_mix,
         "daily_ingest_keep": q_daily_ingest_keep,
         "pagerank": q_pagerank,
+        "source_drift": q_source_drift,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1604,6 +1605,7 @@ def training_oracles() -> dict[str, str]:
         "lang_mix": _oracle_lang_mix(),
         "daily_ingest_keep": _oracle_daily_ingest(),
         "pagerank": _oracle_pagerank(),
+        "source_drift": ORACLE_SOURCE_DRIFT,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
         "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,
@@ -2502,3 +2504,68 @@ pr{i + 1} AS (
         "WITH " + "".join(parts)
         + f"\nSELECT node, r AS rank_micro FROM pr{_PR_ITERS}"
     )
+
+
+# -- per-source distribution drift: KL(source || corpus) --------------------
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift per source slice: KL(p_source || p_corpus)
+    with add-one smoothing over the shared vocabulary. The monitoring
+    query a corpus pipeline runs per ingest batch to catch a source gone
+    off-distribution. Each per-token KL term is quantized to 1e-12 units
+    and summed as exact integers — float KL sums would depend on partition
+    order. One explode + two map-side-combined count aggs; the per-source
+    term stream shuffles only (source, token-digest) pairs."""
+    from realtime_spark.operators.dedup import tokens_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens_expr(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_all"))
+    per_src = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_src"))
+    totals = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    v_size = vocab.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c_all").alias("n_all")
+    )
+    joined = (
+        per_src.join(vocab, "tok")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(v_size))
+    )
+    p_s = (F.col("c_src") + 1).cast("double") / (F.col("n_src") + F.col("v")).cast("double")
+    p_c = (F.col("c_all") + 1).cast("double") / (F.col("n_all") + F.col("v")).cast("double")
+    term = p_s * (F.log(p_s) - F.log(p_c))
+    # NOTE: tokens absent from a source contribute smoothed mass too; they are
+    # omitted here (standard "observed-support" KL) — the oracle matches.
+    out = joined.select(
+        "source", F.floor(term * 1e12 + F.lit(0.5)).cast("long").alias("t12")
+    ).groupBy("source").agg(F.sum("t12").alias("kl_p12"))
+    return out.join(totals, "source").select(
+        "source", "n_src", "kl_p12"
+    )
+
+
+ORACLE_SOURCE_DRIFT = f"""
+WITH t AS (
+  SELECT source, unnest({SQL_TOKS}) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS c_all FROM t GROUP BY tok),
+per_src AS (SELECT source, tok, COUNT(*) AS c_src FROM t GROUP BY source, tok),
+totals AS (SELECT source, COUNT(*) AS n_src FROM t GROUP BY source),
+vs AS (SELECT COUNT(*) AS v, SUM(c_all) AS n_all FROM vocab),
+terms AS (
+  SELECT p.source,
+    CAST(floor(
+      ((p.c_src + 1) * 1.0 / (tt.n_src + vs.v))
+      * (ln((p.c_src + 1) * 1.0 / (tt.n_src + vs.v))
+         - ln((v.c_all + 1) * 1.0 / (vs.n_all + vs.v)))
+      * 1e12 + 0.5) AS BIGINT) AS t12
+  FROM per_src p JOIN vocab v USING (tok) JOIN totals tt USING (source)
+  CROSS JOIN vs
+)
+SELECT s.source, tt.n_src, CAST(SUM(s.t12) AS BIGINT) AS kl_p12
+FROM terms s JOIN totals tt USING (source)
+GROUP BY s.source, tt.n_src
+"""
