@@ -142,3 +142,41 @@ def merge_snapshots(a: DataFrame, b: DataFrame) -> DataFrame:
         F.col("last.seq").alias("last_seq"),
         "n_versions",
     )
+
+
+def ivm_sum_cents(
+    changes: DataFrame,
+    group_key: str,
+    value_key: str,
+) -> DataFrame:
+    """Incremental view maintenance for SUM over a change feed: instead of
+    re-materializing the latest snapshot and re-aggregating (materialize_
+    latest), each change contributes an exact delta —
+
+        delta = value(record) - value(old_record)
+
+    which is +v for INSERT (old_record NULL), new-old for UPDATE, and -v
+    for DELETE (record NULL). Values are fixed to integer cents before
+    summation, so the maintained aggregate is exact and order-independent
+    (a float SUM would drift by add order AND by replay history).
+
+    Scale shape: one map-side-combined sum keyed by the group — the IVM
+    shuffle carries (key, delta) longs only. This is the standard
+    delta-propagation rule for distributive aggregates (SUM/COUNT); MIN/MAX
+    are not maintainable this way (deletes need the full group) and go
+    through materialize_latest instead.
+    Output: (group, sum_cents, n_changes)."""
+    new_v = F.element_at(F.col("record"), value_key).cast("double")
+    old_v = F.element_at(F.col("old_record"), value_key).cast("double")
+    delta = (
+        F.coalesce(F.round(new_v * 100).cast("long"), F.lit(0))
+        - F.coalesce(F.round(old_v * 100).cast("long"), F.lit(0))
+    )
+    grp = F.coalesce(
+        F.element_at(F.col("record"), group_key),
+        F.element_at(F.col("old_record"), group_key),
+    )
+    return changes.groupBy(grp.alias(group_key)).agg(
+        F.sum(delta).alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )

@@ -40,7 +40,7 @@ from realtime_spark.operators.text import (
     rolling_fingerprint,
     whitespace_token_count,
 )
-from realtime_spark.sources.testdata import load_table
+from realtime_spark.sources.testdata import ORDERS_CHANGES_SQL_CTE, load_table
 
 # ---------------------------------------------------------------------------
 # dedup corpus: documents + injected exact/near duplicates (deterministic,
@@ -1544,6 +1544,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_ingest_keep": q_daily_ingest_keep,
         "pagerank": q_pagerank,
         "source_drift": q_source_drift,
+        "cdc_ivm_sum": q_cdc_ivm_sum,
         "dedup_simhash": q_dedup_simhash,
         "dedup_cosine_pairs": q_dedup_cosine_pairs,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1606,6 +1607,7 @@ def training_oracles() -> dict[str, str]:
         "daily_ingest_keep": _oracle_daily_ingest(),
         "pagerank": _oracle_pagerank(),
         "source_drift": ORACLE_SOURCE_DRIFT,
+        "cdc_ivm_sum": ORACLE_CDC_IVM_SUM,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_cosine_pairs": ORACLE_DEDUP_COSINE_PAIRS,
         "ann_brute_topk": ORACLE_ANN_BRUTE_TOPK,
@@ -2568,4 +2570,58 @@ terms AS (
 SELECT s.source, tt.n_src, CAST(SUM(s.t12) AS BIGINT) AS kl_p12
 FROM terms s JOIN totals tt USING (source)
 GROUP BY s.source, tt.n_src
+"""
+
+
+# -- incremental aggregate maintenance from the CDC feed --------------------
+
+
+def q_cdc_ivm_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained SUM(o_totalprice) per customer from the change feed: the
+    UPDATE old_records carry the changed_columns fixture's price rule
+    (change_id%3=0 -> old price was +1.5), so updates contribute real
+    deltas; inserts add, deletes retract."""
+    from realtime_spark.operators.materialize import ivm_sum_cents
+    from realtime_spark.sources.testdata import changes_from_orders
+
+    changes = changes_from_orders(spark, sf_dir)
+    key = F.col("change_id")
+    old = F.col("old_record")
+    old_mod = F.when(
+        (F.col("action") == "UPDATE") & (key % 3 == 0),
+        F.map_concat(
+            F.map_filter(old, lambda k, v: k != "o_totalprice"),
+            F.create_map(
+                F.lit("o_totalprice"),
+                (F.element_at(F.col("record"), "o_totalprice").cast("double") + 1.5)
+                .cast("string"),
+            ),
+        ),
+    ).otherwise(old)
+    changes = changes.withColumn("old_record", old_mod)
+    out = ivm_sum_cents(changes, "o_custkey", "o_totalprice")
+    return out.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "sum_cents",
+        "n_changes",
+    )
+
+
+ORACLE_CDC_IVM_SUM = f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()},
+deltas AS (
+  SELECT o_custkey,
+    CASE
+      WHEN action = 'INSERT' THEN CAST(round(o_totalprice * 100) AS BIGINT)
+      WHEN action = 'UPDATE' THEN
+        CAST(round(o_totalprice * 100) AS BIGINT)
+        - CAST(round((CASE WHEN change_id % 3 = 0 THEN o_totalprice + 1.5
+                           ELSE o_totalprice END) * 100) AS BIGINT)
+      ELSE -CAST(round(o_totalprice * 100) AS BIGINT)
+    END AS d
+  FROM _orders_changes
+)
+SELECT o_custkey, CAST(SUM(d) AS BIGINT) AS sum_cents,
+       COUNT(*) AS n_changes
+FROM deltas GROUP BY o_custkey
 """
