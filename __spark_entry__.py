@@ -900,6 +900,13 @@ from realtime_spark.plans.window_analytics import (  # noqa: E402
     window_analytics_oracles,
     window_analytics_queries,
 )
+from realtime_spark.plans.tokenizer_plan import (  # noqa: E402
+    tokenizer_oracles,
+    tokenizer_queries,
+)
+from realtime_spark.plans.pca_plan import pca_oracles, pca_queries  # noqa: E402
+from realtime_spark.plans.c4_plan import c4_oracles, c4_queries  # noqa: E402
+from realtime_spark.plans.crdt_plan import crdt_oracles, crdt_queries  # noqa: E402
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -921,6 +928,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(sketches_queries())
     qs.update(winnow_queries())
     qs.update(lexical_queries())
+    qs.update(tokenizer_queries())
+    qs.update(pca_queries())
+    qs.update(c4_queries())
+    qs.update(crdt_queries())
     qs["cdc_multi_pairs"] = q_cdc_multi_pairs
     qs["cdc_subscription_ids"] = q_cdc_subscription_ids
     qs["cdc_wildcard"] = q_cdc_wildcard
@@ -966,6 +977,10 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(sketches_oracles())
     sqls.update(winnow_oracles())
     sqls.update(lexical_oracles())
+    sqls.update(tokenizer_oracles())
+    sqls.update(pca_oracles())
+    sqls.update(c4_oracles())
+    sqls.update(crdt_oracles())
     sqls["cdc_multi_pairs"] = ORACLE_CDC_MULTI_PAIRS
     sqls["cdc_subscription_ids"] = ORACLE_CDC_SUBSCRIPTION_IDS
     sqls["cdc_wildcard"] = ORACLE_CDC_WILDCARD

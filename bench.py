@@ -68,6 +68,11 @@ def _bench_queries():
         "ann_ivf_pq_topk",
         "daily_ingest_keep",
         "text_readability",
+        "bpe_pair_counts",
+        "emb_pca_project",
+        "c4_rules",
+        "presence_replica_merge",
+        "dedup_keep_longest",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

@@ -70,4 +70,6 @@ def asof_join(
 def hour_bucket(ts_col) -> "F.Column":
     """Second-truncated hour bucket used by the interval self-join's
     candidate generation (superset-safe: the exact predicate re-filters)."""
-    return F.floor(ts_col.cast("long") / F.lit(3600))
+    from realtime_spark.functions.timeutil import epoch_seconds
+
+    return F.floor(epoch_seconds(ts_col) / F.lit(3600))

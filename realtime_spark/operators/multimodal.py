@@ -232,9 +232,93 @@ def sniff_media_header(payload: bytes) -> dict | None:
                             "sample_rate": None, "channels": None}
                 off += 2 + seg_len
             return None
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            # ISO BMFF (MP4/MOV): walk top-level boxes, then moov/trak/tkhd
+            # for the video track's 16.16 fixed-point width/height
+            return _sniff_mp4(payload)
+        if payload[:3] == b"ID3" and len(payload) >= 10:
+            # MP3 with ID3v2 tag: syncsafe tag size, then the first MPEG
+            # audio frame header carries the sample rate / channel mode
+            tag_sz = (
+                (payload[6] << 21) | (payload[7] << 14)
+                | (payload[8] << 7) | payload[9]
+            )
+            return _sniff_mpeg_frame(payload, 10 + tag_sz)
+        if payload[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+            return _sniff_mpeg_frame(payload, 0)  # bare MP3 frame
     except Exception:
         return None
     return None
+
+
+def _walk_boxes(payload: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) for ISO-BMFF boxes."""
+    import struct
+
+    off = start
+    while off + 8 <= end:
+        sz = struct.unpack(">I", payload[off:off + 4])[0]
+        typ = payload[off + 4:off + 8]
+        if sz == 1:  # 64-bit largesize
+            if off + 16 > end:
+                return
+            sz = struct.unpack(">Q", payload[off + 8:off + 16])[0]
+            yield typ, off + 16, min(off + sz, end)
+        else:
+            if sz < 8:
+                return
+            yield typ, off + 8, min(off + sz, end)
+        off += sz
+
+
+def _sniff_mp4(payload: bytes) -> dict | None:
+    import struct
+
+    for typ, s, e in _walk_boxes(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in _walk_boxes(payload, s, e):
+            if t2 != b"trak":
+                continue
+            for t3, s3, e3 in _walk_boxes(payload, s2, e2):
+                if t3 != b"tkhd" or e3 - s3 < 4:
+                    continue
+                version = payload[s3]
+                # tkhd: ver(1)+flags(3)+times(ver0:4*3 ver1:8*2+4)+id...
+                # width/height are the LAST 8 bytes of the box, 16.16 fixed
+                w_fx, h_fx = struct.unpack(">II", payload[e3 - 8:e3])
+                w, h = w_fx >> 16, h_fx >> 16
+                if w and h:
+                    return {"format": "mp4", "width": w, "height": h,
+                            "sample_rate": None, "channels": None}
+        return {"format": "mp4", "width": None, "height": None,
+                "sample_rate": None, "channels": None}
+    # ftyp present but no moov in the prefix we were handed
+    return {"format": "mp4", "width": None, "height": None,
+            "sample_rate": None, "channels": None}
+
+
+_MPEG_SR = {  # (version_bits) -> sample-rate table, index by sr_bits
+    3: (44100, 48000, 32000),   # MPEG1
+    2: (22050, 24000, 16000),   # MPEG2
+    0: (11025, 12000, 8000),    # MPEG2.5
+}
+
+
+def _sniff_mpeg_frame(payload: bytes, off: int) -> dict | None:
+    if off + 4 > len(payload):
+        return None
+    b0, b1, b2, b3 = payload[off:off + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 0x3
+    sr_idx = (b2 >> 2) & 0x3
+    table = _MPEG_SR.get(version)
+    if table is None or sr_idx >= 3:
+        return None
+    channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2  # 3 = mono
+    return {"format": "mp3", "width": None, "height": None,
+            "sample_rate": table[sr_idx], "channels": channels}
 
 
 SNIFF_SCHEMA = (

@@ -22,6 +22,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from realtime_spark.functions.timeutil import epoch_seconds
+
 WINDOW_SECONDS = 60  # reference: rate_counter.ex:26-27
 
 
@@ -31,7 +33,7 @@ def second_buckets(
     """1-second bucket counts per key (the GenCounter tick stream, A7)."""
     agg = F.count(F.lit(1)) if weight is None else F.sum(weight)
     return (
-        df.withColumn("sec", F.col(ts_col).cast("long"))
+        df.withColumn("sec", epoch_seconds(ts_col))
         .groupBy(*keys, "sec")
         .agg(agg.cast("long").alias("bucket_count"))
     )
@@ -91,7 +93,7 @@ def shed_rate_limited(
     triggered = flags.filter(F.col("limit_triggered")).select(
         *keys, F.col("sec").alias("_shed_sec")
     )
-    e = events.withColumn("_sec", F.col(ts_col).cast("long"))
+    e = events.withColumn("_sec", epoch_seconds(ts_col))
     cond = [e[k] == triggered[k] for k in keys] + [
         e["_sec"] == triggered["_shed_sec"]
     ]
@@ -151,7 +153,7 @@ def client_window_limit(
     makes the count independent of intra-second row order — deterministic
     without any tiebreak column. One shuffle on the client key.
     """
-    base = df.withColumn("_sec", F.col(ts_col).cast("long"))
+    base = df.withColumn("_sec", epoch_seconds(ts_col))
     w = (
         Window.partitionBy(*client_keys)
         .orderBy("_sec")

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from realtime_spark.functions.timeutil import epoch_fraction
+
 
 def sessionize(
     df: DataFrame,
@@ -27,7 +29,7 @@ def sessionize(
     prev_ts = F.lag(F.col(ts_col)).over(w)
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col(ts_col).cast("double") - prev_ts.cast("double") >= gap_seconds),
+        | (epoch_fraction(ts_col) - epoch_fraction(prev_ts) >= gap_seconds),
         1,
     ).otherwise(0)
     running = F.sum(new_session).over(
@@ -50,7 +52,7 @@ def session_stats(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")))
+        (F.max(epoch_fraction(ts_col)) - F.min(epoch_fraction(ts_col)))
         .cast("bigint")
         .alias("duration_sec"),
     )

@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realtime_spark.functions.timeutil import epoch_seconds
 from realtime_spark.operators.asof import asof_join, hour_bucket
 from realtime_spark.operators.text import quantize
 from realtime_spark.sources.testdata import load_table
@@ -205,7 +206,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_id"),
         F.col("event_id_r").alias("purchase_id"),
         "user_id",
-        (F.col("r_ts").cast("long") - F.col("l_ts").cast("long")).alias("delay_s"),
+        (epoch_seconds("r_ts") - epoch_seconds("l_ts")).alias("delay_s"),
     )
 
 

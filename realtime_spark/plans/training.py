@@ -232,6 +232,71 @@ WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster_id)
 """
 
 
+def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority canonical selection: instead of min-id, each
+    near-dup cluster keeps its LONGEST member (ties -> min doc_id) — the
+    standard curation heuristic when duplicates differ by truncation.
+    Same cluster computation; the canonical pick is one map-side-combined
+    max_by over the (tiny) cluster-member set."""
+    from realtime_spark.operators.dedup import duplicate_clusters
+
+    d = docs_with_dups(spark, sf_dir)
+    pairs = jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    clusters = duplicate_clusters(pairs)
+    n_tok = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != "")
+        ).alias("n_tok"),
+    )
+    members = clusters.join(n_tok, "doc_id")
+    keepers = members.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("n_tok"), (-F.col("doc_id")).alias("r"))
+        ).alias("keep_id")
+    )
+    drop = (
+        members.join(F.broadcast(keepers), "cluster_id")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    return d.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id")
+
+
+ORACLE_DEDUP_KEEP_LONGEST = f"""
+WITH RECURSIVE {_JACCARD_CTES.strip()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION
+  SELECT doc_b, doc_a FROM jpairs
+),
+reach AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.label < e.dst
+),
+clusters AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+members AS (
+  SELECT c.node AS doc_id, c.cluster_id,
+         len(list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+             x -> x <> '')) AS n_tok
+  FROM clusters c JOIN _docs_dup d ON d.doc_id = c.node
+),
+keepers AS (
+  SELECT cluster_id, doc_id AS keep_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_tok DESC, doc_id ASC) AS rn
+    FROM members) WHERE rn = 1
+)
+SELECT doc_id FROM _docs_dup
+WHERE doc_id NOT IN (
+  SELECT m.doc_id FROM members m JOIN keepers k USING (cluster_id)
+  WHERE m.doc_id <> k.keep_id)
+"""
+
+
 # -- keyword search: inverted index + BM25 ----------------------------------
 
 _BM25_TERMS = ("spark", "window", "merge")
@@ -1518,6 +1583,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_keep": q_dedup_clusters_keep,
+        "dedup_keep_longest": q_dedup_keep_longest,
         "search_bm25": q_search_bm25,
         "search_term_stats": q_search_term_stats,
         "corpus_percentiles": q_corpus_percentiles,
@@ -1581,6 +1647,7 @@ def training_oracles() -> dict[str, str]:
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "dedup_clusters_keep": ORACLE_DEDUP_CLUSTERS_KEEP,
+        "dedup_keep_longest": ORACLE_DEDUP_KEEP_LONGEST,
         "search_bm25": ORACLE_SEARCH_BM25,
         "search_term_stats": ORACLE_SEARCH_TERM_STATS,
         "corpus_percentiles": ORACLE_CORPUS_PERCENTILES,

@@ -30,6 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from realtime_spark.functions.timeutil import epoch_seconds
 from realtime_spark.operators.text import quantize
 from realtime_spark.sources.testdata import load_table
 
@@ -43,7 +44,7 @@ def q_win_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the next one (lag/lead over the per-user time-ordered stream)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    sec = F.col("ts").cast("long")
+    sec = epoch_seconds("ts")
     return e.select(
         "event_id",
         "user_id",

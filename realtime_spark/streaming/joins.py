@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from realtime_spark.functions.timeutil import epoch_fraction
+
 
 def interval_join(
     left: DataFrame,
@@ -120,7 +122,7 @@ def delivery_latency(
             "sent_at",
             "delivered_at",
             (
-                (F.col("delivered_at").cast("double") - F.col("sent_at").cast("double"))
+                (epoch_fraction("delivered_at") - epoch_fraction("sent_at"))
                 * 1000.0
             ).cast("long").alias("latency_ms"),
         )

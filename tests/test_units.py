@@ -274,3 +274,59 @@ class TestMediaSniff:
                 + struct.pack(">HH", 99, 77) + b"\x03" + b"\x00" * 9)
         m = sniff_media_header(b"\xff\xd8" + app1 + sof2)
         assert m and m["format"] == "jpeg" and (m["width"], m["height"]) == (77, 99)
+
+    @staticmethod
+    def _box(typ: bytes, body: bytes) -> bytes:
+        import struct
+
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    def test_mp4_tkhd_dimensions(self):
+        import struct
+
+        from realtime_spark.operators.multimodal import sniff_media_header
+
+        # tkhd v0 body: ver+flags(4) + ctime/mtime/id/rsvd/dur(20) +
+        # rsvd(8)+layer/group/vol/rsvd(8)+matrix(36) + width/height 16.16
+        tkhd = (b"\x00\x00\x00\x00" + b"\x00" * 72
+                + struct.pack(">II", 1280 << 16, 720 << 16))
+        trak = self._box(b"trak", self._box(b"tkhd", tkhd))
+        moov = self._box(b"moov", trak)
+        ftyp = self._box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        m = sniff_media_header(ftyp + moov)
+        assert m == {"format": "mp4", "width": 1280, "height": 720,
+                     "sample_rate": None, "channels": None}
+
+    def test_mp4_ftyp_only(self):
+        ftyp = self._box(b"ftyp", b"isom\x00\x00\x02\x00")
+        m = sniff_media_header_mp4 = __import__(
+            "realtime_spark.operators.multimodal", fromlist=["sniff_media_header"]
+        ).sniff_media_header(ftyp)
+        assert m and m["format"] == "mp4" and m["width"] is None
+
+    def test_mp3_id3v2(self):
+        from realtime_spark.operators.multimodal import sniff_media_header
+
+        # ID3v2 header with 10-byte syncsafe tag body, then an MPEG1 Layer3
+        # frame header: 0xFFFB -> MPEG1; sr bits 00 -> 44100; joint stereo
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+        frame = bytes([0xFF, 0xFB, 0x90, 0x40])  # sr=44100, ch mode 01
+        m = sniff_media_header(tag + frame)
+        assert m == {"format": "mp3", "width": None, "height": None,
+                     "sample_rate": 44100, "channels": 2}
+
+    def test_mp3_mono_22050(self):
+        from realtime_spark.operators.multimodal import sniff_media_header
+
+        # 0xFFF3 -> MPEG2 Layer3; sr bits 00 -> 22050; mode 11 -> mono
+        frame = bytes([0xFF, 0xF3, 0x90, 0xC0])
+        m = sniff_media_header(frame)
+        assert m == {"format": "mp3", "width": None, "height": None,
+                     "sample_rate": 22050, "channels": 1}
+
+    def test_mp3_bad_tag_fail_closed(self):
+        from realtime_spark.operators.multimodal import sniff_media_header
+
+        # tag size points past the payload -> no frame header -> None
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100])
+        assert sniff_media_header(tag + b"\x00" * 4) is None
