@@ -29,6 +29,8 @@ training-data north star.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -112,6 +114,83 @@ def cms_estimate(
 # ---------------------------------------------------------------------------
 # Bloom filter (relational bitset: occupied positions)
 # ---------------------------------------------------------------------------
+
+
+def _hll_rho(w: Column, quotient_bits: int) -> Column:
+    """Leading-zero rank of a `quotient_bits`-wide value: rho = clz(w) + 1,
+    capped at quotient_bits. Engine-stable via bin(): both Spark and DuckDB
+    render the minimal binary string ('0' for zero), so the single
+    expression quotient_bits + 1 - length(bin(w)) is the capped rank for
+    every w >= 0 — the all-zeros word lands on the cap with no branch, and
+    the cap keeps 2^(quotient_bits - rho) an exact integer."""
+    return (F.lit(quotient_bits + 1) - F.length(F.bin(w))).cast("int")
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    precision: int = 8,
+) -> DataFrame:
+    """HyperLogLog register table per group: (*group_cols, j, rho) with
+    j < 2^precision and rho = max leading-zero rank of keys hashing to j.
+
+    The 60-bit stable hash splits into bucket (low `precision` bits) and a
+    (60 - precision)-bit quotient whose leading-zero rank feeds the register.
+    Registers are max-aggregated, so the build is one map-side-combined
+    groupBy carrying at most |groups| x 2^precision rows through the shuffle
+    regardless of input size — the whole point at 100 TB, where exact
+    COUNT(DISTINCT) shuffles every distinct key. Registers from disjoint
+    shards union+max-merge losslessly (sketch mergeability)."""
+    m = 1 << precision
+    qbits = 60 - precision
+    h = stable_hash(F.col(key_col).cast("string"), F.lit(""), 1 << 60)
+    return (
+        df.select(*group_cols, h.alias("_h"))
+        .select(
+            *group_cols,
+            (F.col("_h") % m).alias("j"),
+            _hll_rho(F.shiftright(F.col("_h"), precision), qbits).alias("_rho"),
+        )
+        .groupBy(*group_cols, "j")
+        .agg(F.max("_rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: Sequence[str] = (), precision: int = 8
+) -> DataFrame:
+    """Cardinality estimate per group from a register table.
+
+    The harmonic sum S = sum_j 2^-M_j is computed as an exact integer
+    (each term scaled by 2^qbits: shiftleft(1, qbits - rho), empty
+    registers contribute 2^qbits), so the only float op is the final
+    division — engine-deterministic, no float-summation order issues.
+    Flajolet's small-range linear-counting correction applies when
+    E <= 2.5m and empty registers exist. Output: (*group_cols,
+    n_registers, est bigint)."""
+    m = 1 << precision
+    qbits = 60 - precision
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard bias constant, m >= 128
+    per_group = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {qbits} - rho)")).alias("_s_used"),
+    )
+    zeros = F.lit(m) - F.col("n_registers")
+    s_scaled = F.col("_s_used") + zeros * F.shiftleft(F.lit(1).cast("bigint"), qbits)
+    raw = F.lit(alpha * m * m) / (
+        F.col("s_scaled_d") / F.lit(float(1 << qbits))
+    )
+    est = F.when(
+        (F.col("_raw") <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(F.col("_raw"))
+    return (
+        per_group.withColumn("s_scaled_d", s_scaled.cast("double"))
+        .withColumn("_raw", raw)
+        .withColumn("est", F.round(est).cast("bigint"))
+        .select(*group_cols, "n_registers", "est")
+    )
 
 
 def bloom_build(

@@ -19,6 +19,8 @@ from realtime_spark.operators.sketches import (
     bloom_maybe_contains,
     cms_build,
     cms_estimate,
+    hll_estimate,
+    hll_registers,
     sql_stable_hash,
 )
 from realtime_spark.sources.testdata import load_table
@@ -112,10 +114,86 @@ FROM hits
 """
 
 
+_HLL_P = 8  # 256 registers -> ~6.5% standard error; plenty to exercise both
+#              the raw path and the small-range linear-counting branch
+
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user estimate per event_type, next to the exact count.
+
+    The register build shuffles at most |event_types| x 256 max-aggregates
+    however large the event stream is — the approximate lever for exact
+    COUNT(DISTINCT)'s full-key shuffle at 100 TB. Register contents AND the
+    estimate are oracle-checked exactly (engine-stable hash + exact-integer
+    harmonic sum; the lone float division is reproduced verbatim in SQL)."""
+    e = load_table(spark, sf_dir, "events")
+    regs = hll_registers(e, "user_id", ["event_type"], _HLL_P)
+    est = hll_estimate(regs, ["event_type"], _HLL_P)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_registers",
+        F.col("est").alias("hll_est"),
+        "exact_distinct",
+    )
+
+
+_HLL_M = 1 << _HLL_P
+_HLL_QBITS = 60 - _HLL_P
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+ORACLE_HLL_USERS = f"""
+WITH h AS (
+  SELECT event_type,
+         {sql_stable_hash("CAST(user_id AS VARCHAR)", "''", 1 << 60)} AS h
+  FROM events
+),
+reg AS (
+  SELECT event_type, h % {_HLL_M} AS j,
+         MAX({_HLL_QBITS} + 1 - length(bin(h // {_HLL_M}))) AS rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_registers,
+         SUM((1::BIGINT << ({_HLL_QBITS} - rho))::BIGINT) AS s_used
+  FROM reg GROUP BY 1
+),
+est AS (
+  SELECT event_type, n_registers,
+         CAST(s_used + ({_HLL_M} - n_registers)
+              * (1::BIGINT << {_HLL_QBITS}) AS DOUBLE) AS s_d,
+         {_HLL_M} - n_registers AS zeros
+  FROM agg
+),
+raw AS (
+  SELECT event_type, n_registers, zeros,
+         {_HLL_ALPHA!r}::DOUBLE * {_HLL_M * _HLL_M}
+           / (s_d / {float(1 << _HLL_QBITS)!r}::DOUBLE) AS r
+  FROM est
+),
+fin AS (
+  SELECT event_type, n_registers,
+         CASE WHEN r <= {2.5 * _HLL_M} AND zeros > 0
+              THEN {float(_HLL_M)!r}::DOUBLE * ln({float(_HLL_M)!r}::DOUBLE / zeros)
+              ELSE r END AS e
+  FROM raw
+)
+SELECT f.event_type, CAST(f.n_registers AS BIGINT) AS n_registers,
+       CAST(round(f.e) AS BIGINT) AS hll_est,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+FROM fin f
+JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1) x USING (event_type)
+"""
+
+
 def sketches_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cms_user_counts": q_cms_user_counts,
         "bloom_membership": q_bloom_membership,
+        "hll_users": q_hll_users,
     }
 
 
@@ -123,4 +201,5 @@ def sketches_oracles() -> dict[str, str]:
     return {
         "cms_user_counts": ORACLE_CMS_USER_COUNTS,
         "bloom_membership": ORACLE_BLOOM_MEMBERSHIP,
+        "hll_users": ORACLE_HLL_USERS,
     }

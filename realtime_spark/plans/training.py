@@ -2453,6 +2453,14 @@ def q_daily_ingest_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     digests = standing.select(F.md5("text").alias("digest"))
     fresh = dedup_incremental(gated, digests, "doc_id", "text")
+    # Materialize the exact-dedup survivors before the LSH probe: `fresh`
+    # feeds BOTH the index probe and the final anti-join, and its lineage
+    # (dup-injection -> quality/lang gates -> digest anti-join) is a large
+    # expression tree — without the cut, Catalyst replans and the executors
+    # recompute that tree on every reuse (measured 40s -> ~4s at sf0.01,
+    # task binaries 10.9 MiB -> KBs). Production ingest has this boundary
+    # naturally: the accepted batch is written to the ingest log first.
+    fresh = fresh.localCheckpoint()
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     path = f"/tmp/realtime_spark_ingest_lsh_{sf_tag}_{os.getpid()}"  # pid-scoped: concurrent sessions must not race on the scratch index
