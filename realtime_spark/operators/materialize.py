@@ -144,6 +144,105 @@ def merge_snapshots(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def snapshot_asof(
+    changes: DataFrame,
+    asof_ts: str,
+    asof_seq: int | None = None,
+    seq_col: str = "seq",
+    ts_col: str = "commit_timestamp",
+    keep_tombstones: bool = False,
+) -> DataFrame:
+    """Time travel: the table state as of a commit point — the fold of every
+    change whose version (ts, seq) sorts at or before (`asof_ts`,
+    `asof_seq`). The reference replays history from the message store with a
+    `WHERE inserted_at > since` bound (lib/realtime/messages.ex:24-43); this
+    is the complementary bound, reconstructing state AT a point instead of
+    changes SINCE one.
+
+    Scale shape: the bound is a plain filter ahead of materialize_latest's
+    single partial-aggregated shuffle, so on a ts-partitioned change log it
+    becomes partition pruning — the scan never reads segments past the
+    as-of point."""
+    bound = changes.filter(F.col(ts_col) <= F.lit(asof_ts).cast("timestamp")) if (
+        asof_seq is None
+    ) else changes.filter(
+        F.struct(F.col(ts_col), F.col(seq_col))
+        <= F.struct(
+            F.lit(asof_ts).cast("timestamp").alias(ts_col),
+            F.lit(asof_seq).alias(seq_col),
+        )
+    )
+    return materialize_latest(bound, seq_col, ts_col, keep_tombstones)
+
+
+def compact_changes(
+    changes: DataFrame,
+    before: Column,
+    seq_col: str = "seq",
+    ts_col: str = "commit_timestamp",
+) -> DataFrame:
+    """Changefeed compaction: squash each key's window of changes to its net
+    effect against the pre-window base state (the log-compaction rule of
+    Kafka compacted topics / Debezium snapshot squashing).
+
+    `before` marks rows belonging to the base state; every other row is the
+    window being compacted. Per key the net action is derived from whether
+    the key existed in the base state and whether its last window version
+    is a DELETE:
+
+        existed & last!=DELETE  -> UPDATE (old_record = base record)
+        !existed & last!=DELETE -> INSERT
+        existed & last==DELETE  -> DELETE
+        !existed & last==DELETE -> (dropped: insert+delete inside the
+                                    window compacts to nothing)
+
+    Keys with no window rows produce no output. One shuffle total: base and
+    window fold in the SAME partial-aggregated groupBy (max_by per segment),
+    not a join of two folds — the change log is read once. Output:
+    (schema_name, table_name, pk_text, net_action, record, old_record,
+    last_ts, last_seq, n_squashed)."""
+    keyed = changes.withColumn(
+        "pk_text", pk_text_expr(F.col("record"), F.col("old_record"), F.col("pk"))
+    )
+    version = F.struct(F.col(ts_col), F.col(seq_col))
+    payload = F.struct(
+        F.col("action").alias("action"),
+        F.col("record").alias("record"),
+        F.col(ts_col).alias("ts"),
+        F.col(seq_col).alias("seq"),
+    )
+    agg = keyed.groupBy("schema_name", "table_name", "pk_text").agg(
+        # max_by skips rows whose ordering key is NULL, so each segment's
+        # last version falls out of one shared aggregate pass
+        F.max_by(payload, F.when(before, version)).alias("base"),
+        F.max_by(payload, F.when(~before, version)).alias("last"),
+        F.sum(F.when(~before, 1).otherwise(0)).alias("n_squashed"),
+    )
+    existed = F.col("base").isNotNull() & (F.col("base.action") != "DELETE")
+    is_del = F.col("last.action") == "DELETE"
+    net = (
+        F.when(~is_del & existed, F.lit("UPDATE"))
+        .when(~is_del & ~existed, F.lit("INSERT"))
+        .when(is_del & existed, F.lit("DELETE"))
+    )
+    return (
+        agg.filter(F.col("n_squashed") > 0)
+        .withColumn("net_action", net)
+        .filter(F.col("net_action").isNotNull())
+        .select(
+            "schema_name",
+            "table_name",
+            "pk_text",
+            "net_action",
+            F.when(~is_del, F.col("last.record")).alias("record"),
+            F.when(existed, F.col("base.record")).alias("old_record"),
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.seq").alias("last_seq"),
+            "n_squashed",
+        )
+    )
+
+
 def ivm_sum_cents(
     changes: DataFrame,
     group_key: str,

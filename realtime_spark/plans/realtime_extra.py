@@ -918,6 +918,107 @@ FROM r WHERE rn = 1 AND action <> 'DELETE'
 """
 
 
+_ASOF_TS = "1997-06-01 12:00:00"  # mid-corpus wall-clock cut (orders span 1992-1998)
+
+
+def q_cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the versioned change feed: the table state as of a
+    wall-clock commit point (operators/materialize.py::snapshot_asof). Keys
+    whose later generations (update/delete/re-insert, at +1h/+2h/+3h) fall
+    past the cut surface their earlier state; keys ordered after the cut
+    don't exist yet. The bound is a scan filter ahead of the one-shuffle
+    fold — partition pruning on a ts-partitioned change log."""
+    from realtime_spark.operators.materialize import snapshot_asof
+    from realtime_spark.sources.testdata import versioned_changes_from_orders
+
+    changes = versioned_changes_from_orders(spark, sf_dir)
+    out = snapshot_asof(changes, _ASOF_TS)
+    return out.select(
+        F.col("pk_text").cast("bigint").alias("o_orderkey"),
+        F.element_at("record", "o_orderstatus").alias("status"),
+        F.element_at("record", "o_totalprice").alias("price"),
+        "last_action",
+        "n_versions",
+    )
+
+
+def _oracle_snapshot_asof() -> str:
+    from realtime_spark.sources.testdata import ORDERS_VERSIONS_SQL_CTE
+
+    return f"""
+WITH {ORDERS_VERSIONS_SQL_CTE.strip()},
+bound AS (
+  SELECT * FROM _orders_versions
+  WHERE commit_ts <= TIMESTAMP '{_ASOF_TS}'
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+            ORDER BY commit_ts DESC, seq DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderkey) AS n_versions
+  FROM bound
+)
+SELECT o_orderkey, status, CAST(price AS VARCHAR) AS price,
+       action AS last_action, n_versions
+FROM r WHERE rn = 1 AND action <> 'DELETE'
+"""
+
+
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed compaction: squash each key's post-load changes (seq 2-4:
+    update, delete, re-insert) to ONE net change against the initial load
+    (seq 1) — log-compaction for downstream consumers that only want the
+    net effect per key. update+delete nets to DELETE; update+delete+
+    re-insert nets to UPDATE carrying the final record with the base row
+    as old_record."""
+    from realtime_spark.operators.materialize import compact_changes
+    from realtime_spark.sources.testdata import versioned_changes_from_orders
+
+    changes = versioned_changes_from_orders(spark, sf_dir)
+    out = compact_changes(changes, before=F.col("seq") <= 1)
+    return out.select(
+        F.col("pk_text").cast("bigint").alias("o_orderkey"),
+        "net_action",
+        F.element_at("record", "o_orderstatus").alias("status"),
+        F.element_at("record", "o_totalprice").alias("price"),
+        F.element_at("old_record", "o_orderstatus").alias("old_status"),
+        "last_seq",
+        "n_squashed",
+    )
+
+
+def _oracle_compact() -> str:
+    from realtime_spark.sources.testdata import ORDERS_VERSIONS_SQL_CTE
+
+    return f"""
+WITH {ORDERS_VERSIONS_SQL_CTE.strip()},
+base AS (
+  SELECT o_orderkey, status, price FROM _orders_versions WHERE seq <= 1
+),
+win AS (
+  SELECT o_orderkey,
+         arg_max(action, seq) AS last_action,
+         arg_max(status, seq) AS last_status,
+         arg_max(price, seq) AS last_price,
+         MAX(seq) AS last_seq,
+         COUNT(*) AS n_squashed
+  FROM _orders_versions WHERE seq > 1 GROUP BY o_orderkey
+)
+SELECT w.o_orderkey,
+       CASE WHEN w.last_action <> 'DELETE' AND b.o_orderkey IS NOT NULL
+              THEN 'UPDATE'
+            WHEN w.last_action <> 'DELETE' THEN 'INSERT'
+            WHEN b.o_orderkey IS NOT NULL THEN 'DELETE' END AS net_action,
+       CASE WHEN w.last_action <> 'DELETE'
+            THEN w.last_status END AS status,
+       CASE WHEN w.last_action <> 'DELETE'
+            THEN CAST(w.last_price AS VARCHAR) END AS price,
+       b.status AS old_status,
+       w.last_seq, CAST(w.n_squashed AS BIGINT) AS n_squashed
+FROM win w LEFT JOIN base b USING (o_orderkey)
+WHERE NOT (w.last_action = 'DELETE' AND b.o_orderkey IS NULL)
+"""
+
+
 def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "jwt_claims": q_jwt_claims,
@@ -942,6 +1043,8 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "funnel_latency": q_funnel_latency,
         "traffic_accounting": q_traffic_accounting,
         "channel_limits": q_channel_limits,
+        "cdc_snapshot_asof": q_cdc_snapshot_asof,
+        "cdc_compact": q_cdc_compact,
     }
 
 
@@ -969,6 +1072,8 @@ def realtime_extra_oracles() -> dict[str, str]:
         "funnel_latency": ORACLE_FUNNEL_LATENCY,
         "traffic_accounting": ORACLE_TRAFFIC_ACCOUNTING,
         "channel_limits": ORACLE_CHANNEL_LIMITS,
+        "cdc_snapshot_asof": _oracle_snapshot_asof(),
+        "cdc_compact": _oracle_compact(),
     }
 
 
