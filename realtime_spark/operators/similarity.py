@@ -817,3 +817,101 @@ def ivf_pq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ): per-dimension min/max codes
+# ---------------------------------------------------------------------------
+
+
+def sq_encode(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Quantize float vectors to per-dimension uint8 codes:
+
+        code_i = floor((x_i - min_i) * 255 / (max_i - min_i) + 0.5)
+
+    with min/max taken per dimension over the corpus (constant dims code to
+    0). 4x smaller than float32 and 8x smaller than the float64 testdata —
+    the cheap compression tier below PQ, with no codebook training.
+
+    Scale shape: the stats pass is posexplode -> groupBy(dim) — the shuffle
+    carries d min/max aggregates per partition, nothing else. The d-row
+    stats frame folds to ONE row of (mins, maxs) arrays that cross-joins
+    (broadcast) back onto the corpus scan; encoding itself is a JVM-side
+    transform() — no Python, no second shuffle. Entirely whole-stage
+    codegen, unlike PQ's Arrow-batched encoder. floor(x+0.5) not round():
+    identical half-up in Spark and DuckDB, no cast-rounding ambiguity.
+    Output: (vec_id, codes array<int>)."""
+    stats = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("_s")
+        )
+        .select(
+            F.transform("_s", lambda s: s["mn"]).alias("_mins"),
+            F.transform("_s", lambda s: s["mx"]).alias("_maxs"),
+        )
+    )
+    enc = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(
+            F.element_at(F.col("_maxs"), i + 1) == F.element_at(F.col("_mins"), i + 1),
+            F.lit(0),
+        )
+        .otherwise(
+            F.floor(
+                (x - F.element_at(F.col("_mins"), i + 1))
+                * 255.0
+                / (
+                    F.element_at(F.col("_maxs"), i + 1)
+                    - F.element_at(F.col("_mins"), i + 1)
+                )
+                + 0.5
+            )
+        )
+        .cast("int"),
+    )
+    return corpus.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col).alias("vec_id"), enc.alias("codes")
+    )
+
+
+def sq_topk(
+    encoded: DataFrame, query_ids: DataFrame, k: int = 5
+) -> DataFrame:
+    """Brute-force top-k in code space: rank by the exact-integer squared L2
+    over uint8 codes, sum_i (qc_i - vc_i)^2 — order-independent bigint math,
+    so the ranking is bit-stable across engines and partitionings.
+
+    `query_ids` is a 1-column frame of vec_ids to use as queries (must be
+    encoded members of `encoded`). The query code frame is tiny ->
+    broadcast nested-loop against the corpus codes scan; per-pair distance
+    is one zip_with/aggregate fold in codegen. Output: (query_id,
+    neighbor_id, l2_code, rank)."""
+    qid = query_ids.columns[0]
+    q = F.broadcast(
+        encoded.join(
+            F.broadcast(query_ids.withColumnRenamed(qid, "vec_id")), "vec_id"
+        ).select(F.col("vec_id").alias("query_id"), F.col("codes").alias("_qc"))
+    )
+    pairs = encoded.crossJoin(q).filter(F.col("vec_id") != F.col("query_id"))
+    l2 = F.aggregate(
+        F.zip_with("codes", "_qc", lambda a, b: ((a - b) * (a - b)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), l2.alias("l2_code")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_code").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_code", F.col("rank").cast("int").alias("rank"))
+    )

@@ -339,6 +339,54 @@ def pack_by_token_budget(
     return df.withColumn("pack_id", pack).withColumn("pack_pos", pos)
 
 
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep step that
+    turns long documents into model-sized training sequences (stride <
+    chunk_size gives the standard overlapping windows; stride == chunk_size
+    gives disjoint blocks).
+
+    Chunk starts are 1, 1+stride, ... up to the last start that still
+    reaches past the tail: n_chunks = 1 + ceil((n - chunk_size) / stride)
+    (1 for n <= chunk_size), so every token is covered and the final chunk
+    may be short. Map-only — tokenize, explode the start sequence, slice;
+    no shuffle, scales linearly with corpus bytes. Empty docs emit nothing.
+
+    Output: (id, chunk_idx, start_tok, n_chunk_tokens, chunk_text).
+    """
+    from realtime_spark.operators.dedup import tokens_expr
+
+    n = F.col("_n")
+    # integer ceil((n - chunk)/stride) via (x + stride - 1) div stride;
+    # floor() is exact here (values far below 2^53)
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.lit(1) + F.floor((n - chunk_size + (stride - 1)) / F.lit(stride))
+    )
+    base = df.select(
+        F.col(id_col),
+        tokens_expr(F.col(text_col)).alias("_toks"),
+    ).withColumn("_n", F.size("_toks")).filter(n > 0)
+    exploded = base.select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+    )
+    start = (F.col("chunk_idx") * stride + 1).cast("int")
+    piece = F.slice(F.col("_toks"), start, chunk_size)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        start.alias("start_tok"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def ngrams_expr(text: Column, n: int = 2) -> Column:
     """All word n-grams (non-distinct — frequency analysis wants counts)."""
     toks = words_expr(text)

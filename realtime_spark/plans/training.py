@@ -982,6 +982,86 @@ SELECT CASE WHEN {_SQL_HB.format(k='doc_id')} < 9800 THEN 'train'
 FROM documents GROUP BY 1
 """
 
+_CHUNK, _CHUNK_STRIDE = 32, 24
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking of every document (context-window
+    training prep, operators/text.py::chunk_tokens). Map-only: tokenize,
+    explode chunk starts, slice — no shuffle at any corpus size."""
+    from realtime_spark.operators.text import chunk_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(d, "doc_id", "text", _CHUNK, _CHUNK_STRIDE)
+
+
+ORACLE_CHUNK_WINDOWS = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS} AS toks, len({SQL_TOKS}) AS n FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, CASE WHEN n <= {_CHUNK} THEN 1
+                   ELSE 1 + (n - {_CHUNK} + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE}
+                   END)) AS chunk_idx
+  FROM t WHERE n > 0
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INTEGER) AS start_tok,
+       CAST(len(list_slice(toks, chunk_idx * {_CHUNK_STRIDE} + 1,
+                chunk_idx * {_CHUNK_STRIDE} + {_CHUNK})) AS INTEGER)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_idx * {_CHUNK_STRIDE} + 1,
+                chunk_idx * {_CHUNK_STRIDE} + {_CHUNK}), ' ') AS chunk_text
+FROM c
+"""
+
+
+_FK_FRAC_BUCKET = 2000  # 20% of 10k hash buckets
+
+
+def q_fk_joint_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-consistent joint sampling across related tables: sample ~20%
+    of CUSTOMERS, and take exactly the orders and lineitems of those
+    customers — whole entities survive, never a dangling child row.
+
+    Scale shape: the customer predicate is the stable hash on c_custkey;
+    orders apply the SAME hash to their o_custkey FOREIGN KEY — a map-only
+    scan filter, zero join, identical sample by construction. lineitem
+    doesn't carry custkey, so it semi-joins the sampled orders (AQE picks
+    broadcast vs shuffle). One of the highest-leverage tricks at 100 TB:
+    joint downsampling of a normalized schema with at most one join."""
+    from realtime_spark.operators.sampling import hash_bucket
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        hash_bucket(F.col("o_custkey")) < _FK_FRAC_BUCKET
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(
+        o.select("o_orderkey", "o_orderpriority"),
+        li["l_orderkey"] == o["o_orderkey"],
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+ORACLE_FK_JOINT_SAMPLE = f"""
+WITH so AS (
+  SELECT o_orderkey, o_orderpriority FROM orders
+  WHERE {_SQL_HB.format(k='o_custkey')} < {_FK_FRAC_BUCKET}
+)
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM so JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 _PER_GROUP_N = 7
 
 
@@ -1603,6 +1683,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "media_sniff": q_media_sniff,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_sq_topk": q_ann_sq_topk,
         "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
         "text_unicode": q_text_unicode,
         "text_readability": q_text_readability,
@@ -1625,6 +1706,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "corpus_clean_pipeline": q_corpus_clean_pipeline,
         "sample_hash": q_sample_hash,
+        "chunk_windows": q_chunk_windows,
+        "fk_joint_sample": q_fk_joint_sample,
         "sample_stratified": q_sample_stratified,
         "sample_splits": q_sample_splits,
         "sample_per_group": q_sample_per_group,
@@ -1667,6 +1750,7 @@ def training_oracles() -> dict[str, str]:
         "gopher_rules": ORACLE_GOPHER_RULES,
         "media_sniff": ORACLE_MEDIA_SNIFF,
         "ann_pq_topk": ORACLE_ANN_PQ_TOPK,
+        "ann_sq_topk": ORACLE_ANN_SQ_TOPK,
         "ann_ivf_pq_topk": ORACLE_ANN_IVF_PQ_TOPK,
         "text_unicode": ORACLE_TEXT_UNICODE,
         "text_readability": ORACLE_TEXT_READABILITY,
@@ -1689,6 +1773,8 @@ def training_oracles() -> dict[str, str]:
         "media_frames": ORACLE_MEDIA_FRAMES,
         "corpus_clean_pipeline": _oracle_corpus_clean(),
         "sample_hash": ORACLE_SAMPLE_HASH,
+        "chunk_windows": ORACLE_CHUNK_WINDOWS,
+        "fk_joint_sample": ORACLE_FK_JOINT_SAMPLE,
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "sample_splits": ORACLE_SAMPLE_SPLITS,
         "sample_per_group": ORACLE_SAMPLE_PER_GROUP,
@@ -2183,6 +2269,50 @@ SELECT query_id, neighbor_id, adc_micro, CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY adc_micro, neighbor_id) AS rank
   FROM adc
+) WHERE rank <= {_ANN_K}
+"""
+
+
+def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN: per-dimension min/max codes (JVM-side
+    transform, no codebook training), ranked by exact-integer code-space
+    L2² — the cheap compression tier below PQ. Stats shuffle carries d
+    aggregates; encode + scoring stay in whole-stage codegen."""
+    from realtime_spark.operators.similarity import sq_encode, sq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = sq_encode(e)
+    qids = e.filter(F.expr(_ANN_QUERY_PRED)).select("vec_id")
+    return sq_topk(codes, qids, k=_ANN_K)
+
+
+ORACLE_ANN_SQ_TOPK = f"""
+WITH dims AS (
+  SELECT r.range AS dim,
+         MIN(e.embedding[r.range + 1]) AS mn,
+         MAX(e.embedding[r.range + 1]) AS mx
+  FROM embeddings e, range({_EMB_DIM}) r GROUP BY 1
+),
+codes AS (
+  SELECT e.vec_id, r.range AS dim,
+         CASE WHEN d.mx = d.mn THEN 0
+              ELSE CAST(floor((e.embedding[r.range + 1] - d.mn) * 255.0
+                              / (d.mx - d.mn) + 0.5) AS INTEGER) END AS c
+  FROM embeddings e, range({_EMB_DIM}) r
+  JOIN dims d ON d.dim = r.range
+),
+qv AS (SELECT vec_id AS query_id, dim, c FROM codes WHERE {_ANN_QUERY_PRED}),
+l2 AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         CAST(SUM(CAST((q.c - v.c) * (q.c - v.c) AS BIGINT)) AS BIGINT)
+           AS l2_code
+  FROM codes v JOIN qv q ON v.dim = q.dim AND v.vec_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, l2_code, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY l2_code, neighbor_id) AS rank
+  FROM l2
 ) WHERE rank <= {_ANN_K}
 """
 
