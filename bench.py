@@ -73,6 +73,12 @@ def _bench_queries():
         "c4_rules",
         "presence_replica_merge",
         "dedup_keep_longest",
+        "hll_users",
+        "cdc_compact",
+        "ann_sq_topk",
+        "chunk_windows",
+        "fk_joint_sample",
+        "zorder_orders",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

@@ -177,3 +177,48 @@ def training_order(
         shard.alias("shard"),
         F.row_number().over(w).alias("position"),
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight: Column,
+    k: int,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the k rows
+    per group with the smallest exponential clock
+
+        priority = -ln(u) / w,   u = (h + 1) / 2^60  in (0, 1]
+
+    where h is the stable 60-bit md5 hash of the key — the
+    Efraimidis-Spirakis A-ES scheme with the RNG replaced by a content
+    hash, so the 'random' draw is reproducible across engines, runs, and
+    partitionings. P(row first) ∝ its weight; weights must be > 0.
+
+    Map-only scoring + one top-k window on the group key (same shuffle
+    shape as sample_n_per_group). Priorities are rounded to `round_digits`
+    and tie-broken by key so rank order is engine-stable (ln is evaluated
+    on identical IEEE doubles both sides). Output: df + (priority double);
+    at most k rows per group."""
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+    # (h + 1) stays integer BEFORE the cast to double: double(h) + 1.0 and
+    # double(h + 1) can differ by an ulp past 2^53, and the oracle does the
+    # integer add first
+    u = (h + F.lit(1)) / F.lit(float(1 << 60))
+    pr = -F.log(u) / weight.cast("double")
+    scale = float(10 ** round_digits)
+    prq = F.floor(pr * scale + 0.5) / scale
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("priority").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("priority", prq)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1062,6 +1062,85 @@ GROUP BY 1
 """
 
 
+_WS_K = 10
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (A-ES exponential clocks, RNG
+    replaced by the stable content hash): per source, the 10 docs with the
+    smallest -ln(u)/w where w = token count — long docs proportionally
+    likelier, yet the draw is reproducible across engines and runs."""
+    from realtime_spark.operators.dedup import tokens_expr
+    from realtime_spark.operators.sampling import weighted_sample_per_group
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_w", F.size(tokens_expr(F.col("text")))
+    ).filter(F.col("_w") > 0)
+    out = weighted_sample_per_group(d, "source", "doc_id", F.col("_w"), _WS_K)
+    return out.select("source", "doc_id", "priority")
+
+
+ORACLE_SAMPLE_WEIGHTED = f"""
+WITH t AS (
+  SELECT source, doc_id, len({SQL_TOKS}) AS w FROM documents
+),
+p AS (
+  SELECT source, doc_id,
+         floor((-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     + 1) / 1152921504606846976.0) / CAST(w AS DOUBLE))
+               * 1000000000.0 + 0.5) / 1000000000.0 AS priority
+  FROM t WHERE w > 0
+)
+SELECT source, doc_id, priority FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY priority, doc_id) AS rn
+  FROM p
+) WHERE rn <= {_WS_K}
+"""
+
+
+_Z_BITS = 8
+
+
+def q_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) keys over (o_custkey, o_totalprice): the clustering
+    key that makes per-file min/max stats tight on BOTH dimensions at once
+    (operators/layout.py; write_zordered + file_manifest turn it into scan
+    pruning, tested in tests/test_layout.py). Pure codegen bit math after
+    one broadcast stats row — the oracle replays the interleave exactly."""
+    from realtime_spark.operators.layout import zorder_keys
+
+    o = load_table(spark, sf_dir, "orders")
+    z = zorder_keys(o, ["o_custkey", "o_totalprice"], _Z_BITS)
+    return z.select(
+        "o_orderkey", "z", F.shiftright("z", 6).alias("zbucket")
+    )
+
+
+def _oracle_zorder() -> str:
+    from realtime_spark.operators.layout import sql_interleave_bits
+
+    zsql = sql_interleave_bits(["c1", "c2"], _Z_BITS)
+    return f"""
+WITH stats AS (
+  SELECT MIN(o_custkey) AS mn1, MAX(o_custkey) AS mx1,
+         MIN(o_totalprice) AS mn2, MAX(o_totalprice) AS mx2
+  FROM orders
+),
+codes AS (
+  SELECT o_orderkey,
+         CASE WHEN mx1 = mn1 THEN 0
+              ELSE CAST(floor((CAST(o_custkey AS DOUBLE) - mn1) / (mx1 - mn1)
+                              * 255.0 + 0.5) AS BIGINT) END AS c1,
+         CASE WHEN mx2 = mn2 THEN 0
+              ELSE CAST(floor((CAST(o_totalprice AS DOUBLE) - mn2) / (mx2 - mn2)
+                              * 255.0 + 0.5) AS BIGINT) END AS c2
+  FROM orders, stats
+)
+SELECT o_orderkey, {zsql} AS z, {zsql} >> 6 AS zbucket FROM codes
+"""
+
+
 _PER_GROUP_N = 7
 
 
@@ -1708,6 +1787,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "chunk_windows": q_chunk_windows,
         "fk_joint_sample": q_fk_joint_sample,
+        "zorder_orders": q_zorder_orders,
+        "sample_weighted": q_sample_weighted,
         "sample_stratified": q_sample_stratified,
         "sample_splits": q_sample_splits,
         "sample_per_group": q_sample_per_group,
@@ -1775,6 +1856,8 @@ def training_oracles() -> dict[str, str]:
         "sample_hash": ORACLE_SAMPLE_HASH,
         "chunk_windows": ORACLE_CHUNK_WINDOWS,
         "fk_joint_sample": ORACLE_FK_JOINT_SAMPLE,
+        "zorder_orders": _oracle_zorder(),
+        "sample_weighted": ORACLE_SAMPLE_WEIGHTED,
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "sample_splits": ORACLE_SAMPLE_SPLITS,
         "sample_per_group": ORACLE_SAMPLE_PER_GROUP,
