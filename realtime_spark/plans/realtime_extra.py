@@ -12,7 +12,7 @@ from __future__ import annotations
 import json
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realtime_spark.functions.scalar import payload_size_ok, tenant_topic
@@ -1019,6 +1019,50 @@ WHERE NOT (w.last_action = 'DELETE' AND b.o_orderkey IS NULL)
 """
 
 
+def q_cdc_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-continuity audit of the change feed: find the holes in each
+    relation's change-id sequence (the at-least-once analog of the
+    reference's WAL-position tracking — a consumer replaying the feed wants
+    to KNOW which id ranges never arrived, the check behind replay +
+    exclude_replayed). lag() per relation over the id order; each hole is
+    reported as (gap_after, resume_at, missing). One window shuffle keyed
+    by relation; at 100 TB the same audit runs per id-range partition with
+    only partition-boundary ids exchanged."""
+    from realtime_spark.sources.testdata import changes_from_orders
+
+    changes = changes_from_orders(spark, sf_dir)
+    w = Window.partitionBy("schema_name", "table_name").orderBy("change_id")
+    prev = F.lag("change_id").over(w)
+    return (
+        changes.select(
+            "schema_name", "table_name", "change_id", prev.alias("_prev")
+        )
+        .filter(F.col("_prev").isNotNull() & (F.col("change_id") - F.col("_prev") > 1))
+        .select(
+            "table_name",
+            F.col("_prev").alias("gap_after"),
+            F.col("change_id").alias("resume_at"),
+            (F.col("change_id") - F.col("_prev") - 1).alias("missing"),
+        )
+    )
+
+
+def _oracle_gap_audit() -> str:
+    from realtime_spark.sources.testdata import ORDERS_CHANGES_SQL_CTE
+
+    return f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()},
+l AS (
+  SELECT change_id,
+         lag(change_id) OVER (ORDER BY change_id) AS prev
+  FROM _orders_changes
+)
+SELECT 'orders' AS table_name, prev AS gap_after, change_id AS resume_at,
+       change_id - prev - 1 AS missing
+FROM l WHERE prev IS NOT NULL AND change_id - prev > 1
+"""
+
+
 def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "jwt_claims": q_jwt_claims,
@@ -1045,6 +1089,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "channel_limits": q_channel_limits,
         "cdc_snapshot_asof": q_cdc_snapshot_asof,
         "cdc_compact": q_cdc_compact,
+        "cdc_gap_audit": q_cdc_gap_audit,
     }
 
 
@@ -1074,6 +1119,7 @@ def realtime_extra_oracles() -> dict[str, str]:
         "channel_limits": ORACLE_CHANNEL_LIMITS,
         "cdc_snapshot_asof": _oracle_snapshot_asof(),
         "cdc_compact": _oracle_compact(),
+        "cdc_gap_audit": _oracle_gap_audit(),
     }
 
 

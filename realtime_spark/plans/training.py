@@ -1763,6 +1763,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_sniff": q_media_sniff,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_sq_topk": q_ann_sq_topk,
+        "ann_sq_rerank": q_ann_sq_rerank,
         "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
         "text_unicode": q_text_unicode,
         "text_readability": q_text_readability,
@@ -1832,6 +1833,7 @@ def training_oracles() -> dict[str, str]:
         "media_sniff": ORACLE_MEDIA_SNIFF,
         "ann_pq_topk": ORACLE_ANN_PQ_TOPK,
         "ann_sq_topk": ORACLE_ANN_SQ_TOPK,
+        "ann_sq_rerank": ORACLE_ANN_SQ_RERANK,
         "ann_ivf_pq_topk": ORACLE_ANN_IVF_PQ_TOPK,
         "text_unicode": ORACLE_TEXT_UNICODE,
         "text_readability": ORACLE_TEXT_READABILITY,
@@ -2396,6 +2398,92 @@ SELECT query_id, neighbor_id, l2_code, CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY l2_code, neighbor_id) AS rank
   FROM l2
+) WHERE rank <= {_ANN_K}
+"""
+
+
+_SQ_CAND = 25  # SQ candidate pool reranked exactly down to _ANN_K
+
+
+def q_ann_sq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: cheap int8 code-space L2 proposes a 25-candidate pool
+    per query, exact float cosine reranks it to top-5 — the standard
+    compress-then-rerank serving shape. The exact pass touches q x 25
+    vectors instead of q x |corpus|; at 100 TB the rerank join is a
+    broadcast of (query, candidate) ids against the vector store."""
+    from realtime_spark.operators.similarity import (
+        cosine_expr,
+        sq_encode,
+        sq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = sq_encode(e)
+    qids = e.filter(F.expr(_ANN_QUERY_PRED)).select("vec_id")
+    cand = sq_topk(codes, qids, k=_SQ_CAND).select("query_id", "neighbor_id")
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("_qv"), F.col("_nv")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+ORACLE_ANN_SQ_RERANK = f"""
+WITH dims AS (
+  SELECT r.range AS dim,
+         MIN(e.embedding[r.range + 1]) AS mn,
+         MAX(e.embedding[r.range + 1]) AS mx
+  FROM embeddings e, range({_EMB_DIM}) r GROUP BY 1
+),
+codes AS (
+  SELECT e.vec_id, r.range AS dim,
+         CASE WHEN d.mx = d.mn THEN 0
+              ELSE CAST(floor((e.embedding[r.range + 1] - d.mn) * 255.0
+                              / (d.mx - d.mn) + 0.5) AS INTEGER) END AS c
+  FROM embeddings e, range({_EMB_DIM}) r
+  JOIN dims d ON d.dim = r.range
+),
+qv AS (SELECT vec_id AS query_id, dim, c FROM codes WHERE {_ANN_QUERY_PRED}),
+l2 AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         SUM(CAST((q.c - v.c) * (q.c - v.c) AS BIGINT)) AS l2_code
+  FROM codes v JOIN qv q ON v.dim = q.dim AND v.vec_id <> q.query_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY l2_code, neighbor_id) AS rn
+    FROM l2
+  ) WHERE rn <= {_SQ_CAND}
+),
+rer AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_SQL_COS.format(a='q', b='n', r=4)} AS cos
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM rer
 ) WHERE rank <= {_ANN_K}
 """
 
