@@ -55,3 +55,74 @@ def test_bloom_no_false_negatives_some_false_positives(spark, sf_dir):
     assert missed == 0, "Bloom false negative — impossible by construction"
     assert fps > 0, "no false positives at 64 bits — filter degenerate"
     assert fps <= outsiders
+
+
+class TestHll:
+    def test_registers_merge_losslessly(self, spark, sf_dir):
+        """Sharded builds merge by union+max to EXACTLY the monolithic
+        registers — the property that lets HLL run over shards, days, or
+        streaming micro-batches without re-reading history."""
+        from realtime_spark.operators.sketches import hll_estimate, hll_registers
+
+        e = load_table(spark, sf_dir, "events")
+        full = hll_registers(e, "user_id", ["event_type"])
+        halves = [
+            hll_registers(e.filter(F.col("event_id") % 2 == i), "user_id", ["event_type"])
+            for i in (0, 1)
+        ]
+        merged = (
+            halves[0].unionByName(halves[1])
+            .groupBy("event_type", "j")
+            .agg(F.max("rho").alias("rho"))
+        )
+        assert merged.exceptAll(full).count() == 0
+        assert full.exceptAll(merged).count() == 0
+        est_full = {r["event_type"]: r["est"] for r in hll_estimate(full, ["event_type"]).collect()}
+        est_merged = {r["event_type"]: r["est"] for r in hll_estimate(merged, ["event_type"]).collect()}
+        assert est_full == est_merged
+
+    def test_streaming_incremental_estimate(self, spark, sf_dir, tmp_path):
+        """foreachBatch folds each micro-batch's registers into a running
+        register table (union+max) — the streaming distinct-count that
+        never stores keys. Final estimate == the batch estimate."""
+        from realtime_spark.operators.sketches import hll_estimate, hll_registers
+
+        e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+        src = str(tmp_path / "src")
+        e.repartition(4).write.parquet(src)
+        state = {"regs": None}
+
+        def on_batch(batch_df, epoch_id):
+            regs = hll_registers(batch_df, "user_id", ["event_type"])
+            if state["regs"] is None:
+                state["regs"] = regs.collect()
+            else:
+                prev = batch_df.sparkSession.createDataFrame(
+                    state["regs"], "event_type string, j bigint, rho int"
+                )
+                state["regs"] = (
+                    prev.unionByName(regs)
+                    .groupBy("event_type", "j")
+                    .agg(F.max("rho").alias("rho"))
+                    .collect()
+                )
+
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        stream.awaitTermination(120)
+        final = spark.createDataFrame(
+            state["regs"], "event_type string, j bigint, rho int"
+        )
+        want = {
+            r["event_type"]: r["est"]
+            for r in hll_estimate(hll_registers(e, "user_id", ["event_type"]), ["event_type"]).collect()
+        }
+        got = {r["event_type"]: r["est"] for r in hll_estimate(final, ["event_type"]).collect()}
+        assert got == want
