@@ -14,6 +14,8 @@ are classic map-side-combine groupBys.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -384,6 +386,43 @@ def chunk_tokens(
         start.alias("start_tok"),
         F.size(piece).alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+_URL_RE = r"https?://[^ \t\n\r]+"
+
+
+def extract_urls(text: Column) -> Column:
+    """All http(s) URLs in a document (JVM regex, no UDF)."""
+    return F.regexp_extract_all(text, F.lit(_URL_RE), 0)
+
+
+def url_domain(url: Column) -> Column:
+    """Lowercased host of a URL (the unit of web-corpus curation: per-domain
+    caps, blocklists, licensing tiers all key on it)."""
+    return F.lower(F.regexp_extract(url, r"https?://([^/ \t\n\r:]+)", 1))
+
+
+def domain_stats(
+    df: DataFrame, id_col: str, text_col: str, blocklist: Sequence[str] = ()
+) -> DataFrame:
+    """Per-domain accounting over extracted URLs: (domain, n_urls, n_docs,
+    blocked). Explode -> one map-side-combined groupBy on the domain; the
+    blocklist is a plan literal (array_contains), not a join — web-scale
+    blocklists would broadcast-join instead. Drives per-domain caps and
+    removal lists in a crawl-curation pipeline."""
+    urls = df.select(
+        F.col(id_col).alias("_id"), F.explode(extract_urls(F.col(text_col))).alias("_u")
+    )
+    doms = urls.select("_id", url_domain(F.col("_u")).alias("domain"))
+    bl = F.array(*[F.lit(b) for b in blocklist])
+    return (
+        doms.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("_id").alias("n_docs"),
+        )
+        .withColumn("blocked", F.array_contains(bl, F.col("domain")))
     )
 
 

@@ -1062,6 +1062,63 @@ GROUP BY 1
 """
 
 
+# URLs injected deterministically (synthetic docs carry none): every 5th doc
+# links a rotating site, every 9th additionally links the blocklisted host
+_URL_SITE = " see https://Site"
+_URL_SITE2 = ".example.com/path now"
+_URL_BLOCKED = " ref http://blocked.example.net/x"
+_BLOCKLIST = ("blocked.example.net",)
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL accounting with a blocklist flag — the crawl-curation
+    unit (per-domain caps, removal lists). Host extraction is JVM regex;
+    case-normalization is part of the contract (hosts are case-insensitive,
+    so 'Site3' and 'site3' must collapse)."""
+    from realtime_spark.operators.text import domain_stats
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(_URL_SITE),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(_URL_SITE2),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(_URL_BLOCKED)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return domain_stats(d, "doc_id", "text", _BLOCKLIST)
+
+
+ORACLE_URL_DOMAINS = f"""
+WITH d AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN '{_URL_SITE}' || CAST(doc_id % 20 AS VARCHAR) || '{_URL_SITE2}'
+                 ELSE '' END
+         || CASE WHEN doc_id % 9 = 0 THEN '{_URL_BLOCKED}' ELSE '' END AS text
+  FROM documents
+),
+u AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ \\t\\n\\r]+')) AS url
+  FROM d
+),
+doms AS (
+  SELECT doc_id, lower(regexp_extract(url, 'https?://([^/ \\t\\n\\r:]+)', 1)) AS domain
+  FROM u
+)
+SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs,
+       domain IN ('blocked.example.net') AS blocked
+FROM doms GROUP BY domain
+"""
+
+
 _WS_K = 10
 
 
@@ -1790,6 +1847,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_joint_sample": q_fk_joint_sample,
         "zorder_orders": q_zorder_orders,
         "sample_weighted": q_sample_weighted,
+        "url_domains": q_url_domains,
         "sample_stratified": q_sample_stratified,
         "sample_splits": q_sample_splits,
         "sample_per_group": q_sample_per_group,
@@ -1860,6 +1918,7 @@ def training_oracles() -> dict[str, str]:
         "fk_joint_sample": ORACLE_FK_JOINT_SAMPLE,
         "zorder_orders": _oracle_zorder(),
         "sample_weighted": ORACLE_SAMPLE_WEIGHTED,
+        "url_domains": ORACLE_URL_DOMAINS,
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "sample_splits": ORACLE_SAMPLE_SPLITS,
         "sample_per_group": ORACLE_SAMPLE_PER_GROUP,
