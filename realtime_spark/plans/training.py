@@ -1062,6 +1062,61 @@ GROUP BY 1
 """
 
 
+def _snapshot_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tomorrow's corpus snapshot, derived deterministically: docs %97
+    removed, docs %31 edited (' v2' appended), one new doc per %41
+    original (id + 5000000). Mirrored by the oracle CTE."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 31 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = d.filter(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" new")).alias("text"),
+    )
+    return kept.unionByName(new)
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style snapshot diff (operators/syncdiff.py): per-bucket XOR
+    digests find the buckets that changed between today's and tomorrow's
+    corpus; only those buckets are re-read for the row-level
+    added/removed/changed report. Equals the naive full-outer diff (the
+    oracle computes that directly) while shuffling only the changed
+    slice."""
+    from realtime_spark.operators.syncdiff import corpus_changed_docs
+
+    a = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = _snapshot_b(spark, sf_dir)
+    return corpus_changed_docs(a, b, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "status"
+    )
+
+
+ORACLE_CORPUS_DIFF = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 31 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 5000000, text || ' new' FROM documents WHERE doc_id % 41 = 0
+),
+j AS (
+  SELECT a.doc_id AS aid, b.doc_id AS bid, a.text AS at, b.text AS bt
+  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT COALESCE(aid, bid) AS doc_id,
+       CASE WHEN aid IS NULL THEN 'added'
+            WHEN bid IS NULL THEN 'removed'
+            WHEN at <> bt THEN 'changed' END AS status
+FROM j
+WHERE aid IS NULL OR bid IS NULL OR at <> bt
+"""
+
+
 # URLs injected deterministically (synthetic docs carry none): every 5th doc
 # links a rotating site, every 9th additionally links the blocklisted host
 _URL_SITE = " see https://Site"
@@ -1848,6 +1903,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_orders": q_zorder_orders,
         "sample_weighted": q_sample_weighted,
         "url_domains": q_url_domains,
+        "corpus_diff": q_corpus_diff,
         "sample_stratified": q_sample_stratified,
         "sample_splits": q_sample_splits,
         "sample_per_group": q_sample_per_group,
@@ -1919,6 +1975,7 @@ def training_oracles() -> dict[str, str]:
         "zorder_orders": _oracle_zorder(),
         "sample_weighted": ORACLE_SAMPLE_WEIGHTED,
         "url_domains": ORACLE_URL_DOMAINS,
+        "corpus_diff": ORACLE_CORPUS_DIFF,
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "sample_splits": ORACLE_SAMPLE_SPLITS,
         "sample_per_group": ORACLE_SAMPLE_PER_GROUP,
