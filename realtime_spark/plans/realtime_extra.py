@@ -1063,6 +1063,54 @@ FROM l WHERE prev IS NOT NULL AND change_id - prev > 1
 """
 
 
+def q_cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL-drift detection on the change feed: flag changes whose record key
+    set disagrees with the relation's declared column list (col_names) — the
+    consumer-side view of the reference re-fetching column metadata every
+    poll (postgres_cdc_rls re-reads the publication's column set). Drift is
+    injected deterministically: %13 changes lose o_comment-like column
+    o_nullable (dropped-column shape), %17 gain an extra 'o_new_col'
+    (added-column shape). Map-only set algebra over the record map —
+    array_except both ways, no shuffle."""
+    from realtime_spark.sources.testdata import changes_from_orders
+
+    changes = changes_from_orders(spark, sf_dir).filter(F.col("action") != "DELETE")
+    rec = F.col("record")
+    rec = F.when(
+        F.col("change_id") % 13 == 0, F.map_filter(rec, lambda k, v: k != "o_nullable")
+    ).otherwise(rec)
+    rec = F.when(
+        F.col("change_id") % 17 == 0,
+        F.map_concat(rec, F.create_map(F.lit("o_new_col"), F.lit("x"))),
+    ).otherwise(rec)
+    declared = F.col("col_names")
+    actual = F.map_keys(rec)
+    missing = F.array_sort(F.array_except(declared, actual))
+    extra = F.array_sort(F.array_except(actual, declared))
+    return (
+        changes.select(
+            "change_id",
+            F.array_join(missing, ",").alias("missing_cols"),
+            F.array_join(extra, ",").alias("extra_cols"),
+        )
+        .filter((F.col("missing_cols") != "") | (F.col("extra_cols") != ""))
+    )
+
+
+def _oracle_schema_drift() -> str:
+    from realtime_spark.sources.testdata import ORDERS_CHANGES_SQL_CTE
+
+    # %13 drop o_nullable, %17 add o_new_col; a change can hit both
+    return f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id,
+       CASE WHEN change_id % 13 = 0 THEN 'o_nullable' ELSE '' END AS missing_cols,
+       CASE WHEN change_id % 17 = 0 THEN 'o_new_col' ELSE '' END AS extra_cols
+FROM _orders_changes
+WHERE action <> 'DELETE' AND (change_id % 13 = 0 OR change_id % 17 = 0)
+"""
+
+
 def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "jwt_claims": q_jwt_claims,
@@ -1090,6 +1138,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "cdc_snapshot_asof": q_cdc_snapshot_asof,
         "cdc_compact": q_cdc_compact,
         "cdc_gap_audit": q_cdc_gap_audit,
+        "cdc_schema_drift": q_cdc_schema_drift,
     }
 
 
@@ -1120,6 +1169,7 @@ def realtime_extra_oracles() -> dict[str, str]:
         "cdc_snapshot_asof": _oracle_snapshot_asof(),
         "cdc_compact": _oracle_compact(),
         "cdc_gap_audit": _oracle_gap_audit(),
+        "cdc_schema_drift": _oracle_schema_drift(),
     }
 
 
