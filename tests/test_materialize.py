@@ -210,3 +210,63 @@ class TestStreamingMaterializedView:
                 for r in want.collect()
             }
             assert g == w and len(g) > 0
+
+
+class TestCompaction:
+    """compact_changes algebra: applying the compacted net changes to the
+    base snapshot must land exactly on the full fold — the invariant that
+    makes compaction a safe substitute for replaying the raw window."""
+
+    def test_base_plus_compacted_equals_full_fold(self, spark):
+        from realtime_spark.operators.materialize import (
+            compact_changes,
+            materialize_latest,
+        )
+        from realtime_spark.sources.testdata import versioned_changes_from_orders
+        from tests.conftest import SF_DIR
+
+        changes = versioned_changes_from_orders(spark, SF_DIR)
+        base = materialize_latest(
+            changes.filter(F.col("seq") <= 1), keep_tombstones=True
+        )
+        net = compact_changes(changes, before=F.col("seq") <= 1)
+
+        # apply the net changes to the base state
+        b = {
+            r["pk_text"]: r["record"]["o_orderstatus"]
+            for r in base.filter(F.col("last_action") != "DELETE").collect()
+        }
+        for r in net.collect():
+            if r["net_action"] == "DELETE":
+                assert r["pk_text"] in b
+                del b[r["pk_text"]]
+            elif r["net_action"] == "INSERT":
+                assert r["pk_text"] not in b
+                b[r["pk_text"]] = r["record"]["o_orderstatus"]
+            else:  # UPDATE
+                assert r["pk_text"] in b
+                assert r["old_record"]["o_orderstatus"] == b[r["pk_text"]]
+                b[r["pk_text"]] = r["record"]["o_orderstatus"]
+
+        want = {
+            r["pk_text"]: r["record"]["o_orderstatus"]
+            for r in materialize_latest(changes).collect()
+        }
+        assert b == want
+
+    def test_single_shared_aggregate_exchange(self, spark):
+        from realtime_spark.operators.materialize import compact_changes
+        from realtime_spark.sources.testdata import versioned_changes_from_orders
+        from tests.conftest import SF_DIR
+
+        changes = versioned_changes_from_orders(spark, SF_DIR)
+        out = compact_changes(changes, before=F.col("seq") <= 1)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        p = buf.getvalue()
+        # base and window fold in ONE shared partial-aggregated groupBy —
+        # not a join of two folds
+        assert "partial_max_by" in p, p
+        assert p.count("Exchange (") == 1, p
+        assert "SortMergeJoin" not in p, p
