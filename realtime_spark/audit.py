@@ -91,6 +91,19 @@ def main() -> None:
         "stream_interval_join",
         "gopher_rules",
         "ann_hard_negatives",
+        "hll_users",
+        "cdc_compact",
+        "cdc_snapshot_asof",
+        "ann_sq_topk",
+        "ann_sq_rerank",
+        "chunk_windows",
+        "fk_joint_sample",
+        "zorder_orders",
+        "sample_weighted",
+        "url_domains",
+        "corpus_diff",
+        "cdc_gap_audit",
+        "cdc_schema_drift",
     ]
     for name in names:
         if name not in qs:
