@@ -48,3 +48,37 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salt)]))
     )
     return l.join(r, on + ["_salt"], how).drop("_salt")
+
+
+def skew_stats(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Pre-join skew diagnostics for a candidate shuffle key: one row with
+
+        n_rows, n_keys, max_cnt, mean_cnt, skew_factor (= max/mean),
+        suggested_salt (= ceil(skew_factor / 4), 1 when balanced)
+
+    skew_factor ~ the slowdown of the hottest reducer vs the average; the
+    salt suggestion targets <= 4x residual imbalance. Two map-side-combined
+    aggregations (per-key counts -> scalar fold); the key frame never
+    carries payload columns, so the probe costs one narrow shuffle however
+    wide the table is. Run it BEFORE choosing salted_join vs trusting AQE.
+    All-integer except the final ratios — engine-reproducible."""
+    counts = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        F.floor(F.col("n_rows") / F.col("n_keys")).alias("mean_cnt_floor"),
+        F.floor(F.col("max_cnt") * F.col("n_keys") / F.col("n_rows")).alias(
+            "skew_factor_floor"
+        ),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.col("max_cnt") * F.col("n_keys") / F.col("n_rows") / 4),
+        ).alias("suggested_salt"),
+    )

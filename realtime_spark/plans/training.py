@@ -1253,6 +1253,42 @@ SELECT o_orderkey, {zsql} AS z, {zsql} >> 6 AS zbucket FROM codes
 """
 
 
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostics (operators/skew.py::skew_stats) for two
+    candidate shuffle keys of the event stream: the near-uniform user_id
+    and the 5-value event_type — the probe a pipeline runs before choosing
+    salted_join vs trusting AQE. One narrow shuffle per key probed."""
+    from realtime_spark.operators.skew import skew_stats
+
+    e = load_table(spark, sf_dir, "events")
+    u = skew_stats(e, ["user_id"]).withColumn("key_name", F.lit("user_id"))
+    t = skew_stats(e, ["event_type"]).withColumn("key_name", F.lit("event_type"))
+    return u.unionByName(t).select(
+        "key_name", "n_rows", "n_keys", "max_cnt",
+        "mean_cnt_floor", "skew_factor_floor", "suggested_salt",
+    )
+
+
+_SQL_SKEW = """
+SELECT '{name}' AS key_name,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_keys,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+       CAST(floor(SUM(cnt) / COUNT(*)) AS BIGINT) AS mean_cnt_floor,
+       CAST(floor(MAX(cnt) * COUNT(*) / SUM(cnt)) AS BIGINT)
+         AS skew_factor_floor,
+       GREATEST(1, CAST(ceil(MAX(cnt) * COUNT(*) / SUM(cnt) / 4) AS BIGINT))
+         AS suggested_salt
+FROM (SELECT {key}, COUNT(*) AS cnt FROM events GROUP BY 1)
+"""
+
+ORACLE_SKEW_STATS = (
+    _SQL_SKEW.format(name="user_id", key="user_id")
+    + " UNION ALL "
+    + _SQL_SKEW.format(name="event_type", key="event_type")
+)
+
+
 _PER_GROUP_N = 7
 
 
@@ -1904,6 +1940,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "url_domains": q_url_domains,
         "corpus_diff": q_corpus_diff,
+        "skew_stats": q_skew_stats,
         "sample_stratified": q_sample_stratified,
         "sample_splits": q_sample_splits,
         "sample_per_group": q_sample_per_group,
@@ -1976,6 +2013,7 @@ def training_oracles() -> dict[str, str]:
         "sample_weighted": ORACLE_SAMPLE_WEIGHTED,
         "url_domains": ORACLE_URL_DOMAINS,
         "corpus_diff": ORACLE_CORPUS_DIFF,
+        "skew_stats": ORACLE_SKEW_STATS,
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "sample_splits": ORACLE_SAMPLE_SPLITS,
         "sample_per_group": ORACLE_SAMPLE_PER_GROUP,
