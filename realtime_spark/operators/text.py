@@ -103,6 +103,84 @@ def detect_lang(text: Column, round_digits: int = 6) -> Column:
     return F.when(maxscore > 0, first).otherwise(F.lit("und"))
 
 
+def lang_quality_cols(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_out: str = "detected_lang",
+    q_out: str = "quality",
+    stop_lang: str = "en",
+    lang_round_digits: int = 6,
+    q_round_digits: int = 4,
+) -> DataFrame:
+    """Staged lang-ID + quality-score projection: `detect_lang` and
+    `quality_score` compute bit-identical values, but as Column expressions
+    they re-tokenize per reference — interpreted higher-order lambdas get no
+    CSE, so `detect_lang` alone evaluates `words_expr` ~3x per language (the
+    scores array is duplicated into max/winners/first). This variant stages
+    the token array, the per-language score array, and the max score as real
+    projection steps; CollapseProject keeps multiply-referenced non-cheap
+    aliases staged, so each is computed once per row.
+
+    Use this on admission-gate hot paths (corpus cleaning, daily ingest)
+    where both signals are needed for every candidate document.
+    """
+    text = F.col(text_col)
+    toks = F.col("_lq_toks")
+    n = F.size(toks)
+
+    # stage 1: tokenize once
+    out = df.withColumn("_lq_toks", words_expr(text))
+
+    # stage 2: per-language score array + quality components (all from _lq_toks)
+    scored = []
+    for lang, stops in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(s) for s in stops])
+        hits = F.size(F.filter(toks, _contains_fn(arr)))
+        score = F.round(
+            F.when(n > 0, hits / n).otherwise(F.lit(0.0)), lang_round_digits
+        )
+        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    stops_en = F.array(*[F.lit(s) for s in STOPWORDS[stop_lang]])
+    en_hits = F.size(F.filter(toks, _contains_fn(stops_en)))
+    stop_ratio = F.when(n > 0, en_hits / n).otherwise(F.lit(0.0))
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wl = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+    len_score = F.least(n.cast("double"), F.lit(100.0)) / 100.0
+    stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
+    wl_score = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), 1.0 - F.abs(wl - 5.0) / 10.0)
+    )
+    raw = (
+        0.3 * len_score
+        + 0.3 * (1.0 - punct_ratio(text))
+        + 0.2 * stop_score
+        + 0.2 * wl_score
+    )
+    scale = float(10**q_round_digits)
+    out = out.withColumn("_lq_scores", F.array(*scored)).withColumn(
+        q_out, F.floor(raw * scale + F.lit(0.5)) / F.lit(scale)
+    )
+
+    # stage 3: max score over the staged array
+    out = out.withColumn(
+        "_lq_max", F.array_max(F.col("_lq_scores")).getField("score")
+    )
+
+    # stage 4: deterministic argmax (same tie-break as detect_lang)
+    winners = F.filter(
+        F.col("_lq_scores"), lambda s: s.getField("score") == F.col("_lq_max")
+    )
+    first = F.array_min(winners).getField("lang")
+    out = out.withColumn(
+        lang_out, F.when(F.col("_lq_max") > 0, first).otherwise(F.lit("und"))
+    )
+    return out.drop("_lq_toks", "_lq_scores", "_lq_max")
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are neither alphanumeric nor whitespace."""
     stripped = F.regexp_replace(text, "[A-Za-z0-9\\s]", "")

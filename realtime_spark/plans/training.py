@@ -1810,11 +1810,18 @@ FROM documents,
 def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
 
+    from realtime_spark.operators.text import lang_quality_cols
+
     d = docs_with_dups(spark, sf_dir)
-    scored = d.select(
-        "doc_id", "text", quality_score(F.col("text")).alias("q"),
-        detect_lang(F.col("text")).alias("lg"),
-    )
+    # staged variant: tokenizes once per row (bit-identical to the
+    # quality_score/detect_lang column exprs, which re-tokenize per lambda).
+    # The checkpoint below is load-bearing: a filter directly on q/lg would
+    # be pushed through the staged Projects, re-inlining the full expression
+    # tree into the predicate (pushdown substitutes aliases regardless of
+    # cost) — measured 8s vs 1.7s at sf0.1. Materializing the scored frame
+    # keeps the one-tokenize-per-row plan; a real pipeline persists its
+    # admission-gate scores anyway.
+    scored = lang_quality_cols(d, "text", lang_out="lg", q_out="q").localCheckpoint()
     gated = scored.filter((F.col("q") >= 0.5) & (F.col("lg") != "und"))
     # `exact` feeds three consumers (LSH candidates, anti-join, final agg);
     # persist so the gate+dedup prefix runs once, as a real pipeline would
@@ -2885,7 +2892,7 @@ def q_daily_ingest_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_candidates_against_index,
         write_lsh_index,
     )
-    from realtime_spark.operators.text import detect_lang, quality_score
+    from realtime_spark.operators.text import lang_quality_cols
 
     from realtime_spark.operators.dedup import tokens_expr
 
@@ -2900,11 +2907,17 @@ def q_daily_ingest_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = d.filter(F.col("doc_id") >= 1000000).unionByName(new_docs)
 
-    gated = batch.select(
-        "doc_id", "text",
-        quality_score(F.col("text")).alias("q"),
-        detect_lang(F.col("text")).alias("lg"),
-    ).filter((F.col("q") >= 0.5) & (F.col("lg") != "und")).select("doc_id", "text")
+    # checkpoint before filtering: predicate pushdown would otherwise inline
+    # the staged lang/quality expressions into the filter condition (see
+    # q_corpus_clean_pipeline) — the gate scores are the ingest log's
+    # admission record, so the boundary is natural
+    scored = lang_quality_cols(
+        batch, "text", lang_out="lg", q_out="q"
+    ).localCheckpoint()
+    gated = (
+        scored.filter((F.col("q") >= 0.5) & (F.col("lg") != "und"))
+        .select("doc_id", "text")
+    )
 
     digests = standing.select(F.md5("text").alias("digest"))
     fresh = dedup_incremental(gated, digests, "doc_id", "text")
