@@ -907,6 +907,10 @@ from realtime_spark.plans.tokenizer_plan import (  # noqa: E402
 from realtime_spark.plans.pca_plan import pca_oracles, pca_queries  # noqa: E402
 from realtime_spark.plans.c4_plan import c4_oracles, c4_queries  # noqa: E402
 from realtime_spark.plans.crdt_plan import crdt_oracles, crdt_queries  # noqa: E402
+from realtime_spark.plans.behavior import (  # noqa: E402
+    behavior_oracles,
+    behavior_queries,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -932,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(pca_queries())
     qs.update(c4_queries())
     qs.update(crdt_queries())
+    qs.update(behavior_queries())
     qs["cdc_multi_pairs"] = q_cdc_multi_pairs
     qs["cdc_subscription_ids"] = q_cdc_subscription_ids
     qs["cdc_wildcard"] = q_cdc_wildcard
@@ -981,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(pca_oracles())
     sqls.update(c4_oracles())
     sqls.update(crdt_oracles())
+    sqls.update(behavior_oracles())
     sqls["cdc_multi_pairs"] = ORACLE_CDC_MULTI_PAIRS
     sqls["cdc_subscription_ids"] = ORACLE_CDC_SUBSCRIPTION_IDS
     sqls["cdc_wildcard"] = ORACLE_CDC_WILDCARD

@@ -640,3 +640,50 @@ def lsh_candidates_against_index(
     return hits.select(
         F.col("new_doc"), F.col("doc").alias("corpus_doc")
     ).distinct()
+
+
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct word k-shingles
+    never seen in any LOWER-id document — the incremental-corpus signal
+    curation uses to rank an ingest batch by new-information content
+    (near-dups score ~0, genuinely new text ~1).
+
+    Shape: explode distinct shingles -> min(doc) per shingle (one map-side-
+    combined agg keyed by shingle) -> join back on (shingle) -> per-doc
+    counts. The shuffle carries (doc, 60-bit shingle digest) pairs, never
+    text. Output: (doc, n_shingles, n_novel, novelty) with novelty
+    quantized; docs with no shingles (< k tokens) report novelty NULL.
+    """
+    sh = spread_by(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_expr(F.col(text_col), k)).alias("s"),
+    )
+    # digest shingles before the shuffle: fixed-width keys, no long strings
+    shd = sh.select(
+        "doc",
+        (
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
+        ).alias("d"),
+    )
+    first = shd.groupBy("d").agg(F.min("doc").alias("first_doc"))
+    joined = shd.join(first, "d")
+    counts = joined.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("doc"), 1).otherwise(0)
+        ).alias("n_novel"),
+    )
+    scale = float(10**round_digits)
+    nov = F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
+    return counts.select(
+        "doc",
+        "n_shingles",
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        (F.floor(nov * scale + F.lit(0.5)) / F.lit(scale)).alias("novelty"),
+    )

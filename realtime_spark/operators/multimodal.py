@@ -363,3 +363,107 @@ def sniff_media(media: DataFrame, id_col: str = "media_id",
             )
 
     return media.select(id_col, payload_col).mapInPandas(run, SNIFF_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real WAV PCM audio: synthesize with the stdlib codec, decode it back, and
+# reduce to exact-integer sample statistics. Unlike the stubbed image/video
+# decoders above, this is a REAL end-to-end codec path — `wave` ships with
+# CPython — so the audio half of the multimodal pipeline exercises true
+# bytes-in/samples-out decoding with no external dependency.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+
+PCM_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("sum_amp", LongType()),
+        StructField("sum_sq_dev", LongType()),
+    ]
+)
+
+
+def _synth_pcm(media_id: int) -> bytes:
+    """Deterministic 8-bit mono PCM: n = 800 + id%100 samples of
+    s_i = (id*7 + i*13) % 256. Closed-form per id, so an SQL oracle can
+    state the expected decoded statistics exactly."""
+    import io
+    import wave
+
+    n = 800 + media_id % 100
+    frames = bytes((media_id * 7 + i * 13) % 256 for i in range(n))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(WAV_RATE)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def synth_wav(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(media_id, payload): deterministic WAV container per id — the
+    ingest-side encoder. Arrow-batched; payload never exceeds ~1 KB here,
+    but the shape (id projection -> binary column) is the real one."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [_synth_pcm(int(i)) for i in ids]}
+            )
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def wav_pcm_stats(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode WAV payloads (stdlib `wave`) and emit exact-integer PCM
+    statistics: sample count, rate, duration, amplitude sum, and squared
+    deviation from the 8-bit midpoint (128) — the integer core of an RMS
+    loudness probe. All outputs are exact integers, so the oracle replays
+    them in closed form; a float RMS would be the only non-portable step
+    and is left to the consumer.
+
+    mapInPandas preserves partitioning; payloads are decoded once per row
+    and only fixed-width stats rows are emitted.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for b in batches:
+            if not len(b):
+                continue
+            rows = []
+            for mid, p in zip(b[id_col], b[payload_col]):
+                raw = p if isinstance(p, bytes) else bytes(p)
+                with wave.open(io.BytesIO(raw), "rb") as w:
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    frames = w.readframes(n)
+                samples = list(frames)  # 8-bit PCM: one byte per sample
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": n,
+                        "sample_rate": rate,
+                        "duration_ms": n * 1000 // rate,
+                        "sum_amp": sum(samples),
+                        "sum_sq_dev": sum((s - 128) ** 2 for s in samples),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, payload_col).mapInPandas(run, PCM_STATS_SCHEMA)

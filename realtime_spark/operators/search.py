@@ -258,3 +258,49 @@ def tfidf_nearest_neighbor(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# positional postings + phrase search
+# ---------------------------------------------------------------------------
+
+
+def positional_postings(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, pos, term): token positions (0-based) — the positional inverted
+    index phrase and proximity queries need. posexplode keeps the hot path
+    JVM-side; the shuffle (if any downstream) carries (doc, pos, term)
+    triples, never the document text."""
+    return spread_by(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def phrase_hits(
+    post: DataFrame, phrase: Sequence[str]
+) -> DataFrame:
+    """(doc, n_hits): documents containing the exact token phrase, by
+    adjacency self-join of the positional postings.
+
+    Scale shape: each phrase term selects its own (small) postings slice
+    BEFORE the join — the join input is |postings of rarest terms|, not the
+    corpus. Joins are equi on (doc, pos+offset); with term selectivity the
+    planner broadcasts the smaller slices. A k-term phrase is k-1 chained
+    equi-joins, the standard positional-index intersection.
+    """
+    terms = [t.lower() for t in phrase]
+    cur = post.filter(F.col("term") == terms[0]).select(
+        "doc", F.col("pos").alias("p0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = post.filter(F.col("term") == t).select(
+            F.col("doc").alias("d"), F.col("pos").alias("p")
+        )
+        cur = cur.join(
+            nxt,
+            (cur["doc"] == nxt["d"]) & (nxt["p"] == cur["p0"] + i),
+            "inner",
+        ).select("doc", "p0")
+    return cur.groupBy("doc").agg(F.count(F.lit(1)).alias("n_hits"))

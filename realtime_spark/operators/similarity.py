@@ -915,3 +915,93 @@ def sq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "l2_code", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# feature-hashed bag-of-words embeddings + exact retrieval over them
+# ---------------------------------------------------------------------------
+
+
+def hashed_embedding(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 16,
+) -> DataFrame:
+    """Signed feature-hashing document embeddings (Weinberger et al. 2009,
+    arXiv:0902.2206): bucket = h(token) % dim, sign = ±1 from a second hash
+    bit, vector[bucket] += sign per token occurrence. Produces SPARSE
+    integer rows (doc, bucket, w) — exact, engine-stable (md5 hashes), and
+    computable without any learned model, so retrieval over them is fully
+    oracle-checkable (unlike float model embeddings).
+
+    Scale shape: explode -> codegen'd md5 -> one map-side-combined groupBy
+    on (doc, bucket); shuffle rows are 3 integers each.
+    """
+    from realtime_spark.operators.dedup import spread_by, tokens_expr
+    from realtime_spark.operators.sketches import stable_hash
+
+    toks = spread_by(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_expr(F.col(text_col))).alias("tok"),
+    )
+    bucket = stable_hash(F.col("tok"), 0, dim)
+    sign = stable_hash(F.col("tok"), 1, 2) * 2 - 1
+    return (
+        toks.select("doc", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("doc", "bucket")
+        .agg(F.sum("s").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+
+
+def hash_embed_topk(
+    vecs: DataFrame,
+    query_docs: Sequence[int],
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k over sparse hashed embeddings for a set of query
+    doc ids: (query_doc, rank, doc, cos). Dot products and squared norms
+    are exact integers; cosine = dot/sqrt(nq*nd) is one double op from
+    exact inputs, quantized; ties break by doc id.
+
+    Scale shape: the query-side slice is tiny and broadcasts; the corpus
+    side never shuffles for the join (bucket-keyed broadcast probe), then
+    one groupBy(query,doc) partial agg and a per-query top-k window over
+    candidate docs only (docs sharing at least one bucket)."""
+    norms = vecs.groupBy("doc").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    q = vecs.filter(F.col("doc").isin(list(query_docs))).select(
+        F.col("doc").alias("qdoc"), "bucket", F.col("w").alias("qw")
+    )
+    dots = (
+        vecs.join(F.broadcast(q), "bucket")
+        .filter(F.col("doc") != F.col("qdoc"))
+        .groupBy("qdoc", "doc")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    qn = norms.select(F.col("doc").alias("qdoc"), F.col("n2").alias("qn2"))
+    scored = (
+        dots.join(norms, "doc")
+        .join(F.broadcast(qn), "qdoc")
+        .withColumn(
+            "cos",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("n2").cast("double") * F.col("qn2").cast("double")),
+        )
+    )
+    scale = float(10**round_digits)
+    quant = F.floor(F.col("cos") * scale + F.lit(0.5)) / F.lit(scale)
+    w = Window.partitionBy("qdoc").orderBy(
+        quant.desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qdoc").alias("query_doc"),
+            "rank",
+            "doc",
+            quant.alias("cos"),
+        )
+    )

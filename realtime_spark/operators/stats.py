@@ -1,0 +1,188 @@
+"""Exact-arithmetic statistical operators over the event stream.
+
+Grouped OLS trend fitting, CUSUM changepoint detection, and fixed-bin
+histogram quantile estimation — the monitoring/profiling layer a pipeline
+runs over per-tenant event telemetry (the same streams the reference's rate
+counters observe, lib/realtime/rate_counter/rate_counter.ex).
+
+Determinism contract: every aggregation sums INTEGERS (cents-scaled values,
+scaled deviations), so results are independent of partition/summation order
+and the DuckDB oracle replays them exactly. Doubles appear only in the final
+single-threaded division/interpolation step, which is bit-stable given exact
+integer inputs.
+
+Scale notes (100 TB):
+- ols_trend: one map-side-combined groupBy per key — five integer sums per
+  group; no window, no sort, no second pass. The regression of millions of
+  rows per key collapses to one partial-agg shuffle.
+- cusum: per-key hourly pre-aggregation first (map-side combine collapses
+  raw events to |keys x hours| rows), then one window per key over the tiny
+  hourly frame. The window input is bounded by the time range, not by the
+  event count.
+- histogram_quantiles: bin assignment is a pure projection; one groupBy on
+  (bin) — the classic two-pass-free approximate-quantile shape. Contrast
+  with exact percentile_approx/sort-based quantiles which shuffle full rows;
+  here only NBINS partial counts cross the wire.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from realtime_spark.functions.timeutil import epoch_seconds
+
+# epoch of 2024-01-01 00:00:00 UTC — offsets keep x*y products within bigint
+BASE_EPOCH = 1_704_067_200
+
+
+def cents(x: Column) -> Column:
+    """Exact cents-scaling: floor(x*100 + 0.5) as bigint (engine-agnostic
+    HALF_UP, same contract as text.quantize)."""
+    return F.floor(x * 100 + F.lit(0.5)).cast("bigint")
+
+
+def ols_trend(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key least-squares trend of value over time.
+
+    slope/intercept from the closed-form normal equations over exact
+    integer sums: x = epoch_seconds - BASE_EPOCH (bigint), y = cents(value).
+    Sums are decimal(38,0) so n*Sxy never overflows. Output slope is
+    cents-per-second and intercept cents at BASE_EPOCH, both quantized.
+    """
+    x = (epoch_seconds(ts_col) - F.lit(BASE_EPOCH)).cast("bigint")
+    y = cents(F.col(value_col))
+    d38 = "decimal(38,0)"
+    sums = df.select(*keys, x.alias("x"), y.alias("y")).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+    )
+    det = sums["n"] * sums["sxx"] - sums["sx"] * sums["sx"]
+    slope_num = sums["n"] * sums["sxy"] - sums["sx"] * sums["sy"]
+    icept_num = sums["sxx"] * sums["sy"] - sums["sx"] * sums["sxy"]
+    scale = float(10**round_digits)
+    q = lambda c: F.floor(c * scale + F.lit(0.5)) / F.lit(scale)  # noqa: E731
+    return sums.select(
+        *keys,
+        sums["n"].cast("bigint").alias("n"),
+        q(slope_num.cast("double") / det.cast("double")).alias("slope_cents_per_sec"),
+        q(icept_num.cast("double") / det.cast("double")).alias("intercept_cents"),
+    )
+
+
+def cusum_hours(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    threshold_hours: int = 3,
+) -> DataFrame:
+    """One-sided CUSUM over hourly event counts per key, exact integers.
+
+    The recursive S_t = max(0, S_{t-1} + dev_t) unrolls to the window form
+    S_t = U_t - min_{j<=t} U_j with U = running sum of deviations — two
+    RANGE-free windows instead of a sequential fold, so it distributes.
+    Deviations are scaled by H (hours observed for the key) to stay
+    integer: dev_scaled = cnt*H - total. A changepoint fires when the
+    scaled CUSUM exceeds threshold_hours * total, i.e. the cumulative
+    excess over the key's mean reaches `threshold_hours` mean-hours.
+    Output: per (key, hour) -> cnt, cusum_scaled, flagged.
+    """
+    hour = F.floor((epoch_seconds(ts_col) - F.lit(BASE_EPOCH)) / 3600).cast(
+        "bigint"
+    )
+    hourly = df.select(*keys, hour.alias("hour")).groupBy(*keys, "hour").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_key = Window.partitionBy(*keys)
+    stats = hourly.select(
+        "*",
+        F.count(F.lit(1)).over(per_key).alias("h_obs"),
+        F.sum("cnt").over(per_key).alias("total"),
+    )
+    dev = (F.col("cnt") * F.col("h_obs") - F.col("total")).alias("dev")
+    w = Window.partitionBy(*keys).orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = stats.select(*keys, "hour", "cnt", "h_obs", "total", dev).withColumn(
+        "u", F.sum("dev").over(w)
+    )
+    s = F.col("u") - F.min("u").over(w)
+    return cum.select(
+        *keys,
+        "hour",
+        "cnt",
+        s.alias("cusum_scaled"),
+        (s > threshold_hours * F.col("total")).alias("flagged"),
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    qs: Sequence[float],
+    keys: Sequence[str] = (),
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate quantiles from a fixed equi-width histogram.
+
+    Values clamp into [lo, hi) edge bins; per-bin exact counts; quantile
+    q is linearly interpolated inside the first bin whose cumulative count
+    reaches ceil(q*N). Unlike percentile()'s full sort or a t-digest's
+    merge-order-dependent centroids, the histogram is ONE map-side-combined
+    groupBy of at most `nbins` rows per key, and the estimate is a
+    deterministic function of those exact integers. Output:
+    (*keys, q, est, n).
+    """
+    width = (hi - lo) / nbins
+    bin_c = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(nbins - 1),
+    ).cast("bigint")
+    counts = df.select(*keys, bin_c.alias("bin")).groupBy(*keys, "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = counts.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    qrows = cum.crossJoin(
+        F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(float(q),) for q in qs], "q double"
+            )
+        )
+    )
+    target = F.ceil(F.col("q") * F.col("n")).cast("bigint")
+    hit = qrows.filter(
+        (F.col("cum") >= target) & (F.col("cum") - F.col("c") < target)
+    )
+    frac = (target - (F.col("cum") - F.col("c"))).cast("double") / F.col(
+        "c"
+    ).cast("double")
+    est = F.lit(lo) + (F.col("bin").cast("double") + frac) * F.lit(width)
+    scale = float(10**round_digits)
+    return hit.select(
+        *keys,
+        "q",
+        (F.floor(est * scale + F.lit(0.5)) / F.lit(scale)).alias("est"),
+        F.col("n").cast("bigint").alias("n"),
+    )
