@@ -79,6 +79,15 @@ def _bench_queries():
         "chunk_windows",
         "fk_joint_sample",
         "zorder_orders",
+        "markov_stationary",
+        "ols_trend",
+        "cusum_changepoint",
+        "hist_quantiles",
+        "phrase_search",
+        "hash_embed_retrieval",
+        "audio_pcm_stats",
+        "ngram_novelty",
+        "corpus_clean_pipeline",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

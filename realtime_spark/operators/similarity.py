@@ -645,6 +645,40 @@ def _l2sq_micro(a: np.ndarray, b: np.ndarray) -> int:
     return int(np.floor(acc * 1e6 + 0.5))
 
 
+def _l2sq_micro_rows(sub: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Row-wise `_l2sq_micro(sub, mat[i])` for a whole (k x dsub) matrix:
+    vectorized ACROSS rows, sequential ACROSS dims, so each row's float64
+    accumulation order is identical to the scalar loop (same trick as
+    ivf_assign's _seq_dot) — bit-identical results, ~dsub*k fewer Python
+    ops per call."""
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for i in range(sub.shape[0]):
+        t = sub[i] - mat[:, i]
+        acc += t * t
+    return np.floor(acc * 1e6 + 0.5).astype(np.int64)
+
+
+def _adc_table(
+    qrows, codebook: list[list[tuple[int, np.ndarray]]]
+) -> list[tuple[int, int, int, int]]:
+    """(query_id, subspace j, code, d_micro) rows for the broadcast ADC
+    distance table — q x m x k entries, built driver-side."""
+    m = len(codebook)
+    dsub = codebook[0][0][1].shape[0]
+    cids = [np.array([cid for cid, _ in sub]) for sub in codebook]
+    mats = [np.stack([sv for _, sv in sub]) for sub in codebook]
+    out = []
+    for qr in qrows:
+        qv = np.array(list(qr[1]), dtype=np.float64)
+        for j in range(m):
+            d = _l2sq_micro_rows(qv[j * dsub:(j + 1) * dsub], mats[j])
+            out.extend(
+                (int(qr[0]), j, int(cids[j][i]), int(d[i]))
+                for i in range(len(d))
+            )
+    return out
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: list[list[tuple[int, np.ndarray]]],
@@ -668,13 +702,11 @@ def pq_encode(
             va = np.array(list(v), dtype=np.float64)
             codes = []
             for j in range(m):
-                sub = va[j * dsub:(j + 1) * dsub]
-                best_i, best_d = 0, None
-                for i in range(mats[j].shape[0]):
-                    dist = _l2sq_micro(sub, mats[j][i])
-                    if best_d is None or dist < best_d:
-                        best_i, best_d = i, dist
-                codes.append(int(cids[j][best_i]))
+                d = _l2sq_micro_rows(va[j * dsub:(j + 1) * dsub], mats[j])
+                # argmin takes the FIRST minimum = smallest centroid id
+                # (codebook sorted ascending), same tie-break as the scalar
+                # `dist < best_d` scan
+                codes.append(int(cids[j][int(np.argmin(d))]))
             out.append(codes)
         return pd.Series(out)
 
@@ -701,16 +733,7 @@ def pq_adc_topk(
     (not vectors) shuffle once keyed by (query, vec); at 100 TB pair with
     IVF bucketing so only probed buckets' codes enter the join.
     Output: (query_id, neighbor_id, adc_micro, rank)."""
-    m = len(codebook)
-    dsub = codebook[0][0][1].shape[0]
-    qrows = queries.select(id_col, vec_col).collect()
-    dtab = []
-    for qr in qrows:
-        qv = np.array(list(qr[1]), dtype=np.float64)
-        for j in range(m):
-            sub = qv[j * dsub:(j + 1) * dsub]
-            for cid, sv in codebook[j]:
-                dtab.append((int(qr[0]), j, int(cid), _l2sq_micro(sub, sv)))
+    dtab = _adc_table(queries.select(id_col, vec_col).collect(), codebook)
     spark = encoded.sparkSession
     dt = F.broadcast(
         spark.createDataFrame(
@@ -781,15 +804,7 @@ def ivf_pq_topk(
         .select("query_id", "centroid_id")
     )
     # ADC distance table (q x m x k rows) — built driver-side like pq_adc_topk
-    m = len(codebook)
-    dsub = codebook[0][0][1].shape[0]
-    dtab_rows = []
-    for qr in queries.select(id_col, vec_col).collect():
-        qv = np.array(list(qr[1]), dtype=np.float64)
-        for j in range(m):
-            sub = qv[j * dsub:(j + 1) * dsub]
-            for cid, sv in codebook[j]:
-                dtab_rows.append((int(qr[0]), j, int(cid), _l2sq_micro(sub, sv)))
+    dtab_rows = _adc_table(queries.select(id_col, vec_col).collect(), codebook)
     dt = F.broadcast(
         corpus.sparkSession.createDataFrame(
             dtab_rows, "query_id long, j int, code int, d_micro long"
