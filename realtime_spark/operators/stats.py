@@ -186,3 +186,69 @@ def histogram_quantiles(
         (F.floor(est * scale + F.lit(0.5)) / F.lit(scale)).alias("est"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+def _median2(df: DataFrame, keys: Sequence[str], val_col: str, out: str) -> DataFrame:
+    """2x-scaled exact median per key over integer values: lo+hi of the
+    middle two order statistics (both the same row when the count is odd).
+    Integer output, so downstream comparisons never touch floats. Ties in
+    the value order are broken by the full row ordering column list the
+    caller provides via val_col ordering only — value multiset is all that
+    matters for order statistics."""
+    w = Window.partitionBy(*keys).orderBy(F.col(val_col).asc())
+    wk = Window.partitionBy(*keys)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wk)
+    )
+    lo = (F.col("_n") + 1) / 2
+    hi = (F.col("_n") + 2) / 2
+    pick = F.when(F.col("_rn") == F.floor(lo), F.col(val_col)).otherwise(
+        F.lit(0)
+    ) + F.when(F.col("_rn") == F.floor(hi), F.col(val_col)).otherwise(F.lit(0))
+    return ranked.groupBy(*keys).agg(F.sum(pick).cast("bigint").alias(out))
+
+
+def robust_flags(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    k: int = 3,
+) -> DataFrame:
+    """Median/MAD (median absolute deviation) outlier detection over hourly
+    event counts — the robust alternative to mean/stddev z-scores (a real
+    spike inflates the mean AND the stddev, masking itself; the median and
+    MAD barely move). All arithmetic is exact integers via 2x/4x scaling:
+
+        med2 = 2*median(cnt)           (lo+hi of middle order statistics)
+        dev2 = |2*cnt - med2|  = 2*|cnt - median|
+        m4   = 2*median(dev2)  = 4*MAD
+        flag ⟺ |cnt-median| > k*MAD ⟺ 2*dev2 > k*m4
+
+    Output: (*keys, hour, cnt, dev2, m4, flagged).
+
+    Scale shape: raw events collapse to hourly counts first (map-side
+    combine); both medians are windows over the small per-key hourly frame.
+    """
+    hour = F.floor((epoch_seconds(ts_col) - F.lit(BASE_EPOCH)) / 3600).cast(
+        "bigint"
+    )
+    hourly = df.select(*keys, hour.alias("hour")).groupBy(*keys, "hour").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    med = _median2(hourly, keys, "cnt", "med2")
+    with_med = hourly.join(F.broadcast(med), list(keys))
+    devs = with_med.withColumn(
+        "dev2", F.abs(2 * F.col("cnt") - F.col("med2")).cast("bigint")
+    )
+    mad = _median2(devs, keys, "dev2", "m4")
+    return (
+        devs.join(F.broadcast(mad), list(keys))
+        .select(
+            *keys,
+            "hour",
+            "cnt",
+            "dev2",
+            "m4",
+            (2 * F.col("dev2") > k * F.col("m4")).alias("flagged"),
+        )
+    )

@@ -657,3 +657,98 @@ def unicode_normalize_cols(text: Column) -> Column:
         )
 
     return _norm(text)
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier (integer logit) + Luhn checksum validation
+# ---------------------------------------------------------------------------
+
+
+def quality_feature_cols(
+    df: DataFrame, text_col: str = "text", prefix: str = "qf_"
+) -> DataFrame:
+    """Integer feature extraction for a linear document-quality classifier
+    (the fastText-filter-grade shape used by CCNet/GPT-3-style curation,
+    with hand-set instead of learned weights): word count, stopword hits,
+    long-word count, punctuation chars, digit chars. Tokenizes once via a
+    staged projection (see lang_quality_cols for why staging matters) and
+    emits only exact integers, so any downstream weighted sum is
+    oracle-exact."""
+    text = F.col(text_col)
+    toks = F.col("_qf_toks")
+    out = df.withColumn("_qf_toks", words_expr(text))
+    stops = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    out = out.withColumns(
+        {
+            f"{prefix}words": F.size(toks).cast("bigint"),
+            f"{prefix}stop": F.size(F.filter(toks, _contains_fn(stops))).cast(
+                "bigint"
+            ),
+            f"{prefix}long": F.size(
+                F.filter(toks, lambda t: F.length(t) > 7)
+            ).cast("bigint"),
+            f"{prefix}punct": F.length(
+                F.regexp_replace(text, "[A-Za-z0-9\\s]", "")
+            ).cast("bigint"),
+            f"{prefix}digits": F.length(
+                F.regexp_replace(text, "[^0-9]", "")
+            ).cast("bigint"),
+        }
+    )
+    return out.drop("_qf_toks")
+
+
+# micro-unit weights: reward stopword evidence and moderate length, punish
+# punctuation/digit soup — hand-set to split the synthetic corpus, the
+# MECHANISM (integer dot product -> threshold) is the operator under test
+QUALITY_LOGIT_WEIGHTS = {
+    "bias": -650_000,  # ~= corpus median of the positive terms -> ~50/50 split
+    "words": 5_000,
+    "stop": 120_000,
+    "long": -10_000,
+    "punct": -40_000,
+    "digits": -30_000,
+}
+
+
+def quality_logit_micro(prefix: str = "qf_") -> Column:
+    """logit_micro = bias + Σ w_i * f_i over the quality_feature_cols
+    outputs — one exact bigint per row; classify with logit_micro > 0.
+    Inference is a pure projection: at 100 TB the classifier adds zero
+    shuffles and stays inside whole-stage codegen."""
+    w = QUALITY_LOGIT_WEIGHTS
+    return (
+        F.lit(w["bias"])
+        + F.col(f"{prefix}words") * w["words"]
+        + F.col(f"{prefix}stop") * w["stop"]
+        + F.col(f"{prefix}long") * w["long"]
+        + F.col(f"{prefix}punct") * w["punct"]
+        + F.col(f"{prefix}digits") * w["digits"]
+    ).cast("bigint")
+
+
+def luhn_valid_expr(digits: Column) -> Column:
+    """Luhn checksum over a digit string (credit-card validation): from the
+    RIGHT, double every second digit, subtract 9 when the double exceeds 9,
+    sum, valid iff sum % 10 == 0. Pure array expressions (reverse +
+    indexed transform + aggregate) — JVM-side, and replayed exactly by the
+    SQL oracle. Used to cut PII-redaction false positives: a 16-digit run
+    that fails Luhn is an ID/timestamp, not a card number."""
+    rev = F.reverse(digits)
+    n = F.length(digits)
+    vals = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: rev.substr(i, F.lit(1)).cast("int"),
+    )
+    summed = F.aggregate(
+        F.zip_with(
+            vals,
+            F.sequence(F.lit(1), n),
+            lambda v, i: F.when(
+                i % 2 == 0, F.when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)
+            ).otherwise(v),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (n > 0) & (summed % 10 == 0)

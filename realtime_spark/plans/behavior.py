@@ -437,7 +437,8 @@ FROM w WHERE event_type = 'purchase'
 
 
 def behavior_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    qs = dict(_WAVE2_QUERIES)
+    qs.update({
         "event_transitions": q_event_transitions,
         "markov_stationary": q_markov_stationary,
         "ols_trend": q_ols_trend,
@@ -448,11 +449,17 @@ def behavior_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pcm_stats": q_audio_pcm_stats,
         "ngram_novelty": q_ngram_novelty,
         "attribution_touch": q_attribution_touch,
-    }
+    })
+    return qs
 
 
 def behavior_oracles() -> dict[str, str]:
     return {
+        "quality_classifier": _oracle_quality_classifier(),
+        "pii_luhn": ORACLE_PII_LUHN,
+        "robust_spikes": ORACLE_ROBUST_SPIKES,
+        "minhash_pr_sweep": _oracle_pr_sweep(),
+        "session_transitions": ORACLE_SESSION_TRANSITIONS,
         "event_transitions": ORACLE_EVENT_TRANSITIONS,
         "markov_stationary": _oracle_markov(),
         "ols_trend": ORACLE_OLS_TREND,
@@ -464,3 +471,349 @@ def behavior_oracles() -> dict[str, str]:
         "ngram_novelty": ORACLE_NGRAM_NOVELTY,
         "attribution_touch": ORACLE_ATTRIBUTION,
     }
+
+
+# ---------------------------------------------------------------------------
+# wave 2: linear quality classifier, Luhn-validated PII, robust median/MAD
+# spikes, MinHash precision/recall sweep, session-scoped Markov transitions
+# ---------------------------------------------------------------------------
+
+from realtime_spark.operators.text import STOPWORDS  # noqa: E402
+
+_EN_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS["en"]) + "]"
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-filter-grade linear classifier: integer feature extraction
+    (staged tokenize) -> exact micro-unit logit -> threshold. Inference is
+    a pure projection — zero shuffles at any scale."""
+    from realtime_spark.operators.text import (
+        quality_feature_cols,
+        quality_logit_micro,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = quality_feature_cols(d, "text")
+    logit = quality_logit_micro()
+    return feats.select(
+        "doc_id",
+        logit.alias("logit_micro"),
+        (logit > 0).alias("keep"),
+    )
+
+
+def _oracle_quality_classifier() -> str:
+    from realtime_spark.operators.text import QUALITY_LOGIT_WEIGHTS as W
+
+    logit = (
+        f"{W['bias']} + w * {W['words']} + st * {W['stop']} + lg * {W['long']}"
+        f" + pu * {W['punct']} + dg * {W['digits']}"
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+         len(toks) AS w,
+         len(list_filter(toks, tk -> list_contains({_EN_STOPS_SQL}, tk))) AS st,
+         len(list_filter(toks, tk -> length(tk) > 7)) AS lg,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS pu,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS dg
+  FROM t
+)
+SELECT doc_id,
+       CAST({logit} AS BIGINT) AS logit_micro,
+       ({logit}) > 0 AS keep
+FROM f
+"""
+
+
+_LUHN_VALID = " card 4532015112830366 ok"
+_LUHN_INVALID = " num 1234567890123456 x"
+
+
+def _docs_with_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_LUHN_VALID)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_LUHN_INVALID)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+
+
+def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated PII detection: 13-19 digit runs are card-number
+    candidates only if they pass Luhn — the standard false-positive cut
+    (IDs/timestamps fail the checksum). Deterministic card injections make
+    the expected counts closed-form."""
+    from realtime_spark.operators.text import luhn_valid_expr
+
+    d = _docs_with_cards(spark, sf_dir)
+    runs = F.regexp_extract_all(F.col("text"), F.lit("[0-9]{13,19}"), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(runs).alias("n_runs"),
+        F.size(F.filter(runs, lambda r: luhn_valid_expr(r))).alias("n_valid"),
+    )
+
+
+ORACLE_PII_LUHN = f"""
+WITH d AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN '{_LUHN_VALID}' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN '{_LUHN_INVALID}' ELSE '' END
+           AS text
+  FROM documents
+),
+r AS (SELECT doc_id, regexp_extract_all(text, '[0-9]{{13,19}}') AS runs FROM d)
+SELECT doc_id, len(runs) AS n_runs,
+       len(list_filter(runs, s ->
+         length(s) > 0 AND
+         list_sum(list_transform(range(1, length(s) + 1), i ->
+           CASE WHEN i % 2 = 0 THEN
+             CASE WHEN CAST(substr(reverse(s), i, 1) AS INT) * 2 > 9
+                  THEN CAST(substr(reverse(s), i, 1) AS INT) * 2 - 9
+                  ELSE CAST(substr(reverse(s), i, 1) AS INT) * 2 END
+           ELSE CAST(substr(reverse(s), i, 1) AS INT) END)) % 10 = 0
+       )) AS n_valid
+FROM r
+"""
+
+
+def q_robust_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier hours per event type — the robust companion to
+    the mean/stddev z-score spike detector (anomaly_spikes): a heavy spike
+    can inflate mean and stddev enough to mask itself; median and MAD
+    barely move. Exact integers via 2x/4x scaling."""
+    from realtime_spark.operators.stats import robust_flags
+
+    e = load_table(spark, sf_dir, "events")
+    return robust_flags(e, ["event_type"], k=3)
+
+
+ORACLE_ROBUST_SPIKES = """
+WITH h AS (
+  SELECT event_type,
+         CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) / 3600)
+              AS BIGINT) AS hour
+  FROM events
+),
+hourly AS (SELECT event_type, hour, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+med AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN rn = floor((n + 1) / 2) THEN cnt ELSE 0 END
+                + CASE WHEN rn = floor((n + 2) / 2) THEN cnt ELSE 0 END)
+              AS BIGINT) AS med2
+  FROM r1 GROUP BY event_type
+),
+devs AS (
+  SELECT h.event_type, h.hour, h.cnt,
+         CAST(abs(2 * h.cnt - m.med2) AS BIGINT) AS dev2
+  FROM hourly h JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM devs
+),
+mad AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN rn = floor((n + 1) / 2) THEN dev2 ELSE 0 END
+                + CASE WHEN rn = floor((n + 2) / 2) THEN dev2 ELSE 0 END)
+              AS BIGINT) AS m4
+  FROM r2 GROUP BY event_type
+)
+SELECT d.event_type, d.hour, d.cnt, d.dev2, m.m4,
+       2 * d.dev2 > 3 * m.m4 AS flagged
+FROM devs d JOIN mad m USING (event_type)
+"""
+
+
+_PR_THRESHOLDS = (0.5, 0.9, 0.99)
+
+
+def q_minhash_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-evaluation harness: precision/recall of the MinHash-LSH
+    candidate generator against exact Jaccard ground truth, swept over
+    match thresholds. The quality measurement a pipeline runs before
+    trusting LSH parameters (bands/rows trade recall vs cost) at scale —
+    ground truth on a sample, LSH everywhere."""
+    from realtime_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+    from realtime_spark.plans.training import docs_with_dups
+
+    d = docs_with_dups(spark, sf_dir)
+    truth = jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.2)
+    cand = minhash_lsh_pairs(d, "doc_id", "text").withColumn("_c", F.lit(1))
+    full = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    th = F.broadcast(
+        spark.createDataFrame([(t,) for t in _PR_THRESHOLDS], "t double")
+    )
+    crossed = full.crossJoin(th)
+    is_truth = F.col("jaccard") >= F.col("t")
+    is_cand = F.col("_c") == 1
+    agg = crossed.groupBy("t").agg(
+        F.sum(F.when(is_truth & is_cand, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(is_truth & F.col("_c").isNull(), 1).otherwise(0)).alias(
+            "fn"
+        ),
+        F.sum(
+            F.when(is_cand & (~is_truth | F.col("jaccard").isNull()), 1).otherwise(0)
+        ).alias("fp"),
+    )
+    q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return agg.select(
+        "t",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        q6(
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double")
+        ).alias("precision"),
+        q6(
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double")
+        ).alias("recall"),
+    )
+
+
+def _oracle_pr_sweep() -> str:
+    from realtime_spark.plans.training import (
+        DOCS_DUP_CTE,
+        _SQL_BANDED_CTES,
+        _sql_shingles,
+    )
+
+    values = ", ".join(f"({t})" for t in _PR_THRESHOLDS)
+    return f"""
+WITH {DOCS_DUP_CTE.strip()},
+tj AS (SELECT doc_id, {SQL_TOKS} AS toks FROM _docs_dup),
+sh0 AS (
+  SELECT doc_id AS doc,
+         unnest({_sql_shingles(3)}) AS shingle
+  FROM tj
+),
+sh AS (
+  SELECT doc, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sx FROM sh0
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+freq_ok AS (SELECT sx FROM sh GROUP BY 1 HAVING COUNT(*) <= 1000),
+shf AS (SELECT sh.* FROM sh JOIN freq_ok USING (sx)),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+  FROM shf a JOIN shf b ON a.sx = b.sx AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT doc_a, doc_b,
+         round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+),
+{_SQL_BANDED_CTES.strip()},
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, 1 AS c
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+),
+full_j AS (
+  SELECT COALESCE(jp.doc_a, cand.doc_a) AS doc_a,
+         COALESCE(jp.doc_b, cand.doc_b) AS doc_b,
+         jp.jaccard, cand.c
+  FROM jp FULL OUTER JOIN cand
+    ON jp.doc_a = cand.doc_a AND jp.doc_b = cand.doc_b
+),
+agg AS (
+  SELECT th.t,
+    CAST(SUM(CASE WHEN jaccard >= th.t AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN c = 1 AND (jaccard < th.t OR jaccard IS NULL)
+             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN jaccard >= th.t AND c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM full_j CROSS JOIN (VALUES {values}) AS th(t)
+  GROUP BY th.t
+)
+SELECT t, tp, fp, fn,
+       floor(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS precision,
+       floor(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS recall
+FROM agg
+"""
+
+
+_SG_GAP = 1800
+
+
+def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transitions computed WITHIN gap sessions only — cross-session
+    pairs (user left and came back) are not behavioral transitions. The
+    composition of sessionize + the transition window; one shuffle keyed by
+    user, both windows reuse its partitioning."""
+    from realtime_spark.operators.markov import transitions
+    from realtime_spark.operators.sessions import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, ["user_id"], "ts", gap_seconds=_SG_GAP)
+    # transitions() partitions by one key column; feed it the composite
+    sk = s.withColumn(
+        "_sess_key",
+        F.concat_ws("#", F.col("user_id").cast("string"), F.col("session_id")),
+    )
+    return transitions(sk, user_col="_sess_key")
+
+
+ORACLE_SESSION_TRANSITIONS = f"""
+WITH o AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR epoch(ts) - epoch(prev) >= {_SG_GAP}
+            THEN 1 ELSE 0 END AS ns
+  FROM o
+),
+s AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+  FROM f
+),
+p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM s
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS cnt
+  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
+       floor(CAST(cnt AS DOUBLE)
+             / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS p
+FROM c
+"""
+
+
+_WAVE2_QUERIES = {
+    "quality_classifier": q_quality_classifier,
+    "pii_luhn": q_pii_luhn,
+    "robust_spikes": q_robust_spikes,
+    "minhash_pr_sweep": q_minhash_pr_sweep,
+    "session_transitions": q_session_transitions,
+}
