@@ -128,3 +128,29 @@ class TestSaltedJoin:
         a = sorted(r["v"] for r in out.collect())
         b = sorted(r["v"] for r in out.collect())
         assert a == b == list(range(500))
+
+
+def test_behavior_batch_plan_shapes(plans):
+    # OLS trend: one partial-agg shuffle, no window, no join
+    p = plans("ols_trend")
+    # formatted explain lists each node twice (tree + details): <=2 == one
+    assert p.count("Exchange") <= 2, f"ols_trend should be one agg shuffle\n{p}"
+    assert "Join" not in p and "Window" not in p
+
+    # transitions: the lead window + count agg; no sort-merge join anywhere
+    p = plans("event_transitions")
+    assert "SortMergeJoin" not in p
+
+    # hashed-embedding retrieval: corpus side joins via broadcast probe only
+    p = plans("hash_embed_retrieval")
+    assert "SortMergeJoin" not in p, f"hash_embed must broadcast\n{p}"
+
+    # classifier inference: pure projection — zero shuffles, zero joins
+    p = plans("quality_classifier")
+    assert "Exchange" not in p and "Join" not in p
+
+    # histogram quantiles: bin counts shuffle once; windows run on the tiny
+    # per-bin frame; the q-values side is an explicit broadcast
+    p = plans("hist_quantiles")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
