@@ -88,6 +88,12 @@ def _bench_queries():
         "audio_pcm_stats",
         "ngram_novelty",
         "corpus_clean_pipeline",
+        "image_pgm_stats",
+        "dup_graph_triangles",
+        "quality_classifier",
+        "robust_spikes",
+        "minhash_pr_sweep",
+        "session_transitions",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

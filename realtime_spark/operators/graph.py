@@ -83,3 +83,79 @@ def pagerank(
     out = ranks
     e.unpersist()
     return out
+
+
+def triangle_stats(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-node triangle count, degree, and local clustering coefficient
+    over an undirected edge list (standard graph-quality probe for
+    duplicate-cluster graphs: coefficient ~1 = clique-like exact-dup
+    group, lower = chained near-dups that need transitive clustering).
+
+    Triangles by the ordered three-join: edges canonicalized a<b, then
+    (a,b) ⋈ (b,c) ⋈ (a,c) counts each triangle once. Per-node count =
+    triangles touching the node; coefficient = 2T / (d(d-1)), quantized.
+
+    Scale shape: the classic MapReduce triangle enumeration — the join
+    input is the edge list itself (no vectors, no payloads). Skew guard:
+    high-degree hubs dominate (b,c) fan-out; production runs degree-order
+    the edges first (count only from lower-degree endpoints) — at dup-graph
+    densities the plain ordered join is fine and keeps the oracle simple.
+    Output: (node, degree, triangles, clustering).
+    """
+    e = edges.select(
+        F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
+        F.greatest(F.col(a_col), F.col(b_col)).cast("bigint").alias("b"),
+    ).distinct().persist()
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    scale = float(10**round_digits)
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.floor(
+            (2.0 * F.coalesce(F.col("triangles"), F.lit(0)))
+            / (F.col("degree") * (F.col("degree") - 1))
+            * scale
+            + F.lit(0.5)
+        )
+        / F.lit(scale),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint").alias(
+                "triangles"
+            ),
+            coeff.alias("clustering"),
+        )
+    )

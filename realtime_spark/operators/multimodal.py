@@ -467,3 +467,112 @@ def wav_pcm_stats(
             yield pd.DataFrame(rows)
 
     return media.select(id_col, payload_col).mapInPandas(run, PCM_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real PGM (P5) image decode — the image sibling of the WAV path above: a
+# genuine bytes-in/pixels-out parser with no codec library (binary PGM is
+# header + raw grayscale bytes), deterministic synthesis, and exact-integer
+# statistics an SQL oracle states in closed form.
+# ---------------------------------------------------------------------------
+
+PGM_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("maxval", IntegerType()),
+        StructField("sum_px", LongType()),
+        StructField("min_px", IntegerType()),
+        StructField("max_px", IntegerType()),
+    ]
+)
+
+
+def _synth_pgm(media_id: int) -> bytes:
+    """Deterministic binary PGM: w = 8 + id%5, h = 6 + id%4, pixel k =
+    (id*11 + k*7) % 256 in row-major order."""
+    w = 8 + media_id % 5
+    h = 6 + media_id % 4
+    header = f"P5\n{w} {h}\n255\n".encode()
+    return header + bytes((media_id * 11 + k * 7) % 256 for k in range(w * h))
+
+
+def decode_pgm(payload: bytes) -> dict:
+    """Parse a binary (P5) PGM: magic, whitespace/comment-tolerant header
+    tokens (width, height, maxval), then raw pixel bytes. Raises ValueError
+    on malformed input — callers quarantine, mirroring sniff_media."""
+    if payload[:2] != b"P5":
+        raise ValueError("not a binary PGM (P5) payload")
+    # tokenize header: after the magic, the next three whitespace-separated
+    # tokens are width/height/maxval; '#' starts a comment to end-of-line
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PGM header")
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl == -1 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PGM unsupported")
+    px = payload[pos:pos + w * h]
+    if len(px) != w * h:
+        raise ValueError("truncated PGM raster")
+    return {
+        "width": w,
+        "height": h,
+        "maxval": maxval,
+        "sum_px": sum(px),
+        "min_px": min(px),
+        "max_px": max(px),
+    }
+
+
+def synth_pgm(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(media_id, payload): deterministic PGM container per id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [_synth_pgm(int(i)) for i in ids]}
+            )
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def pgm_pixel_stats(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode PGM payloads and emit exact-integer pixel statistics. Same
+    scale contract as wav_pcm_stats: decode once per row inside
+    mapInPandas, emit fixed-width rows, never re-emit the binary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            rows = []
+            for mid, p in zip(b[id_col], b[payload_col]):
+                d = decode_pgm(p if isinstance(p, bytes) else bytes(p))
+                d["media_id"] = int(mid)
+                rows.append(d)
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, payload_col).mapInPandas(run, PGM_STATS_SCHEMA)

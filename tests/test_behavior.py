@@ -134,3 +134,69 @@ def test_phrase_hits_counts_adjacent_occurrences(spark):
     post = positional_postings(df, "doc_id", "text")
     hits = {r["doc"]: r["n_hits"] for r in phrase_hits(post, ("alpha", "beta")).collect()}
     assert hits == {1: 2, 3: 3}
+
+
+def test_pgm_roundtrip_and_malformed():
+    from realtime_spark.operators.multimodal import _synth_pgm, decode_pgm
+
+    d = decode_pgm(_synth_pgm(9))
+    assert (d["width"], d["height"], d["maxval"]) == (8 + 9 % 5, 6 + 9 % 4, 255)
+    # comment/whitespace-tolerant header
+    ok = decode_pgm(b"P5\n# c\n 4  2\n255\n" + bytes(range(8)))
+    assert ok["sum_px"] == sum(range(8))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_pgm(b"P6\n1 1\n255\n\x00")  # PPM magic
+    with _pytest.raises(ValueError):
+        decode_pgm(_synth_pgm(3)[:-2])  # truncated raster
+
+
+def test_triangle_stats_toy_graph(spark):
+    from realtime_spark.operators.graph import triangle_stats
+
+    # K3 (1,2,3) + a pendant edge (3,4): nodes 1,2 have 1 triangle, cc=1;
+    # node 3 has degree 3, 1 triangle, cc = 2/(3*2) = 0.333333
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "doc_a bigint, doc_b bigint"
+    )
+    out = {r["node"]: r for r in triangle_stats(edges).collect()}
+    assert out[1]["triangles"] == 1 and out[1]["clustering"] == 1.0
+    assert out[2]["triangles"] == 1 and out[2]["clustering"] == 1.0
+    assert out[3]["triangles"] == 1 and out[3]["clustering"] == 0.333333
+    assert out[4]["triangles"] == 0 and out[4]["clustering"] == 0.0
+
+
+def test_streaming_cusum_monitor_equals_batch(spark, sf_dir, tmp_path):
+    """Fold the event stream into the hourly count store micro-batch by
+    micro-batch, evaluate CUSUM on the accumulated store, and require
+    bit-equality with the batch detector over the full event log."""
+    from realtime_spark.operators.stats import cusum_hours
+    from realtime_spark.sources.testdata import load_table
+    from realtime_spark.streaming.monitors import (
+        cusum_from_counts,
+        read_counts,
+        run_hourly_count_stream,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    e.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(e.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = run_hourly_count_stream(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        keys=["event_type"],
+    )
+    q.awaitTermination(300)
+
+    counts = read_counts(spark, str(tmp_path / "store"))
+    streamed = cusum_from_counts(counts, ["event_type"])
+    batch = cusum_hours(e, ["event_type"])
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
