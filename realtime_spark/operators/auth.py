@@ -116,6 +116,110 @@ def _rsa_verify(n: int, e: int, msg: bytes, sig: bytes, alg: str) -> bool:
     return hmac.compare_digest(em, expected)
 
 
+# NIST curves for ECDSA JWTs (public FIPS 186-4 / SEC 2 constants):
+# (p, a, b, Gx, Gy, n, hash, coord_bytes)
+_EC_CURVES = {
+    "ES256": (  # P-256 / secp256r1
+        0xFFFFFFFF00000001000000000000000000000000FFFFFFFFFFFFFFFFFFFFFFFF,
+        -3,
+        0x5AC635D8AA3A93E7B3EBBD55769886BC651D06B0CC53B0F63BCE3C3E27D2604B,
+        0x6B17D1F2E12C4247F8BCE6E563A440F277037D812DEB33A0F4A13945D898C296,
+        0x4FE342E2FE1A7F9B8EE7EB4A7C0F9E162BCE33576B315ECECBB6406837BF51F5,
+        0xFFFFFFFF00000000FFFFFFFFFFFFFFFFBCE6FAADA7179E84F3B9CAC2FC632551,
+        hashlib.sha256,
+        32,
+    ),
+    "ES384": (  # P-384 / secp384r1
+        0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFFFF0000000000000000FFFFFFFF,
+        -3,
+        0xB3312FA7E23EE7E4988E056BE3F82D19181D9C6EFE8141120314088F5013875AC656398D8A2ED19D2A85C8EDD3EC2AEF,
+        0xAA87CA22BE8B05378EB1C71EF320AD746E1D3B628BA79B9859F741E082542A385502F25DBF55296C3A545E3872760AB7,
+        0x3617DE4A96262C6F5D9E98BF9292DC29F8F41DBD289A147CE9DA3113B5F0B8C00A60B1CE1D7E819D7A431D7C90EA0E5F,
+        0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFC7634D81F4372DDF581A0DB248B0A77AECEC196ACCC52973,
+        hashlib.sha384,
+        48,
+    ),
+}
+
+_EC_CRV_NAMES = {"ES256": "P-256", "ES384": "P-384"}
+
+
+def _ec_add(p1, p2, p, a):
+    """Affine point addition on y² = x³ + ax + b over GF(p); None = infinity."""
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2:
+        if (y1 + y2) % p == 0:
+            return None
+        lam = (3 * x1 * x1 + a) * pow(2 * y1, -1, p) % p
+    else:
+        lam = (y2 - y1) * pow(x2 - x1, -1, p) % p
+    x3 = (lam * lam - x1 - x2) % p
+    return (x3, (lam * (x1 - x3) - y1) % p)
+
+
+def _ec_mul(k: int, pt, p: int, a: int):
+    """Double-and-add scalar multiplication (verification only — no secret
+    scalars handled here, so non-constant-time is fine)."""
+    acc = None
+    while k:
+        if k & 1:
+            acc = _ec_add(acc, pt, p, a)
+        pt = _ec_add(pt, pt, p, a)
+        k >>= 1
+    return acc
+
+
+def _ecdsa_verify(qx: int, qy: int, msg: bytes, sig: bytes, alg: str) -> bool:
+    """ECDSA verification (SEC 1 §4.1.4) for JWS raw r||s signatures."""
+    p, a, b, gx, gy, n, h, clen = _EC_CURVES[alg]
+    if len(sig) != 2 * clen:
+        return False
+    r = int.from_bytes(sig[:clen], "big")
+    s = int.from_bytes(sig[clen:], "big")
+    if not (1 <= r < n and 1 <= s < n):
+        return False
+    # public key must be on the curve (invalid-curve attack guard)
+    if (qy * qy - (qx * qx * qx + a * qx + b)) % p != 0:
+        return False
+    e = int.from_bytes(h(msg).digest(), "big") % n
+    w = pow(s, -1, n)
+    u1, u2 = e * w % n, r * w % n
+    pt = _ec_add(
+        _ec_mul(u1, (gx, gy), p, a), _ec_mul(u2, (qx, qy), p, a), p, a
+    )
+    return pt is not None and pt[0] % n == r
+
+
+def ecdsa_sign(d: int, msg: bytes, alg: str, k: int) -> bytes:
+    """Test-fixture ECDSA signing with a CALLER-SUPPLIED nonce k — for
+    minting tokens in tests only (a fixed k leaks the key; production
+    signing lives with the identity provider, not this engine)."""
+    p, a, b, gx, gy, n, h, clen = _EC_CURVES[alg]
+    e = int.from_bytes(h(msg).digest(), "big") % n
+    r = _ec_mul(k, (gx, gy), p, a)[0] % n
+    s = pow(k, -1, n) * (e + r * d) % n
+    assert r and s, "degenerate nonce"
+    return r.to_bytes(clen, "big") + s.to_bytes(clen, "big")
+
+
+def ec_public_jwk(d: int, alg: str, kid: str) -> dict:
+    """JWK for the public point of test key d."""
+    p, a, b, gx, gy, n, h, clen = _EC_CURVES[alg]
+    qx, qy = _ec_mul(d, (gx, gy), p, a)
+    return {
+        "kty": "EC",
+        "crv": _EC_CRV_NAMES[alg],
+        "kid": kid,
+        "x": _b64url_encode(qx.to_bytes(clen, "big")),
+        "y": _b64url_encode(qy.to_bytes(clen, "big")),
+    }
+
+
 def verify_jwt_jwks(
     token: str,
     jwt_secret: str | None = None,
@@ -125,10 +229,13 @@ def verify_jwt_jwks(
     """Full signer-resolution verify path (jwt_verification.ex:49-150):
 
     - RS256/384/512 + kid -> RSA JWK from jwks['keys'] (kty=RSA, kid match)
+    - ES256/ES384 + kid -> EC JWK (kty=EC, crv match): pure-stdlib ECDSA
+      over P-256/P-384 with on-curve public-key validation
     - HS256/384/512 + kid -> 'oct' JWK by kid (base64url 'k' is the secret),
       else fall back to jwt_secret (the common Supabase-auth case)
     - HS* without jwks -> jwt_secret
     - required claims: role, exp; exp/iat decimals rounded; exp > now
+    - ES512/EdDSA remain unsupported (declared)
 
     Returns claims dict or None.
     """
@@ -174,8 +281,25 @@ def verify_jwt_jwks(
             expected = hmac.new(secret, msg, _HS_ALGS[alg]).digest()
             if not hmac.compare_digest(expected, sig):
                 return None
+        elif alg in _EC_CURVES:
+            jwk = next(
+                (
+                    j
+                    for j in keys
+                    if j.get("kty") == "EC"
+                    and j.get("crv") == _EC_CRV_NAMES[alg]
+                    and j.get("kid") == kid
+                ),
+                None,
+            )
+            if jwk is None or not isinstance(kid, str):
+                return None
+            qx = int.from_bytes(_b64url_decode(jwk["x"]), "big")
+            qy = int.from_bytes(_b64url_decode(jwk["y"]), "big")
+            if not _ecdsa_verify(qx, qy, msg, sig, alg):
+                return None
         else:
-            return None  # ES*/Ed*: no EC primitives in this environment
+            return None  # ES512/EdDSA: declared unsupported
 
         claims = json.loads(_b64url_decode(body_b64))
         for key in ("exp", "iat"):  # decimal exp/iat rounded like the reference

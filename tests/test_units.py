@@ -330,3 +330,80 @@ class TestMediaSniff:
         # tag size points past the payload -> no frame header -> None
         tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100])
         assert sniff_media_header(tag + b"\x00" * 4) is None
+
+
+class TestJwtEcdsa:
+    """ES256/ES384 verification: pure-stdlib ECDSA over NIST P-256/P-384
+    with on-curve key validation; ES512/EdDSA stay fail-closed."""
+
+    D = 0x1E7F3C9A55D2B8410F6E9C27AB34D0125F8A6B3C4D5E6F708192A3B4C5D6E7F8
+    K = 0x0B1C2D3E4F5A69788796A5B4C3D2E1F00FEDCBA987654321123456789ABCDEF0
+
+    def _mint(self, alg, kid, claims, d=None, k=None):
+        import json as _json
+
+        from realtime_spark.operators.auth import _b64url_encode, ecdsa_sign
+
+        h = _b64url_encode(
+            _json.dumps({"alg": alg, "typ": "JWT", "kid": kid}).encode()
+        )
+        b = _b64url_encode(_json.dumps(claims).encode())
+        sig = ecdsa_sign(d or self.D, f"{h}.{b}".encode(), alg, k or self.K)
+        from realtime_spark.operators.auth import _b64url_encode as enc
+
+        return f"{h}.{b}.{enc(sig)}"
+
+    def test_es256_roundtrip_and_tamper(self):
+        from realtime_spark.operators.auth import ec_public_jwk, verify_jwt_jwks
+
+        jwks = {"keys": [ec_public_jwk(self.D, "ES256", "kid-ec")]}
+        claims = {"role": "authenticated", "exp": 2_000_000_000}
+        tok = self._mint("ES256", "kid-ec", claims)
+        out = verify_jwt_jwks(tok, jwks=jwks, now_epoch=1_700_000_000)
+        assert out and out["role"] == "authenticated"
+        # tampered payload fails
+        h, b, s = tok.split(".")
+        assert verify_jwt_jwks(f"{h}.{b[:-2]}aa.{s}", jwks=jwks) is None
+        # unknown kid fails closed
+        tok2 = self._mint("ES256", "other-kid", claims)
+        assert verify_jwt_jwks(tok2, jwks=jwks) is None
+        # expired fails
+        old = self._mint("ES256", "kid-ec", {"role": "r", "exp": 100})
+        assert verify_jwt_jwks(old, jwks=jwks, now_epoch=1_700_000_000) is None
+
+    def test_es384_roundtrip(self):
+        from realtime_spark.operators.auth import ec_public_jwk, verify_jwt_jwks
+
+        jwks = {"keys": [ec_public_jwk(self.D, "ES384", "k384")]}
+        tok = self._mint("ES384", "k384", {"role": "svc", "exp": 2_000_000_000})
+        out = verify_jwt_jwks(tok, jwks=jwks, now_epoch=1_700_000_000)
+        assert out and out["role"] == "svc"
+
+    def test_wrong_curve_key_rejected(self):
+        # an off-curve public point must be rejected (invalid-curve guard)
+        from realtime_spark.operators.auth import (
+            _b64url_encode,
+            ec_public_jwk,
+            verify_jwt_jwks,
+        )
+
+        jwk = ec_public_jwk(self.D, "ES256", "kid-ec")
+        bad_y = bytearray(
+            __import__("base64").urlsafe_b64decode(jwk["y"] + "==")
+        )
+        bad_y[-1] ^= 1
+        jwk["y"] = _b64url_encode(bytes(bad_y))
+        tok = self._mint("ES256", "kid-ec", {"role": "r", "exp": 2_000_000_000})
+        assert verify_jwt_jwks(tok, jwks={"keys": [jwk]}) is None
+
+    def test_es512_stays_unsupported(self):
+        from realtime_spark.operators.auth import verify_jwt_jwks
+
+        # structurally valid but unsupported alg -> None
+        import json as _json
+
+        from realtime_spark.operators.auth import _b64url_encode
+
+        h = _b64url_encode(_json.dumps({"alg": "ES512", "kid": "x"}).encode())
+        b = _b64url_encode(_json.dumps({"role": "r", "exp": 2}).encode())
+        assert verify_jwt_jwks(f"{h}.{b}.AAAA", jwks={"keys": []}) is None
