@@ -127,3 +127,39 @@ def fanout_subscribers(
     return pairs.filter(keep).withColumn(
         "is_self", F.col(sub_col) == F.col(sender_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# V1 JSON serializer (S9 sibling of the V2 binary path)
+# ---------------------------------------------------------------------------
+
+
+def v1_message(
+    topic: Column, event: Column, payload_json: Column
+) -> Column:
+    """Phoenix V1 wire message: the JSON array
+    `[join_ref, ref, topic, event, payload]` with null refs for
+    server-pushed broadcasts (reference: the V1 JSON serializer the V2
+    binary format replaced, lib/realtime_web/socket/v2_serializer.ex keeps
+    V1 as the fallback). String escaping is delegated to `to_json` on a
+    2-element array (then bracket-stripped), so topics/events containing
+    quotes or unicode serialize correctly; the payload is already JSON
+    text and is spliced verbatim. Serialized once per (topic, event,
+    message) like the V2 path (O4 encode-once)."""
+    head = F.to_json(F.array(topic, event))
+    inner = F.substring(head, 2, F.length(head) - 2)
+    return F.concat(
+        F.lit("[null,null,"), inner, F.lit(","), payload_json, F.lit("]")
+    )
+
+
+def encode_frames_v1(messages: DataFrame) -> DataFrame:
+    """messages (id, topic, event, payload map, private) -> V1 JSON text
+    frame per message; payload carries the message id for replay dedup
+    (P15), mirroring encode_frames' metadata."""
+    payload = F.to_json(
+        F.struct(F.col("payload"), F.col("id"), F.col("private"))
+    )
+    return messages.withColumn(
+        "frame_v1", v1_message(F.col("topic"), F.col("event"), payload)
+    )

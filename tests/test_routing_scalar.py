@@ -119,3 +119,45 @@ class TestSubscriptionDelete:
         left = delete_subscriptions(subs, ["sub-gt", "sub-null"])
         got = {r["subscription_id"] for r in left.select("subscription_id").collect()}
         assert got == {"sub-eq-f", "sub-ins", "sub-and"}
+
+
+class TestV1Frame:
+    """V1 JSON serializer parity: [join_ref, ref, topic, event, payload]
+    with proper string escaping, one frame per message (O4 encode-once)."""
+
+    def test_roundtrips_as_phoenix_array(self, spark):
+        import json
+
+        from pyspark.sql import functions as F
+
+        from realtime_spark.operators.routing import v1_message
+
+        rows = [
+            ("room:1", "new_msg", '{"a":1}'),
+            ('we"ird\\topic', "evént", '{"x":"y"}'),
+            ("t", "e", '{"nested":{"k":[1,2]}}'),
+        ]
+        df = spark.createDataFrame(rows, "topic string, event string, pj string")
+        out = df.select(
+            "topic", "event", "pj",
+            v1_message(F.col("topic"), F.col("event"), F.col("pj")).alias("f"),
+        ).collect()
+        for r in out:
+            assert json.loads(r["f"]) == [
+                None, None, r["topic"], r["event"], json.loads(r["pj"]),
+            ]
+
+    def test_encode_frames_v1_carries_dedup_id(self, spark):
+        import json
+
+        from realtime_spark.operators.routing import encode_frames_v1
+
+        msgs = spark.createDataFrame(
+            [(7, "room:1", "broadcast", {"k": "v"}, True)],
+            "id bigint, topic string, event string, payload map<string,string>, private boolean",
+        )
+        row = encode_frames_v1(msgs).collect()[0]
+        arr = json.loads(row["frame_v1"])
+        assert arr[2] == "room:1" and arr[3] == "broadcast"
+        assert arr[4]["id"] == 7 and arr[4]["private"] is True
+        assert arr[4]["payload"] == {"k": "v"}
