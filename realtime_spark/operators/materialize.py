@@ -279,3 +279,54 @@ def ivm_sum_cents(
         F.sum(delta).alias("sum_cents"),
         F.count(F.lit(1)).alias("n_changes"),
     )
+
+
+def split_pk_changes(
+    changes: DataFrame,
+) -> DataFrame:
+    """Normalize primary-key-changing UPDATEs into DELETE(old pk) +
+    INSERT(new pk) before materialization.
+
+    A pk-change UPDATE keyed by the NEW pk silently leaves the old key's
+    state live in the snapshot — the standard CDC hazard pgoutput flags
+    with `changed_key_tuple_data` on Update messages (reference:
+    lib/realtime/adapters/postgres/decoder.ex:91-102, the Update struct's
+    old/changed-key tuple); wal2json likewise ships old pk values under
+    REPLICA IDENTITY. This operator detects old-vs-new pk drift and emits
+    the two-event normal form every log-compaction fold handles correctly.
+
+    Map-only: one projection computing both pk texts, a filter split, and
+    a union — no shuffle; the downstream materialize groupBy is unchanged.
+    """
+    old_pk = F.array_join(
+        F.transform(F.col("pk"), lambda k: F.element_at(F.col("old_record"), k)),
+        "|",
+    )
+    new_pk = F.array_join(
+        F.transform(F.col("pk"), lambda k: F.element_at(F.col("record"), k)), "|"
+    )
+    is_move = (
+        (F.col("action") == "UPDATE")
+        & F.col("old_record").isNotNull()
+        & ~old_pk.eqNullSafe(new_pk)
+    )
+    normal = changes.filter(~is_move)
+    moves = changes.filter(is_move)
+    cols = changes.columns
+
+    def _with(df, **repl):
+        return df.select(
+            *[repl.get(c, F.col(c)).alias(c) for c in cols]
+        )
+
+    dels = _with(
+        moves,
+        action=F.lit("DELETE"),
+        record=F.lit(None).cast(moves.schema["record"].dataType),
+    )
+    ins = _with(
+        moves,
+        action=F.lit("INSERT"),
+        old_record=F.lit(None).cast(moves.schema["old_record"].dataType),
+    )
+    return normal.unionByName(dels).unionByName(ins)

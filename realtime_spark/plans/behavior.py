@@ -917,3 +917,85 @@ _WAVE3_ORACLES = {
     "image_pgm_stats": ORACLE_IMAGE_PGM,
     "dup_graph_triangles": _oracle_triangles(),
 }
+
+
+# ---------------------------------------------------------------------------
+# pk-change CDC normalization (decoder.ex Update changed-key semantics)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_pk_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A pk-changing UPDATE must fold as DELETE(old key) + INSERT(new key):
+    without the split, the old key's row would stay live in the snapshot.
+    Keys %10=7 move to key+5000000 in version 2; the materialized state
+    must show the moved keys only at their new ids."""
+    from realtime_spark.operators.materialize import (
+        materialize_latest,
+        split_pk_changes,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+    def rec(key_col, status, price):
+        return F.map_from_arrays(
+            F.array(
+                F.lit("o_orderkey"), F.lit("o_orderstatus"), F.lit("o_totalprice")
+            ),
+            F.array(
+                key_col.cast("string"), status.cast("string"), price.cast("string")
+            ),
+        )
+
+    base = o.select(
+        F.col("o_orderkey").alias("change_id"),
+        F.lit(1).alias("seq"),
+        F.lit("INSERT").alias("action"),
+        F.lit("public").alias("schema_name"),
+        F.lit("orders").alias("table_name"),
+        F.col("o_orderdate").alias("commit_timestamp"),
+        rec(F.col("o_orderkey"), F.col("o_orderstatus"), F.col("o_totalprice")).alias(
+            "record"
+        ),
+        F.lit(None).cast("map<string,string>").alias("old_record"),
+        F.array(F.lit("o_orderkey")).alias("pk"),
+    )
+    moved = o.filter(F.col("o_orderkey") % 10 == 7).select(
+        F.col("o_orderkey").alias("change_id"),
+        F.lit(2).alias("seq"),
+        F.lit("UPDATE").alias("action"),
+        F.lit("public").alias("schema_name"),
+        F.lit("orders").alias("table_name"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 HOURS")).alias(
+            "commit_timestamp"
+        ),
+        rec(
+            F.col("o_orderkey") + 5000000, F.lit("M2"), F.col("o_totalprice") + 50
+        ).alias("record"),
+        rec(F.col("o_orderkey"), F.col("o_orderstatus"), F.col("o_totalprice")).alias(
+            "old_record"
+        ),
+        F.array(F.lit("o_orderkey")).alias("pk"),
+    )
+    feed = split_pk_changes(base.unionByName(moved))
+    out = materialize_latest(feed)
+    return out.select(
+        F.col("pk_text").cast("bigint").alias("o_orderkey"),
+        F.element_at("record", "o_orderstatus").alias("status"),
+        "last_action",
+        "n_versions",
+    )
+
+
+ORACLE_CDC_PK_CHANGE = """
+SELECT o_orderkey, o_orderstatus AS status,
+       'INSERT' AS last_action, CAST(1 AS BIGINT) AS n_versions
+FROM orders WHERE o_orderkey % 10 <> 7
+UNION ALL
+SELECT o_orderkey + 5000000, 'M2', 'INSERT', CAST(1 AS BIGINT)
+FROM orders WHERE o_orderkey % 10 = 7
+"""
+
+_WAVE3_QUERIES["cdc_pk_change"] = q_cdc_pk_change
+_WAVE3_ORACLES["cdc_pk_change"] = ORACLE_CDC_PK_CHANGE
