@@ -999,3 +999,21 @@ FROM orders WHERE o_orderkey % 10 = 7
 
 _WAVE3_QUERIES["cdc_pk_change"] = q_cdc_pk_change
 _WAVE3_ORACLES["cdc_pk_change"] = ORACLE_CDC_PK_CHANGE
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over binary payloads (documents' UTF-8
+    bytes, where the injected near-dups share long byte prefixes): corpus
+    chunk-dedup accounting. Non-SQL-expressible (per-byte rolling hash) —
+    rows-only driver check; correctness pinned by the pure-Python
+    differential and boundary-realignment tests in test_behavior.py."""
+    from realtime_spark.operators.chunking import cdc_chunks, chunk_dedup_stats
+    from realtime_spark.plans.training import docs_with_dups
+
+    d = docs_with_dups(spark, sf_dir).select(
+        F.col("doc_id").alias("doc"), F.encode("text", "UTF-8").alias("payload")
+    )
+    return chunk_dedup_stats(cdc_chunks(d))
+
+
+_WAVE3_QUERIES["chunk_dedup"] = q_chunk_dedup

@@ -200,3 +200,78 @@ def test_streaming_cusum_monitor_equals_batch(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+
+
+def _pseudo_bytes(seed: int, n: int) -> bytes:
+    """Deterministic pseudo-random payload (md5 chain) — periodic patterns
+    can dodge gear boundaries entirely, random-ish content is the design
+    target for content-defined chunking."""
+    import hashlib as _hl
+
+    out = bytearray()
+    block = seed.to_bytes(8, "big")
+    while len(out) < n:
+        block = _hl.md5(block).digest()
+        out.extend(block)
+    return bytes(out[:n])
+
+
+class TestContentDefinedChunking:
+    def test_boundaries_deterministic_and_bounded(self):
+        from realtime_spark.operators.chunking import chunk_boundaries
+
+        payload = _pseudo_bytes(1, 10000)
+        ends = chunk_boundaries(payload)
+        assert ends == chunk_boundaries(payload)
+        assert ends[-1] == len(payload)
+        sizes = [e - s for s, e in zip([0] + ends[:-1], ends)]
+        assert all(s <= 1024 for s in sizes)
+        assert all(s >= 64 for s in sizes[:-1])  # tail may be short
+        assert len(sizes) > 10  # avg ~256B over 10kB
+
+    def test_edit_realigns_unlike_fixed_blocks(self):
+        """The content-defined property: one inserted byte near the start
+        perturbs only boundary-local chunks; most chunk digests re-align.
+        Fixed-size blocks would shift EVERY downstream block."""
+        from realtime_spark.operators.chunking import chunk_payload
+
+        payload = _pseudo_bytes(2, 20000)
+        edited = payload[:100] + b"\x42" + payload[100:]
+        d1 = {d for _, _, d in chunk_payload(payload)}
+        d2 = {d for _, _, d in chunk_payload(edited)}
+        shared = len(d1 & d2) / len(d1)
+        assert shared > 0.8, f"only {shared:.0%} chunks re-aligned"
+        # fixed 256-byte blocks as the contrast: almost nothing survives
+        fixed1 = {payload[i:i + 256] for i in range(0, len(payload), 256)}
+        fixed2 = {edited[i:i + 256] for i in range(0, len(edited), 256)}
+        assert len(fixed1 & fixed2) / len(fixed1) < 0.1
+
+    def test_distributed_matches_local(self, spark):
+        from realtime_spark.operators.chunking import cdc_chunks, chunk_payload
+
+        rows = [(i, _pseudo_bytes(i, 3000)) for i in range(8)]
+        df = spark.createDataFrame(rows, "doc bigint, payload binary")
+        got = {}
+        for r in cdc_chunks(df).collect():
+            got.setdefault(r["doc"], []).append(
+                (r["chunk_idx"], r["offset"], r["length"], r["digest"])
+            )
+        for doc, payload in rows:
+            exp = [
+                (i, off, ln, dg)
+                for i, (off, ln, dg) in enumerate(chunk_payload(payload))
+            ]
+            assert sorted(got[doc]) == exp
+
+    def test_dedup_stats_counts_shared_chunks_once(self, spark):
+        from realtime_spark.operators.chunking import cdc_chunks, chunk_dedup_stats
+
+        base = _pseudo_bytes(9, 8000)
+        rows = [(1, base), (2, base[:4000] + b"\x99" + base[4000:])]
+        df = spark.createDataFrame(rows, "doc bigint, payload binary")
+        stats = chunk_dedup_stats(cdc_chunks(df)).collect()[0]
+        # near-identical blobs: stored bytes well under total bytes
+        assert stats["distinct_bytes"] < stats["total_bytes"] * 0.7
+        assert stats["dedup_ratio"] < 0.7
