@@ -304,3 +304,98 @@ def phrase_hits(
             "inner",
         ).select("doc", "p0")
     return cur.groupBy("doc").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted index: build once, query many (the search sibling of
+# write_ivf_index / write_lsh_index)
+# ---------------------------------------------------------------------------
+
+
+def write_postings_index(
+    df: DataFrame, path: str, id_col: str, text_col: str, mode: str = "overwrite"
+) -> None:
+    """Build and persist the full inverted index + document lengths:
+
+      {path}/postings — (term, doc, tf) partitioned by `bucket` =
+        crc32(term) % 64, sorted by term within files so a term probe
+        prunes to one partition and then row-group-skips on term min/max;
+      {path}/doclen — (doc, dl) plus corpus stats rolled into one tiny
+        file (n_docs_total, avgdl as a single-row parquet).
+
+    At 100 TB the corpus is tokenized ONCE; every query reads only its
+    terms' buckets — the on-disk analog of a search engine's term
+    dictionary + postings lists.
+    """
+    post = postings(df, id_col, text_col).withColumn(
+        "bucket", F.crc32(F.col("term")) % 64
+    )
+    post.repartition("bucket").sortWithinPartitions("term").write.mode(
+        mode
+    ).partitionBy("bucket").parquet(f"{path}/postings")
+    lengths = doc_lengths(df, id_col, text_col)
+    lengths.write.mode(mode).parquet(f"{path}/doclen")
+    lengths.agg(
+        F.count(F.lit(1)).alias("n_docs_total"), F.avg("dl").alias("avgdl")
+    ).write.mode(mode).parquet(f"{path}/stats")
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    query_terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 4,
+) -> DataFrame:
+    """BM25 top-k answered from the persisted index — identical scores to
+    bm25_topk over the corpus (same formula, same rounding; oracle-checked)
+    but the corpus text is never touched: the scan reads only the query
+    terms' bucket partitions (partition pruning on `bucket`, then term
+    row-group skipping), the doc-length side joins on doc, and the
+    two-value stats file broadcasts."""
+    terms = [t.lower() for t in query_terms]
+    buckets = sorted({__import__("zlib").crc32(t.encode()) % 64 for t in terms})
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .drop("bucket")
+    )
+    lengths = spark.read.parquet(f"{path}/doclen")
+    stats = spark.read.parquet(f"{path}/stats")
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        post.join(dfreq, "term")
+        .join(lengths, "doc")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs_total") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    scores = scored.groupBy("doc").agg(
+        F.round(F.sum("contrib"), round_digits).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    top = scores.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc", "score", "n_terms_matched", "rank"
+    )

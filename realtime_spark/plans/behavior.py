@@ -1017,3 +1017,32 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WAVE3_QUERIES["chunk_dedup"] = q_chunk_dedup
+
+
+def q_search_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 answered from the PERSISTED inverted index (tokenize once,
+    query many): scores must hash-match the corpus-scan query — the same
+    ORACLE_SEARCH_BM25 SQL verifies both paths."""
+    import os
+
+    from realtime_spark.operators.search import (
+        bm25_topk_from_index,
+        write_postings_index,
+    )
+    from realtime_spark.plans.training import _BM25_K, _BM25_TERMS
+
+    d = load_table(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/realtime_spark_postings_{sf_tag}_{os.getpid()}"
+    write_postings_index(d, path, "doc_id", "text")
+    return bm25_topk_from_index(spark, path, _BM25_TERMS, k=_BM25_K)
+
+
+def _oracle_bm25_index() -> str:
+    from realtime_spark.plans.training import ORACLE_SEARCH_BM25
+
+    return ORACLE_SEARCH_BM25
+
+
+_WAVE3_QUERIES["search_bm25_index"] = q_search_bm25_index
+_WAVE3_ORACLES["search_bm25_index"] = _oracle_bm25_index()
