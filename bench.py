@@ -94,6 +94,11 @@ def _bench_queries():
         "robust_spikes",
         "minhash_pr_sweep",
         "session_transitions",
+        "search_bm25_index",
+        "dq_audit",
+        "ann_recall_sweep",
+        "chunk_dedup",
+        "cdc_pk_change",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

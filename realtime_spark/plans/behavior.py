@@ -1046,3 +1046,257 @@ def _oracle_bm25_index() -> str:
 
 _WAVE3_QUERIES["search_bm25_index"] = q_search_bm25_index
 _WAVE3_ORACLES["search_bm25_index"] = _oracle_bm25_index()
+
+
+# ---------------------------------------------------------------------------
+# data-quality audit suite (Deequ-style single-pass constraint checking)
+# ---------------------------------------------------------------------------
+
+
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass-per-table declarative quality audit over the warehouse
+    tables + two FK integrity checks: the pre-ingest gate a production
+    pipeline runs before trusting a day's data."""
+    from realtime_spark.operators.quality_checks import (
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        referential_check,
+        run_checks,
+        unique,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    audit = run_checks(
+        orders,
+        "orders",
+        [
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            in_set("o_orderstatus", ["O", "F", "P"]),
+            in_range("o_totalprice", 0, 300000),
+            matches("o_orderpriority", "^[1-5]-"),
+        ],
+    ).unionByName(
+        run_checks(
+            events,
+            "events",
+            [
+                not_null("ts"),
+                unique("event_id"),
+                in_set("event_type", ["view", "click", "purchase", "signup", "error"]),
+                in_range("value", 0, 1000),
+            ],
+        )
+    ).unionByName(
+        referential_check(orders, customer, "o_custkey", "c_custkey", "orders")
+    ).unionByName(
+        referential_check(lineitem, orders, "l_orderkey", "o_orderkey", "lineitem")
+    )
+    return audit
+
+
+ORACLE_DQ_AUDIT = """
+WITH o AS (
+  SELECT COUNT(*) AS total,
+    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_uq,
+    SUM(CASE WHEN o_orderstatus IS NULL
+              OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v_set,
+    SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+              OR o_totalprice > 300000 THEN 1 ELSE 0 END) AS v_rng,
+    SUM(CASE WHEN o_orderpriority IS NULL
+              OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+        THEN 1 ELSE 0 END) AS v_pat
+  FROM orders
+),
+e AS (
+  SELECT COUNT(*) AS total,
+    SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v_nn,
+    COUNT(event_id) - COUNT(DISTINCT event_id) AS v_uq,
+    SUM(CASE WHEN event_type IS NULL OR event_type NOT IN
+        ('view','click','purchase','signup','error') THEN 1 ELSE 0 END) AS v_set,
+    SUM(CASE WHEN value IS NULL OR value < 0 OR value > 1000
+        THEN 1 ELSE 0 END) AS v_rng
+  FROM events
+),
+fk1 AS (
+  SELECT (SELECT COUNT(*) FROM orders) AS total,
+         (SELECT COUNT(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS v
+),
+fk2 AS (
+  SELECT (SELECT COUNT(*) FROM lineitem) AS total,
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS v
+)
+SELECT 'orders' AS table_name, 'not_null(o_orderkey)' AS constraint,
+       'completeness' AS kind, CAST(v_nn AS BIGINT) AS violations,
+       CAST(total AS BIGINT) AS total, v_nn = 0 AS ok FROM o
+UNION ALL SELECT 'orders', 'unique(o_orderkey)', 'uniqueness',
+       CAST(v_uq AS BIGINT), CAST(total AS BIGINT), v_uq = 0 FROM o
+UNION ALL SELECT 'orders', 'in_set(o_orderstatus)', 'validity',
+       CAST(v_set AS BIGINT), CAST(total AS BIGINT), v_set = 0 FROM o
+UNION ALL SELECT 'orders', 'range(o_totalprice,[0,300000])', 'validity',
+       CAST(v_rng AS BIGINT), CAST(total AS BIGINT), v_rng = 0 FROM o
+UNION ALL SELECT 'orders', 'matches(o_orderpriority)', 'validity',
+       CAST(v_pat AS BIGINT), CAST(total AS BIGINT), v_pat = 0 FROM o
+UNION ALL SELECT 'events', 'not_null(ts)', 'completeness',
+       CAST(v_nn AS BIGINT), CAST(total AS BIGINT), v_nn = 0 FROM e
+UNION ALL SELECT 'events', 'unique(event_id)', 'uniqueness',
+       CAST(v_uq AS BIGINT), CAST(total AS BIGINT), v_uq = 0 FROM e
+UNION ALL SELECT 'events', 'in_set(event_type)', 'validity',
+       CAST(v_set AS BIGINT), CAST(total AS BIGINT), v_set = 0 FROM e
+UNION ALL SELECT 'events', 'range(value,[0,1000])', 'validity',
+       CAST(v_rng AS BIGINT), CAST(total AS BIGINT), v_rng = 0 FROM e
+UNION ALL SELECT 'orders', 'fk(o_custkey->c_custkey)', 'referential',
+       CAST(v AS BIGINT), CAST(total AS BIGINT), v = 0 FROM fk1
+UNION ALL SELECT 'lineitem', 'fk(l_orderkey->o_orderkey)', 'referential',
+       CAST(v AS BIGINT), CAST(total AS BIGINT), v = 0 FROM fk2
+"""
+
+_WAVE3_QUERIES["dq_audit"] = q_dq_audit
+_WAVE3_ORACLES["dq_audit"] = ORACLE_DQ_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# ANN recall sweep: IVF recall@k vs brute-force ground truth per nprobe
+# ---------------------------------------------------------------------------
+
+_RECALL_NPROBES = (1, 2)
+
+
+def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN twin of minhash_pr_sweep: recall@k of IVF search against
+    brute-force ground truth, swept over nprobe — the measurement that
+    justifies an nprobe setting before trusting IVF at scale (ground truth
+    on a sample, IVF everywhere)."""
+    from realtime_spark.operators.similarity import brute_force_topk, ivf_topk
+    from realtime_spark.plans.training import (
+        _ANN_K,
+        _ANN_QUERY_PRED,
+        _IVF_CENT_PRED,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.expr(_ANN_QUERY_PRED))
+    cents = e.filter(F.expr(_IVF_CENT_PRED))
+    truth = brute_force_topk(e, q, k=_ANN_K).select("query_id", "neighbor_id")
+    qids = truth.select("query_id").distinct()
+    out = None
+    for np_ in _RECALL_NPROBES:
+        cand = ivf_topk(e, q, cents, k=_ANN_K, nprobe=np_).select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            truth.join(cand, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        rec = qids.join(hits, "query_id", "left").select(
+            F.lit(np_).alias("nprobe"),
+            "query_id",
+            (
+                F.floor(
+                    F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                    / F.lit(float(_ANN_K))
+                    * 10000.0
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("recall"),
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
+def _oracle_ann_recall() -> str:
+    from realtime_spark.plans.training import (
+        _ANN_K,
+        _ANN_QUERY_PRED,
+        _IVF_CENT_PRED,
+        _SQL_COS,
+    )
+
+    per_np = []
+    selects = []
+    for np_ in _RECALL_NPROBES:
+        p = f"n{np_}"
+        per_np.append(f""",
+{p}_probes AS (
+  SELECT query_id, q_vec, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY qc_cos DESC, centroid_id) AS rn
+    FROM probes0
+  ) WHERE rn <= {np_}
+),
+{p}_s AS (
+  SELECT p.query_id, a.neighbor_id,
+         round(list_dot_product(p.q_vec::DOUBLE[], a.c_vec::DOUBLE[]) /
+           (sqrt(list_dot_product(p.q_vec::DOUBLE[], p.q_vec::DOUBLE[])) *
+            sqrt(list_dot_product(a.c_vec::DOUBLE[], a.c_vec::DOUBLE[]))), 4) AS cos
+  FROM asg a JOIN {p}_probes p USING (centroid_id)
+  WHERE p.query_id <> a.neighbor_id
+),
+{p}_cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM {p}_s
+  ) WHERE rank <= {_ANN_K}
+)""")
+        selects.append(f"""
+SELECT {np_} AS nprobe, t.query_id,
+       floor(CAST(COUNT(c.neighbor_id) AS DOUBLE) / {float(_ANN_K)}
+             * 10000.0 + 0.5) / 10000.0 AS recall
+FROM truth t LEFT JOIN {p}_cand c
+  ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+GROUP BY t.query_id""")
+    return f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
+               WHERE {_IVF_CENT_PRED}),
+asg0 AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.centroid_id,
+         {_SQL_COS.format(a='e', b='c', r=6)} AS c_cos
+  FROM embeddings e CROSS JOIN cents c
+),
+asg AS (
+  SELECT neighbor_id, c_vec, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+              ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM asg0
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+      WHERE {_ANN_QUERY_PRED}),
+probes0 AS (
+  SELECT q.query_id, q.q_vec, c.centroid_id,
+         round(list_dot_product(q.q_vec::DOUBLE[], c.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[])) *
+            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS qc_cos
+  FROM q CROSS JOIN cents c
+),
+bs AS (
+  SELECT qq.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_SQL_COS.format(a='qq', b='e', r=4)} AS cos
+  FROM (SELECT * FROM embeddings WHERE {_ANN_QUERY_PRED}) qq
+  CROSS JOIN embeddings e WHERE e.vec_id <> qq.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM bs
+  ) WHERE rank <= {_ANN_K}
+){"".join(per_np)}
+{" UNION ALL ".join(selects)}
+"""
+
+
+_WAVE3_QUERIES["ann_recall_sweep"] = q_ann_recall_sweep
+_WAVE3_ORACLES["ann_recall_sweep"] = _oracle_ann_recall()

@@ -56,5 +56,11 @@ def test_bucketed_join_is_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS _bkt_orders")
         spark.sql("DROP TABLE IF EXISTS _bkt_lineitem")
+        # conf.get(key, None) returns None when the key was never EXPLICITLY
+        # set (even though Spark has a built-in default), so a conditional
+        # restore leaked threshold=-1 into every later test in the session —
+        # unset() restores the built-in default in that case
         if prev is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        else:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
