@@ -133,3 +133,43 @@ def referential_check(
             (F.col("violations") == 0).alias("ok"),
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns (Sweeney 2002): a
+    released dataset is k-anonymous iff every quasi-identifier combination
+    matches >= k rows. Returns per-combination group sizes for groups
+    BELOW k (the re-identification risks a release gate must suppress or
+    generalize), plus each group's size — empty result == k-anonymous.
+
+    Scale shape: one map-side-combined groupBy on the quasi columns; the
+    audit of a 100 TB release costs one partial-agg shuffle keyed by the
+    quasi tuple. Output: (*quasi_cols, group_size).
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )
+
+
+def k_anonymity_summary(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """One-row release report: total groups, risky groups (<k), rows at
+    risk, and the minimum group size (the dataset's actual anonymity k)."""
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("g"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("g") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("risky_groups"),
+        F.sum(F.when(F.col("g") < k, F.col("g")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("g").cast("bigint").alias("anonymity_k"),
+    )

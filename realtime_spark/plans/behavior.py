@@ -1300,3 +1300,51 @@ truth AS (
 
 _WAVE3_QUERIES["ann_recall_sweep"] = q_ann_recall_sweep
 _WAVE3_ORACLES["ann_recall_sweep"] = _oracle_ann_recall()
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity release gate
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-gate audit: quasi-identifiers (event_type, day, value
+    decile) over the event log — groups below k are re-identification
+    risks; the summary row reports the dataset's actual anonymity k."""
+    from realtime_spark.operators.quality_checks import k_anonymity_summary
+
+    e = load_table(spark, sf_dir, "events")
+    quasi = e.select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)), F.lit(9)
+        ).cast("int").alias("value_decile"),
+    )
+    return k_anonymity_summary(quasi, ["event_type", "day", "value_decile"], k=_KANON_K)
+
+
+ORACLE_K_ANONYMITY = f"""
+WITH quasi AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(least(greatest(floor(value / 50.0), 0), 9) AS INTEGER)
+           AS value_decile
+  FROM events
+),
+g AS (
+  SELECT event_type, day, value_decile, COUNT(*) AS g
+  FROM quasi GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN g < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS risky_groups,
+       CAST(SUM(CASE WHEN g < {_KANON_K} THEN g ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(MIN(g) AS BIGINT) AS anonymity_k
+FROM g
+"""
+
+_WAVE3_QUERIES["k_anonymity"] = q_k_anonymity
+_WAVE3_ORACLES["k_anonymity"] = ORACLE_K_ANONYMITY
