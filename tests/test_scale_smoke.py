@@ -59,3 +59,41 @@ def test_match_scales_linearly_and_stays_shuffle_free(spark):
     assert (
         out.select(F.explode("subscription_ids")).count() == base_pairs * REPLICAS
     )
+
+
+def test_behavior_family_scales_linearly(spark):
+    """Replicate events 10x under shifted user ids: per-key operators must
+    produce exactly 10x the transition counts and identical per-replica
+    OLS slopes — per-key isolation means sharded replication changes
+    nothing but the multiplicity."""
+    from realtime_spark.operators.markov import transitions
+    from realtime_spark.operators.stats import ols_trend
+    from realtime_spark.sources.testdata import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    e = load_table(spark, sf, "events")
+    n = 10
+    rep = e.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+    ).withColumn(
+        "user_id", F.col("user_id") + F.col("rep") * F.lit(1_000_000)
+    ).drop("rep")
+
+    base_t = {
+        (r["from_type"], r["to_type"]): r["cnt"]
+        for r in transitions(e).collect()
+    }
+    rep_t = {
+        (r["from_type"], r["to_type"]): r["cnt"]
+        for r in transitions(rep).collect()
+    }
+    assert rep_t == {k: v * n for k, v in base_t.items()}
+
+    # OLS per event_type: replicas add identical (x, y) multisets and the
+    # normal equations scale-cancel up to the final double conversion
+    # (100x-scaled integer sums can round differently in the last ulp)
+    base_s = {r["event_type"]: r["slope_cents_per_sec"] for r in ols_trend(e, ["event_type"]).collect()}
+    rep_s = {r["event_type"]: r["slope_cents_per_sec"] for r in ols_trend(rep, ["event_type"]).collect()}
+    assert set(base_s) == set(rep_s)
+    for k in base_s:
+        assert abs(base_s[k] - rep_s[k]) <= 1e-6, (k, base_s[k], rep_s[k])
