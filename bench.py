@@ -244,6 +244,46 @@ def bench_streaming_presence(spark, sf_dir: str, micro_batches: int | None = Non
     }
 
 
+def bench_streaming_mv(spark, sf_dir: str, micro_batches: int = 10) -> dict:
+    """Materialized-view maintenance throughput: CDC changes folded into a
+    continuously updated snapshot (streaming/materialize_stream.py) —
+    measures changes/s through the fold+merge+versioned-write loop, the
+    cost a standing MV pays per change at steady state."""
+    import tempfile
+
+    from realtime_spark.sources.testdata import versioned_changes_from_orders
+    from realtime_spark.streaming.materialize_stream import (
+        run_materialize_stream,
+        serve_snapshot,
+    )
+
+    changes = versioned_changes_from_orders(spark, sf_dir)
+    n_changes = changes.count()
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        store = os.path.join(d, "store")
+        ckpt = os.path.join(d, "ckpt")
+        changes.repartition(micro_batches).write.parquet(src)
+        stream = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = run_materialize_stream(stream, store, ckpt)
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        snap = serve_snapshot(spark, store)
+        rows = snap.count() if snap is not None else 0
+    return {
+        "mv_changes_per_sec": round(n_changes / wall, 1),
+        "changes": n_changes,
+        "snapshot_rows": rows,
+        "micro_batches": micro_batches,
+        "wall_sec": round(wall, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -279,6 +319,7 @@ def main() -> None:
     for key, bench_fn in (
         ("cdc", bench_streaming_cdc),
         ("presence", bench_streaming_presence),
+        ("mv", bench_streaming_mv),
     ):
         try:
             streaming[key] = bench_fn(spark, sf_dir)

@@ -104,6 +104,23 @@ def main() -> None:
         "corpus_diff",
         "cdc_gap_audit",
         "cdc_schema_drift",
+        "event_transitions",
+        "markov_stationary",
+        "ols_trend",
+        "cusum_changepoint",
+        "hist_quantiles",
+        "phrase_search",
+        "hash_embed_retrieval",
+        "ngram_novelty",
+        "quality_classifier",
+        "robust_spikes",
+        "session_transitions",
+        "dup_graph_triangles",
+        "search_bm25_index",
+        "dq_audit",
+        "ann_recall_sweep",
+        "k_anonymity",
+        "cdc_pk_change",
     ]
     for name in names:
         if name not in qs:
