@@ -1348,3 +1348,166 @@ FROM g
 
 _WAVE3_QUERIES["k_anonymity"] = q_k_anonymity
 _WAVE3_ORACLES["k_anonymity"] = ORACLE_K_ANONYMITY
+
+
+# ---------------------------------------------------------------------------
+# probabilistic record linkage (Fellegi-Sunter with multi-pass blocking)
+# ---------------------------------------------------------------------------
+
+# milli-ban agreement/disagreement weights per field (fixed, documented —
+# production systems EM-estimate m/u; the engine mechanism is identical)
+_FS_W = {
+    "name": (4000, -2000),
+    "nation": (1500, -1000),
+    "segment": (1200, -800),
+    "balance": (2500, -500),
+}
+_FS_THRESHOLD = 3000
+
+
+def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically perturbed copy of customer: %3=0 name typo (last
+    digit +1), %5=0 wrong nation, %7=0 wrong segment, %2=0 balance rounded
+    to whole currency — every dirty record still has a unique true source."""
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    name = F.when(
+        key % 3 == 0,
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"),
+            ((F.expr("CAST(substring(c_name, length(c_name), 1) AS INT)") + 1) % 10)
+            .cast("string"),
+        ),
+    ).otherwise(F.col("c_name"))
+    nation = F.when(key % 5 == 0, (F.col("c_nationkey") + 1) % 25).otherwise(
+        F.col("c_nationkey")
+    )
+    seg = F.when(key % 7 == 0, F.lit("SCRAMBLED")).otherwise(
+        F.col("c_mktsegment")
+    )
+    bal = F.when(key % 2 == 0, F.floor(F.col("c_acctbal"))).otherwise(
+        F.col("c_acctbal")
+    )
+    return c.select(
+        (key + 100000).alias("d_id"),
+        name.alias("d_name"),
+        nation.cast("int").alias("d_nationkey"),
+        seg.alias("d_mktsegment"),
+        bal.cast("double").alias("d_acctbal"),
+    )
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link the dirty customer copy back to the clean table: blocking on
+    (exact name) OR (nationkey, mktsegment) — a record survives one dirty
+    field as long as one pass agrees — then integer milli-ban agreement
+    scoring and best-candidate resolution."""
+    from realtime_spark.operators.linkage import (
+        blocked_candidates,
+        resolve_best,
+        score_pairs,
+    )
+
+    clean = load_table(spark, sf_dir, "customer")
+    dirty = _dirty_customers(spark, sf_dir)
+    cands = blocked_candidates(
+        dirty,
+        clean,
+        [
+            (F.col("l_d_name"), F.col("r_c_name")),
+            (
+                F.concat_ws(
+                    "#",
+                    F.col("l_d_nationkey").cast("string"),
+                    F.col("l_d_mktsegment"),
+                ),
+                F.concat_ws(
+                    "#",
+                    F.col("r_c_nationkey").cast("string"),
+                    F.col("r_c_mktsegment"),
+                ),
+            ),
+        ],
+        left_id="l_d_id",
+        right_id="r_c_custkey",
+    )
+    scored = score_pairs(
+        cands,
+        [
+            (F.col("l_d_name") == F.col("r_c_name"), *_FS_W["name"]),
+            (
+                F.col("l_d_nationkey") == F.col("r_c_nationkey"),
+                *_FS_W["nation"],
+            ),
+            (
+                F.col("l_d_mktsegment") == F.col("r_c_mktsegment"),
+                *_FS_W["segment"],
+            ),
+            (
+                F.abs(F.col("l_d_acctbal") - F.col("r_c_acctbal")) < 1.0,
+                *_FS_W["balance"],
+            ),
+        ],
+    )
+    out = resolve_best(scored, "l_d_id", "r_c_custkey", _FS_THRESHOLD)
+    return out.select(
+        F.col("l_d_id").alias("d_id"),
+        F.col("r_c_custkey").alias("matched_custkey"),
+        "match_score",
+        "n_candidates",
+        "matched",
+    )
+
+
+ORACLE_RECORD_LINKAGE = f"""
+WITH dirty AS (
+  SELECT c_custkey + 100000 AS d_id,
+         CASE WHEN c_custkey % 3 = 0 THEN
+           substring(c_name, 1, length(c_name) - 1) ||
+           CAST((CAST(substring(c_name, length(c_name), 1) AS INT) + 1) % 10
+                AS VARCHAR)
+         ELSE c_name END AS d_name,
+         CAST(CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS INTEGER) AS d_nationkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'SCRAMBLED'
+              ELSE c_mktsegment END AS d_mktsegment,
+         CAST(CASE WHEN c_custkey % 2 = 0 THEN floor(c_acctbal)
+              ELSE c_acctbal END AS DOUBLE) AS d_acctbal
+  FROM customer
+),
+cands AS (
+  SELECT DISTINCT d.d_id, c.c_custkey, d.d_name, d.d_nationkey,
+         d.d_mktsegment, d.d_acctbal, c.c_name, c.c_nationkey,
+         c.c_mktsegment, c.c_acctbal
+  FROM dirty d JOIN customer c
+    ON d.d_name = c.c_name
+       OR (CAST(d.d_nationkey AS VARCHAR) || '#' || d.d_mktsegment
+           = CAST(c.c_nationkey AS VARCHAR) || '#' || c.c_mktsegment)
+),
+scored AS (
+  SELECT d_id, c_custkey,
+    CAST((CASE WHEN d_name = c_name THEN {_FS_W["name"][0]}
+               ELSE {_FS_W["name"][1]} END)
+       + (CASE WHEN d_nationkey = c_nationkey THEN {_FS_W["nation"][0]}
+               ELSE {_FS_W["nation"][1]} END)
+       + (CASE WHEN d_mktsegment = c_mktsegment THEN {_FS_W["segment"][0]}
+               ELSE {_FS_W["segment"][1]} END)
+       + (CASE WHEN abs(d_acctbal - c_acctbal) < 1.0 THEN {_FS_W["balance"][0]}
+               ELSE {_FS_W["balance"][1]} END) AS BIGINT) AS match_score
+  FROM cands
+),
+best AS (
+  SELECT d_id, c_custkey, match_score,
+         COUNT(*) OVER (PARTITION BY d_id) AS n_candidates,
+         row_number() OVER (PARTITION BY d_id
+                            ORDER BY match_score DESC, c_custkey ASC) AS rn
+  FROM scored
+)
+SELECT d_id, c_custkey AS matched_custkey, match_score,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       match_score >= {_FS_THRESHOLD} AS matched
+FROM best WHERE rn = 1
+"""
+
+_WAVE3_QUERIES["record_linkage"] = q_record_linkage
+_WAVE3_ORACLES["record_linkage"] = ORACLE_RECORD_LINKAGE
