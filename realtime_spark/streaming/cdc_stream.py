@@ -63,8 +63,16 @@ def run_cdc_stream(
         out = match_changes(batch_df, dim)
         sink(out, epoch_id)
 
+    # A10 slot-backlog observability: the raw per-batch change count BEFORE
+    # matching/shedding, as a real streaming observation — surfaces in
+    # query.recentProgress[..]["observedMetrics"]["a10"]["slot_changes"],
+    # the analog of list_changes' slot_changes_count sentinel row
+    # (reference: migrations/20260326120000_list_changes_with_slot_count.ex:58-62)
+    observed = stream.observe(
+        "a10", F.count(F.lit(1)).alias("slot_changes")
+    )
     return (
-        stream.writeStream.foreachBatch(on_batch)
+        observed.writeStream.foreachBatch(on_batch)
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_ms} milliseconds")

@@ -637,3 +637,51 @@ def test_presence_diffs_tws_multi_batch(spark):
         q.awaitTermination(180)
         got = _as_set(spark.sql("SELECT * FROM presence_tws_mb"))
         assert got == expected
+
+
+def test_cdc_stream_observes_slot_backlog(spark, sf_dir):
+    """A10: the raw per-batch change count surfaces as a streaming
+    observation (the slot_changes_count sentinel analog) — the observed
+    total must equal the source row count even though the sink only sees
+    matched output."""
+    import os
+    import time as _time
+
+    from realtime_spark.sources.testdata import changes_from_orders
+    from realtime_spark.streaming.cdc_stream import run_cdc_stream
+
+    import __spark_entry__ as em
+
+    changes = changes_from_orders(spark, sf_dir).limit(300).cache()
+    n = changes.count()
+    subs = em.subscriptions_df(spark, em._MULTI_SPECS)
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ckpt = os.path.join(d, "ckpt")
+        changes.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(changes.schema).parquet(src)
+        seen = {"batches": 0}
+
+        def sink(batch_df, epoch_id):
+            batch_df.count()
+            seen["batches"] += 1
+
+        q = run_cdc_stream(stream, subs, sink, ckpt, trigger_ms=100)
+        for _ in range(100):
+            if seen["batches"]:
+                break
+            _time.sleep(0.5)
+        # progress entries land asynchronously after the batch completes
+        observed = 0
+        for _ in range(40):
+            observed = sum(
+                p["observedMetrics"]["a10"]["slot_changes"]
+                for p in q.recentProgress
+                if p.get("observedMetrics", {}).get("a10")
+            )
+            if observed >= n:
+                break
+            _time.sleep(0.5)
+        q.stop()
+        assert observed == n
