@@ -99,6 +99,8 @@ def _bench_queries():
         "ann_recall_sweep",
         "chunk_dedup",
         "cdc_pk_change",
+        "record_linkage",
+        "k_anonymity",
     ]
     return {k: qs[k] for k in headline if k in qs}
 
