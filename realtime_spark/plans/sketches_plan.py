@@ -194,6 +194,7 @@ def sketches_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": q_cms_user_counts,
         "bloom_membership": q_bloom_membership,
         "hll_users": q_hll_users,
+        "hll_overlap": q_hll_overlap,
     }
 
 
@@ -202,4 +203,125 @@ def sketches_oracles() -> dict[str, str]:
         "cms_user_counts": ORACLE_CMS_USER_COUNTS,
         "bloom_membership": ORACLE_BLOOM_MEMBERSHIP,
         "hll_users": ORACLE_HLL_USERS,
+        "hll_overlap": _oracle_hll_overlap(),
     }
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch algebra: set-overlap estimation via register merge
+# ---------------------------------------------------------------------------
+
+_OVL_A, _OVL_B = "click", "purchase"
+
+
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from sketches alone: |A∩B| ≈ est(A) +
+    est(B) - est(A∪B), where the union sketch is the register-wise MAX of
+    the two HLL register tables (lossless sketch mergeability) — the
+    standard way to answer overlap questions without re-scanning either
+    side. Output one row: per-side estimates, union estimate, the
+    inclusion-exclusion intersection estimate, and the exact intersection
+    for reference."""
+    from realtime_spark.operators.sketches import hll_estimate, hll_registers
+
+    e = load_table(spark, sf_dir, "events")
+    ab = e.filter(F.col("event_type").isin([_OVL_A, _OVL_B])).select(
+        "event_type", "user_id"
+    )
+    regs = hll_registers(ab, "user_id", ["event_type"], precision=_HLL_P)
+    merged = (
+        regs.groupBy("j")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("_union").alias("event_type"), "j", "rho")
+    )
+    ests = hll_estimate(
+        regs.unionByName(merged), ["event_type"], precision=_HLL_P
+    )
+    row = ests.agg(
+        F.max(F.when(F.col("event_type") == _OVL_A, F.col("est"))).alias(
+            "est_a"
+        ),
+        F.max(F.when(F.col("event_type") == _OVL_B, F.col("est"))).alias(
+            "est_b"
+        ),
+        F.max(F.when(F.col("event_type") == "_union", F.col("est"))).alias(
+            "est_union"
+        ),
+    )
+    exact = (
+        ab.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == _OVL_A, 1).otherwise(0)).alias(
+                "ha"
+            ),
+            F.max(F.when(F.col("event_type") == _OVL_B, 1).otherwise(0)).alias(
+                "hb"
+            ),
+        )
+        .filter((F.col("ha") == 1) & (F.col("hb") == 1))
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return row.crossJoin(exact).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_inter"
+        ),
+        F.col("exact_inter").cast("bigint").alias("exact_inter"),
+    )
+
+
+def _oracle_hll_overlap() -> str:
+    hll_core = f"""
+  SELECT tag, n_registers,
+         CAST(round(CASE WHEN r <= {2.5 * _HLL_M} AND zeros > 0
+              THEN {float(_HLL_M)!r}::DOUBLE * ln({float(_HLL_M)!r}::DOUBLE / zeros)
+              ELSE r END) AS BIGINT) AS est
+  FROM (
+    SELECT tag, n_registers, zeros,
+           {_HLL_ALPHA!r}::DOUBLE * {_HLL_M * _HLL_M}
+             / (CAST(s_used + zeros * (1::BIGINT << {_HLL_QBITS}) AS DOUBLE)
+                / {float(1 << _HLL_QBITS)!r}::DOUBLE) AS r
+    FROM (
+      SELECT tag, COUNT(*) AS n_registers, {_HLL_M} - COUNT(*) AS zeros,
+             SUM((1::BIGINT << ({_HLL_QBITS} - rho))::BIGINT) AS s_used
+      FROM regs3 GROUP BY tag
+    )
+  )
+"""
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         {sql_stable_hash("CAST(user_id AS VARCHAR)", "''", 1 << 60)} AS h
+  FROM events WHERE event_type IN ('{_OVL_A}', '{_OVL_B}')
+),
+regs AS (
+  SELECT event_type AS tag, h % {_HLL_M} AS j,
+         MAX({_HLL_QBITS} + 1 - length(bin(h // {_HLL_M}))) AS rho
+  FROM h GROUP BY 1, 2
+),
+regs3 AS (
+  SELECT * FROM regs
+  UNION ALL
+  SELECT '_union' AS tag, j, MAX(rho) AS rho FROM regs GROUP BY j
+),
+ests AS ({hll_core}),
+row1 AS (
+  SELECT MAX(CASE WHEN tag = '{_OVL_A}' THEN est END) AS est_a,
+         MAX(CASE WHEN tag = '{_OVL_B}' THEN est END) AS est_b,
+         MAX(CASE WHEN tag = '_union' THEN est END) AS est_union
+  FROM ests
+),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+    SELECT user_id FROM events WHERE event_type IN ('{_OVL_A}', '{_OVL_B}')
+    GROUP BY user_id
+    HAVING MAX(CASE WHEN event_type = '{_OVL_A}' THEN 1 ELSE 0 END) = 1
+       AND MAX(CASE WHEN event_type = '{_OVL_B}' THEN 1 ELSE 0 END) = 1
+  )
+)
+SELECT est_a, est_b, est_union, est_a + est_b - est_union AS est_inter,
+       exact_inter
+FROM row1 CROSS JOIN ex
+"""
