@@ -1511,3 +1511,61 @@ FROM best WHERE rn = 1
 
 _WAVE3_QUERIES["record_linkage"] = q_record_linkage
 _WAVE3_ORACLES["record_linkage"] = ORACLE_RECORD_LINKAGE
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern mining: top event trigrams per user-journey position
+# ---------------------------------------------------------------------------
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 length-3 event sequences across user journeys (PrefixSpan-lite
+    for fixed length: two lead windows + one count agg — the distribution
+    of 3-step behavior paths, the sequence analog of the transition
+    matrix). Ties break lexicographically for engine stability."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seqs = (
+        e.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    win = Window.orderBy(
+        F.col("cnt").desc(), F.col("e1").asc(), F.col("e2").asc(), F.col("e3").asc()
+    )
+    return (
+        seqs.orderBy(F.desc("cnt"), "e1", "e2", "e3")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(win))
+    )
+
+
+ORACLE_EVENT_TRIGRAMS = """
+WITH s AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT e1, e2, e3, COUNT(*) AS cnt FROM s
+  WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY cnt DESC, e1, e2, e3) AS rank
+  FROM c
+)
+SELECT e1, e2, e3, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 20
+"""
+
+_WAVE3_QUERIES["event_trigrams"] = q_event_trigrams
+_WAVE3_ORACLES["event_trigrams"] = ORACLE_EVENT_TRIGRAMS

@@ -275,3 +275,35 @@ class TestContentDefinedChunking:
         # near-identical blobs: stored bytes well under total bytes
         assert stats["distinct_bytes"] < stats["total_bytes"] * 0.7
         assert stats["dedup_ratio"] < 0.7
+
+
+def test_luhn_expr_matches_pure_python(spark):
+    """Differential: the array-expression Luhn checksum equals the textbook
+    implementation over random digit strings of every relevant length."""
+    import random
+
+    def luhn_py(s: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(s), start=1):
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return len(s) > 0 and total % 10 == 0
+
+    rnd = random.Random(20260814)
+    rows = [
+        ("".join(rnd.choice("0123456789") for _ in range(ln)),)
+        for ln in range(1, 20)
+        for _ in range(30)
+    ]
+    from realtime_spark.operators.text import luhn_valid_expr
+
+    df = spark.createDataFrame(rows, "d string")
+    got = {r["d"]: r["v"] for r in df.select(
+        "d", luhn_valid_expr(F.col("d")).alias("v")
+    ).collect()}
+    for (s,) in rows:
+        assert got[s] == luhn_py(s), s
