@@ -158,15 +158,36 @@ def histogram_quantiles(
     (*keys, q, est, n).
     """
     width = (hi - lo) / nbins
-    bin_c = F.least(
+    counts = df.select(
+        *keys, value_bin(value_col, lo, width, nbins).alias("bin")
+    ).groupBy(*keys, "bin").agg(F.count(F.lit(1)).alias("c"))
+    return quantiles_from_bins(counts, keys, lo, width, qs, round_digits)
+
+
+def value_bin(value_col: str, lo: float, width: float, nbins: int) -> Column:
+    """Clamped equi-width bin assignment (shared by the batch histogram and
+    the streaming bin-count monitor)."""
+    return F.least(
         F.greatest(
             F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)
         ),
         F.lit(nbins - 1),
     ).cast("bigint")
-    counts = df.select(*keys, bin_c.alias("bin")).groupBy(*keys, "bin").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+
+
+def quantiles_from_bins(
+    counts: DataFrame,
+    keys: Sequence[str],
+    lo: float,
+    width: float,
+    qs: Sequence[float],
+    round_digits: int = 4,
+) -> DataFrame:
+    """Quantile interpolation over an already-aggregated (keys, bin, c)
+    frame — bin counts sum-merge associatively, so a streaming fold of
+    per-batch bin counts followed by this equals the batch histogram
+    quantiles over the full stream (tested)."""
+    df = counts
     w_cum = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
         Window.unboundedPreceding, 0
     )

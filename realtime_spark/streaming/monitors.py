@@ -101,3 +101,56 @@ def cusum_from_counts(
     from realtime_spark.operators.stats import cusum_from_hourly
 
     return cusum_from_hourly(hourly, keys, threshold_hours)
+
+
+def run_bin_count_stream(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    available_now: bool = True,
+):
+    """Streaming quantile monitor state: fold per-batch value-bin counts
+    into the versioned store (same crash-safe scheme as the hourly
+    monitor). Bin counts sum-merge associatively, so
+    stats.quantiles_from_bins over the accumulated store equals the batch
+    histogram_quantiles over the full stream — the streaming quantile
+    monitor is exactly the batch estimator on incrementally maintained
+    state. State size: |keys| x nbins integers."""
+    from realtime_spark.operators.stats import value_bin
+
+    spark = stream.sparkSession
+    width = (hi - lo) / nbins
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = (
+            batch_df.select(
+                *keys, value_bin(value_col, lo, width, nbins).alias("bin")
+            )
+            .groupBy(*keys, "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        prev = read_counts(spark, store_dir)
+        merged = (
+            delta
+            if prev is None
+            else prev.unionByName(delta)
+            .groupBy(*keys, "bin")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        vs = _versions(store_dir)
+        nxt = os.path.join(store_dir, f"v{(vs[-1] + 1) if vs else 0}")
+        merged.write.mode("overwrite").parquet(nxt)
+        for v in vs:
+            shutil.rmtree(os.path.join(store_dir, f"v{v}"), ignore_errors=True)
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

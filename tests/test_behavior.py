@@ -307,3 +307,45 @@ def test_luhn_expr_matches_pure_python(spark):
     ).collect()}
     for (s,) in rows:
         assert got[s] == luhn_py(s), s
+
+
+def test_streaming_quantile_monitor_equals_batch(spark, sf_dir, tmp_path):
+    """Bin counts folded micro-batch by micro-batch + quantiles_from_bins
+    must equal histogram_quantiles over the full event log, bit for bit."""
+    from realtime_spark.operators.stats import (
+        histogram_quantiles,
+        quantiles_from_bins,
+    )
+    from realtime_spark.sources.testdata import load_table
+    from realtime_spark.streaming.monitors import (
+        read_counts,
+        run_bin_count_stream,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    e.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(e.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = run_bin_count_stream(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        keys=["event_type"],
+        value_col="value",
+        lo=0.0,
+        hi=500.0,
+        nbins=50,
+    )
+    q.awaitTermination(300)
+    counts = read_counts(spark, str(tmp_path / "store"))
+    streamed = quantiles_from_bins(
+        counts, ["event_type"], 0.0, 10.0, (0.5, 0.9, 0.99)
+    )
+    batch = histogram_quantiles(
+        e, "value", 0.0, 500.0, 50, (0.5, 0.9, 0.99), keys=["event_type"]
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
