@@ -154,3 +154,75 @@ def run_bin_count_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+from pyspark.sql.streaming.listener import StreamingQueryListener
+
+
+class StreamHealthMonitor(StreamingQueryListener):
+    """ST5 stream-health watchdog as a real StreamingQueryListener: tracks
+    per-query progress heartbeats, rows/sec, and batch durations, and
+    flags stalls (no progress within `stall_after_s`). The Spark-native
+    analog of the reference's replication-slot watchdog + keepalive flow
+    (lib/realtime/tenants/replication_connection/watchdog.ex;
+    replication_connection.ex:349-356) — there the signal is WAL keepalive
+    timestamps, here it is StreamingQueryProgress events.
+
+    Driver-side and O(1) per progress event; attach once per session with
+    `spark.streams.addListener(monitor)`.
+    """
+
+    def __init__(self, stall_after_s: float = 30.0):
+        import threading
+        import time as _time
+
+        super().__init__()
+
+        self._time = _time
+        self._lock = threading.Lock()
+        self.stall_after_s = stall_after_s
+        self.progress: dict[str, dict] = {}
+
+    def onQueryStarted(self, event) -> None:
+        with self._lock:
+            self.progress[event.id] = {
+                "name": event.name,
+                "last_seen": self._time.monotonic(),
+                "batches": 0,
+                "rows": 0,
+            }
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        with self._lock:
+            st = self.progress.setdefault(
+                p.id, {"name": p.name, "batches": 0, "rows": 0}
+            )
+            st["last_seen"] = self._time.monotonic()
+            st["batches"] += 1
+            st["rows"] += p.numInputRows
+            st["last_duration_ms"] = (p.durationMs or {}).get("triggerExecution")
+
+    def onQueryTerminated(self, event) -> None:
+        with self._lock:
+            st = self.progress.get(event.id)
+            if st is not None:
+                st["terminated"] = True
+                st["exception"] = getattr(event, "exception", None)
+
+    def onQueryIdle(self, event) -> None:
+        with self._lock:
+            st = self.progress.get(event.id)
+            if st is not None:
+                st["last_seen"] = self._time.monotonic()
+
+    def stalled(self) -> list[str]:
+        """Names/ids of live queries with no heartbeat within the window."""
+        now = self._time.monotonic()
+        with self._lock:
+            return [
+                st.get("name") or qid
+                for qid, st in self.progress.items()
+                if not st.get("terminated")
+                and now - st.get("last_seen", now) > self.stall_after_s
+            ]

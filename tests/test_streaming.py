@@ -685,3 +685,40 @@ def test_cdc_stream_observes_slot_backlog(spark, sf_dir):
             _time.sleep(0.5)
         q.stop()
         assert observed == n
+
+
+def test_stream_health_monitor_tracks_progress(spark, tmp_path):
+    """ST5: the watchdog listener records heartbeats/rows per query and
+    reports no stall for a live short stream; terminated queries leave the
+    stall set."""
+    import time as _time
+
+    from realtime_spark.streaming.monitors import StreamHealthMonitor
+
+    mon = StreamHealthMonitor(stall_after_s=300.0)
+    spark.streams.addListener(mon)
+    try:
+        src = str(tmp_path / "src")
+        spark.range(500).write.parquet(src)
+        q = (
+            spark.readStream.schema("id bigint")
+            .parquet(src)
+            .writeStream.format("noop")
+            .queryName("health_t")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        for _ in range(40):  # listener events land asynchronously
+            stats = [
+                s for s in mon.progress.values() if s.get("name") == "health_t"
+            ]
+            if stats and stats[0].get("rows") == 500 and stats[0].get("terminated"):
+                break
+            _time.sleep(0.5)
+        assert stats and stats[0]["rows"] == 500 and stats[0]["batches"] >= 1
+        assert stats[0].get("terminated") is True
+        assert "health_t" not in mon.stalled()
+    finally:
+        spark.streams.removeListener(mon)
