@@ -1569,3 +1569,72 @@ FROM r WHERE rank <= 20
 
 _WAVE3_QUERIES["event_trigrams"] = q_event_trigrams
 _WAVE3_ORACLES["event_trigrams"] = ORACLE_EVENT_TRIGRAMS
+
+
+# ---------------------------------------------------------------------------
+# survival analysis: Kaplan-Meier churn curve with right-censoring
+# ---------------------------------------------------------------------------
+
+_KM_HORIZON_S = 6 * 3600  # churn = silent for >6h before corpus end
+_KM_UNIT_S = 3600  # hour-resolution lifetimes
+
+
+def q_km_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-churn survival curve: Kaplan-Meier over per-user activity
+    spans at hour resolution, users active within the final 6 hours
+    right-censored (the fixture's activity tail makes ~half the
+    population churn events). Integer micro-unit sequential fold (float
+    KM products aren't portably reproducible); the oracle replays the
+    fold with a recursive CTE."""
+    from realtime_spark.operators.survival import kaplan_meier
+
+    e = load_table(spark, sf_dir, "events")
+    return kaplan_meier(
+        e, churn_horizon_s=_KM_HORIZON_S, duration_unit_s=_KM_UNIT_S
+    )
+
+
+ORACLE_KM_CHURN = f"""
+WITH RECURSIVE spans AS (
+  SELECT user_id,
+         MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS first_s,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s
+  FROM events GROUP BY user_id
+),
+endt AS (SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS end_s FROM events),
+lt AS (
+  SELECT CAST(floor((last_s - first_s) / {_KM_UNIT_S}) AS BIGINT) AS d,
+         last_s < end_s - {_KM_HORIZON_S} AS churned
+  FROM spans CROSS JOIN endt
+),
+per AS (
+  SELECT d, SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS ch,
+         SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS ce
+  FROM lt GROUP BY d
+),
+tab AS (
+  SELECT d, ch, ce,
+         SUM(ch + ce) OVER (ORDER BY d
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS at_risk,
+         row_number() OVER (ORDER BY d) AS rn
+  FROM per
+),
+km AS (
+  SELECT rn, d, at_risk, ch, ce,
+         CASE WHEN ch > 0 THEN (1000000 * (at_risk - ch)) // at_risk
+              ELSE 1000000 END AS s
+  FROM tab WHERE rn = 1
+  UNION ALL
+  SELECT t.rn, t.d, t.at_risk, t.ch, t.ce,
+         CASE WHEN t.ch > 0 THEN (km.s * (t.at_risk - t.ch)) // t.at_risk
+              ELSE km.s END
+  FROM tab t JOIN km ON t.rn = km.rn + 1
+)
+SELECT d AS duration, CAST(at_risk AS BIGINT) AS at_risk,
+       CAST(ch AS BIGINT) AS churned, CAST(ce AS BIGINT) AS censored,
+       CAST(s AS BIGINT) AS surv_micro
+FROM km
+"""
+
+_WAVE3_QUERIES["km_churn"] = q_km_churn
+_WAVE3_ORACLES["km_churn"] = ORACLE_KM_CHURN

@@ -722,3 +722,28 @@ def test_stream_health_monitor_tracks_progress(spark, tmp_path):
         assert "health_t" not in mon.stalled()
     finally:
         spark.streams.removeListener(mon)
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """W4: maxFilesPerTrigger=1 is the max_changes poll clamp analog — N
+    source files must yield exactly N micro-batches."""
+    src = str(tmp_path / "src")
+    spark.range(400).repartition(4).write.parquet(src)
+    n_files = 4
+    batches = []
+
+    def on_batch(df, epoch_id):
+        batches.append(df.count())
+
+    q = (
+        spark.readStream.schema("id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(batches) == n_files
+    assert sum(batches) == 400
