@@ -101,6 +101,9 @@ def _bench_queries():
         "cdc_pk_change",
         "record_linkage",
         "k_anonymity",
+        "km_churn",
+        "event_trigrams",
+        "hll_overlap",
     ]
     return {k: qs[k] for k in headline if k in qs}
 
