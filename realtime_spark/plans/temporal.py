@@ -168,6 +168,7 @@ def temporal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_follow_count": q_interval_follow_count,
         "stream_interval_join": q_stream_interval_join,
         "delivery_latency": q_delivery_latency,
+        "delivery_latency_pcts": q_delivery_latency_pcts,
     }
 
 
@@ -178,6 +179,7 @@ def temporal_oracles() -> dict[str, str]:
         "interval_follow_count": ORACLE_INTERVAL_FOLLOW_COUNT,
         "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
         "delivery_latency": ORACLE_DELIVERY_LATENCY,
+        "delivery_latency_pcts": _oracle_latency_pcts(),
     }
 
 
@@ -254,4 +256,32 @@ SELECT CAST(user_id % 20 AS VARCHAR) AS topic, event_id AS msg_id,
        (event_id % 7) * 1000 AS latency_ms
 FROM events
 WHERE event_type = 'click' AND event_id % 3 <> 0
+"""
+
+
+def q_delivery_latency_pcts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic latency percentiles over the commit-to-dispatch telemetry
+    (the SLO view on top of q_delivery_latency): exact interpolated
+    percentile of latency_ms per topic, quantized — the number the
+    reference's telemetry dashboards aggregate from the per-message
+    measurements (replication_connection.ex:442-448)."""
+    from realtime_spark.operators.text import corpus_percentiles
+
+    lat = q_delivery_latency(spark, sf_dir)
+    return corpus_percentiles(lat, ["topic"], "latency_ms", (0.5, 0.95, 0.99))
+
+
+def _oracle_latency_pcts() -> str:
+    def q(p):
+        return (
+            f"floor(quantile_cont(latency_ms, {p}) * 10000.0 + 0.5) / 10000.0"
+        )
+
+    return f"""
+WITH lat AS ({ORACLE_DELIVERY_LATENCY.strip()})
+SELECT topic, COUNT(*) AS n_rows,
+       {q(0.5)} AS p50_latency_ms,
+       {q(0.95)} AS p95_latency_ms,
+       {q(0.99)} AS p99_latency_ms
+FROM lat GROUP BY topic
 """
