@@ -104,6 +104,8 @@ def _bench_queries():
         "km_churn",
         "event_trigrams",
         "hll_overlap",
+        "gdpr_erasure",
+        "delivery_latency_pcts",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

@@ -1638,3 +1638,103 @@ FROM km
 
 _WAVE3_QUERIES["km_churn"] = q_km_churn
 _WAVE3_ORACLES["km_churn"] = ORACLE_KM_CHURN
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure propagation: right-to-be-forgotten through the change feed
+# ---------------------------------------------------------------------------
+
+
+def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten as CDC: for every order of an erased customer
+    (custkey % 97 = 0), append a DELETE tombstone AFTER all existing
+    versions and re-fold. The snapshot must contain zero rows for erased
+    customers while every other key's state is untouched — deletion as
+    data, replayable and auditable, not an out-of-band mutation.
+    Output: one audit row (erased_customers, erased_rows_remaining,
+    rows_total, tombstones_applied)."""
+    from realtime_spark.operators.materialize import materialize_latest
+    from realtime_spark.sources.testdata import versioned_changes_from_orders
+
+    changes = versioned_changes_from_orders(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    erased_orders = o.filter(F.col("o_custkey") % 97 == 0).select(
+        "o_orderkey", "o_orderdate"
+    )
+    rec = F.map_from_arrays(
+        F.array(F.lit("o_orderkey")),
+        F.array(F.col("o_orderkey").cast("string")),
+    )
+    tombstones = erased_orders.select(
+        F.col("o_orderkey").alias("change_id"),
+        F.lit(9).alias("seq"),
+        F.lit("DELETE").alias("action"),
+        F.lit("public").alias("schema_name"),
+        F.lit("orders").alias("table_name"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 4 HOURS")).alias(
+            "commit_timestamp"
+        ),
+        F.lit(None).cast("map<string,string>").alias("record"),
+        rec.alias("old_record"),
+        F.array(F.lit("o_orderkey")).alias("pk"),
+    )
+    snap = materialize_latest(changes.unionByName(tombstones))
+    erased_keys = erased_orders.select(
+        F.col("o_orderkey").cast("string").alias("pk_text")
+    )
+    remaining_for_erased = snap.join(
+        F.broadcast(erased_keys), "pk_text", "left_semi"
+    )
+    return (
+        snap.agg(F.count(F.lit(1)).alias("rows_total"))
+        .crossJoin(
+            remaining_for_erased.agg(
+                F.count(F.lit(1)).alias("erased_rows_remaining")
+            )
+        )
+        .crossJoin(
+            erased_orders.agg(
+                F.count(F.lit(1)).alias("tombstones_applied")
+            )
+        )
+        .crossJoin(
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 97 == 0)
+            .agg(F.count(F.lit(1)).alias("erased_customers"))
+        )
+        .select(
+            "erased_customers",
+            "erased_rows_remaining",
+            "rows_total",
+            "tombstones_applied",
+        )
+    )
+
+
+def _oracle_gdpr() -> str:
+    from realtime_spark.sources.testdata import ORDERS_VERSIONS_SQL_CTE
+
+    return f"""
+WITH {ORDERS_VERSIONS_SQL_CTE.strip()},
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+            ORDER BY commit_ts DESC, seq DESC) AS rn
+  FROM _orders_versions
+),
+snap0 AS (SELECT o_orderkey FROM r WHERE rn = 1 AND action <> 'DELETE'),
+erased AS (SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0),
+snap AS (
+  SELECT s.o_orderkey FROM snap0 s
+  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM erased)
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey % 97 = 0)
+    AS erased_customers,
+  CAST(0 AS BIGINT) AS erased_rows_remaining,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM snap) AS rows_total,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS tombstones_applied
+"""
+
+
+_WAVE3_QUERIES["gdpr_erasure"] = q_gdpr_erasure
+_WAVE3_ORACLES["gdpr_erasure"] = _oracle_gdpr()
