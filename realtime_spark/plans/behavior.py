@@ -1738,3 +1738,54 @@ SELECT
 
 _WAVE3_QUERIES["gdpr_erasure"] = q_gdpr_erasure
 _WAVE3_ORACLES["gdpr_erasure"] = _oracle_gdpr()
+
+
+# ---------------------------------------------------------------------------
+# ANSI-SQL text interface: the same engine through spark.sql()
+# ---------------------------------------------------------------------------
+
+
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine speaks SQL text, not just the DataFrame DSL: registered
+    views + a multi-feature ANSI query (two joins, two aggregation levels,
+    cents-exact revenue) through spark.sql() — near-verbatim the same text
+    the DuckDB oracle runs, pinning dialect compatibility."""
+    for t in ("orders", "customer", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT c.c_mktsegment AS segment, o.o_orderkey,
+                 SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS order_cents
+          FROM orders_v o
+          JOIN customer_v c ON o.o_custkey = c.c_custkey
+          JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2
+        )
+        SELECT segment, COUNT(*) AS n_orders,
+               CAST(SUM(order_cents) AS BIGINT) AS revenue_cents,
+               CAST(MAX(order_cents) AS BIGINT) AS top_order_cents
+        FROM seg GROUP BY segment
+        """
+    )
+
+
+ORACLE_SQL_INTERFACE = """
+WITH seg AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+         SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS order_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT segment, COUNT(*) AS n_orders,
+       CAST(SUM(order_cents) AS BIGINT) AS revenue_cents,
+       CAST(MAX(order_cents) AS BIGINT) AS top_order_cents
+FROM seg GROUP BY segment
+"""
+
+_WAVE3_QUERIES["sql_interface"] = q_sql_interface
+_WAVE3_ORACLES["sql_interface"] = ORACLE_SQL_INTERFACE

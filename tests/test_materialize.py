@@ -270,3 +270,56 @@ class TestCompaction:
         assert "partial_max_by" in p, p
         assert p.count("Exchange (") == 1, p
         assert "SortMergeJoin" not in p, p
+
+
+class TestReplayAlgebra:
+    def test_snapshot_plus_tail_equals_full_fold(self, spark):
+        """Replay correctness: state-as-of(T) merged with the fold of
+        changes AFTER T must equal the fold of the whole feed — the
+        algebraic guarantee that lets a consumer bootstrap from a snapshot
+        and then tail the feed (the reference's replay-then-live pattern,
+        messages.ex:22-43, at table-state granularity)."""
+        from realtime_spark.operators.materialize import (
+            materialize_latest,
+            merge_snapshots,
+            snapshot_asof,
+        )
+        from realtime_spark.sources.testdata import (
+            versioned_changes_from_orders,
+        )
+        from tests.conftest import SF_DIR
+
+        changes = versioned_changes_from_orders(spark, SF_DIR)
+        # split point between versions 2 and 3: min orderdate + 90 minutes
+        # puts seq 1-2 before and seq 3-4 after for early keys; the exact
+        # boundary doesn't matter — the algebra must hold for ANY T
+        t = changes.agg(
+            F.date_format(
+                F.min("commit_timestamp") + F.expr("INTERVAL 90 MINUTES"),
+                "yyyy-MM-dd HH:mm:ss",
+            )
+        ).collect()[0][0]
+
+        base = snapshot_asof(changes, t, keep_tombstones=True)
+        tail = materialize_latest(
+            changes.filter(
+                F.col("commit_timestamp") > F.lit(t).cast("timestamp")
+            ),
+            keep_tombstones=True,
+        )
+        replayed = merge_snapshots(base, tail).filter(
+            F.col("last_action") != "DELETE"
+        )
+        full = materialize_latest(changes)
+
+        def key(df):
+            return {
+                r["pk_text"]: (
+                    r["record"]["o_orderstatus"],
+                    r["last_action"],
+                    r["n_versions"],
+                )
+                for r in df.collect()
+            }
+
+        assert key(replayed) == key(full)
