@@ -1789,3 +1789,45 @@ FROM seg GROUP BY segment
 
 _WAVE3_QUERIES["sql_interface"] = q_sql_interface
 _WAVE3_ORACLES["sql_interface"] = ORACLE_SQL_INTERFACE
+
+
+# ---------------------------------------------------------------------------
+# real ZIP archive ingestion (stdlib container, closed-form member oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-of-documents ingestion through a REAL container format:
+    deterministic STORED zips per embedding id, member listing + content
+    digests via the stdlib central-directory reader. Sizes and digests are
+    closed-form for the oracle; the container's own CRC32 is pinned by the
+    python unit test (DuckDB has no crc32)."""
+    from realtime_spark.operators.multimodal import synth_zip, zip_members
+
+    ids = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("media_id")
+    )
+    return zip_members(synth_zip(ids)).select(
+        "media_id", "member", "n_bytes", "content_digest"
+    )
+
+
+ORACLE_ZIP_INGEST = """
+WITH ids AS (SELECT vec_id AS media_id, 2 + vec_id % 3 AS n FROM embeddings),
+m AS (
+  SELECT media_id, k FROM ids, LATERAL (SELECT unnest(range(0, n)) AS k)
+),
+c AS (
+  SELECT media_id, k,
+         repeat('m' || media_id || 'k' || k, CAST(10 + k AS INTEGER))
+           AS content
+  FROM m
+)
+SELECT media_id, 'doc_' || k || '.txt' AS member,
+       CAST(length(content) AS BIGINT) AS n_bytes,
+       md5(content) AS content_digest
+FROM c
+"""
+
+_WAVE3_QUERIES["zip_ingest"] = q_zip_ingest
+_WAVE3_ORACLES["zip_ingest"] = ORACLE_ZIP_INGEST

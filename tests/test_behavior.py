@@ -349,3 +349,22 @@ def test_streaming_quantile_monitor_equals_batch(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_zip_crc_matches_container_metadata(spark):
+    """The container's central-directory CRC32 must equal zlib.crc32 of the
+    extracted content for every member (integrity check the oracle can't
+    express — DuckDB has no crc32)."""
+    import zlib
+
+    from realtime_spark.operators.multimodal import synth_zip, zip_members
+
+    ids = spark.range(0, 12).select(F.col("id").alias("media_id"))
+    rows = zip_members(synth_zip(ids)).collect()
+    assert len(rows) > 0
+    for r in rows:
+        mid = r["media_id"]
+        k = int(r["member"].split("_")[1].split(".")[0])
+        content = (f"m{mid}k{k}" * (10 + k)).encode()
+        assert r["crc32"] == zlib.crc32(content)
+        assert r["n_bytes"] == len(content)
