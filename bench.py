@@ -106,6 +106,8 @@ def _bench_queries():
         "hll_overlap",
         "gdpr_erasure",
         "delivery_latency_pcts",
+        "sql_interface",
+        "zip_ingest",
     ]
     return {k: qs[k] for k in headline if k in qs}
 
