@@ -1831,3 +1831,203 @@ FROM c
 
 _WAVE3_QUERIES["zip_ingest"] = q_zip_ingest
 _WAVE3_ORACLES["zip_ingest"] = ORACLE_ZIP_INGEST
+
+
+# ---------------------------------------------------------------------------
+# schema-registry compatibility classification (DDL evolution triage)
+# ---------------------------------------------------------------------------
+
+# (table, version, fields[(name, type, nullable)]) — a registry snapshot
+# with adds, drops, retypes, widenings, and nullability changes across
+# versions, mirrored literally in the oracle's VALUES
+_SCHEMA_VERSIONS = [
+    ("orders", 1, [("id", "int", False), ("status", "text", False),
+                   ("price", "float4", True)]),
+    ("orders", 2, [("id", "int8", False), ("status", "text", False),
+                   ("price", "float4", True), ("note", "text", True)]),
+    ("orders", 3, [("id", "int8", False), ("status", "int", False),
+                   ("note", "text", False)]),
+    ("events", 1, [("eid", "int8", False), ("payload", "jsonb", True)]),
+    ("events", 2, [("eid", "int8", False), ("payload", "jsonb", True)]),
+]
+
+# widenings that readers handle losslessly
+_WIDENINGS = {("int", "int8"), ("float4", "float8"), ("int2", "int"),
+              ("int2", "int8")}
+
+
+def q_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-style compatibility triage between consecutive schema
+    versions (the decision Avro/Protobuf registries automate, applied to
+    the CDC DDL-drift feed): per change — added nullable column =
+    BACKWARD_COMPATIBLE, added required = BREAKS_WRITERS, dropped =
+    BREAKS_READERS, lossless widening = BACKWARD_COMPATIBLE, other retype
+    = BREAKING, nullable->required = BREAKS_WRITERS. Pure array/map
+    expressions over the field lists — the classifier runs on the
+    relation-metadata stream, zero per-row text work."""
+    rows = [
+        (t, v, [{"name": n, "typ": ty, "nullable": nu} for n, ty, nu in fs])
+        for t, v, fs in _SCHEMA_VERSIONS
+    ]
+    reg = spark.createDataFrame(
+        rows,
+        "table_name string, version int, "
+        "fields array<struct<name:string,typ:string,nullable:boolean>>",
+    )
+    w = Window.partitionBy("table_name").orderBy("version")
+    pairs = reg.withColumn("prev", F.lag("fields").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    old_m = F.map_from_entries(
+        F.transform("prev", lambda f: F.struct(f["name"], F.struct(f["typ"].alias("typ"), f["nullable"].alias("nullable"))))
+    )
+    new_m = F.map_from_entries(
+        F.transform("fields", lambda f: F.struct(f["name"], F.struct(f["typ"].alias("typ"), f["nullable"].alias("nullable"))))
+    )
+    staged = pairs.select(
+        "table_name", "version", old_m.alias("om"), new_m.alias("nm")
+    )
+    widen_ok = F.array(
+        *[F.lit(f"{a}->{b}") for a, b in sorted(_WIDENINGS)]
+    )
+    added = F.transform(
+        F.array_sort(
+            F.filter(F.map_keys(F.col("nm")), lambda k: ~F.map_contains_key(F.col("om"), k))
+        ),
+        lambda k: F.struct(
+            k.alias("column"),
+            F.when(
+                F.element_at(F.col("nm"), k)["nullable"], F.lit("BACKWARD_COMPATIBLE")
+            ).otherwise(F.lit("BREAKS_WRITERS")).alias("verdict"),
+            F.lit("added").alias("change"),
+        ),
+    )
+    dropped = F.transform(
+        F.array_sort(
+            F.filter(F.map_keys(F.col("om")), lambda k: ~F.map_contains_key(F.col("nm"), k))
+        ),
+        lambda k: F.struct(
+            k.alias("column"), F.lit("BREAKS_READERS").alias("verdict"),
+            F.lit("dropped").alias("change"),
+        ),
+    )
+    common = F.array_sort(
+        F.filter(F.map_keys(F.col("om")), lambda k: F.map_contains_key(F.col("nm"), k))
+    )
+    retyped = F.transform(
+        F.filter(
+            common,
+            lambda k: F.element_at(F.col("om"), k)["typ"]
+            != F.element_at(F.col("nm"), k)["typ"],
+        ),
+        lambda k: F.struct(
+            k.alias("column"),
+            F.when(
+                F.array_contains(
+                    widen_ok,
+                    F.concat(
+                        F.element_at(F.col("om"), k)["typ"], F.lit("->"),
+                        F.element_at(F.col("nm"), k)["typ"],
+                    ),
+                ),
+                F.lit("BACKWARD_COMPATIBLE"),
+            ).otherwise(F.lit("BREAKING")).alias("verdict"),
+            F.lit("retyped").alias("change"),
+        ),
+    )
+    tightened = F.transform(
+        F.filter(
+            common,
+            lambda k: F.element_at(F.col("om"), k)["nullable"]
+            & ~F.element_at(F.col("nm"), k)["nullable"],
+        ),
+        lambda k: F.struct(
+            k.alias("column"), F.lit("BREAKS_WRITERS").alias("verdict"),
+            F.lit("required_now").alias("change"),
+        ),
+    )
+    changes = F.concat(added, dropped, retyped, tightened)
+    return (
+        staged.select(
+            "table_name", "version", F.explode(changes).alias("c")
+        )
+        .select(
+            "table_name",
+            F.col("version").alias("to_version"),
+            F.col("c.column").alias("column"),
+            F.col("c.change").alias("change"),
+            F.col("c.verdict").alias("verdict"),
+        )
+    )
+
+
+def _oracle_schema_compat() -> str:
+    rows = []
+    for t, v, fs in _SCHEMA_VERSIONS:
+        for n, ty, nu in fs:
+            rows.append(f"('{t}', {v}, '{n}', '{ty}', {str(nu).lower()})")
+    widen = ", ".join(f"('{a}->{b}')" for a, b in sorted(_WIDENINGS))
+    return f"""
+WITH reg(table_name, version, col, typ, nullable) AS (
+  VALUES {", ".join(rows)}
+),
+vs AS (SELECT DISTINCT table_name, version FROM reg),
+pairs AS (
+  SELECT table_name, version AS to_version,
+         lag(version) OVER (PARTITION BY table_name ORDER BY version)
+           AS from_version
+  FROM vs
+),
+p AS (SELECT * FROM pairs WHERE from_version IS NOT NULL),
+oldf AS (
+  SELECT p.table_name, p.to_version, r.col, r.typ, r.nullable
+  FROM p JOIN reg r
+    ON r.table_name = p.table_name AND r.version = p.from_version
+),
+newf AS (
+  SELECT p.table_name, p.to_version, r.col, r.typ, r.nullable
+  FROM p JOIN reg r
+    ON r.table_name = p.table_name AND r.version = p.to_version
+),
+widen(w) AS (VALUES {widen}),
+added AS (
+  SELECT n.table_name, n.to_version, n.col AS column0, 'added' AS change,
+         CASE WHEN n.nullable THEN 'BACKWARD_COMPATIBLE'
+              ELSE 'BREAKS_WRITERS' END AS verdict
+  FROM newf n LEFT JOIN oldf o
+    ON o.table_name = n.table_name AND o.to_version = n.to_version
+       AND o.col = n.col
+  WHERE o.col IS NULL
+),
+dropped AS (
+  SELECT o.table_name, o.to_version, o.col, 'dropped', 'BREAKS_READERS'
+  FROM oldf o LEFT JOIN newf n
+    ON n.table_name = o.table_name AND n.to_version = o.to_version
+       AND n.col = o.col
+  WHERE n.col IS NULL
+),
+retyped AS (
+  SELECT o.table_name, o.to_version, o.col, 'retyped',
+         CASE WHEN (o.typ || '->' || n.typ) IN (SELECT w FROM widen)
+              THEN 'BACKWARD_COMPATIBLE' ELSE 'BREAKING' END
+  FROM oldf o JOIN newf n
+    ON n.table_name = o.table_name AND n.to_version = o.to_version
+       AND n.col = o.col
+  WHERE o.typ <> n.typ
+),
+tightened AS (
+  SELECT o.table_name, o.to_version, o.col, 'required_now', 'BREAKS_WRITERS'
+  FROM oldf o JOIN newf n
+    ON n.table_name = o.table_name AND n.to_version = o.to_version
+       AND n.col = o.col
+  WHERE o.nullable AND NOT n.nullable
+)
+SELECT table_name, to_version, column0 AS "column", change, verdict FROM added
+UNION ALL SELECT * FROM dropped
+UNION ALL SELECT * FROM retyped
+UNION ALL SELECT * FROM tightened
+"""
+
+
+_WAVE3_QUERIES["schema_compat"] = q_schema_compat
+_WAVE3_ORACLES["schema_compat"] = _oracle_schema_compat()
