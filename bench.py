@@ -108,6 +108,8 @@ def _bench_queries():
         "delivery_latency_pcts",
         "sql_interface",
         "zip_ingest",
+        "gif_frames",
+        "schema_compat",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

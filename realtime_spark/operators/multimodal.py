@@ -661,3 +661,135 @@ def zip_members(
             yield pd.DataFrame(rows)
 
     return media.select(id_col, payload_col).mapInPandas(run, ZIP_MEMBER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Animated-GIF container traversal: frame counting WITHOUT pixel decode —
+# the video-ish member of the real-container family (WAV/PGM/ZIP). Probing
+# frame counts/dimensions by walking the block structure (descriptors,
+# extension chains, length-prefixed sub-blocks) is exactly what production
+# media probes do before deciding whether to pay for a full decode.
+# ---------------------------------------------------------------------------
+
+GIF_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_extensions", IntegerType()),
+        StructField("data_bytes", LongType()),
+    ]
+)
+
+
+def _synth_gif(media_id: int) -> bytes:
+    """Deterministic GIF89a container: w=10+id%6, h=8+id%5, 1+id%4 frames,
+    each preceded by a Graphic Control Extension; frame k's image data is
+    one sub-block of 5+k bytes (valid container structure — the raster
+    bits are opaque to a block-walker, so deterministic filler is fine)."""
+    w, h = 10 + media_id % 6, 8 + media_id % 5
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x00, 0x00, 0x00])  # no GCT, bg, aspect
+    for k in range(1 + media_id % 4):
+        # GCE: introducer, label, block size 4, flags/delay/transp, term
+        out += bytes([0x21, 0xF9, 0x04, 0x00, 0x0A, 0x00, 0x00, 0x00])
+        out += bytes([0x2C])  # image descriptor
+        out += (0).to_bytes(2, "little") * 2
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0x00])  # no local color table
+        out += bytes([0x02])  # LZW min code size
+        n = 5 + k
+        out += bytes([n]) + bytes((media_id + k + i) % 256 for i in range(n))
+        out += bytes([0x00])  # sub-block terminator
+    out += bytes([0x3B])  # trailer
+    return bytes(out)
+
+
+def parse_gif_structure(payload: bytes) -> dict:
+    """Walk the GIF block structure: logical screen size, image-descriptor
+    count (= frames), extension count, and raster sub-block byte total.
+    No LZW decode — dimensions and frame counts come free from the
+    container. Raises ValueError on malformed structure (quarantine)."""
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:  # global color table present
+        pos += 3 * (2 << (flags & 0x07))
+    frames = exts = data_bytes = 0
+
+    def skip_subblocks(p: int) -> tuple[int, int]:
+        total = 0
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated sub-block chain")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p, total
+            total += n
+            p += n
+
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            return {
+                "width": w, "height": h, "n_frames": frames,
+                "n_extensions": exts, "data_bytes": data_bytes,
+            }
+        if b == 0x21:  # extension: label + sub-block chain
+            pos += 1
+            pos, _ = skip_subblocks(pos)
+            exts += 1
+        elif b == 0x2C:  # image descriptor
+            ifl = payload[pos + 8]
+            pos += 9
+            if ifl & 0x80:  # local color table
+                pos += 3 * (2 << (ifl & 0x07))
+            pos += 1  # LZW min code size
+            pos, n = skip_subblocks(pos)
+            frames += 1
+            data_bytes += n
+        else:
+            raise ValueError(f"unknown block 0x{b:02x}")
+    raise ValueError("missing trailer")
+
+
+def gif_structure(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            rows = []
+            for mid, p in zip(b[id_col], b[payload_col]):
+                d = parse_gif_structure(
+                    p if isinstance(p, bytes) else bytes(p)
+                )
+                d["media_id"] = int(mid)
+                rows.append(d)
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, payload_col).mapInPandas(run, GIF_STATS_SCHEMA)
+
+
+def synth_gif(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [_synth_gif(int(i)) for i in ids]}
+            )
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(run, schema)

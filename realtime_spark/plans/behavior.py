@@ -2031,3 +2031,34 @@ UNION ALL SELECT * FROM tightened
 
 _WAVE3_QUERIES["schema_compat"] = q_schema_compat
 _WAVE3_ORACLES["schema_compat"] = _oracle_schema_compat()
+
+
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF structure probe: frame counts, dimensions, extension
+    counts, and raster byte totals by real block-structure traversal (no
+    pixel decode) — the pre-decode triage a video/animation pipeline runs
+    to budget the expensive decode stage. Closed-form synthesis makes
+    every field oracle-checkable."""
+    from realtime_spark.operators.multimodal import gif_structure, synth_gif
+
+    ids = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("media_id")
+    )
+    return gif_structure(synth_gif(ids))
+
+
+ORACLE_GIF_FRAMES = """
+WITH ids AS (
+  SELECT vec_id AS media_id,
+         CAST(10 + vec_id % 6 AS INTEGER) AS width,
+         CAST(8 + vec_id % 5 AS INTEGER) AS height,
+         CAST(1 + vec_id % 4 AS INTEGER) AS nf
+  FROM embeddings
+)
+SELECT media_id, width, height, nf AS n_frames, nf AS n_extensions,
+       CAST(5 * nf + nf * (nf - 1) / 2 AS BIGINT) AS data_bytes
+FROM ids
+"""
+
+_WAVE3_QUERIES["gif_frames"] = q_gif_frames
+_WAVE3_ORACLES["gif_frames"] = ORACLE_GIF_FRAMES

@@ -368,3 +368,19 @@ def test_zip_crc_matches_container_metadata(spark):
         content = (f"m{mid}k{k}" * (10 + k)).encode()
         assert r["crc32"] == zlib.crc32(content)
         assert r["n_bytes"] == len(content)
+
+
+def test_gif_traversal_roundtrip_and_malformed():
+    from realtime_spark.operators.multimodal import (
+        _synth_gif,
+        parse_gif_structure,
+    )
+
+    d = parse_gif_structure(_synth_gif(5))
+    assert d["n_frames"] == 1 + 5 % 4 and d["width"] == 10 + 5 % 6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_gif_structure(b"RIFFxxxx")  # wrong magic
+    with _pytest.raises(ValueError):
+        parse_gif_structure(_synth_gif(1)[:-2])  # missing trailer
