@@ -110,6 +110,7 @@ def _bench_queries():
         "zip_ingest",
         "gif_frames",
         "schema_compat",
+        "linkage_em",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

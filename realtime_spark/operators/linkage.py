@@ -87,3 +87,79 @@ def resolve_best(
         "n_candidates",
         (F.col("b.s") >= threshold).alias("matched"),
     )
+
+
+MICRO = 1_000_000
+
+
+def agreement_patterns(
+    cands: DataFrame, agree_preds: list[Column]
+) -> DataFrame:
+    """Collapse candidate pairs to agreement-pattern counts: pattern id =
+    bit f set iff field f agrees. The EM input is this tiny frame (≤ 2^F
+    rows) — the whole corpus of pairs reduces map-side to pattern counts,
+    which is what makes EM-at-scale tractable (Splink does exactly this)."""
+    pid = F.lit(0)
+    for f, pred in enumerate(agree_preds):
+        pid = pid + F.when(pred, F.lit(1 << f)).otherwise(F.lit(0))
+    return (
+        cands.select(pid.alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def em_fs_weights(
+    patterns: DataFrame,
+    n_fields: int,
+    iterations: int = 5,
+    m0: int = 900_000,
+    u0: int = 100_000,
+    lambda0: int = 500_000,
+) -> list[dict]:
+    """Fellegi-Sunter parameter estimation by EM over agreement-pattern
+    counts (Winkler 1988), in EXACT integer micro-units so every iteration
+    is engine-reproducible:
+
+      E: per pattern p — num_m = λ·Π_f (agree_f(p) ? m_f : M-m_f),
+         num_u = (M-λ)·Π_f (agree_f(p) ? u_f : M-u_f)   (M = 1e6; python
+         big ints, ~1e30 magnitude — DuckDB replays in HUGEINT);
+         r_p = floor(num_m · M / (num_m + num_u))
+      M: m_f = floor(Σ_p n_p·r_p·agree_f · M / Σ_p n_p·r_p)  (u_f dual
+         with M-r_p), λ = floor(Σ n_p·r_p / Σ n_p)
+
+    The fold runs driver-side over the ≤2^F-row pattern frame (bounded by
+    field count, not data size). Returns per-iteration states; the last
+    entry's m/u feed score_pairs as log-likelihood-ratio weights."""
+    rows = {r["pattern"]: r["n"] for r in patterns.collect()}
+    M = MICRO
+    m = [m0] * n_fields
+    u = [u0] * n_fields
+    lam = lambda0
+    states = []
+    for _ in range(iterations):
+        r_p: dict[int, int] = {}
+        for p in rows:
+            num_m, num_u = lam, M - lam
+            for f in range(n_fields):
+                agree = (p >> f) & 1
+                num_m *= m[f] if agree else M - m[f]
+                num_u *= u[f] if agree else M - u[f]
+            r_p[p] = (num_m * M) // (num_m + num_u) if (num_m + num_u) else 0
+        tot_r = sum(rows[p] * r_p[p] for p in rows)
+        tot_n = sum(rows.values())
+        new_m, new_u = [], []
+        for f in range(n_fields):
+            agree_r = sum(
+                rows[p] * r_p[p] for p in rows if (p >> f) & 1
+            )
+            agree_notr = sum(
+                rows[p] * (M - r_p[p]) for p in rows if (p >> f) & 1
+            )
+            tot_notr = sum(rows[p] * (M - r_p[p]) for p in rows)
+            new_m.append((agree_r * M) // tot_r if tot_r else 0)
+            new_u.append((agree_notr * M) // tot_notr if tot_notr else 0)
+        m, u = new_m, new_u
+        lam = tot_r // tot_n if tot_n else 0
+        states.append({"m": list(m), "u": list(u), "lambda": lam})
+    return states

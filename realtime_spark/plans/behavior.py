@@ -2062,3 +2062,161 @@ FROM ids
 
 _WAVE3_QUERIES["gif_frames"] = q_gif_frames
 _WAVE3_ORACLES["gif_frames"] = ORACLE_GIF_FRAMES
+
+
+# ---------------------------------------------------------------------------
+# EM-estimated Fellegi-Sunter parameters (Winkler 1988) — learning the
+# linkage weights from the data instead of hand-setting them
+# ---------------------------------------------------------------------------
+
+_EM_ITERS = 4
+_EM_FIELDS = ("name", "nation", "segment", "balance")
+
+
+def _linkage_cands(spark: SparkSession, sf_dir: str):
+    from realtime_spark.operators.linkage import blocked_candidates
+
+    clean = load_table(spark, sf_dir, "customer")
+    dirty = _dirty_customers(spark, sf_dir)
+    return blocked_candidates(
+        dirty,
+        clean,
+        [
+            (F.col("l_d_name"), F.col("r_c_name")),
+            (
+                F.concat_ws(
+                    "#",
+                    F.col("l_d_nationkey").cast("string"),
+                    F.col("l_d_mktsegment"),
+                ),
+                F.concat_ws(
+                    "#",
+                    F.col("r_c_nationkey").cast("string"),
+                    F.col("r_c_mktsegment"),
+                ),
+            ),
+        ],
+        left_id="l_d_id",
+        right_id="r_c_custkey",
+    )
+
+
+def q_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the linkage m/u probabilities from the candidate pairs by
+    exact-integer EM over agreement-pattern counts: after _EM_ITERS
+    rounds the two latent classes separate on the fields that actually
+    discriminate within the BLOCKED candidate set (name/balance here; the
+    blocking keys nation/segment agree for most candidates by
+    construction, so they carry little signal and EM may label-switch the
+    classes — the standard identifiability caveat; production seeds u
+    from random non-blocked pairs to pin the labels). Output: one row per
+    field with the final m/u plus the match share — deterministic to the
+    last integer and replayed by the unrolled-CTE oracle."""
+    from realtime_spark.operators.linkage import agreement_patterns, em_fs_weights
+
+    cands = _linkage_cands(spark, sf_dir)
+    preds = [
+        F.col("l_d_name") == F.col("r_c_name"),
+        F.col("l_d_nationkey") == F.col("r_c_nationkey"),
+        F.col("l_d_mktsegment") == F.col("r_c_mktsegment"),
+        F.abs(F.col("l_d_acctbal") - F.col("r_c_acctbal")) < 1.0,
+    ]
+    patterns = agreement_patterns(cands, preds)
+    final = em_fs_weights(patterns, len(preds), iterations=_EM_ITERS)[-1]
+    rows = [
+        (i, _EM_FIELDS[i], final["m"][i], final["u"][i], final["lambda"])
+        for i in range(len(preds))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "field_idx int, field string, m_micro bigint, u_micro bigint, "
+        "lambda_micro bigint",
+    )
+
+
+def _oracle_linkage_em() -> str:
+    # reuse the record-linkage candidate CTEs; patterns then unrolled EM
+    cand_cte = ORACLE_RECORD_LINKAGE.split("scored AS")[0].strip().rstrip(",")
+    head = f"""
+{cand_cte},
+pat AS (
+  SELECT (CASE WHEN d_name = c_name THEN 1 ELSE 0 END)
+       + (CASE WHEN d_nationkey = c_nationkey THEN 2 ELSE 0 END)
+       + (CASE WHEN d_mktsegment = c_mktsegment THEN 4 ELSE 0 END)
+       + (CASE WHEN abs(d_acctbal - c_acctbal) < 1.0 THEN 8 ELSE 0 END)
+         AS pattern,
+         COUNT(*) AS n
+  FROM cands GROUP BY 1
+),
+s0 AS (SELECT 900000::HUGEINT AS m0, 900000::HUGEINT AS m1,
+              900000::HUGEINT AS m2, 900000::HUGEINT AS m3,
+              100000::HUGEINT AS u0, 100000::HUGEINT AS u1,
+              100000::HUGEINT AS u2, 100000::HUGEINT AS u3,
+              500000::HUGEINT AS lam)"""
+    parts = [head]
+    for i in range(_EM_ITERS):
+        parts.append(f""",
+r{i} AS (
+  SELECT p.pattern, p.n,
+    (s.lam
+     * (CASE WHEN p.pattern % 2 = 1 THEN s.m0 ELSE 1000000 - s.m0 END)
+     * (CASE WHEN (p.pattern // 2) % 2 = 1 THEN s.m1 ELSE 1000000 - s.m1 END)
+     * (CASE WHEN (p.pattern // 4) % 2 = 1 THEN s.m2 ELSE 1000000 - s.m2 END)
+     * (CASE WHEN (p.pattern // 8) % 2 = 1 THEN s.m3 ELSE 1000000 - s.m3 END)
+    ) AS num_m,
+    ((1000000 - s.lam)
+     * (CASE WHEN p.pattern % 2 = 1 THEN s.u0 ELSE 1000000 - s.u0 END)
+     * (CASE WHEN (p.pattern // 2) % 2 = 1 THEN s.u1 ELSE 1000000 - s.u1 END)
+     * (CASE WHEN (p.pattern // 4) % 2 = 1 THEN s.u2 ELSE 1000000 - s.u2 END)
+     * (CASE WHEN (p.pattern // 8) % 2 = 1 THEN s.u3 ELSE 1000000 - s.u3 END)
+    ) AS num_u
+  FROM pat p CROSS JOIN s{i} s
+),
+rp{i} AS (
+  SELECT pattern, n,
+         (num_m * 1000000) // (num_m + num_u) AS r
+  FROM r{i}
+),
+s{i + 1} AS (
+  SELECT
+    (SUM(CASE WHEN pattern % 2 = 1 THEN n * r ELSE 0 END) * 1000000)
+      // SUM(n * r) AS m0,
+    (SUM(CASE WHEN (pattern // 2) % 2 = 1 THEN n * r ELSE 0 END) * 1000000)
+      // SUM(n * r) AS m1,
+    (SUM(CASE WHEN (pattern // 4) % 2 = 1 THEN n * r ELSE 0 END) * 1000000)
+      // SUM(n * r) AS m2,
+    (SUM(CASE WHEN (pattern // 8) % 2 = 1 THEN n * r ELSE 0 END) * 1000000)
+      // SUM(n * r) AS m3,
+    (SUM(CASE WHEN pattern % 2 = 1 THEN n * (1000000 - r) ELSE 0 END)
+      * 1000000) // SUM(n * (1000000 - r)) AS u0,
+    (SUM(CASE WHEN (pattern // 2) % 2 = 1 THEN n * (1000000 - r) ELSE 0 END)
+      * 1000000) // SUM(n * (1000000 - r)) AS u1,
+    (SUM(CASE WHEN (pattern // 4) % 2 = 1 THEN n * (1000000 - r) ELSE 0 END)
+      * 1000000) // SUM(n * (1000000 - r)) AS u2,
+    (SUM(CASE WHEN (pattern // 8) % 2 = 1 THEN n * (1000000 - r) ELSE 0 END)
+      * 1000000) // SUM(n * (1000000 - r)) AS u3,
+    SUM(n * r) // SUM(n) AS lam
+  FROM rp{i}
+)""")
+    fields = ", ".join(f"('{f}')" for f in _EM_FIELDS)
+    return (
+        "".join(parts)
+        + f""",
+fin AS (SELECT * FROM s{_EM_ITERS}),
+fieldnames(field_idx, field) AS (
+  SELECT (row_number() OVER ()) - 1, f
+  FROM (VALUES {fields}) AS t(f)
+)
+SELECT CAST(fn.field_idx AS INTEGER) AS field_idx, fn.field,
+  CAST(CASE fn.field_idx WHEN 0 THEN fin.m0 WHEN 1 THEN fin.m1
+       WHEN 2 THEN fin.m2 ELSE fin.m3 END AS BIGINT) AS m_micro,
+  CAST(CASE fn.field_idx WHEN 0 THEN fin.u0 WHEN 1 THEN fin.u1
+       WHEN 2 THEN fin.u2 ELSE fin.u3 END AS BIGINT) AS u_micro,
+  CAST(fin.lam AS BIGINT) AS lambda_micro
+FROM fieldnames fn CROSS JOIN fin
+"""
+    )
+
+
+_WAVE3_QUERIES["linkage_em"] = q_linkage_em
+_WAVE3_ORACLES["linkage_em"] = _oracle_linkage_em()
