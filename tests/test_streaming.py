@@ -747,3 +747,54 @@ def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
     q.awaitTermination(120)
     assert len(batches) == n_files
     assert sum(batches) == 400
+
+
+def test_trending_stream_expires_event_time_state(spark, sf_dir, tmp_path):
+    """Event-time TTL trending: stream the event log in time order; the
+    LAST emission per key must equal the batch trailing-window count as
+    of that key's max hour, and held state must never exceed the window
+    (expired hourly buckets really left the state)."""
+    from realtime_spark.sources.testdata import load_table
+    from realtime_spark.streaming.trending import (
+        trending_batch_reference,
+        trending_counts_stream,
+    )
+
+    window_hours = 24
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    # time-ordered micro-batches so event-time flows monotonically
+    e.repartitionByRange(6, "ts").write.parquet(src)
+    stream = spark.readStream.schema(e.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = trending_counts_stream(stream, "event_type", window_hours=window_hours)
+    got = []
+
+    def sink(batch_df, epoch_id):
+        got.extend(batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert got, "stream emitted nothing"
+    assert all(r["n_hours_held"] <= window_hours for r in got)
+    last = {}
+    for r in got:  # foreachBatch order = batch order; last write wins
+        last[r["key"]] = r
+    want = {
+        r["key"]: r
+        for r in trending_batch_reference(
+            e, "event_type", window_hours=window_hours
+        ).collect()
+    }
+    assert set(last) == set(want)
+    for k in want:
+        assert last[k]["as_of_hour"] == want[k]["as_of_hour"], k
+        assert last[k]["window_count"] == want[k]["window_count"], k
+        assert last[k]["n_hours_held"] == want[k]["n_hours_held"], k
