@@ -283,3 +283,64 @@ def robust_flags(
             (2 * F.col("dev2") > k * F.col("m4")).alias("flagged"),
         )
     )
+
+
+def ols_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mergeable OLS sufficient statistics per key: (n, sx, sy, sxy, sxx)
+    as exact decimal(38,0) sums — the incremental-maintenance form of
+    ols_trend. A day's increment merges into the standing state with
+    merge_ols_states; no revisit of historical rows, ever."""
+    x = (epoch_seconds(ts_col) - F.lit(BASE_EPOCH)).cast("bigint")
+    y = cents(F.col(value_col))
+    d38 = "decimal(38,0)"
+    return df.select(*keys, x.alias("x"), y.alias("y")).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+    )
+
+
+def merge_ols_states(a: DataFrame, b: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Sum-merge two OLS state frames (associative + commutative: integer
+    sums). state(full) == merge(state(part1), state(part2)) exactly."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(
+            *[
+                F.sum(c).cast("decimal(38,0)").alias(c)
+                for c in ("n", "sx", "sy", "sxy", "sxx")
+            ]
+        )
+    )
+
+
+def ols_from_state(
+    state: DataFrame, keys: Sequence[str], round_digits: int = 6
+) -> DataFrame:
+    """Finalize slope/intercept from (possibly merged) sufficient
+    statistics — identical arithmetic to ols_trend's tail, so
+    ols_from_state(merge(states)) is bit-equal to ols_trend over the
+    concatenated data."""
+    det = state["n"] * state["sxx"] - state["sx"] * state["sx"]
+    slope_num = state["n"] * state["sxy"] - state["sx"] * state["sy"]
+    icept_num = state["sxx"] * state["sy"] - state["sx"] * state["sxy"]
+    scale = float(10**round_digits)
+    q = lambda c: F.floor(c * scale + F.lit(0.5)) / F.lit(scale)  # noqa: E731
+    return state.select(
+        *keys,
+        state["n"].cast("bigint").alias("n"),
+        q(slope_num.cast("double") / det.cast("double")).alias(
+            "slope_cents_per_sec"
+        ),
+        q(icept_num.cast("double") / det.cast("double")).alias(
+            "intercept_cents"
+        ),
+    )

@@ -384,3 +384,34 @@ def test_gif_traversal_roundtrip_and_malformed():
         parse_gif_structure(b"RIFFxxxx")  # wrong magic
     with _pytest.raises(ValueError):
         parse_gif_structure(_synth_gif(1)[:-2])  # missing trailer
+
+
+def test_ols_state_merge_equals_full(spark, sf_dir):
+    """Incremental regression maintenance: sufficient statistics of two
+    disjoint halves sum-merged and finalized must be BIT-EQUAL to the
+    one-pass ols_trend over all rows (integer sums are associative)."""
+    from realtime_spark.operators.stats import (
+        merge_ols_states,
+        ols_from_state,
+        ols_state,
+        ols_trend,
+    )
+    from realtime_spark.sources.testdata import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    h1 = e.filter(F.col("event_id") % 2 == 0)
+    h2 = e.filter(F.col("event_id") % 2 == 1)
+    merged = merge_ols_states(
+        ols_state(h1, ["event_type"]),
+        ols_state(h2, ["event_type"]),
+        ["event_type"],
+    )
+    inc = {
+        r["event_type"]: (r["n"], r["slope_cents_per_sec"], r["intercept_cents"])
+        for r in ols_from_state(merged, ["event_type"], round_digits=6).collect()
+    }
+    full = {
+        r["event_type"]: (r["n"], r["slope_cents_per_sec"], r["intercept_cents"])
+        for r in ols_trend(e, ["event_type"], round_digits=6).collect()
+    }
+    assert inc == full
