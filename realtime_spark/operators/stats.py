@@ -73,11 +73,16 @@ def ols_trend(
     icept_num = sums["sxx"] * sums["sy"] - sums["sx"] * sums["sxy"]
     scale = float(10**round_digits)
     q = lambda c: F.floor(c * scale + F.lit(0.5)) / F.lit(scale)  # noqa: E731
+    # det=0 (single distinct timestamp or n=1) -> NULL, never a div-by-zero
+    # double where Spark (NULL) and DuckDB (inf/NaN) would disagree.
+    safe = lambda num: F.when(  # noqa: E731
+        det != F.lit(0), q(num.cast("double") / det.cast("double"))
+    )
     return sums.select(
         *keys,
         sums["n"].cast("bigint").alias("n"),
-        q(slope_num.cast("double") / det.cast("double")).alias("slope_cents_per_sec"),
-        q(icept_num.cast("double") / det.cast("double")).alias("intercept_cents"),
+        safe(slope_num).alias("slope_cents_per_sec"),
+        safe(icept_num).alias("intercept_cents"),
     )
 
 
@@ -127,7 +132,10 @@ def cusum_from_hourly(
     cum = stats.select(*keys, "hour", "cnt", "h_obs", "total", dev).withColumn(
         "u", F.sum("dev").over(w)
     )
-    s = F.col("u") - F.min("u").over(w)
+    # min over j>=0 (implicit U_0 = 0 prefix): without the LEAST(0, ...)
+    # an all-positive prefix-sum run would subtract U_1 and underestimate
+    # S_t, missing changepoints in the earliest hours.
+    s = F.col("u") - F.least(F.lit(0), F.min("u").over(w))
     return cum.select(
         *keys,
         "hour",
@@ -334,13 +342,12 @@ def ols_from_state(
     icept_num = state["sxx"] * state["sy"] - state["sx"] * state["sxy"]
     scale = float(10**round_digits)
     q = lambda c: F.floor(c * scale + F.lit(0.5)) / F.lit(scale)  # noqa: E731
+    safe = lambda num: F.when(  # noqa: E731  (see ols_trend: det=0 -> NULL)
+        det != F.lit(0), q(num.cast("double") / det.cast("double"))
+    )
     return state.select(
         *keys,
         state["n"].cast("bigint").alias("n"),
-        q(slope_num.cast("double") / det.cast("double")).alias(
-            "slope_cents_per_sec"
-        ),
-        q(icept_num.cast("double") / det.cast("double")).alias(
-            "intercept_cents"
-        ),
+        safe(slope_num).alias("slope_cents_per_sec"),
+        safe(icept_num).alias("intercept_cents"),
     )

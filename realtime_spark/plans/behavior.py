@@ -130,10 +130,10 @@ s AS (
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
        floor(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE)
+             / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
              * 100000000.0 + 0.5) / 100000000.0 AS slope_cents_per_sec,
        floor(CAST(sxx * sy - sx * sxy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE)
+             / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
              * 100000000.0 + 0.5) / 100000000.0 AS intercept_cents
 FROM s
 """
@@ -173,8 +173,8 @@ cum AS (
 ),
 s AS (
   SELECT event_type, hour, cnt, total,
-         u - MIN(u) OVER (PARTITION BY event_type ORDER BY hour
-                          ROWS UNBOUNDED PRECEDING) AS cusum
+         u - LEAST(0, MIN(u) OVER (PARTITION BY event_type ORDER BY hour
+                                   ROWS UNBOUNDED PRECEDING)) AS cusum
   FROM cum
 )
 SELECT event_type, hour, CAST(cnt AS BIGINT) AS cnt,

@@ -4,9 +4,11 @@ median-MAD evaluation over the accumulated counts.
 The batch detectors (operators/stats.py) are pure functions of the per-key
 hourly count frame; the streaming lift therefore only has to maintain that
 frame incrementally — per micro-batch, fold the batch's (key, hour) counts
-into a running count store (sum-merge is associative and replay-idempotent
-with checkpointed offsets per the materialize_stream versioned-store
-contract), then re-evaluate the detector on the accumulated frame. Monitor
+into a running count store, then re-evaluate the detector on the
+accumulated frame. The sum-merge fold is NOT naturally idempotent (unlike
+materialize_stream's max/latest fold), so each published version carries
+the epoch_id it folded and a replayed at-least-once micro-batch is skipped
+rather than double-added (_fold_into_store). Monitor
 state is |keys x hours| integers — bounded by the time range, never by the
 event count, which is what makes re-evaluation per batch affordable.
 
@@ -28,6 +30,9 @@ from realtime_spark.functions.timeutil import epoch_seconds
 from realtime_spark.operators.stats import BASE_EPOCH
 
 
+_EPOCH_MARKER = "_applied_epoch.txt"
+
+
 def _versions(store_dir: str) -> list[int]:
     if not os.path.isdir(store_dir):
         return []
@@ -42,6 +47,41 @@ def read_counts(spark: SparkSession, store_dir: str) -> DataFrame | None:
     if not vs:
         return None
     return spark.read.parquet(os.path.join(store_dir, f"v{vs[-1]}"))
+
+
+def _applied_epoch(store_dir: str) -> int | None:
+    """epoch_id folded into the latest version, or None (pre-marker store)."""
+    vs = _versions(store_dir)
+    if not vs:
+        return None
+    marker = os.path.join(store_dir, f"v{vs[-1]}", _EPOCH_MARKER)
+    try:
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _fold_into_store(
+    merged: DataFrame, store_dir: str, epoch_id: int
+) -> None:
+    """Publish `merged` as the next store version, atomically paired with
+    the epoch_id it folded. foreachBatch is at-least-once: a crash between
+    publishing v{n+1} and the checkpoint commit replays the micro-batch,
+    and an additive sum-merge would double-count it. The epoch marker makes
+    the fold idempotent — callers skip an epoch the latest version already
+    carries. Write order: parquet + marker into a staging dir, then ONE
+    os.rename, so a version is never visible without its marker."""
+    vs = _versions(store_dir)
+    nxt_n = (vs[-1] + 1) if vs else 0
+    stage = os.path.join(store_dir, f"_stage_v{nxt_n}")
+    shutil.rmtree(stage, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(stage)
+    with open(os.path.join(stage, _EPOCH_MARKER), "w") as fh:
+        fh.write(str(epoch_id))
+    os.rename(stage, os.path.join(store_dir, f"v{nxt_n}"))
+    for v in vs:
+        shutil.rmtree(os.path.join(store_dir, f"v{v}"), ignore_errors=True)
 
 
 def run_hourly_count_stream(
@@ -62,6 +102,8 @@ def run_hourly_count_stream(
     spark = stream.sparkSession
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if _applied_epoch(store_dir) == epoch_id:
+            return  # replayed micro-batch: counts already folded
         hour = F.floor(
             (epoch_seconds(ts_col) - F.lit(BASE_EPOCH)) / 3600
         ).cast("bigint")
@@ -78,11 +120,7 @@ def run_hourly_count_stream(
             .groupBy(*keys, "hour")
             .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         )
-        vs = _versions(store_dir)
-        nxt = os.path.join(store_dir, f"v{(vs[-1] + 1) if vs else 0}")
-        merged.write.mode("overwrite").parquet(nxt)
-        for v in vs:
-            shutil.rmtree(os.path.join(store_dir, f"v{v}"), ignore_errors=True)
+        _fold_into_store(merged, store_dir, epoch_id)
 
     writer = stream.writeStream.foreachBatch(on_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -127,6 +165,8 @@ def run_bin_count_stream(
     width = (hi - lo) / nbins
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if _applied_epoch(store_dir) == epoch_id:
+            return  # replayed micro-batch: counts already folded
         delta = (
             batch_df.select(
                 *keys, value_bin(value_col, lo, width, nbins).alias("bin")
@@ -142,11 +182,7 @@ def run_bin_count_stream(
             .groupBy(*keys, "bin")
             .agg(F.sum("c").cast("bigint").alias("c"))
         )
-        vs = _versions(store_dir)
-        nxt = os.path.join(store_dir, f"v{(vs[-1] + 1) if vs else 0}")
-        merged.write.mode("overwrite").parquet(nxt)
-        for v in vs:
-            shutil.rmtree(os.path.join(store_dir, f"v{v}"), ignore_errors=True)
+        _fold_into_store(merged, store_dir, epoch_id)
 
     writer = stream.writeStream.foreachBatch(on_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -43,6 +43,61 @@ def test_wap_failed_audit_keeps_previous_version(spark, tmp_path):
     assert os.path.isdir(os.path.join(base, "staging"))
 
 
+def test_wap_promote_is_pointer_swap(spark, tmp_path):
+    """Promotion swaps the CURRENT pointer file in one os.replace — at no
+    instant does `published` fail to resolve, and the immediately previous
+    version dir is retained one promotion for in-flight readers."""
+    import os
+
+    base = str(tmp_path / "wap")
+    v0 = spark.range(10).select(F.col("id"))
+    v1 = spark.range(20).select(F.col("id"))
+    v2 = spark.range(30).select(F.col("id"))
+    wap_publish(v0, base, [unique("id")])
+    assert open(os.path.join(base, "CURRENT")).read().strip() == "v0"
+    wap_publish(v1, base, [unique("id")])
+    assert open(os.path.join(base, "CURRENT")).read().strip() == "v1"
+    # predecessor retained for readers holding the old pointer
+    assert os.path.isdir(os.path.join(base, "v0"))
+    wap_publish(v2, base, [unique("id")])
+    assert read_published(spark, base).count() == 30
+    # v0 GC'd, v1 retained
+    assert not os.path.isdir(os.path.join(base, "v0"))
+    assert os.path.isdir(os.path.join(base, "v1"))
+
+
+def test_monitor_fold_replay_idempotent(spark, tmp_path):
+    """At-least-once replay of a micro-batch (same epoch_id) must not
+    double-add into the additive count store: the published version carries
+    the epoch it folded, and the fold guard skips a seen epoch."""
+    from realtime_spark.streaming.monitors import (
+        _applied_epoch,
+        _fold_into_store,
+        read_counts,
+    )
+
+    store = str(tmp_path / "store")
+    delta = spark.createDataFrame(
+        [("a", 0, 5), ("b", 0, 3)], "k string, hour long, cnt long"
+    )
+    _fold_into_store(delta, store, epoch_id=0)
+    assert _applied_epoch(store) == 0  # the on_batch guard's skip signal
+    total0 = {
+        (r["k"], r["hour"]): r["cnt"] for r in read_counts(spark, store).collect()
+    }
+    assert total0 == {("a", 0): 5, ("b", 0): 3}
+    # a NEW epoch folds normally
+    merged = (
+        read_counts(spark, store)
+        .unionByName(delta)
+        .groupBy("k", "hour")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    _fold_into_store(merged, store, epoch_id=1)
+    assert _applied_epoch(store) == 1
+    assert read_counts(spark, store).filter("k = 'a'").collect()[0]["cnt"] == 10
+
+
 def test_wap_audits_staged_files_not_plan(spark, tmp_path):
     """The audit reads the parquet that was actually written — a dataset
     violating uniqueness after the write is caught even if some upstream
