@@ -230,6 +230,22 @@ def _any_pred(preds) -> Column:
     return out
 
 
+def _lit_str(col: Column) -> str | None:
+    """The string value of a plan-time Literal column, else None. Lets the
+    compiled match constant-fold literal-vs-literal entity clauses in Python
+    (a change feed built with F.lit(schema)/F.lit(table)/literal action)
+    instead of emitting Spark's 'trivially true equals predicate' warning
+    for every subscription."""
+    try:
+        node = col._jc.node()  # Spark 4 ColumnNode
+        if node.getClass().getSimpleName() == "Literal":
+            v = node.value()
+            return None if v is None else str(v)
+    except Exception:
+        return None
+    return None
+
+
 def _sub_pred(r, cols, typed_cols=None, typed_dtypes=None) -> Column:
     """Plan-time predicate for one collected subscription row: entity equality
     + action filter + compiled filter conjunction over the action-appropriate
@@ -241,12 +257,22 @@ def _sub_pred(r, cols, typed_cols=None, typed_dtypes=None) -> Column:
     target = F.when(cols["action"] == "DELETE", cols["old_record"]).otherwise(
         cols["record"]
     )
-    pred = (cols["schema_name"] == F.lit(r["schema_name"])) & (
-        cols["table_name"] == F.lit(r["table_name"])
-    )
+    wanted = [("schema_name", r["schema_name"]), ("table_name", r["table_name"])]
     if r["action_filter"] != "*":
-        pred = pred & (cols["action"] == F.lit(r["action_filter"]))
-    return pred & compile_filters_on_record(r["filters"], target, typed_cols, typed_dtypes)
+        wanted.append(("action", r["action_filter"]))
+    clauses: list[Column] = []
+    for cname, val in wanted:
+        lv = _lit_str(cols[cname])
+        if lv is not None:
+            if lv != val:
+                return F.lit(False)  # entity can never match: fold whole pred
+            # equal literals: clause is constant-true, skip it
+        else:
+            clauses.append(cols[cname] == F.lit(val))
+    pred = compile_filters_on_record(r["filters"], target, typed_cols, typed_dtypes)
+    for c in reversed(clauses):
+        pred = c & pred
+    return pred
 
 
 def _sub_struct_lit(r) -> Column:
