@@ -560,6 +560,52 @@ FROM _orders_changes
 """
 
 
+def q_pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: byte-level binary pgoutput decode (decoder.ex parity). The orders
+    table is encoded into REAL pgoutput frames — per slot a Relation header,
+    then one transaction (Begin/Insert|Update|Delete/Commit) per order row —
+    and decoded back by sources/pgoutput.py's stateful per-slot fold. The
+    oracle re-derives the same change facts from orders directly, so every
+    byte of the frame layout is cross-checked end-to-end."""
+    from realtime_spark.sources.pgoutput import (
+        decode_pgoutput,
+        pgoutput_frames_from_orders,
+    )
+    from realtime_spark.functions.scalar import iso_ms
+
+    frames = pgoutput_frames_from_orders(spark, sf_dir)
+    dec = decode_pgoutput(frames)
+    tgt = F.coalesce(F.col("record"), F.col("old_record"))
+    return dec.select(
+        F.col("xid").alias("okey"),
+        "action",
+        "schema_name",
+        "table_name",
+        iso_ms(F.col("commit_timestamp")).alias("commit_ts"),
+        tgt["o_orderpriority"].alias("priority"),
+        tgt["o_nullable"].alias("nullable_v"),
+        F.array_join("pk", ",").alias("pk_str"),
+        F.col("record").isNotNull().alias("has_record"),
+        F.col("old_record").isNotNull().alias("has_old"),
+        F.size("col_names").alias("ncols"),
+    )
+
+
+ORACLE_PGOUTPUT_DECODE = f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id AS okey, action,
+       'public' AS schema_name, 'orders' AS table_name,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS commit_ts,
+       o_orderpriority AS priority,
+       o_nullable AS nullable_v,
+       'o_orderkey' AS pk_str,
+       action <> 'DELETE' AS has_record,
+       action <> 'INSERT' AS has_old,
+       7 AS ncols
+FROM _orders_changes
+"""
+
+
 # ---------------------------------------------------------------------------
 # Replay / messages store (SURVEY §2.1 S5/S10, §2.5 W1, §2.2 P15)
 # ---------------------------------------------------------------------------
@@ -949,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["cdc_column_privileges"] = q_cdc_column_privileges
     qs["cdc_payload_clamp"] = q_cdc_payload_clamp
     qs["cdc_commit_ts_iso"] = q_cdc_commit_ts_iso
+    qs["pgoutput_decode"] = q_pgoutput_decode
     qs["replay_topk"] = q_replay_topk
     qs["replay_dedup"] = q_replay_dedup
     qs["msg_retention"] = q_msg_retention
@@ -999,6 +1046,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["cdc_column_privileges"] = ORACLE_CDC_COLUMN_PRIVILEGES
     sqls["cdc_payload_clamp"] = ORACLE_CDC_PAYLOAD_CLAMP
     sqls["cdc_commit_ts_iso"] = ORACLE_CDC_COMMIT_TS_ISO
+    sqls["pgoutput_decode"] = ORACLE_PGOUTPUT_DECODE
     sqls["replay_topk"] = ORACLE_REPLAY_TOPK
     sqls["replay_dedup"] = ORACLE_REPLAY_DEDUP
     sqls["msg_retention"] = ORACLE_MSG_RETENTION

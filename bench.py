@@ -111,6 +111,7 @@ def _bench_queries():
         "gif_frames",
         "schema_compat",
         "linkage_em",
+        "pgoutput_decode",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

