@@ -123,7 +123,11 @@ def jaccard_pairs(
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint").alias("sx"),
     )
     # the (doc, sx) set feeds four consumers (both join sides, sizes, freq);
-    # persist so the shingle explode runs once, not four times
+    # persist so the shingle explode runs once, not four times. (Two
+    # alternatives measured SLOWER at sf0.1: a window-count-over-sx freq
+    # guard — shuffles and sorts every shingle row where groupBy combines
+    # map-side — and recomputing sizes as a map-only size(shingles) over the
+    # source, which re-tokenizes the corpus instead of reusing the persist.)
     sh = sh.persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     freq_ok = sh.groupBy("sx").agg(F.count(F.lit(1)).alias("freq")).filter(
@@ -463,6 +467,7 @@ def duplicate_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Group near-duplicate pairs into clusters: connected components by
     iterative min-label propagation. Output: (doc_id, cluster_id) for every
@@ -490,6 +495,41 @@ def duplicate_clusters(
         F.col(a_col).cast("bigint").alias("src"),
         F.col(b_col).cast("bigint").alias("dst"),
     ).persist()
+    # small-graph fast path: below ~2M edges (≈32 MB of longs) the
+    # distributed loop is pure job-scheduling overhead — diameter×(shuffle
+    # join + agg + checkpoint) jobs to label a graph union-find folds in
+    # milliseconds. The count is free (it materializes the persist the loop
+    # would pay anyway), the threshold is an explicit bound on driver
+    # memory, and the distributed propagation below remains the path for
+    # genuinely large dup graphs (billions of LSH pairs at 100 TB).
+    n_edges = p.count()
+    if n_edges <= driver_max_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes: set[int] = set()
+        for row in p.collect():
+            a, b = int(row[0]), int(row[1])
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # attach the larger root under the smaller: the cluster id
+                # IS the min reachable doc_id, same as the propagation
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out_rows = [(n, find(n)) for n in sorted(nodes)]
+        p.unpersist()
+        return pairs.sparkSession.createDataFrame(
+            out_rows, "doc_id bigint, cluster_id bigint"
+        )
     edges = (
         p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

@@ -2112,16 +2112,34 @@ def q_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     from random non-blocked pairs to pin the labels). Output: one row per
     field with the final m/u plus the match share — deterministic to the
     last integer and replayed by the unrolled-CTE oracle."""
-    from realtime_spark.operators.linkage import agreement_patterns, em_fs_weights
+    from realtime_spark.operators.linkage import (
+        blocked_agreement_patterns,
+        em_fs_weights,
+    )
 
-    cands = _linkage_cands(spark, sf_dir)
     preds = [
         F.col("l_d_name") == F.col("r_c_name"),
         F.col("l_d_nationkey") == F.col("r_c_nationkey"),
         F.col("l_d_mktsegment") == F.col("r_c_mktsegment"),
         F.abs(F.col("l_d_acctbal") - F.col("r_c_acctbal")) < 1.0,
     ]
-    patterns = agreement_patterns(cands, preds)
+    # inclusion-exclusion pattern counts: no pair-set materialization or
+    # dedup shuffle (1.5M wide rows at sf0.1 -> three small joins whose
+    # pattern aggs combine map-side; identical counts to the distinct union)
+    patterns = blocked_agreement_patterns(
+        _dirty_customers(spark, sf_dir),
+        load_table(spark, sf_dir, "customer"),
+        [
+            (F.col("l_d_name"), F.col("r_c_name")),
+            (
+                F.concat_ws("#", F.col("l_d_nationkey").cast("string"),
+                            F.col("l_d_mktsegment")),
+                F.concat_ws("#", F.col("r_c_nationkey").cast("string"),
+                            F.col("r_c_mktsegment")),
+            ),
+        ],
+        preds,
+    )
     final = em_fs_weights(patterns, len(preds), iterations=_EM_ITERS)[-1]
     rows = [
         (i, _EM_FIELDS[i], final["m"][i], final["u"][i], final["lambda"])

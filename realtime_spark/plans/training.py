@@ -243,13 +243,17 @@ def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs_with_dups(spark, sf_dir)
     pairs = jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
     clusters = duplicate_clusters(pairs)
-    n_tok = d.select(
+    # tokenize ONLY cluster members (the docs whose length matters), not the
+    # whole corpus: the join prunes before the expensive split, and AQE
+    # picks the broadcast side (clusters is |dup members|, typically tiny
+    # next to the corpus)
+    members = d.join(clusters, "doc_id").select(
         "doc_id",
+        "cluster_id",
         F.size(
             F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != "")
         ).alias("n_tok"),
     )
-    members = clusters.join(n_tok, "doc_id")
     keepers = members.groupBy("cluster_id").agg(
         F.max_by(
             F.col("doc_id"), F.struct(F.col("n_tok"), (-F.col("doc_id")).alias("r"))
