@@ -798,3 +798,77 @@ def test_trending_stream_expires_event_time_state(spark, sf_dir, tmp_path):
         assert last[k]["as_of_hour"] == want[k]["as_of_hour"], k
         assert last[k]["window_count"] == want[k]["window_count"], k
         assert last[k]["n_hours_held"] == want[k]["n_hours_held"], k
+
+
+def test_adaptive_cadence_policy():
+    """ST1 policy parity with replication_poller.ex:174-192: busy ->
+    immediate, backlog-only -> interval + jitter in [50, 100], idle ->
+    interval x5."""
+    from realtime_spark.streaming.adaptive import AdaptiveCadence
+
+    c = AdaptiveCadence(poll_interval_ms=100, idle_multiplier=5)
+    assert c.next_delay_ms(processed_count=10, slot_changes_count=10) == 0
+    d = c.next_delay_ms(processed_count=0, slot_changes_count=3)
+    assert 150 <= d <= 200
+    assert c.next_delay_ms(processed_count=0, slot_changes_count=0) == 500
+    # jitter is deterministic given the seed and varies across calls
+    c2 = AdaptiveCadence(poll_interval_ms=100, seed=1)
+    seq = [c2.next_delay_ms(0, 1) for _ in range(5)]
+    c3 = AdaptiveCadence(poll_interval_ms=100, seed=1)
+    assert seq == [c3.next_delay_ms(0, 1) for _ in range(5)]
+    assert len(set(seq)) > 1
+
+
+def test_adaptive_poll_loop_gaps_stretch_and_collapse(spark, sf_dir, tmp_path):
+    """Drive the real pipeline through the adaptive controller: a cycle that
+    delivers rows schedules an IMMEDIATE re-poll; a cycle whose batch is
+    shed (slot changes but nothing delivered) backs off interval+jitter; an
+    empty cycle stretches to interval x5. Offsets advance through the shared
+    checkpoint, so each file is consumed exactly once across cycles."""
+    import os
+
+    import __spark_entry__ as em
+    from realtime_spark.sources.testdata import changes_from_orders
+    from realtime_spark.streaming.adaptive import AdaptiveCadence, run_cdc_poll_loop
+
+    changes = changes_from_orders(spark, sf_dir).limit(60).cache()
+    subs = em.subscriptions_df(spark, em._MULTI_SPECS)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # cycle 0 input: real changes (busy). later cycles: nothing new (idle).
+    changes.coalesce(1).write.mode("append").parquet(src)
+
+    def make_stream():
+        return spark.readStream.schema(changes.schema).parquet(src)
+
+    delivered = {"n": 0}
+
+    def sink(df, epoch):
+        delivered["n"] += df.count()
+
+    sleeps: list[float] = []
+    telemetry = run_cdc_poll_loop(
+        make_stream, subs, sink, ckpt, cycles=3,
+        cadence=AdaptiveCadence(poll_interval_ms=20, idle_multiplier=5),
+        sleep_fn=sleeps.append,
+    )
+    assert delivered["n"] > 0
+    assert telemetry[0]["processed"] > 0 and telemetry[0]["delay_ms"] == 0
+    # cycles 1..2 saw no new files -> idle stretch x5
+    assert telemetry[1]["delay_ms"] == 100
+    assert telemetry[2]["delay_ms"] == 100
+    assert sleeps == [0.1]  # only between cycles 1 and 2; busy gap was 0
+
+    # backlog-only: new changes arrive but the shed gate drops the batch ->
+    # slot_changes > 0, processed == 0 -> interval + jitter
+    changes.limit(10).coalesce(1).write.mode("append").parquet(src)
+    telemetry2 = run_cdc_poll_loop(
+        make_stream, subs, sink, ckpt, cycles=1,
+        cadence=AdaptiveCadence(poll_interval_ms=20, idle_multiplier=5),
+        shed_gate=lambda df: True,
+    )
+    assert telemetry2[0]["slot_changes"] > 0
+    assert telemetry2[0]["processed"] == 0
+    assert 70 <= telemetry2[0]["delay_ms"] <= 120
