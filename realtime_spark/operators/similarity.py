@@ -30,6 +30,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+# Top-k SERVING operators (IVF probe, PQ/IVF-PQ ADC) collect the query set
+# driver-side to build probe/distance tables — bounded by |queries| x nprobe
+# by contract. The cap makes the bound explicit: a caller passing a bulk
+# query set (the "join every doc against the index" job) gets a clean error
+# pointing at the bulk-join formulations instead of melting the driver.
+QUERY_COLLECT_MAX = 100_000
+
+
+def _collect_bounded(df: DataFrame, what: str) -> list:
+    rows = df.limit(QUERY_COLLECT_MAX + 1).collect()
+    if len(rows) > QUERY_COLLECT_MAX:
+        raise ValueError(
+            f"{what}: query set exceeds QUERY_COLLECT_MAX="
+            f"{QUERY_COLLECT_MAX} rows. These operators serve bounded query"
+            " batches (driver-side probe/ADC tables); for bulk all-vs-index"
+            " scoring use brute_force_topk / cosine_near_dups /"
+            " semdedup-style joins, or split the query set."
+        )
+    return rows
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     """Left-to-right double-precision dot product, JVM-side."""
@@ -286,7 +306,9 @@ def ivf_topk_from_index(
         .filter(F.col("_rn") <= nprobe)
         .select("query_id", "q_vec", "centroid_id")
     )
-    probe_rows = probes.select("query_id", "centroid_id").collect()
+    probe_rows = _collect_bounded(
+        probes.select("query_id", "centroid_id"), "ivf_topk probes"
+    )
     probed_ids = sorted({r["centroid_id"] for r in probe_rows})
     bucket_scan = index.filter(F.col("centroid_id").isin(probed_ids)).select(
         F.col(id_col).alias("neighbor_id"),
@@ -733,7 +755,10 @@ def pq_adc_topk(
     (not vectors) shuffle once keyed by (query, vec); at 100 TB pair with
     IVF bucketing so only probed buckets' codes enter the join.
     Output: (query_id, neighbor_id, adc_micro, rank)."""
-    dtab = _adc_table(queries.select(id_col, vec_col).collect(), codebook)
+    dtab = _adc_table(
+        _collect_bounded(queries.select(id_col, vec_col), "pq_adc_topk queries"),
+        codebook,
+    )
     spark = encoded.sparkSession
     dt = F.broadcast(
         spark.createDataFrame(
@@ -804,7 +829,10 @@ def ivf_pq_topk(
         .select("query_id", "centroid_id")
     )
     # ADC distance table (q x m x k rows) — built driver-side like pq_adc_topk
-    dtab_rows = _adc_table(queries.select(id_col, vec_col).collect(), codebook)
+    dtab_rows = _adc_table(
+        _collect_bounded(queries.select(id_col, vec_col), "ivf_pq_topk queries"),
+        codebook,
+    )
     dt = F.broadcast(
         corpus.sparkSession.createDataFrame(
             dtab_rows, "query_id long, j int, code int, d_micro long"

@@ -210,3 +210,21 @@ class TestPq:
         n_vec = e.count()
         chance = n_q * 100.0 / n_vec
         assert sum(hits.values()) >= max(3.0 * chance, 0.1 * n_q)
+
+
+def test_query_collect_cap_raises_cleanly(spark, monkeypatch):
+    """Past-cap query sets fail fast with an actionable error instead of
+    collecting an unbounded probe/ADC table onto the driver."""
+    import pytest
+
+    import realtime_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "QUERY_COLLECT_MAX", 5)
+    big = spark.range(10).selectExpr(
+        "id AS vec_id", "array(double(id), 1.0d, 2.0d, 3.0d) AS embedding"
+    )
+    with pytest.raises(ValueError, match="QUERY_COLLECT_MAX"):
+        sim._collect_bounded(big.select("vec_id", "embedding"), "test op")
+    # within the cap passes through unchanged
+    ok = sim._collect_bounded(big.limit(3).select("vec_id", "embedding"), "t")
+    assert len(ok) == 3
