@@ -141,7 +141,147 @@ _EC_CURVES = {
     ),
 }
 
-_EC_CRV_NAMES = {"ES256": "P-256", "ES384": "P-384"}
+_EC_CURVES["ES512"] = (  # P-521 / secp521r1 (SEC 2 §2.6.1)
+    2**521 - 1,
+    -3,
+    0x0051953EB9618E1C9A1F929A21A0B68540EEA2DA725B99B315F3B8B489918EF109E156193951EC7E937B1652C0BD3BB1BF073573DF883D2C34F1EF451FD46B503F00,
+    0x00C6858E06B70404E9CD9E3ECB662395B4429C648139053FB521F828AF606B4D3DBAA14B5E77EFE75928FE1DC127A2FFA8DE3348B3C1856A429BF97E7E31C2E5BD66,
+    0x011839296A789A3BC0045C8A5FB42C7D1BD998F54449579B446817AFBD17273E662C97EE72995EF42640C550B9013FAD0761353C7086A272C24088BE94769FD16650,
+    0x01FFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFA51868783BF2F966B7FCC0148F709A5D03BB5C9B8899C47AEBB6FB71E91386409,
+    hashlib.sha512,
+    66,
+)
+
+_EC_CRV_NAMES = {"ES256": "P-256", "ES384": "P-384", "ES512": "P-521"}
+
+
+# --- Ed25519 (RFC 8032) — EdDSA JWTs --------------------------------------
+# Pure-stdlib big-int arithmetic like the ECDSA path above: verification
+# only handles PUBLIC points, so non-constant-time is fine; the sign helper
+# exists to mint test fixtures.
+
+_ED_P = 2**255 - 19
+_ED_L = 2**252 + 27742317777372353535851937790883648493
+_ED_D = -121665 * pow(121666, -1, _ED_P) % _ED_P
+_ED_I = pow(2, (_ED_P - 1) // 4, _ED_P)  # sqrt(-1)
+
+
+def _ed_recover_x(y: int, sign: int) -> int | None:
+    x2 = (y * y - 1) * pow(_ED_D * y * y + 1, -1, _ED_P) % _ED_P
+    x = pow(x2, (_ED_P + 3) // 8, _ED_P)
+    if (x * x - x2) % _ED_P:
+        x = x * _ED_I % _ED_P
+    if (x * x - x2) % _ED_P:
+        return None
+    if x == 0 and sign:
+        return None
+    if x & 1 != sign:
+        x = _ED_P - x
+    return x
+
+
+def _ed_add(P, Q):
+    """Twisted-Edwards addition, extended homogeneous coords (x,y,z,t)."""
+    x1, y1, z1, t1 = P
+    x2, y2, z2, t2 = Q
+    A = (y1 - x1) * (y2 - x2) % _ED_P
+    B = (y1 + x1) * (y2 + x2) % _ED_P
+    C = 2 * t1 * t2 * _ED_D % _ED_P
+    D = 2 * z1 * z2 % _ED_P
+    e, f, g, h = B - A, D - C, D + C, B + A
+    return (e * f % _ED_P, g * h % _ED_P, f * g % _ED_P, e * h % _ED_P)
+
+
+def _ed_mul(s: int, P):
+    Q = (0, 1, 1, 0)  # identity
+    while s:
+        if s & 1:
+            Q = _ed_add(Q, P)
+        P = _ed_add(P, P)
+        s >>= 1
+    return Q
+
+
+_ED_BY = 4 * pow(5, -1, _ED_P) % _ED_P
+_ED_BX = _ed_recover_x(_ED_BY, 0)
+_ED_B = (_ED_BX, _ED_BY, 1, _ED_BX * _ED_BY % _ED_P)
+
+
+def _ed_decompress(b: bytes):
+    if len(b) != 32:
+        return None
+    y = int.from_bytes(b, "little")
+    sign = y >> 255
+    y &= (1 << 255) - 1
+    if y >= _ED_P:
+        return None
+    x = _ed_recover_x(y, sign)
+    if x is None:
+        return None
+    return (x, y, 1, x * y % _ED_P)
+
+
+def _ed_compress(P) -> bytes:
+    zinv = pow(P[2], -1, _ED_P)
+    x, y = P[0] * zinv % _ED_P, P[1] * zinv % _ED_P
+    return (y | ((x & 1) << 255)).to_bytes(32, "little")
+
+
+def ed25519_verify(pub: bytes, msg: bytes, sig: bytes) -> bool:
+    """RFC 8032 §5.1.7 verification: [S]B == R + [H(R||A||M)]A."""
+    if len(pub) != 32 or len(sig) != 64:
+        return False
+    A = _ed_decompress(pub)
+    R = _ed_decompress(sig[:32])
+    if A is None or R is None:
+        return False
+    S = int.from_bytes(sig[32:], "little")
+    if S >= _ED_L:
+        return False
+    h = int.from_bytes(
+        hashlib.sha512(sig[:32] + pub + msg).digest(), "little"
+    ) % _ED_L
+    sB = _ed_mul(S, _ED_B)
+    rhA = _ed_add(R, _ed_mul(h, A))
+    return (
+        (sB[0] * rhA[2] - rhA[0] * sB[2]) % _ED_P == 0
+        and (sB[1] * rhA[2] - rhA[1] * sB[2]) % _ED_P == 0
+    )
+
+
+def ed25519_public(seed: bytes) -> bytes:
+    """Public key from a 32-byte seed (RFC 8032 §5.1.5) — test fixtures."""
+    h = hashlib.sha512(seed).digest()
+    a = int.from_bytes(h[:32], "little")
+    a &= (1 << 254) - 8
+    a |= 1 << 254
+    return _ed_compress(_ed_mul(a, _ED_B))
+
+
+def ed25519_sign(seed: bytes, msg: bytes) -> bytes:
+    """RFC 8032 §5.1.6 signing — minting test tokens only (deterministic,
+    no nonce to misuse; production signing lives with the IdP)."""
+    h = hashlib.sha512(seed).digest()
+    a = int.from_bytes(h[:32], "little")
+    a &= (1 << 254) - 8
+    a |= 1 << 254
+    prefix = h[32:]
+    A = _ed_compress(_ed_mul(a, _ED_B))
+    r = int.from_bytes(hashlib.sha512(prefix + msg).digest(), "little") % _ED_L
+    R = _ed_compress(_ed_mul(r, _ED_B))
+    k = int.from_bytes(hashlib.sha512(R + A + msg).digest(), "little") % _ED_L
+    s = (r + k * a) % _ED_L
+    return R + s.to_bytes(32, "little")
+
+
+def ed25519_public_jwk(seed: bytes, kid: str) -> dict:
+    """OKP JWK (RFC 8037) for the seed's public key — test fixtures."""
+    return {
+        "kty": "OKP",
+        "crv": "Ed25519",
+        "kid": kid,
+        "x": _b64url_encode(ed25519_public(seed)),
+    }
 
 
 def _ec_add(p1, p2, p, a):
@@ -229,14 +369,16 @@ def verify_jwt_jwks(
     """Full signer-resolution verify path (jwt_verification.ex:49-150):
 
     - RS256/384/512 + kid -> RSA JWK from jwks['keys'] (kty=RSA, kid match)
-    - ES256/ES384 + kid -> EC JWK (kty=EC, crv match): pure-stdlib ECDSA
-      over P-256/P-384 with on-curve public-key validation
+    - ES256/ES384/ES512 + kid -> EC JWK (kty=EC, crv match): pure-stdlib
+      ECDSA over P-256/P-384/P-521 with on-curve public-key validation
+    - EdDSA + kid -> OKP JWK (crv=Ed25519): pure-stdlib RFC 8032 verify
     - HS256/384/512 + kid -> 'oct' JWK by kid (base64url 'k' is the secret),
       else fall back to jwt_secret (the common Supabase-auth case)
     - HS* without jwks -> jwt_secret
     - required claims: role, exp; exp/iat decimals rounded; exp > now
-    - ES512/EdDSA remain unsupported (declared)
 
+    The full JOSE alg list the reference accepts
+    (lib/realtime_web/channels/auth/jwt_verification.ex) is now covered.
     Returns claims dict or None.
     """
     try:
@@ -298,8 +440,23 @@ def verify_jwt_jwks(
             qy = int.from_bytes(_b64url_decode(jwk["y"]), "big")
             if not _ecdsa_verify(qx, qy, msg, sig, alg):
                 return None
+        elif alg == "EdDSA":
+            jwk = next(
+                (
+                    j
+                    for j in keys
+                    if j.get("kty") == "OKP"
+                    and j.get("crv") == "Ed25519"
+                    and j.get("kid") == kid
+                ),
+                None,
+            )
+            if jwk is None or not isinstance(kid, str):
+                return None
+            if not ed25519_verify(_b64url_decode(jwk["x"]), msg, sig):
+                return None
         else:
-            return None  # ES512/EdDSA: declared unsupported
+            return None  # unknown alg
 
         claims = json.loads(_b64url_decode(body_b64))
         for key in ("exp", "iat"):  # decimal exp/iat rounded like the reference

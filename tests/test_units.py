@@ -396,14 +396,95 @@ class TestJwtEcdsa:
         tok = self._mint("ES256", "kid-ec", {"role": "r", "exp": 2_000_000_000})
         assert verify_jwt_jwks(tok, jwks={"keys": [jwk]}) is None
 
-    def test_es512_stays_unsupported(self):
-        from realtime_spark.operators.auth import verify_jwt_jwks
+    def test_es512_roundtrip_and_tamper(self):
+        """P-521 (full JOSE coverage — jwt_verification.ex alg list)."""
+        from realtime_spark.operators.auth import ec_public_jwk, verify_jwt_jwks
 
-        # structurally valid but unsupported alg -> None
+        jwks = {"keys": [ec_public_jwk(self.D, "ES512", "k521")]}
+        tok = self._mint("ES512", "k521", {"role": "svc", "exp": 2_000_000_000})
+        out = verify_jwt_jwks(tok, jwks=jwks, now_epoch=1_700_000_000)
+        assert out and out["role"] == "svc"
+        h, b, s = tok.split(".")
+        assert verify_jwt_jwks(f"{h}.{b[:-2]}aa.{s}", jwks=jwks) is None
+
+    def test_unknown_alg_fails_closed(self):
         import json as _json
 
-        from realtime_spark.operators.auth import _b64url_encode
+        from realtime_spark.operators.auth import _b64url_encode, verify_jwt_jwks
 
-        h = _b64url_encode(_json.dumps({"alg": "ES512", "kid": "x"}).encode())
+        h = _b64url_encode(_json.dumps({"alg": "XX999", "kid": "x"}).encode())
         b = _b64url_encode(_json.dumps({"role": "r", "exp": 2}).encode())
         assert verify_jwt_jwks(f"{h}.{b}.AAAA", jwks={"keys": []}) is None
+
+
+class TestJwtEdDSA:
+    """EdDSA (Ed25519, RFC 8032) verification — pure stdlib arithmetic,
+    pinned to the RFC's published test vectors."""
+
+    # RFC 8032 §7.1 TEST vectors (seed, public, msg, signature), hex
+    VECTORS = [
+        ("9d61b19deffd5a60ba844af492ec2cc44449c5697b326919703bac031cae7f60",
+         "d75a980182b10ab7d54bfed3c964073a0ee172f3daa62325af021a68f707511a",
+         "",
+         "e5564300c360ac729086e2cc806e828a84877f1eb8e5d974d873e06522490155"
+         "5fb8821590a33bacc61e39701cf9b46bd25bf5f0595bbe24655141438e7a100b"),
+        ("4ccd089b28ff96da9db6c346ec114e0f5b8a319f35aba624da8cf6ed4fb8a6fb",
+         "3d4017c3e843895a92b70aa74d1b7ebc9c982ccf2ec4968cc0cd55f12af4660c",
+         "72",
+         "92a009a9f0d4cab8720e820b5f642540a2b27b5416503f8fb3762223ebdb69da"
+         "085ac1e43e15996e458f3613d0f11d8c387b2eaeb4302aeeb00d291612bb0c00"),
+        ("c5aa8df43f9f837bedb7442f31dcb7b166d38535076f094b85ce3a2e0b4458f7",
+         "fc51cd8e6218a1a38da47ed00230f0580816ed13ba3303ac5deb911548908025",
+         "af82",
+         "6291d657deec24024827e69c3abe01a30ce548a284743a445e3680d7db5ac3ac"
+         "18ff9b538d16f290ae67f760984dc6594a7c15e9716ed28dc027beceea1ec40a"),
+    ]
+
+    def test_rfc8032_vectors(self):
+        from realtime_spark.operators.auth import (
+            ed25519_public,
+            ed25519_sign,
+            ed25519_verify,
+        )
+
+        for seed_h, pub_h, msg_h, sig_h in self.VECTORS:
+            seed, pub = bytes.fromhex(seed_h), bytes.fromhex(pub_h)
+            msg, sig = bytes.fromhex(msg_h), bytes.fromhex(sig_h)
+            assert ed25519_public(seed) == pub
+            assert ed25519_sign(seed, msg) == sig
+            assert ed25519_verify(pub, msg, sig)
+            # flipped bit anywhere fails
+            bad = bytearray(sig)
+            bad[7] ^= 1
+            assert not ed25519_verify(pub, msg, bytes(bad))
+            assert not ed25519_verify(pub, msg + b"x", sig)
+
+    def test_eddsa_jwt_roundtrip(self):
+        import json as _json
+
+        from realtime_spark.operators.auth import (
+            _b64url_encode,
+            ed25519_public_jwk,
+            ed25519_sign,
+            verify_jwt_jwks,
+        )
+
+        seed = bytes.fromhex(self.VECTORS[0][0])
+        jwks = {"keys": [ed25519_public_jwk(seed, "kid-ed")]}
+        h = _b64url_encode(
+            _json.dumps({"alg": "EdDSA", "typ": "JWT", "kid": "kid-ed"}).encode()
+        )
+        b = _b64url_encode(
+            _json.dumps({"role": "authenticated", "exp": 2_000_000_000}).encode()
+        )
+        sig = ed25519_sign(seed, f"{h}.{b}".encode())
+        tok = f"{h}.{b}.{_b64url_encode(sig)}"
+        out = verify_jwt_jwks(tok, jwks=jwks, now_epoch=1_700_000_000)
+        assert out and out["role"] == "authenticated"
+        # tamper / wrong kid / expired all fail closed
+        assert verify_jwt_jwks(f"{h}.{b[:-2]}aa.{_b64url_encode(sig)}", jwks=jwks) is None
+        h2 = _b64url_encode(
+            _json.dumps({"alg": "EdDSA", "kid": "nope"}).encode()
+        )
+        sig2 = ed25519_sign(seed, f"{h2}.{b}".encode())
+        assert verify_jwt_jwks(f"{h2}.{b}.{_b64url_encode(sig2)}", jwks=jwks) is None
