@@ -25,7 +25,7 @@ import base64
 import hashlib
 import hmac
 import json
-from typing import Iterable, Mapping
+from typing import Iterable, Mapping, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -578,6 +578,49 @@ def rls_policies_df(spark: SparkSession, specs: Iterable[Mapping]) -> DataFrame:
         rows,
         schema="schema_name string, table_name string, claims_role string, policy_expr string",
     )
+
+
+def apply_rls_exists_policy(
+    pairs: DataFrame,
+    lookup: DataFrame,
+    keys: Sequence[tuple[str, str]],
+    schema_name: str = "public",
+    table_name: str | None = None,
+    claims_role: str = "authenticated",
+) -> DataFrame:
+    """EXISTS-subquery RLS (the J5 shape): a policy of the form
+    `EXISTS (SELECT 1 FROM lookup WHERE lookup.col = record.key AND ...)`
+    compiled to a LEFT-SEMI join — the reference's prepared-statement
+    `select exists(select 1 from entity where pk = value)` probe
+    (migrations/20211116212300:52-61) evaluated set-at-a-time instead of
+    row-at-a-time.
+
+    `keys`: [(record_key, lookup_col)] equality pairs; the caller filters
+    `lookup` to the policy's residual predicate first (it is just a
+    DataFrame). Pairs for other entities/roles pass through untouched
+    (RLS not enabled there); protected pairs survive only on a lookup hit —
+    fail-closed like apply_rls_policies.
+
+    Scale shape: one semi-join keyed on the record values; Catalyst
+    broadcasts the lookup when small (the common policy-table case) and
+    falls back to a shuffled semi-join when it is data-sized — either way
+    no row expansion, no driver evaluation."""
+    protected = (
+        (F.col("c.schema_name") == F.lit(schema_name))
+        & (F.col("c.table_name") == F.lit(table_name))
+        & (F.col("s.claims_role") == F.lit(claims_role))
+    )
+    target = F.when(
+        F.col("c.action") == "DELETE", F.col("c.old_record")
+    ).otherwise(F.col("c.record"))
+    cond = None
+    for rec_key, lk_col in keys:
+        eq = target[rec_key] == F.col(f"_lk.{lk_col}").cast("string")
+        cond = eq if cond is None else cond & eq
+    passed = pairs.filter(protected).join(
+        lookup.alias("_lk"), cond, "left_semi"
+    )
+    return pairs.filter(~protected).unionByName(passed)
 
 
 def apply_rls_policies(pairs: DataFrame, rls_policies: DataFrame) -> DataFrame:

@@ -325,6 +325,53 @@ WHERE o_orderstatus = 'O'
 """
 
 
+def q_rls_exists_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/J5: EXISTS-subquery RLS — authenticated subscribers see an order
+    only if its customer row EXISTS in the BUILDING market segment
+    (the reference's `exists(select 1 from entity where pk = value)`
+    prepared-statement probe, migrations/20211116212300:52-61, compiled to
+    a left-semi join); anon has no policy and sees everything."""
+    from realtime_spark.operators.auth import apply_rls_exists_policy
+    from realtime_spark.operators.cdc import matched_pairs, subscriptions_df
+    from realtime_spark.sources.testdata import changes_from_orders
+
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(
+        spark,
+        [
+            {"subscription_id": "s-auth", "table": "orders", "claims_role": "authenticated"},
+            {"subscription_id": "s-anon", "table": "orders", "claims_role": "anon"},
+        ],
+    )
+    lookup = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    pairs = matched_pairs(changes, subs)
+    out = apply_rls_exists_policy(
+        pairs, lookup, [("o_custkey", "c_custkey")],
+        table_name="orders", claims_role="authenticated",
+    )
+    return out.select(
+        F.col("c.change_id").alias("change_id"),
+        F.col("s.subscription_id").alias("subscription_id"),
+    )
+
+
+def _oracle_rls_exists() -> str:
+    from realtime_spark.sources.testdata import ORDERS_CHANGES_SQL_CTE
+
+    return f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT change_id, 's-anon' AS subscription_id FROM _orders_changes
+UNION ALL
+SELECT change_id, 's-auth' AS subscription_id FROM _orders_changes c
+WHERE EXISTS (
+  SELECT 1 FROM customer
+  WHERE c_custkey = c.o_custkey AND c_mktsegment = 'BUILDING'
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # wal2json source roundtrip (S1/S2): build wal2json-v2 JSON lines from orders
 # deterministically, run the REAL parser, emit normalized change fields. The
@@ -1120,6 +1167,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "presence_diffs": q_presence_diffs,
         "presence_current_state": q_presence_current_state,
         "rls_row_filter": q_rls_row_filter,
+        "rls_exists_policy": q_rls_exists_policy,
         "rls_claims_param": q_rls_claims_param,
         "wal2json_parse": q_wal2json_parse,
         "node_routing": q_node_routing,
@@ -1151,6 +1199,7 @@ def realtime_extra_oracles() -> dict[str, str]:
         "presence_diffs": ORACLE_PRESENCE_DIFFS,
         "presence_current_state": ORACLE_PRESENCE_CURRENT_STATE,
         "rls_row_filter": _oracle_rls(),
+        "rls_exists_policy": _oracle_rls_exists(),
         "rls_claims_param": _oracle_rls_claims(),
         "wal2json_parse": ORACLE_WAL2JSON_PARSE,
         "node_routing": _oracle_node_routing(),
