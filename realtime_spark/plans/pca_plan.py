@@ -9,6 +9,7 @@ exact numpy differential test (tests/test_pca.py).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -95,13 +96,75 @@ def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EIG_SCALE = 1000  # 1e-3 quantization of the cov block -> exact int powers
+
+
+def q_emb_eig_powersums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newton power sums p_k = trace(B^k), k=1..8, of the 1e-3-quantized
+    leading 8x8 covariance block, in EXACT integer arithmetic (python big
+    ints; the oracle replays with HUGEINT matrix powers, values compared as
+    strings — they exceed int64 by k=6).
+
+    The spectrum of B is uniquely determined by (p_1..p_8) via Newton's
+    identities, so this IS an eigenvalue check with no iterative numerics
+    to diverge between engines: tests/test_pca.py ties the oracled power
+    sums to numpy's eigvalsh of the same block. Together with the
+    differential test on the full-dim model, this closes the oracle gap the
+    float eigendecomposition itself cannot bridge (no closed form at d=8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cov, _ = covariance(emb)
+    d = _COV_BLOCK
+    B = [
+        [int(math.floor(cov[i, j] * _EIG_SCALE + 0.5)) for j in range(d)]
+        for i in range(d)
+    ]
+    rows = []
+    M = B
+    for k in range(1, d + 1):
+        if k > 1:
+            M = [
+                [sum(M[i][t] * B[t][j] for t in range(d)) for j in range(d)]
+                for i in range(d)
+            ]
+        rows.append((k, str(sum(M[i][i] for i in range(d)))))
+    return spark.createDataFrame(rows, "k int, p string")
+
+
+def _oracle_eig_powersums() -> str:
+    d = _COV_BLOCK
+    ctes = [f"""
+cov AS (
+  SELECT xx.i, xx.j,
+         CAST(floor((sxy / n.n - (ma.s / n.n) * (mb.s / n.n)) * {_EIG_SCALE}
+                    + 0.5) AS HUGEINT) AS v
+  FROM xx JOIN m ma ON ma.i = xx.i JOIN m mb ON mb.i = xx.j CROSS JOIN n
+),
+b1 AS (SELECT i, j, v FROM cov)"""]
+    for k in range(2, d + 1):
+        ctes.append(
+            f"b{k} AS (SELECT a.i, b.j, SUM(a.v * b.v) AS v "
+            f"FROM b{k - 1} a JOIN b1 b ON a.j = b.i GROUP BY a.i, b.j)"
+        )
+    traces = "\nUNION ALL\n".join(
+        f"SELECT {k} AS k, CAST(SUM(CASE WHEN i = j THEN v END) AS VARCHAR)"
+        f" AS p FROM b{k}"
+        for k in range(1, d + 1)
+    )
+    base = ORACLE_EMB_COV_BLOCK.split("SELECT xx.i")[0].strip().rstrip(",")
+    return f"{base},\n{','.join(ctes)}\n{traces}"
+
+
 def pca_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "emb_cov_block": q_emb_cov_block,
         "emb_pca_explained": q_emb_pca_explained,
         "emb_pca_project": q_emb_pca_project,
+        "emb_eig_powersums": q_emb_eig_powersums,
     }
 
 
 def pca_oracles() -> dict[str, str]:
-    return {"emb_cov_block": ORACLE_EMB_COV_BLOCK}
+    return {
+        "emb_cov_block": ORACLE_EMB_COV_BLOCK,
+        "emb_eig_powersums": _oracle_eig_powersums(),
+    }

@@ -67,3 +67,34 @@ class TestFitProject:
         for row in m1["components"]:
             j = int(np.argmax(np.abs(row)))
             assert row[j] > 0
+
+
+def test_powersums_determine_block_eigenvalues(spark, sf_dir):
+    """The oracled Newton power sums p_k = trace(B^k) equal the power sums
+    of numpy's eigenvalues of the same quantized block — tying the
+    integer-exact oracle quantity to the actual spectrum."""
+    import math
+
+    import numpy as np
+
+    from realtime_spark.operators.pca import covariance
+    from realtime_spark.plans.pca_plan import (
+        _COV_BLOCK,
+        _EIG_SCALE,
+        q_emb_eig_powersums,
+    )
+    from realtime_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cov, _ = covariance(emb)
+    d = _COV_BLOCK
+    B = np.array(
+        [[math.floor(cov[i, j] * _EIG_SCALE + 0.5) for j in range(d)]
+         for i in range(d)],
+        dtype=np.float64,
+    )
+    eig = np.linalg.eigvalsh(B)
+    got = {r["k"]: int(r["p"]) for r in q_emb_eig_powersums(spark, sf_dir).collect()}
+    for k in range(1, d + 1):
+        expect = float(np.sum(eig ** k))
+        assert abs(got[k] - expect) <= abs(expect) * 1e-10 + 1.0
