@@ -199,6 +199,64 @@ def bench_streaming_cdc(spark, sf_dir: str, micro_batches: int | None = None) ->
     }
 
 
+def bench_streaming_pgoutput(spark, sf_dir: str, micro_batches: int | None = None) -> dict:
+    """Binary pgoutput decode throughput: real byte frames (Relation/Begin/
+    Insert|Update|Delete/Commit per order row) through the stateful per-slot
+    streaming decoder. The reference's replication connection consumes the
+    same frames at its ~1000 changes/s/tenant envelope; this measures the
+    Spark decode path end-to-end including per-batch state round-trips."""
+    import tempfile
+
+    from realtime_spark.sources.pgoutput import (
+        FRAMES_DDL,
+        pgoutput_decode_stateful,
+        pgoutput_frames_from_orders,
+    )
+
+    frames = pgoutput_frames_from_orders(spark, sf_dir)
+    n_frames = frames.count()
+    # 3 frames per txn (Begin/data/Commit); headers have seq < 0
+    n_changes = frames.filter("seq >= 0").count() // 3
+    if micro_batches is None:
+        micro_batches = max(2, min(10, n_frames // 15000))
+    decoded = {"rows": 0}
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ckpt = os.path.join(d, "ckpt")
+        # sortWithinPartitions keeps per-slot seq order inside each file;
+        # the decoder re-sorts per batch anyway, but files are WAL-ordered
+        frames.repartition(micro_batches, "slot").sortWithinPartitions(
+            "seq"
+        ).write.parquet(src)
+
+        def on_batch(batch_df, epoch_id):
+            decoded["rows"] += batch_df.count()
+
+        stream = (
+            spark.readStream.schema(FRAMES_DDL)
+            .option("maxFilesPerTrigger", str(max(1, micro_batches // 2)))
+            .parquet(src)
+        )
+        out = pgoutput_decode_stateful(stream)
+        t0 = time.perf_counter()
+        q = (
+            out.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+    return {
+        "pgoutput_changes_per_sec": round(n_changes / wall, 1),
+        "frames": n_frames,
+        "decoded_rows": decoded["rows"],
+        "wall_sec": round(wall, 3),
+    }
+
+
 def bench_streaming_presence(spark, sf_dir: str, micro_batches: int | None = None) -> dict:
     """Presence diff throughput (BASELINE envelope: 1000 presence events/s/
     tenant): the stateful applyInPandasWithState operator driven by a real
@@ -333,6 +391,7 @@ def main() -> None:
         ("cdc", bench_streaming_cdc),
         ("presence", bench_streaming_presence),
         ("mv", bench_streaming_mv),
+        ("pgoutput", bench_streaming_pgoutput),
     ):
         try:
             streaming[key] = bench_fn(spark, sf_dir)

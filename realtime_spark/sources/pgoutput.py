@@ -547,7 +547,7 @@ FRAMES_DDL = "slot string, seq bigint, frame binary"
 
 
 def pgoutput_frames_from_orders(
-    spark, sf_dir: str, n_slots: int = 8
+    spark, sf_dir: str, n_slots: int = 32
 ) -> DataFrame:
     """Encode the same logical WAL as testdata.changes_from_orders into real
     pgoutput byte frames: per slot one Relation header, then one transaction
