@@ -62,30 +62,48 @@ def embedding_moments(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 def covariance(emb: DataFrame, vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray, int]:
     """(mean[d], cov[d,d], n) — biased (population, 1/n) covariance.
 
-    Partials collapse relationally: posexplode to (idx, val) rows (at most
-    partitions x d^2 rows — independent of corpus size), sum per index."""
-    p = embedding_moments(emb, vec_col).persist()
-    try:
-        n = p.agg(F.sum("n")).head()[0]
-        s = (
-            p.select(F.posexplode("s").alias("i", "v"))
-            .groupBy("i")
-            .agg(F.sum("v").alias("v"))
-            .orderBy("i")
-            .collect()
-        )
-        x = (
-            p.select(F.posexplode("xtx").alias("i", "v"))
-            .groupBy("i")
-            .agg(F.sum("v").alias("v"))
-            .orderBy("i")
-            .collect()
-        )
-    finally:
-        p.unpersist()
-    sum_vec = np.array([r["v"] for r in s])
+    Partials collapse relationally as tagged (t, i, v) rows emitted straight
+    from the moments UDF — (1 + d + d^2) rows per Arrow batch, independent
+    of corpus size — reduced by ONE map-side-combined groupBy and collected
+    in ONE action (the previous persist + three collects paid ~0.5s of pure
+    job-scheduling overhead at bench SF for the same sums)."""
+    schema = T.StructType(
+        [
+            T.StructField("t", T.IntegerType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def tagged(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xb = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d_ = xb.shape[1]
+            sv = xb.sum(axis=0)
+            xtxv = (xb.T @ xb).ravel()
+            yield pd.DataFrame(
+                {
+                    "t": [0] + [1] * d_ + [2] * (d_ * d_),
+                    "i": [0] + list(range(d_)) + list(range(d_ * d_)),
+                    "v": np.concatenate(([float(xb.shape[0])], sv, xtxv)),
+                }
+            )
+
+    rows = (
+        emb.select(vec_col)
+        .mapInPandas(tagged, schema=schema)
+        .groupBy("t", "i")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    n = int(next(r["v"] for r in rows if r["t"] == 0))
+    s = sorted((r["i"], r["v"]) for r in rows if r["t"] == 1)
+    x = sorted((r["i"], r["v"]) for r in rows if r["t"] == 2)
+    sum_vec = np.array([v for _, v in s])
     d = sum_vec.shape[0]
-    xtx = np.array([r["v"] for r in x]).reshape(d, d)
+    xtx = np.array([v for _, v in x]).reshape(d, d)
     mean = sum_vec / n
     cov = xtx / n - np.outer(mean, mean)
     return mean, cov, int(n)
