@@ -112,6 +112,7 @@ def _bench_queries():
         "schema_compat",
         "linkage_em",
         "pgoutput_decode",
+        "pgoutput_broadcast",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

@@ -325,6 +325,83 @@ WHERE o_orderstatus = 'O'
 """
 
 
+_PGO_BCAST_MAX_KB = 1  # payload gate in KB, on the decoded text form
+
+
+def q_pgoutput_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2→S6 end-to-end: the reference's broadcast-from-database consumer
+    over REAL pgoutput bytes (replication_connection.ex:384-470). A
+    `realtime.messages` INSERT stream is encoded as pgoutput frames
+    (binary bool/timestamp/jsonb/bytea tuple values), decoded by the
+    byte-level decoder, then run through the handle_message pipeline:
+    required-field checks (get_or_error id/topic/event/inserted_at —
+    missing rows dropped), pick_payload (binary_payload wins over payload,
+    both missing -> dropped), the payload-size gate
+    (Tenants.validate_payload_size, applied to the decoded text form), and
+    tenant-topic namespacing with the private suffix."""
+    from realtime_spark.sources.pgoutput import (
+        decode_pgoutput,
+        pgoutput_frames_from_messages,
+    )
+
+    frames = pgoutput_frames_from_messages(spark, sf_dir)
+    dec = decode_pgoutput(frames).filter(
+        (F.col("action") == "INSERT")
+        & (F.col("schema_name") == "realtime")
+        & (F.col("table_name") == "messages")
+    )
+    r = F.col("record")
+    required_ok = (
+        r["id"].isNotNull()
+        & r["topic"].isNotNull()
+        & r["event"].isNotNull()
+        & r["inserted_at"].isNotNull()
+        & r["private"].isNotNull()
+    )
+    body = F.coalesce(r["binary_payload"], r["payload"])
+    ns = F.concat(
+        F.concat_ws(":", F.lit("realtime"), F.lit("t0"), r["topic"]),
+        F.when(r["private"] == "t", F.lit(":private")).otherwise(F.lit("")),
+    )
+    out = dec.filter(
+        required_ok
+        & body.isNotNull()
+        & (F.octet_length(body) <= _PGO_BCAST_MAX_KB * 1000)
+    )
+    return out.select(
+        r["id"].alias("id"),
+        ns.alias("ns_topic"),
+        r["event"].alias("event"),
+        F.when(r["binary_payload"].isNotNull(), F.lit("binary"))
+        .otherwise(F.lit("json"))
+        .alias("encoding"),
+        F.octet_length(body).alias("body_len"),
+    )
+
+
+ORACLE_PGOUTPUT_BROADCAST = f"""
+WITH m AS (
+  SELECT CAST(event_id AS VARCHAR) AS id,
+         CASE WHEN event_id % 97 <> 0 THEN event_type END AS topic,
+         (user_id % 2 = 0) AS priv,
+         CASE WHEN event_id % 5 = 0
+              THEN '\\x' || substr(md5(props), 1, 16) END AS binp,
+         CASE WHEN event_id % 5 <> 0 AND event_id % 7 <> 0
+              THEN props END AS payload
+  FROM events
+)
+SELECT id,
+       'realtime:t0:' || topic ||
+         CASE WHEN priv THEN ':private' ELSE '' END AS ns_topic,
+       'broadcast' AS event,
+       CASE WHEN binp IS NOT NULL THEN 'binary' ELSE 'json' END AS encoding,
+       CAST(strlen(COALESCE(binp, payload)) AS INT) AS body_len
+FROM m
+WHERE topic IS NOT NULL AND COALESCE(binp, payload) IS NOT NULL
+  AND strlen(COALESCE(binp, payload)) <= {_PGO_BCAST_MAX_KB * 1000}
+"""
+
+
 def q_rls_exists_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/J5: EXISTS-subquery RLS — authenticated subscribers see an order
     only if its customer row EXISTS in the BUILDING market segment
@@ -1168,6 +1245,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "presence_current_state": q_presence_current_state,
         "rls_row_filter": q_rls_row_filter,
         "rls_exists_policy": q_rls_exists_policy,
+        "pgoutput_broadcast": q_pgoutput_broadcast,
         "rls_claims_param": q_rls_claims_param,
         "wal2json_parse": q_wal2json_parse,
         "node_routing": q_node_routing,
@@ -1200,6 +1278,7 @@ def realtime_extra_oracles() -> dict[str, str]:
         "presence_current_state": ORACLE_PRESENCE_CURRENT_STATE,
         "rls_row_filter": _oracle_rls(),
         "rls_exists_policy": _oracle_rls_exists(),
+        "pgoutput_broadcast": ORACLE_PGOUTPUT_BROADCAST,
         "rls_claims_param": _oracle_rls_claims(),
         "wal2json_parse": ORACLE_WAL2JSON_PARSE,
         "node_routing": _oracle_node_routing(),

@@ -611,3 +611,86 @@ def pgoutput_frames_from_orders(
         return pd.DataFrame(out, columns=["slot", "seq", "frame"])
 
     return base.groupBy("slot_n").applyInPandas(emit, FRAMES_DDL)
+
+
+MESSAGES_REL_COLS = [
+    {"name": "id", "type": "text", "key": True},
+    {"name": "topic", "type": "text"},
+    {"name": "event", "type": "text"},
+    {"name": "private", "type": "bool"},
+    {"name": "inserted_at", "type": "timestamp"},
+    {"name": "payload", "type": "jsonb"},
+    {"name": "binary_payload", "type": "bytea"},
+]
+
+
+def pgoutput_frames_from_messages(
+    spark, sf_dir: str, n_slots: int = 32
+) -> DataFrame:
+    """A `realtime.messages`-shaped INSERT stream as real pgoutput frames —
+    the exact feed the reference's replication connection consumes for
+    broadcast-from-database (replication_connection.ex:384-470). Derived
+    deterministically from `events`:
+
+      id             = event_id (text)
+      topic          = event_type, NULL when event_id % 97 = 0 (the
+                       get_or_error missing-field path)
+      event          = 'broadcast'
+      private        = user_id % 2 = 0           (binary bool tuple value)
+      inserted_at    = ts                        (binary pg-micros value)
+      binary_payload = first 8 bytes of md5(props) when event_id % 5 = 0
+                       (binary bytea value; pick_payload's priority branch)
+      payload        = props as jsonb when event_id % 5 <> 0 and
+                       event_id % 7 <> 0; both NULL when % 7 = 0 (the
+                       payload_missing error path)
+
+    Exercises every binary tuple decode branch the reference has
+    (bool/timestamp/jsonb/bytea/text, decoder.ex:256-280) on the wire."""
+    from pyspark.sql import functions as F
+
+    from realtime_spark.functions.scalar import PG_EPOCH_US
+    from realtime_spark.sources.testdata import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        (F.col("event_id") % n_slots).cast("int").alias("slot_n"),
+        F.col("event_id").alias("eid"),
+        F.col("event_id").cast("string").alias("v_id"),
+        F.when(F.col("event_id") % 97 != 0, F.col("event_type")).alias("v_topic"),
+        F.lit("broadcast").alias("v_event"),
+        (F.col("user_id") % 2 == 0).alias("v_private"),
+        (F.unix_micros(F.col("ts")) - F.lit(PG_EPOCH_US)).alias("v_inserted_us"),
+        F.when(
+            (F.col("event_id") % 5 != 0) & (F.col("event_id") % 7 != 0),
+            F.col("props"),
+        ).alias("v_payload"),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.substring(F.unhex(F.md5("props")), 1, 8),
+        ).alias("v_binary"),
+    )
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        slot = f"msg-slot-{pdf['slot_n'].iat[0]}"
+        out: list[tuple[str, int, bytes]] = []
+        out.append((slot, -2, encode_begin(0, 0, 0)))
+        out.append((slot, -1, encode_relation(9, "realtime", "messages",
+                                              MESSAGES_REL_COLS)))
+
+        def nn(v):
+            return None if v is None or (isinstance(v, float)) else v
+
+        for row in pdf.itertuples(index=False):
+            values = [
+                nn(row.v_id),
+                nn(row.v_topic),
+                nn(row.v_event),
+                ("bool", bool(row.v_private)),
+                ("timestamp", int(row.v_inserted_us)),
+                None if nn(row.v_payload) is None else ("jsonb", row.v_payload),
+                None if row.v_binary is None else ("bytea", bytes(row.v_binary)),
+            ]
+            out.append((slot, int(row.eid), encode_insert(9, values)))
+        return pd.DataFrame(out, columns=["slot", "seq", "frame"])
+
+    return base.groupBy("slot_n").applyInPandas(emit, FRAMES_DDL)
