@@ -465,21 +465,28 @@ def decode_pgoutput(
     slot_col: str = "slot",
     seq_col: str = "seq",
     frame_col: str = "frame",
+    wire: bool = False,
 ) -> DataFrame:
     """Batch decode: (slot, seq, frame binary) -> normalized change frame.
 
     applyInPandas per slot; frames sorted by seq inside the group (WAL order
     — Relation before the rows that use it, Begin before its transaction).
     One shuffle on slot; decode is Arrow-batched pure Python (byte-twiddling
-    is genuinely non-SQL work, the sanctioned Pandas-UDF case)."""
+    is genuinely non-SQL work, the sanctioned Pandas-UDF case).
+
+    wire=True: frames are raw replication CopyData payloads — XLogData
+    wrappers are peeled and keepalives dropped (protocol.ex) before the
+    pgoutput fold."""
 
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
             return pd.DataFrame(columns=_OUT_COLS)
         pdf = pdf.sort_values(seq_col, kind="mergesort")
+        pairs = zip(pdf[seq_col], pdf[frame_col])
+        if wire:
+            pairs = unwrap_wire_frames(pairs)
         rows, _ = fold_slot_frames(
-            pdf[slot_col].iat[0], zip(pdf[seq_col], pdf[frame_col]),
-            relations={},
+            pdf[slot_col].iat[0], pairs, relations={},
         )
         return pd.DataFrame(rows, columns=_OUT_COLS)
 
@@ -495,7 +502,7 @@ def decode_pgoutput(
 # ---------------------------------------------------------------------------
 
 
-def pgoutput_decode_stateful(frames: DataFrame) -> DataFrame:
+def pgoutput_decode_stateful(frames: DataFrame, wire: bool = False) -> DataFrame:
     """Streaming decode: applyInPandasWithState keyed by slot carrying
     (relations registry, in-flight Begin) as JSON state, so schema frames
     seen once decode data frames forever after — across micro-batches.
@@ -523,9 +530,10 @@ def pgoutput_decode_stateful(frames: DataFrame) -> DataFrame:
                 pd.concat(chunks, ignore_index=True)
                 if len(chunks) > 1 else chunks[0]
             ).sort_values("seq", kind="mergesort")
-            rows, begin = fold_slot_frames(
-                slot, zip(pdf["seq"], pdf["frame"]), relations, begin
-            )
+            pairs = zip(pdf["seq"], pdf["frame"])
+            if wire:
+                pairs = unwrap_wire_frames(pairs)
+            rows, begin = fold_slot_frames(slot, pairs, relations, begin)
             if rows:
                 yield pd.DataFrame(rows, columns=_OUT_COLS)
         state.update((json.dumps({"relations": relations, "begin": begin}),))
@@ -694,3 +702,89 @@ def pgoutput_frames_from_messages(
         return pd.DataFrame(out, columns=["slot", "seq", "frame"])
 
     return base.groupBy("slot_n").applyInPandas(emit, FRAMES_DDL)
+
+
+# ---------------------------------------------------------------------------
+# replication wire framing around pgoutput: XLogData / KeepAlive / standby
+# status (reference: lib/realtime/adapters/postgres/protocol.ex,
+# protocol/write.ex, protocol/keep_alive.ex)
+# ---------------------------------------------------------------------------
+
+
+def parse_wire(buf: bytes) -> dict:
+    """One CopyData payload from START_REPLICATION:
+
+      'w' Int64 wal_start, Int64 wal_end, Int64 clock, Byte_n message
+          -> {"kind": "xlog_data", ..., "message": inner pgoutput bytes}
+      'k' Int64 wal_end, Int64 clock, Byte1 reply
+          -> {"kind": "keepalive", ..., "reply": "now"|"later"}
+
+    Clock values are pg-epoch microseconds (protocol.ex:13-28)."""
+    tag = buf[0:1]
+    if tag == b"w":
+        ws, we, clk = struct.unpack_from(">QQq", buf, 1)
+        return {"kind": "xlog_data", "server_wal_start": ws,
+                "server_wal_end": we, "server_system_clock": clk,
+                "message": buf[25:]}
+    if tag == b"k":
+        we, clk, reply = struct.unpack_from(">QqB", buf, 1)
+        return {"kind": "keepalive", "wal_end": we, "clock": clk,
+                "reply": "now" if reply == 1 else "later"}
+    return {"kind": "unsupported", "data": buf}
+
+
+def encode_xlog_data(
+    wal_start: int, wal_end: int, clock_us: int, message: bytes
+) -> bytes:
+    return b"w" + struct.pack(">QQq", wal_start, wal_end, clock_us) + message
+
+
+def encode_keepalive(wal_end: int, clock_us: int, reply: bool) -> bytes:
+    return b"k" + struct.pack(">QqB", wal_end, clock_us, 1 if reply else 0)
+
+
+def standby_status(
+    last_wal_received: int,
+    last_wal_flushed: int,
+    last_wal_applied: int,
+    reply: bool = False,
+    clock_us: int | None = None,
+) -> bytes:
+    """Standby status update ('r', protocol.ex:36-54): the ack the client
+    sends back — the reference replies wal_end + 1 on keepalives
+    (replication_connection.ex:349-356). clock_us is pg-epoch micros;
+    callers pass it explicitly (no wall-clock reads inside the engine)."""
+    if clock_us is None:
+        clock_us = 0
+    return b"r" + struct.pack(
+        ">QQQqB", last_wal_received, last_wal_flushed, last_wal_applied,
+        clock_us, 1 if reply else 0,
+    )
+
+
+def keepalive_reply(msg: dict) -> bytes | None:
+    """The reference's handle_data keepalive branch: reply standby_status
+    at wal_end + 1 (replication_connection.ex:349-356)."""
+    if msg.get("kind") != "keepalive":
+        return None
+    w = msg["wal_end"] + 1
+    return standby_status(w, w, w, reply=msg["reply"] == "now",
+                          clock_us=msg["clock"])
+
+
+def unwrap_wire_frames(
+    frames: Iterable[tuple[int, bytes]]
+) -> Iterator[tuple[int, bytes]]:
+    """Peel XLogData wrappers and drop keepalives from a (seq, wire-frame)
+    stream — what sits between the socket and fold_slot_frames. Bare
+    pgoutput frames (no wire wrapper) pass through untouched, so batch
+    feeds can mix both."""
+    for seq, buf in frames:
+        buf = bytes(buf)
+        tag = buf[0:1]
+        if tag == b"w":
+            yield seq, parse_wire(buf)["message"]
+        elif tag == b"k":
+            continue
+        else:
+            yield seq, buf

@@ -322,3 +322,73 @@ def test_pgoutput_feed_decode_counts(spark, sf_dir):
     assert by_action["UPDATE"] == total * 2 // 10
     assert by_action["DELETE"] == total * 1 // 10
     assert dec.filter(F.size("col_names") != 7).count() == 0
+
+
+class TestWireFraming:
+    """Replication CopyData framing around pgoutput: XLogData / KeepAlive
+    parse, standby-status ack, and the wire-aware decode path
+    (protocol.ex, protocol/write.ex, protocol/keep_alive.ex)."""
+
+    def test_xlog_data_roundtrip(self):
+        from realtime_spark.sources.pgoutput import encode_xlog_data, parse_wire
+
+        inner = encode_begin(10, _TS_US, 3)
+        w = parse_wire(encode_xlog_data(100, 200, 42, inner))
+        assert w["kind"] == "xlog_data"
+        assert (w["server_wal_start"], w["server_wal_end"],
+                w["server_system_clock"]) == (100, 200, 42)
+        assert w["message"] == inner
+
+    def test_keepalive_parse_and_reply(self):
+        import struct
+
+        from realtime_spark.sources.pgoutput import (
+            encode_keepalive,
+            keepalive_reply,
+            parse_wire,
+        )
+
+        k = parse_wire(encode_keepalive(500, 77, reply=True))
+        assert k == {"kind": "keepalive", "wal_end": 500, "clock": 77,
+                     "reply": "now"}
+        # the reference acks wal_end + 1 (replication_connection.ex:349-356)
+        r = keepalive_reply(k)
+        assert r[0:1] == b"r"
+        recv, flushed, applied, clock, flag = struct.unpack_from(">QQQqB", r, 1)
+        assert recv == flushed == applied == 501
+        assert clock == 77 and flag == 1
+        k2 = parse_wire(encode_keepalive(500, 77, reply=False))
+        assert k2["reply"] == "later"
+        assert keepalive_reply(k2)[-1] == 0
+        assert keepalive_reply({"kind": "xlog_data"}) is None
+
+    def test_wire_decode_path(self, spark):
+        """XLogData-wrapped frames + interleaved keepalives decode to the
+        same change rows as the bare frames."""
+        from realtime_spark.sources.pgoutput import (
+            encode_keepalive,
+            encode_xlog_data,
+            decode_pgoutput,
+        )
+
+        bare = [
+            ("s", 0, _relation_frame()),
+            ("s", 1, encode_begin(1, _TS_US, 9)),
+            ("s", 2, encode_insert(42, ["1", "x", ("bool", True),
+                                        None, None, None, None])),
+            ("s", 3, encode_commit(1, 2, _TS_US)),
+        ]
+        wired = [
+            ("s", seq * 2, encode_xlog_data(seq, seq + 1, _TS_US, f))
+            for (_, seq, f) in bare
+        ] + [("s", seq * 2 + 1, encode_keepalive(seq, _TS_US, False))
+             for (_, seq, f) in bare]
+        ddl = "slot string, seq long, frame binary"
+        a = decode_pgoutput(spark.createDataFrame(bare, ddl)).collect()
+        b = decode_pgoutput(
+            spark.createDataFrame(wired, ddl), wire=True
+        ).collect()
+        assert len(a) == len(b) == 1
+        assert dict(a[0]["record"]) == dict(b[0]["record"])
+        assert a[0]["action"] == b[0]["action"] == "INSERT"
+        assert a[0]["xid"] == b[0]["xid"] == 9
