@@ -274,6 +274,83 @@ FROM last WHERE rn = 1 AND action = 'track'
 """
 
 
+_PRESENCE_POLICY_SPECS = [
+    {"topic": "click", "claims_role": "authenticated", "extension": "presence",
+     "can_read": True, "can_write": True},
+    {"topic": "view", "claims_role": "service_role", "extension": "presence",
+     "can_read": True, "can_write": True},
+    # purchase: no presence policy row -> private track/untrack dropped
+]
+
+
+def q_presence_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PresencePolicies parity (lib/realtime/tenants/authorization/policies/
+    presence_policies.ex + authorization.ex): track/untrack on PRIVATE
+    topics requires the role's presence write policy; unauthorized events
+    are dropped BEFORE the state fold, so an unauthorized untrack leaves
+    the member present. Output: the surviving current presence state."""
+    from realtime_spark.streaming.presence import presence_state_batch
+
+    ev = presence_events(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("user_id") % 3 == 0, F.lit("anon"))
+        .when(F.col("user_id") % 3 == 1, F.lit("authenticated"))
+        .otherwise(F.lit("service_role"))
+    )
+    enriched = ev.join(
+        e.select(
+            F.col("event_id").cast("long").alias("seq"),
+            role.alias("claims_role"),
+            (F.col("event_id") % 2 == 0).alias("private"),
+        ),
+        "seq",
+    )
+    pols = policies_df(spark, _PRESENCE_POLICY_SPECS)
+    gated = gate_messages(enriched, pols, mode="write", extension="presence")
+    out = presence_state_batch(
+        gated.withColumn("ts", F.col("seq").cast("timestamp"))
+    )
+    return out.select(
+        "topic", "presence_key", "meta",
+        F.col("tracked_at").cast("long").alias("seq"),
+    )
+
+
+def _presence_policy_values() -> str:
+    rows = ", ".join(
+        f"('{p['topic']}', '{p['claims_role']}', "
+        f"{str(bool(p['can_write'])).upper()})"
+        for p in _PRESENCE_POLICY_SPECS
+    )
+    return f"(VALUES {rows}) AS p(p_topic, p_role, p_ok)"
+
+
+ORACLE_PRESENCE_POLICY_GATE = f"""
+WITH {_PRESENCE_CTE.strip()},
+enriched AS (
+  SELECT pr.*, (e.event_id % 2 = 0) AS private,
+         CASE WHEN e.user_id % 3 = 0 THEN 'anon'
+              WHEN e.user_id % 3 = 1 THEN 'authenticated'
+              ELSE 'service_role' END AS claims_role
+  FROM _presence pr JOIN events e ON e.event_id = pr.seq
+),
+gated AS (
+  SELECT en.* FROM enriched en
+  LEFT JOIN {_presence_policy_values()}
+    ON en.topic = p.p_topic AND en.claims_role = p.p_role
+  WHERE (NOT en.private) OR COALESCE(p.p_ok, FALSE)
+),
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY topic, presence_key
+            ORDER BY seq DESC) AS rn
+  FROM gated
+)
+SELECT topic, presence_key, meta, seq
+FROM last WHERE rn = 1 AND action = 'track'
+"""
+
+
 # ---------------------------------------------------------------------------
 # RLS row predicate (P7/J5): policy expression over the change record,
 # per-role, compiled to a Spark expression
@@ -1246,6 +1323,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "rls_row_filter": q_rls_row_filter,
         "rls_exists_policy": q_rls_exists_policy,
         "pgoutput_broadcast": q_pgoutput_broadcast,
+        "presence_policy_gate": q_presence_policy_gate,
         "rls_claims_param": q_rls_claims_param,
         "wal2json_parse": q_wal2json_parse,
         "node_routing": q_node_routing,
@@ -1279,6 +1357,7 @@ def realtime_extra_oracles() -> dict[str, str]:
         "rls_row_filter": _oracle_rls(),
         "rls_exists_policy": _oracle_rls_exists(),
         "pgoutput_broadcast": ORACLE_PGOUTPUT_BROADCAST,
+        "presence_policy_gate": ORACLE_PRESENCE_POLICY_GATE,
         "rls_claims_param": _oracle_rls_claims(),
         "wal2json_parse": ORACLE_WAL2JSON_PARSE,
         "node_routing": _oracle_node_routing(),
