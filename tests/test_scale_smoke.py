@@ -97,3 +97,37 @@ def test_behavior_family_scales_linearly(spark):
     assert set(base_s) == set(rep_s)
     for k in base_s:
         assert abs(base_s[k] - rep_s[k]) <= 1e-6, (k, base_s[k], rep_s[k])
+
+
+def test_pgoutput_decode_scales_by_slot(spark):
+    """Replicate the pgoutput frame feed N x under distinct slot names: the
+    decode must produce exactly N x the change rows with identical per-slot
+    content — slots are the unit of parallelism, so slot-sharded
+    replication changes only the multiplicity, never the decode."""
+    from realtime_spark.sources.pgoutput import (
+        decode_pgoutput,
+        pgoutput_frames_from_orders,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    n = 10
+    frames = pgoutput_frames_from_orders(spark, sf)
+    rep = frames.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+    ).withColumn(
+        "slot", F.concat_ws("#", F.col("slot"), F.col("rep").cast("string"))
+    ).drop("rep")
+
+    base = decode_pgoutput(frames)
+    big = decode_pgoutput(rep)
+    base_n = base.count()
+    assert big.count() == base_n * n
+    base_actions = {
+        (r["action"], r["cnt"])
+        for r in base.groupBy("action").agg(F.count("*").alias("cnt")).collect()
+    }
+    big_actions = {
+        (r["action"], r["cnt"] // n)
+        for r in big.groupBy("action").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert base_actions == big_actions
