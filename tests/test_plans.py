@@ -154,3 +154,19 @@ def test_behavior_batch_plan_shapes(plans):
     p = plans("hist_quantiles")
     assert "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_rls_exists_policy_is_broadcast_semi_join(spark, sf_dir):
+    """The EXISTS-subquery policy must compile to a broadcast LEFT-SEMI
+    join (no row expansion, small lookup broadcast) — the J5 shape."""
+    import io
+    from contextlib import redirect_stdout
+
+    import __spark_entry__ as em
+
+    df = em.queries()["rls_exists_policy"](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin LeftSemi" in plan
