@@ -507,6 +507,83 @@ def attach_claims(
 # ---------------------------------------------------------------------------
 
 
+def token_refresh_decisions(
+    refreshes: DataFrame,
+    policies: DataFrame,
+    secret: str,
+    now_epoch: int,
+    extension: str = "broadcast",
+) -> DataFrame:
+    """Access-token refresh semantics over a stream of per-connection
+    refresh events (realtime_channel.ex:523-600 `handle_in("access_token")`)
+    — the lazy re-verify + read-revocation check, set-at-a-time:
+
+      - sb_-prefixed, NULL, or unchanged tokens -> 'noop'
+      - new token fails verification        -> 'disconnect:invalid_token'
+        (covers expired / tampered / missing role+exp — verify_jwt is
+        fail-closed on all three)
+      - read permission present under the OLD role but absent under the
+        NEW role on the connection's topic -> 'disconnect:read_revoked'
+        (check_read_permissions_revoked)
+      - otherwise -> 'refreshed' carrying the new role
+
+    Input: (conn_id, topic, private, old_role, refresh_token). The policy
+    lookup joins broadcast-small (topic, role) read flags twice — old and
+    new role; public topics never revoke (the reference only gates private
+    channels)."""
+    verified = refreshes.withColumn(
+        "_claims", verified_claims_col(F.col("refresh_token"), secret, now_epoch)
+    ).withColumn("new_role", F.get_json_object("_claims", "$.role"))
+    p = F.broadcast(
+        policies.filter(F.col("extension") == extension).select(
+            F.col("topic").alias("p_topic"),
+            F.col("claims_role").alias("p_role"),
+            F.col("can_read").alias("p_read"),
+        )
+    )
+    with_old = verified.join(
+        p.select(
+            F.col("p_topic").alias("o_topic"),
+            F.col("p_role").alias("o_role"),
+            F.col("p_read").alias("old_read"),
+        ),
+        (F.col("topic") == F.col("o_topic"))
+        & (F.col("old_role") == F.col("o_role")),
+        "left",
+    )
+    with_new = with_old.join(
+        p,
+        (F.col("topic") == F.col("p_topic"))
+        & (F.col("new_role") == F.col("p_role")),
+        "left",
+    )
+    noop = (
+        F.col("refresh_token").isNull()
+        | F.col("refresh_token").startswith("sb_")
+        | (F.col("refresh_token") == F.col("old_token"))
+        if "old_token" in refreshes.columns
+        else F.col("refresh_token").isNull()
+        | F.col("refresh_token").startswith("sb_")
+    )
+    revoked = (
+        F.col("private")
+        & F.coalesce(F.col("old_read"), F.lit(False))
+        & ~F.coalesce(F.col("p_read"), F.lit(False))
+    )
+    decision = (
+        F.when(noop, F.lit("noop"))
+        .when(F.col("new_role").isNull(), F.lit("disconnect:invalid_token"))
+        .when(revoked, F.lit("disconnect:read_revoked"))
+        .otherwise(F.lit("refreshed"))
+    )
+    return with_new.select(
+        "conn_id",
+        "topic",
+        decision.alias("decision"),
+        F.when(decision == "refreshed", F.col("new_role")).alias("active_role"),
+    )
+
+
 def policies_df(spark: SparkSession, specs: Iterable[Mapping]) -> DataFrame:
     rows = [
         {

@@ -274,6 +274,94 @@ FROM last WHERE rn = 1 AND action = 'track'
 """
 
 
+def q_token_refresh_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Access-token refresh / read-revocation flow
+    (realtime_channel.ex:523-600): per connection, event_id % 6 selects the
+    scenario — 0 same token, 1 sb_ key, 2 null (all noop), 3 tampered
+    (disconnect:invalid_token), 4 downgrade to anon (read revoked on
+    private topics where the old role could read), 5 upgrade to
+    service_role. Tokens are REAL HS256 JWTs through the verify path."""
+    from realtime_spark.operators.auth import token_refresh_decisions
+
+    e = load_table(spark, sf_dir, "events")
+    old_role = (
+        F.when(F.col("user_id") % 3 == 0, F.lit("anon"))
+        .when(F.col("user_id") % 3 == 1, F.lit("authenticated"))
+        .otherwise(F.lit("service_role"))
+    )
+    old_tok = (
+        F.when(F.col("user_id") % 3 == 0, F.lit(_TOKENS["anon"]))
+        .when(F.col("user_id") % 3 == 1, F.lit(_TOKENS["authenticated"]))
+        .otherwise(F.lit(_TOKENS["service_role"]))
+    )
+    case = F.col("event_id") % 6
+    refresh = (
+        F.when(case == 0, old_tok)
+        .when(case == 1, F.lit("sb_publishable_key"))
+        .when(case == 2, F.lit(None).cast("string"))
+        .when(case == 3, F.lit(_BAD_TOKEN))
+        .when(case == 4, F.lit(_TOKENS["anon"]))
+        .otherwise(F.lit(_TOKENS["service_role"]))
+    )
+    refreshes = e.select(
+        F.col("event_id").alias("conn_id"),
+        F.col("event_type").alias("topic"),
+        (F.col("user_id") % 2 == 0).alias("private"),
+        old_role.alias("old_role"),
+        old_tok.alias("old_token"),
+        refresh.alias("refresh_token"),
+    )
+    pols = policies_df(spark, _POLICY_SPECS)
+    return token_refresh_decisions(refreshes, pols, _JWT_SECRET, _NOW_EPOCH)
+
+
+def _oracle_token_refresh() -> str:
+    vals = ", ".join(
+        f"('{p['topic']}', '{p['claims_role']}', "
+        f"{str(bool(p.get('can_read', False))).upper()})"
+        for p in _POLICY_SPECS
+    )
+    return f"""
+WITH m AS (
+  SELECT event_id AS conn_id, event_type AS topic,
+         (user_id % 2 = 0) AS priv,
+         CASE WHEN user_id % 3 = 0 THEN 'anon'
+              WHEN user_id % 3 = 1 THEN 'authenticated'
+              ELSE 'service_role' END AS old_role,
+         event_id % 6 AS c
+  FROM events
+),
+roled AS (
+  SELECT *,
+    CASE WHEN c = 4 THEN 'anon'
+         WHEN c = 5 THEN 'service_role'
+         WHEN c = 0 THEN old_role END AS new_role
+  FROM m
+),
+flags AS (
+  SELECT r.*,
+         COALESCE(po.p_ok, FALSE) AS old_read,
+         COALESCE(pn.p_ok, FALSE) AS new_read
+  FROM roled r
+  LEFT JOIN (VALUES {vals}) AS po(p_topic, p_role, p_ok)
+    ON r.topic = po.p_topic AND r.old_role = po.p_role
+  LEFT JOIN (VALUES {vals}) AS pn(p_topic, p_role, p_ok)
+    ON r.topic = pn.p_topic AND r.new_role = pn.p_role
+)
+SELECT conn_id, topic,
+  -- cases 4/5 degenerate to the same-token noop when the connection
+  -- already holds that role's token (handle_in's refresh == access_token)
+  CASE WHEN c IN (0, 1, 2) OR new_role = old_role THEN 'noop'
+       WHEN c = 3 THEN 'disconnect:invalid_token'
+       WHEN priv AND old_read AND NOT new_read THEN 'disconnect:read_revoked'
+       ELSE 'refreshed' END AS decision,
+  CASE WHEN c IN (0, 1, 2, 3) OR new_role = old_role THEN NULL
+       WHEN priv AND old_read AND NOT new_read THEN NULL
+       ELSE new_role END AS active_role
+FROM flags
+"""
+
+
 _PRESENCE_POLICY_SPECS = [
     {"topic": "click", "claims_role": "authenticated", "extension": "presence",
      "can_read": True, "can_write": True},
@@ -1324,6 +1412,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "rls_exists_policy": q_rls_exists_policy,
         "pgoutput_broadcast": q_pgoutput_broadcast,
         "presence_policy_gate": q_presence_policy_gate,
+        "token_refresh_flow": q_token_refresh_flow,
         "rls_claims_param": q_rls_claims_param,
         "wal2json_parse": q_wal2json_parse,
         "node_routing": q_node_routing,
@@ -1358,6 +1447,7 @@ def realtime_extra_oracles() -> dict[str, str]:
         "rls_exists_policy": _oracle_rls_exists(),
         "pgoutput_broadcast": ORACLE_PGOUTPUT_BROADCAST,
         "presence_policy_gate": ORACLE_PRESENCE_POLICY_GATE,
+        "token_refresh_flow": _oracle_token_refresh(),
         "rls_claims_param": _oracle_rls_claims(),
         "wal2json_parse": ORACLE_WAL2JSON_PARSE,
         "node_routing": _oracle_node_routing(),
