@@ -274,6 +274,50 @@ FROM last WHERE rn = 1 AND action = 'track'
 """
 
 
+_DB_ENC_KEY = b"realtime-enc-16B"  # 16-byte fixture key (db_enc_key analog)
+
+
+def q_tenant_secret_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crypto.ex parity: per-user connection secrets AES-128-ECB encrypted
+    and decrypted back IN SPARK (both directions through the pure-stdlib
+    FIPS-197 pandas UDFs; FIPS test vectors pinned in tests/test_units.py).
+    The oracle re-derives the plaintext relationally and the ciphertext
+    LENGTH closed-form (PKCS#7: 16*ceil((len+1)/16) bytes -> base64), so a
+    wrong pad or block count hash-mismatches."""
+    from realtime_spark.functions.crypto import decrypt_col, encrypt_col
+
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    secret = F.concat(
+        F.lit("postgresql://tenant_"),
+        F.col("user_id").cast("string"),
+        F.lit(":pw@db.internal/realtime"),
+    )
+    enc = users.select(
+        "user_id", encrypt_col(secret, _DB_ENC_KEY).alias("enc")
+    )
+    return enc.select(
+        "user_id",
+        decrypt_col(F.col("enc"), _DB_ENC_KEY).alias("secret"),
+        F.octet_length("enc").alias("enc_b64_len"),
+    )
+
+
+ORACLE_TENANT_SECRET = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s AS (
+  SELECT user_id,
+         'postgresql://tenant_' || CAST(user_id AS VARCHAR)
+           || ':pw@db.internal/realtime' AS secret
+  FROM u
+)
+SELECT user_id, secret,
+       CAST(4 * ceil((16 * ceil((strlen(secret) + 1) / 16.0)) / 3.0) AS INT)
+         AS enc_b64_len
+FROM s
+"""
+
+
 def q_token_refresh_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Access-token refresh / read-revocation flow
     (realtime_channel.ex:523-600): per connection, event_id % 6 selects the
@@ -1413,6 +1457,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "pgoutput_broadcast": q_pgoutput_broadcast,
         "presence_policy_gate": q_presence_policy_gate,
         "token_refresh_flow": q_token_refresh_flow,
+        "tenant_secret_roundtrip": q_tenant_secret_roundtrip,
         "rls_claims_param": q_rls_claims_param,
         "wal2json_parse": q_wal2json_parse,
         "node_routing": q_node_routing,
@@ -1448,6 +1493,7 @@ def realtime_extra_oracles() -> dict[str, str]:
         "pgoutput_broadcast": ORACLE_PGOUTPUT_BROADCAST,
         "presence_policy_gate": ORACLE_PRESENCE_POLICY_GATE,
         "token_refresh_flow": _oracle_token_refresh(),
+        "tenant_secret_roundtrip": ORACLE_TENANT_SECRET,
         "rls_claims_param": _oracle_rls_claims(),
         "wal2json_parse": ORACLE_WAL2JSON_PARSE,
         "node_routing": _oracle_node_routing(),

@@ -488,3 +488,42 @@ class TestJwtEdDSA:
         )
         sig2 = ed25519_sign(seed, f"{h2}.{b}".encode())
         assert verify_jwt_jwks(f"{h2}.{b}.{_b64url_encode(sig2)}", jwks=jwks) is None
+
+
+class TestAesCrypto:
+    """crypto.ex parity: AES-128-ECB + PKCS#7 + base64, pinned to the
+    published FIPS-197 known-answer vectors."""
+
+    KEY = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+
+    def test_fips197_vectors(self):
+        from realtime_spark.functions.crypto import (
+            aes128_decrypt_block,
+            aes128_encrypt_block,
+        )
+
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        ct = aes128_encrypt_block(pt, self.KEY)
+        assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"  # appendix C.1
+        assert aes128_decrypt_block(ct, self.KEY) == pt
+        key_b = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+        pt_b = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
+        assert (
+            aes128_encrypt_block(pt_b, key_b).hex()
+            == "3925841d02dc09fbdc118597196a0b32"  # appendix B
+        )
+
+    def test_secret_roundtrip_and_padding(self):
+        from realtime_spark.functions.crypto import decrypt_secret, encrypt_secret
+
+        for n in (0, 1, 15, 16, 17, 31, 32, 100):
+            s = "x" * n
+            assert decrypt_secret(encrypt_secret(s, self.KEY), self.KEY) == s
+        # exact multiple of 16 gets a FULL pad block (crypto.ex pad/1)
+        import base64
+
+        enc = base64.b64decode(encrypt_secret("y" * 16, self.KEY))
+        assert len(enc) == 32
+        # utf-8 survives
+        s = "pässwörd→日本"
+        assert decrypt_secret(encrypt_secret(s, self.KEY), self.KEY) == s
