@@ -957,6 +957,10 @@ from realtime_spark.plans.behavior import (  # noqa: E402
     behavior_oracles,
     behavior_queries,
 )
+from realtime_spark.plans.dispatch_plan import (  # noqa: E402
+    dispatch_oracles,
+    dispatch_queries,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -983,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(c4_queries())
     qs.update(crdt_queries())
     qs.update(behavior_queries())
+    qs.update(dispatch_queries())
     qs["cdc_multi_pairs"] = q_cdc_multi_pairs
     qs["cdc_subscription_ids"] = q_cdc_subscription_ids
     qs["cdc_wildcard"] = q_cdc_wildcard
@@ -1034,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(c4_oracles())
     sqls.update(crdt_oracles())
     sqls.update(behavior_oracles())
+    sqls.update(dispatch_oracles())
     sqls["cdc_multi_pairs"] = ORACLE_CDC_MULTI_PAIRS
     sqls["cdc_subscription_ids"] = ORACLE_CDC_SUBSCRIPTION_IDS
     sqls["cdc_wildcard"] = ORACLE_CDC_WILDCARD

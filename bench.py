@@ -113,6 +113,9 @@ def _bench_queries():
         "linkage_em",
         "pgoutput_decode",
         "pgoutput_broadcast",
+        "batch_broadcast_outcomes",
+        "fastlane_dispatch",
+        "cdc_fanout_encodes",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

@@ -1,0 +1,310 @@
+"""Broadcast dispatch semantics: the batch HTTP broadcast pipeline and the
+two PubSub message dispatchers (channel fastlane + CDC subscriber fanout).
+
+Reference:
+  - batch broadcast: suspend gate, per-batch changeset validation, rate-limit
+    precheck, public/private split, per-topic write-policy gate with the
+    ``super_user`` bypass
+    (reference: lib/realtime/tenants/batch_broadcast.ex:51-95,129-151,170-184)
+  - channel fastlane dispatcher: sender skip, presence_diff read gates
+    (true/false/nil tri-state), broadcast_read gate, replayed-message-id
+    dedup, encode-once cache keyed by {serializer, join_topic}, per-tenant
+    presence counter
+    (reference: lib/realtime_web/channels/realtime_channel/
+     message_dispatcher.ex:46-116,134-161,175-181)
+  - CDC subscriber fanout: per-socket subscription-id intersection, new/old
+    API payload shape, encode-once cache keyed by the rendered message
+    (reference: lib/extensions/postgres_cdc_rls/message_dispatcher.ex:11-57)
+
+Spark-first: each dispatcher is a join between a message stream and a
+(small) subscriber/tenant dim — broadcast hash joins, no shuffle of the
+message side beyond the final per-message aggregation. The encode cache is
+expressed as COUNT(DISTINCT cache-key) per message: the reference's
+``Map.put(cache, key, encoded)`` memoisation means serializations performed
+== distinct cache keys among delivered sockets, which is the property we
+compute (and the property that matters for CPU at scale — fan-out is
+delivered rows, serialization cost is distinct encodes).
+
+At 100 TB the message side stays partition-local until the per-message
+rollup; subscriber dims are broadcast (1000s of sockets, not billions).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# batch broadcast (batch_broadcast.ex)
+# ---------------------------------------------------------------------------
+
+#: outcome precedence mirrors the reference's with/else pipeline order:
+#: suspend -> changeset -> rate precheck -> dispatch split.
+BATCH_OUTCOMES = (
+    "tenant_suspended",
+    "invalid_batch",
+    "rate_limited",
+    "batch_too_large",
+    "sent_public",
+    "sent_super_user",
+    "sent_private",
+    "unauthorized",
+)
+
+
+def batch_broadcast_outcomes(
+    messages: DataFrame,
+    tenants: DataFrame,
+    policies: DataFrame,
+    max_payload_kb_col: str = "max_payload_kb",
+) -> DataFrame:
+    """Classify every message of a per-tenant broadcast batch.
+
+    ``messages``: one batch per tenant —
+      (tenant_id, id, topic, event, payload_json, private, claims_role,
+       super_user) where ``super_user`` is the per-call bypass flag
+      (batch_broadcast.ex:37,77-87: a super_user caller skips the per-topic
+      write-policy lookup entirely).
+    ``tenants``: (tenant_id, suspended, max_eps, current_eps, max_payload_kb)
+      — ``current_eps`` is the RateCounter average at call time.
+    ``policies``: (topic, claims_role, can_write) write-authorization rows.
+
+    Batch-level gates (whole batch shares the verdict, matching the
+    reference's early returns):
+      * suspended tenant  -> tenant_suspended  (batch_broadcast.ex:51-53)
+      * any message failing validation (missing topic/payload/event or
+        payload over the tenant limit) poisons the batch -> invalid_batch
+        (cast_embed: one invalid embedded message invalidates the changeset,
+        batch_broadcast.ex:56,99-127)
+      * current_eps > max_eps -> rate_limited (batch_broadcast.ex:174-176)
+      * batch_size + current_eps > max_eps -> batch_too_large (:178-179)
+    Per-message dispatch for surviving batches:
+      * public  -> sent_public (policy check skipped, :65-70)
+      * private + super_user -> sent_super_user (:77-78)
+      * private + write policy -> sent_private (:80-82)
+      * private, no policy -> unauthorized (silently dropped, :84-85)
+
+    Plan: messages join broadcast(tenants) and broadcast(policies); the
+    batch aggregate (size, any-invalid) is a per-tenant groupBy folded back
+    in via a second broadcast join — message rows never shuffle.
+    """
+    t = F.broadcast(
+        tenants.select(
+            F.col("tenant_id").alias("t_tid"),
+            "suspended",
+            "max_eps",
+            "current_eps",
+            F.col(max_payload_kb_col).alias("t_max_kb"),
+        )
+    )
+    m = messages.join(t, messages["tenant_id"] == F.col("t_tid"), "left").drop("t_tid")
+
+    valid = (
+        F.col("topic").isNotNull()
+        & F.col("event").isNotNull()
+        & F.col("payload_json").isNotNull()
+        & (F.octet_length("payload_json") <= F.col("t_max_kb") * 1000)
+    )
+    m = m.withColumn("_valid", valid)
+
+    batch = m.groupBy("tenant_id").agg(
+        F.count(F.lit(1)).alias("_batch_n"),
+        F.max((~F.col("_valid")).cast("int")).alias("_any_invalid"),
+    )
+    m = m.join(F.broadcast(batch), "tenant_id", "left")
+
+    p = F.broadcast(
+        policies.select(
+            F.col("topic").alias("p_topic"),
+            F.col("claims_role").alias("p_role"),
+            F.col("can_write").alias("p_write"),
+        )
+    )
+    m = m.join(
+        p,
+        (m["topic"] == p["p_topic"]) & (m["claims_role"] == p["p_role"]),
+        "left",
+    )
+
+    outcome = (
+        F.when(F.col("suspended"), F.lit("tenant_suspended"))
+        .when(F.col("_any_invalid") == 1, F.lit("invalid_batch"))
+        .when(F.col("current_eps") > F.col("max_eps"), F.lit("rate_limited"))
+        .when(
+            F.col("_batch_n") + F.col("current_eps") > F.col("max_eps"),
+            F.lit("batch_too_large"),
+        )
+        .when(~F.col("private"), F.lit("sent_public"))
+        .when(F.col("super_user"), F.lit("sent_super_user"))
+        .when(F.coalesce(F.col("p_write"), F.lit(False)), F.lit("sent_private"))
+        .otherwise(F.lit("unauthorized"))
+    )
+    return m.select(
+        "tenant_id",
+        "id",
+        "topic",
+        "private",
+        outcome.alias("outcome"),
+        (outcome.startswith("sent")).alias("sent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# channel fastlane dispatcher (realtime_channel/message_dispatcher.ex)
+# ---------------------------------------------------------------------------
+
+PRESENCE_DIFF = "presence_diff"  # message_dispatcher.ex:24
+BROADCAST_EVENT = "broadcast"  # message_dispatcher.ex:25
+
+
+def fastlane_pairs(messages: DataFrame, subscribers: DataFrame) -> DataFrame:
+    """Per (message, subscriber) delivery decision for the channel fastlane.
+
+    ``messages``: (msg_id, tenant_id, topic, event, is_user_broadcast,
+      message_uid, sender_socket) — ``message_uid`` is the replay-dedup id
+      (payload meta.id / UserBroadcast metadata id, :183-185), nullable.
+    ``subscribers``: (socket_id, tenant_id, join_topic, serializer,
+      presence_read, broadcast_read, replayed_ids) — presence_read is
+      tri-state (true / false / null = not yet authorized, :46-78);
+      replayed_ids are the message ids already replayed to that socket.
+
+    Outcomes:
+      * presence_diff: presence_read false -> 'withheld' (:54-57),
+        null -> 'deferred' (routed to the channel process for
+        authorize_presence_diff, :63-66), true -> 'delivered' (:68-74)
+      * other events: a broadcast (event == 'broadcast' or UserBroadcast)
+        with broadcast_read != true -> 'withheld'; a message_uid already in
+        replayed_ids -> 'replayed'; else 'delivered' (+rate counter) (:96-108)
+      * the publishing socket is skipped entirely (pid == from, :49,:93)
+
+    Join on (tenant_id, topic == join_topic): subscriber side broadcast,
+    message side map-only.
+    """
+    s = F.broadcast(
+        subscribers.select(
+            "socket_id",
+            F.col("tenant_id").alias("s_tid"),
+            "join_topic",
+            "serializer",
+            "presence_read",
+            "broadcast_read",
+            "replayed_ids",
+        )
+    )
+    pairs = messages.join(
+        s,
+        (messages["tenant_id"] == s["s_tid"]) & (messages["topic"] == s["join_topic"]),
+        "inner",
+    ).filter(F.col("socket_id") != F.col("sender_socket"))
+
+    is_broadcast = F.col("is_user_broadcast") | (F.col("event") == BROADCAST_EVENT)
+    replayed = F.col("message_uid").isNotNull() & F.array_contains(
+        F.col("replayed_ids"), F.col("message_uid")
+    )
+    outcome = (
+        F.when(
+            F.col("event") == PRESENCE_DIFF,
+            F.when(F.col("presence_read") == F.lit(False), F.lit("withheld"))
+            .when(F.col("presence_read").isNull(), F.lit("deferred"))
+            .otherwise(F.lit("delivered")),
+        )
+        .when(
+            is_broadcast & ~F.col("broadcast_read").eqNullSafe(F.lit(True)),
+            F.lit("withheld"),
+        )
+        .when(replayed, F.lit("replayed"))
+        .otherwise(F.lit("delivered"))
+    )
+    return pairs.select(
+        "msg_id",
+        "tenant_id",
+        "topic",
+        "event",
+        "socket_id",
+        "serializer",
+        outcome.alias("outcome"),
+    )
+
+
+def fastlane_summary(pairs: DataFrame) -> DataFrame:
+    """Per-message rollup: delivery/withhold/defer/replay counts plus the
+    encode-once accounting. The reference memoises ``serializer.fastlane!``
+    per {serializer, join_topic} (:134-159); join_topic is fixed per
+    message here, so serializations == COUNT(DISTINCT serializer) among
+    delivered sockets and cache_hits = delivered - encodes."""
+    return pairs.groupBy("msg_id", "tenant_id", "event").agg(
+        F.count_if(F.col("outcome") == "delivered").alias("n_delivered"),
+        F.count_if(F.col("outcome") == "withheld").alias("n_withheld"),
+        F.count_if(F.col("outcome") == "deferred").alias("n_deferred"),
+        F.count_if(F.col("outcome") == "replayed").alias("n_replayed"),
+        F.count_distinct(
+            F.when(F.col("outcome") == "delivered", F.col("serializer"))
+        ).alias("n_encodes"),
+    )
+
+
+def presence_counter(pairs: DataFrame) -> DataFrame:
+    """Per-tenant presence fan-out counter: the dispatcher adds the count of
+    fastlane-delivered presence_diff messages to the tenant's
+    presence_events_per_second GenCounter (:81-82,175-181)."""
+    return (
+        pairs.filter(
+            (F.col("event") == PRESENCE_DIFF) & (F.col("outcome") == "delivered")
+        )
+        .groupBy("tenant_id")
+        .agg(F.count(F.lit(1)).alias("presence_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC subscriber fanout (postgres_cdc_rls/message_dispatcher.ex)
+# ---------------------------------------------------------------------------
+
+
+def cdc_fanout(changes: DataFrame, subscribers: DataFrame) -> DataFrame:
+    """Per-socket CDC delivery with subscription-id intersection.
+
+    ``changes``: (msg_id, topic, change_type, sub_ids) — ``sub_ids`` is the
+    set of subscription ids the poller matched for the change.
+    ``subscribers``: (socket_id, join_topic, serializer, is_new_api, ids) —
+    ``ids`` are the socket's own subscription ids.
+
+    A socket receives the change iff its ids intersect the message's
+    sub_ids (message_dispatcher.ex:15-24); the delivered payload is the
+    new-API shape {event: postgres_changes, ids: valid_ids} or the old-API
+    shape keyed by the change type (:26-34). valid_ids is emitted sorted
+    and comma-joined so the row is engine-stable.
+    """
+    s = F.broadcast(
+        subscribers.select(
+            "socket_id", "join_topic", "serializer", "is_new_api", "ids"
+        )
+    )
+    pairs = changes.join(s, changes["topic"] == s["join_topic"], "inner")
+    valid = F.array_sort(F.array_intersect(F.col("ids"), F.col("sub_ids")))
+    out = pairs.withColumn("valid_ids", valid).filter(F.size("valid_ids") > 0)
+    event = F.when(F.col("is_new_api"), F.lit("postgres_changes")).otherwise(
+        F.col("change_type")
+    )
+    return out.select(
+        "msg_id",
+        "topic",
+        "socket_id",
+        "serializer",
+        event.alias("event"),
+        F.array_join("valid_ids", ",").alias("valid_ids"),
+    )
+
+
+def cdc_fanout_summary(deliveries: DataFrame) -> DataFrame:
+    """Per-change rollup: sockets reached vs distinct serializations. The
+    reference caches the encoded frame keyed by the rendered Broadcast
+    struct (:46-57) — two sockets share an encode only when serializer,
+    event, and valid_ids all coincide."""
+    cache_key = F.concat_ws("|", "serializer", "event", "valid_ids")
+    return deliveries.groupBy("msg_id", "topic").agg(
+        F.count(F.lit(1)).alias("n_delivered"),
+        F.count_distinct(cache_key).alias("n_encodes"),
+    )
