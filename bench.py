@@ -114,6 +114,7 @@ def _bench_queries():
         "pgoutput_decode",
         "pgoutput_broadcast",
         "batch_broadcast_outcomes",
+        "single_broadcast_outcomes",
         "fastlane_dispatch",
         "cdc_fanout_encodes",
     ]

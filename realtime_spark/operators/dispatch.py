@@ -152,6 +152,108 @@ def batch_broadcast_outcomes(
 
 
 # ---------------------------------------------------------------------------
+# single broadcast (single_broadcast.ex) — the per-message HTTP path
+# ---------------------------------------------------------------------------
+
+#: binary payloads get a fixed allowance over the KB limit: the reference
+#: compares :erlang.external_size (byte_size + term-encoding overhead)
+#: against max_kb * 1000 + 500 (single_broadcast.ex:133-144)
+BINARY_SIZE_ALLOWANCE = 500
+
+
+def single_broadcast_outcomes(
+    messages: DataFrame, tenants: DataFrame, policies: DataFrame
+) -> DataFrame:
+    """Classify per-message HTTP broadcasts (POST /api/broadcast/:topic/
+    events/:event) — deliberately different from the batch path:
+
+      * validation is per message, a bad payload rejects only itself
+        (no changeset poisoning; single_broadcast.ex:68-97)
+      * the rate check is ``current >= max`` with no batch-size precheck
+        (:211-220 — the batch path uses strict ``>`` plus the size check)
+      * an unauthorized private message is an explicit 403, not the batch
+        path's silent drop (:159-160 vs batch_broadcast.ex:84-85)
+      * content types: json requires a present payload; binary requires a
+        binary payload and gets the +500-byte external_size allowance
+        (:99-118,133-144)
+      * there is no super_user bypass on this path (:153-156)
+
+    ``messages``: (tenant_id, id, topic, event, payload, content_type,
+    private, claims_role); ``tenants``/``policies`` as in
+    :func:`batch_broadcast_outcomes`. Output adds the HTTP-ish status the
+    controller would map each outcome to and the UserBroadcast encoding
+    tag for accepted messages (:245-266).
+
+    Same plan shape as the batch path minus the batch aggregate: two
+    broadcast joins, fully map-side.
+    """
+    t = F.broadcast(
+        tenants.select(
+            F.col("tenant_id").alias("t_tid"),
+            "suspended",
+            "max_eps",
+            "current_eps",
+            F.col("max_payload_kb").alias("t_max_kb"),
+        )
+    )
+    m = messages.join(t, messages["tenant_id"] == F.col("t_tid"), "left").drop("t_tid")
+
+    limit = F.col("t_max_kb") * 1000
+    size_ok = F.when(
+        F.col("content_type") == "binary",
+        F.octet_length("payload") <= limit + BINARY_SIZE_ALLOWANCE,
+    ).otherwise(F.octet_length("payload") <= limit)
+    valid = (
+        F.col("topic").isNotNull()
+        & F.col("event").isNotNull()
+        & F.col("payload").isNotNull()
+        & F.col("content_type").isin("json", "binary")
+        & size_ok
+    )
+
+    p = F.broadcast(
+        policies.select(
+            F.col("topic").alias("p_topic"),
+            F.col("claims_role").alias("p_role"),
+            F.col("can_write").alias("p_write"),
+        )
+    )
+    m = m.join(
+        p,
+        (m["topic"] == p["p_topic"]) & (m["claims_role"] == p["p_role"]),
+        "left",
+    )
+
+    outcome = (
+        F.when(F.col("suspended"), F.lit("forbidden_suspended"))
+        .when(~valid, F.lit("invalid"))
+        .when(F.col("current_eps") >= F.col("max_eps"), F.lit("rate_limited"))
+        .when(~F.col("private"), F.lit("ok_public"))
+        .when(F.coalesce(F.col("p_write"), F.lit(False)), F.lit("ok_private"))
+        .otherwise(F.lit("forbidden_unauthorized"))
+    )
+    status = (
+        F.when(outcome == "forbidden_suspended", F.lit(403))
+        .when(outcome == "invalid", F.lit(422))
+        .when(outcome == "rate_limited", F.lit(429))
+        .when(outcome == "forbidden_unauthorized", F.lit(403))
+        .otherwise(F.lit(202))
+    )
+    encoding = F.when(
+        outcome.startswith("ok"), F.col("content_type")
+    )  # UserBroadcast user_payload_encoding; null when not dispatched
+    return m.select(
+        "tenant_id",
+        "id",
+        "topic",
+        "private",
+        outcome.alias("outcome"),
+        status.alias("status"),
+        encoding.alias("payload_encoding"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # channel fastlane dispatcher (realtime_channel/message_dispatcher.ex)
 # ---------------------------------------------------------------------------
 

@@ -21,6 +21,7 @@ from realtime_spark.operators.dispatch import (
     fastlane_pairs,
     fastlane_summary,
     presence_counter,
+    single_broadcast_outcomes,
 )
 from realtime_spark.sources.testdata import load_table
 
@@ -161,6 +162,106 @@ FROM _bbm m
 JOIN _bbt t USING (tenant_id)
 JOIN _bbb b USING (tenant_id)
 LEFT JOIN _bbp p ON m.topic = p.p_topic AND m.claims_role = p.p_role
+"""
+
+
+# ---------------------------------------------------------------------------
+# single broadcast (lib/realtime/tenants/single_broadcast.ex)
+# ---------------------------------------------------------------------------
+
+# per-message path: payload straddles the binary +500-byte allowance
+# (8 chars x 187 = 1496 bytes: invalid as json at the 1 KB limit, valid as
+# binary at 1000+500); every 17th payload is absent entirely.
+_SB_OVERSIZE_REPS = 187
+
+
+def _sb_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    tkey = F.col("user_id") % 25
+    rep = (
+        F.when(F.col("event_id") % 13 == 0, F.lit(_SB_OVERSIZE_REPS))
+        .otherwise(F.col("user_id") % 3 + 1)
+        .cast("int")
+    )
+    payload = F.when(
+        F.col("event_id") % 17 != 0, F.repeat(F.substring("props", 1, 8), rep)
+    )
+    role = (
+        F.when(F.col("user_id") % 3 == 0, F.lit("anon"))
+        .when(F.col("user_id") % 3 == 1, F.lit("authenticated"))
+        .otherwise(F.lit("service_role"))
+    )
+    return e.select(
+        F.concat(F.lit("n"), tkey).alias("tenant_id"),
+        F.col("event_id").cast("string").alias("id"),
+        F.col("event_type").alias("topic"),
+        F.lit("msg").alias("event"),
+        payload.alias("payload"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("json"))
+        .otherwise(F.lit("binary"))
+        .alias("content_type"),
+        (F.col("event_id") % 2 == 0).alias("private"),
+        role.alias("claims_role"),
+    )
+
+
+def q_single_broadcast_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return single_broadcast_outcomes(
+        _sb_messages(spark, sf_dir), _bb_tenants(spark, sf_dir), _bb_policies(spark)
+    )
+
+
+ORACLE_SINGLE_BROADCAST_OUTCOMES = f"""
+WITH _sbm AS (
+  SELECT 'n' || (user_id % 25) AS tenant_id,
+         CAST(event_id AS VARCHAR) AS id,
+         event_type AS topic,
+         (event_id % 2 = 0) AS private,
+         CASE WHEN user_id % 3 = 0 THEN 'anon'
+              WHEN user_id % 3 = 1 THEN 'authenticated'
+              ELSE 'service_role' END AS claims_role,
+         CASE WHEN user_id % 2 = 0 THEN 'json' ELSE 'binary' END
+           AS content_type,
+         CASE WHEN event_id % 17 <> 0 THEN
+           strlen(repeat(substr(props, 1, 8),
+                  CASE WHEN event_id % 13 = 0 THEN {_SB_OVERSIZE_REPS}
+                       ELSE CAST(user_id % 3 + 1 AS INT) END)) END AS plen
+  FROM events
+),
+_sbt AS (
+  SELECT 'n' || n_nationkey AS tenant_id,
+         (n_nationkey = 21) AS suspended,
+         CASE n_nationkey WHEN 5 THEN 100 WHEN 7 THEN 500
+              ELSE 1000000000 END AS max_eps,
+         CASE n_nationkey WHEN 5 THEN 1000 WHEN 7 THEN 499
+              ELSE 10 END AS current_eps
+  FROM nation
+),
+_sbp (p_topic, p_role, p_write) AS (
+  VALUES ('click', 'authenticated', TRUE), ('view', 'authenticated', FALSE),
+         ('purchase', 'service_role', TRUE), ('signup', 'anon', TRUE)
+),
+_sbo AS (
+  SELECT m.tenant_id, m.id, m.topic, m.private,
+    CASE WHEN t.suspended THEN 'forbidden_suspended'
+         WHEN m.plen IS NULL
+              OR m.plen > 1000 + CASE WHEN m.content_type = 'binary'
+                                      THEN 500 ELSE 0 END THEN 'invalid'
+         WHEN t.current_eps >= t.max_eps THEN 'rate_limited'
+         WHEN NOT m.private THEN 'ok_public'
+         WHEN COALESCE(p.p_write, FALSE) THEN 'ok_private'
+         ELSE 'forbidden_unauthorized' END AS outcome,
+    m.content_type
+  FROM _sbm m
+  JOIN _sbt t USING (tenant_id)
+  LEFT JOIN _sbp p ON m.topic = p.p_topic AND m.claims_role = p.p_role
+)
+SELECT tenant_id, id, topic, private, outcome,
+  CASE outcome WHEN 'forbidden_suspended' THEN 403
+       WHEN 'invalid' THEN 422 WHEN 'rate_limited' THEN 429
+       WHEN 'forbidden_unauthorized' THEN 403 ELSE 202 END AS status,
+  CASE WHEN outcome LIKE 'ok%' THEN content_type END AS payload_encoding
+FROM _sbo
 """
 
 
@@ -407,6 +508,7 @@ GROUP BY msg_id, topic
 def dispatch_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "batch_broadcast_outcomes": q_batch_broadcast_outcomes,
+        "single_broadcast_outcomes": q_single_broadcast_outcomes,
         "fastlane_dispatch": q_fastlane_dispatch,
         "fastlane_presence_counter": q_fastlane_presence_counter,
         "cdc_fanout_deliveries": q_cdc_fanout_deliveries,
@@ -417,6 +519,7 @@ def dispatch_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def dispatch_oracles() -> dict[str, str]:
     return {
         "batch_broadcast_outcomes": ORACLE_BATCH_BROADCAST_OUTCOMES,
+        "single_broadcast_outcomes": ORACLE_SINGLE_BROADCAST_OUTCOMES,
         "fastlane_dispatch": ORACLE_FASTLANE_DISPATCH,
         "fastlane_presence_counter": ORACLE_FASTLANE_PRESENCE_COUNTER,
         "cdc_fanout_deliveries": ORACLE_CDC_FANOUT_DELIVERIES,

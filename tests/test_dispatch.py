@@ -111,6 +111,70 @@ def test_private_write_policy_gate(spark):
 
 
 # ---------------------------------------------------------------------------
+# single broadcast — the per-message HTTP path, contrasted with batch
+# ---------------------------------------------------------------------------
+
+SB_MSG_DDL = (
+    "tenant_id string, id string, topic string, event string, payload string, "
+    "content_type string, private boolean, claims_role string"
+)
+
+
+def _sb(spark, msgs, tenants, policies=()):
+    from realtime_spark.operators.dispatch import single_broadcast_outcomes
+
+    out = single_broadcast_outcomes(
+        spark.createDataFrame(msgs, SB_MSG_DDL),
+        spark.createDataFrame(tenants, TEN_DDL),
+        spark.createDataFrame(list(policies) or [("_", "_", False)], POL_DDL),
+    )
+    return {r["id"]: (r["outcome"], r["status"], r["payload_encoding"])
+            for r in out.collect()}
+
+
+def test_single_broadcast_no_batch_poisoning_and_rate_gte(spark):
+    # an oversized payload rejects only itself (no changeset poisoning),
+    # and the rate compare is >= — current == max already limits here,
+    # where the batch path's strict > would still accept
+    msgs = [
+        ("a", "1", "t", "e", "x" * 2000, "json", False, "anon"),
+        ("a", "2", "t", "e", "ok", "json", False, "anon"),
+        ("r", "3", "t", "e", "ok", "json", False, "anon"),
+    ]
+    tenants = [("a", False, 1000, 0, 1), ("r", False, 100, 100, 1)]
+    got = _sb(spark, msgs, tenants)
+    assert got["1"] == ("invalid", 422, None)
+    assert got["2"] == ("ok_public", 202, "json")
+    assert got["3"] == ("rate_limited", 429, None)
+
+
+def test_single_broadcast_binary_allowance_and_null_payload(spark):
+    # 1400 bytes: over the 1 KB json limit but inside binary's +500
+    # external_size allowance; a missing payload is invalid either way
+    msgs = [
+        ("a", "1", "t", "e", "x" * 1400, "json", False, "anon"),
+        ("a", "2", "t", "e", "x" * 1400, "binary", False, "anon"),
+        ("a", "3", "t", "e", None, "binary", False, "anon"),
+        ("a", "4", "t", "e", "ok", "octet", False, "anon"),  # bad content type
+    ]
+    tenants = [("a", False, 1000, 0, 1)]
+    got = _sb(spark, msgs, tenants)
+    assert got["1"] == ("invalid", 422, None)
+    assert got["2"] == ("ok_public", 202, "binary")
+    assert got["3"] == ("invalid", 422, None)
+    assert got["4"] == ("invalid", 422, None)
+
+
+def test_single_broadcast_unauthorized_is_explicit_403(spark):
+    # the batch path silently drops unauthorized private messages; the
+    # single path surfaces an explicit 403 — and has no super_user bypass
+    msgs = [("a", "1", "t", "e", "ok", "json", True, "anon")]
+    tenants = [("a", False, 1000, 0, 1)]
+    got = _sb(spark, msgs, tenants)
+    assert got["1"] == ("forbidden_unauthorized", 403, None)
+
+
+# ---------------------------------------------------------------------------
 # fastlane
 # ---------------------------------------------------------------------------
 
