@@ -204,12 +204,19 @@ def bench_streaming_cdc(spark, sf_dir: str, micro_batches: int | None = None) ->
     }
 
 
-def bench_streaming_pgoutput(spark, sf_dir: str, micro_batches: int | None = None) -> dict:
+def bench_streaming_pgoutput(
+    spark, sf_dir: str, micro_batches: int | None = None, wire: bool = False
+) -> dict:
     """Binary pgoutput decode throughput: real byte frames (Relation/Begin/
     Insert|Update|Delete/Commit per order row) through the stateful per-slot
     streaming decoder. The reference's replication connection consumes the
     same frames at its ~1000 changes/s/tenant envelope; this measures the
-    Spark decode path end-to-end including per-batch state round-trips."""
+    Spark decode path end-to-end including per-batch state round-trips.
+
+    wire=True measures the full socket-shaped path: every frame wrapped in
+    an XLogData ('w') envelope with WAL positions, plus interleaved
+    keepalives ('k') the decoder must peel and drop — the exact byte stream
+    START_REPLICATION delivers (protocol.ex:13-28)."""
     import tempfile
 
     from realtime_spark.sources.pgoutput import (
@@ -219,9 +226,36 @@ def bench_streaming_pgoutput(spark, sf_dir: str, micro_batches: int | None = Non
     )
 
     frames = pgoutput_frames_from_orders(spark, sf_dir)
-    n_frames = frames.count()
-    # 3 frames per txn (Begin/data/Commit); headers have seq < 0
+    # 3 frames per txn (Begin/data/Commit); headers have seq < 0 —
+    # computed pre-wrap so keepalive filler never counts as work
     n_changes = frames.filter("seq >= 0").count() // 3
+    if wire:
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from realtime_spark.sources.pgoutput import (
+            encode_keepalive,
+            encode_xlog_data,
+        )
+
+        def _wrap_fn(seq, frame):
+            out = []
+            for s, f in zip(seq, frame):
+                lsn = (int(s) + 2) * 64  # monotone fake WAL positions
+                out.append(encode_xlog_data(lsn, lsn + 64, 0, bytes(f)))
+            return pd.Series(out)
+
+        _wrap = F.pandas_udf(_wrap_fn, "binary")
+
+        ka = bytes(encode_keepalive(0, 0, False))
+        wired = frames.withColumn("frame", _wrap("seq", "frame"))
+        keepalives = frames.filter(
+            (F.col("seq") >= 0) & (F.col("seq") % 100 == 0)
+        ).select("slot", "seq", F.lit(ka).alias("frame"))
+        # duplicate-seq keepalive rows sort adjacent to their data frame;
+        # position is irrelevant — the unwrap drops them wherever they land
+        frames = wired.unionByName(keepalives)
+    n_frames = frames.count()
     if micro_batches is None:
         micro_batches = max(2, min(10, n_frames // 15000))
     decoded = {"rows": 0}
@@ -243,7 +277,7 @@ def bench_streaming_pgoutput(spark, sf_dir: str, micro_batches: int | None = Non
             .option("maxFilesPerTrigger", str(max(1, micro_batches // 2)))
             .parquet(src)
         )
-        out = pgoutput_decode_stateful(stream)
+        out = pgoutput_decode_stateful(stream, wire=wire)
         t0 = time.perf_counter()
         q = (
             out.writeStream.foreachBatch(on_batch)
@@ -254,8 +288,9 @@ def bench_streaming_pgoutput(spark, sf_dir: str, micro_batches: int | None = Non
         )
         q.awaitTermination(600)
         wall = time.perf_counter() - t0
+    key = "pgoutput_wire_changes_per_sec" if wire else "pgoutput_changes_per_sec"
     return {
-        "pgoutput_changes_per_sec": round(n_changes / wall, 1),
+        key: round(n_changes / wall, 1),
         "frames": n_frames,
         "decoded_rows": decoded["rows"],
         "wall_sec": round(wall, 3),
@@ -397,6 +432,7 @@ def main() -> None:
         ("presence", bench_streaming_presence),
         ("mv", bench_streaming_mv),
         ("pgoutput", bench_streaming_pgoutput),
+        ("pgoutput_wire", lambda s, d: bench_streaming_pgoutput(s, d, wire=True)),
     ):
         try:
             streaming[key] = bench_fn(spark, sf_dir)
