@@ -265,8 +265,10 @@ def fastlane_pairs(messages: DataFrame, subscribers: DataFrame) -> DataFrame:
     """Per (message, subscriber) delivery decision for the channel fastlane.
 
     ``messages``: (msg_id, tenant_id, topic, event, is_user_broadcast,
-      message_uid, sender_socket) — ``message_uid`` is the replay-dedup id
-      (payload meta.id / UserBroadcast metadata id, :183-185), nullable.
+      payload_encoding, message_uid, sender_socket) — ``message_uid`` is the
+      replay-dedup id (payload meta.id / UserBroadcast metadata id,
+      :183-185), nullable; ``payload_encoding`` ('json'/'binary') is the
+      UserBroadcast payload encoding, null for plain broadcasts.
     ``subscribers``: (socket_id, tenant_id, join_topic, serializer,
       presence_read, broadcast_read, replayed_ids) — presence_read is
       tri-state (true / false / null = not yet authorized, :46-78);
@@ -279,6 +281,10 @@ def fastlane_pairs(messages: DataFrame, subscribers: DataFrame) -> DataFrame:
       * other events: a broadcast (event == 'broadcast' or UserBroadcast)
         with broadcast_read != true -> 'withheld'; a message_uid already in
         replayed_ids -> 'replayed'; else 'delivered' (+rate counter) (:96-108)
+      * a binary UserBroadcast cannot be rendered for a V1 socket:
+        convert_to_json_broadcast errors, the failure is cached, nothing is
+        sent -> 'encode_failed' (:140-142,149-157,163-168;
+        socket/user_broadcast.ex:38)
       * the publishing socket is skipped entirely (pid == from, :49,:93)
 
     Join on (tenant_id, topic == join_topic): subscriber side broadcast,
@@ -317,6 +323,12 @@ def fastlane_pairs(messages: DataFrame, subscribers: DataFrame) -> DataFrame:
             F.lit("withheld"),
         )
         .when(replayed, F.lit("replayed"))
+        .when(
+            F.col("is_user_broadcast")
+            & (F.col("payload_encoding") == "binary")
+            & (F.col("serializer") == "v1"),
+            F.lit("encode_failed"),
+        )
         .otherwise(F.lit("delivered"))
     )
     return pairs.select(
@@ -331,19 +343,23 @@ def fastlane_pairs(messages: DataFrame, subscribers: DataFrame) -> DataFrame:
 
 
 def fastlane_summary(pairs: DataFrame) -> DataFrame:
-    """Per-message rollup: delivery/withhold/defer/replay counts plus the
-    encode-once accounting. The reference memoises ``serializer.fastlane!``
-    per {serializer, join_topic} (:134-159); join_topic is fixed per
-    message here, so serializations == COUNT(DISTINCT serializer) among
-    delivered sockets and cache_hits = delivered - encodes."""
+    """Per-message rollup: delivery/withhold/defer/replay/encode-failure
+    counts plus the encode-once accounting. The reference memoises
+    ``serializer.fastlane!`` per {serializer, join_topic} — both successful
+    renders and {:error, reason} results are cached (:134-159) — and
+    join_topic is fixed per message here, so render attempts ==
+    COUNT(DISTINCT serializer) among delivered-or-failed sockets and
+    cache_hits = (delivered + encode_failed) - encodes."""
+    attempted = F.col("outcome").isin("delivered", "encode_failed")
     return pairs.groupBy("msg_id", "tenant_id", "event").agg(
         F.count_if(F.col("outcome") == "delivered").alias("n_delivered"),
         F.count_if(F.col("outcome") == "withheld").alias("n_withheld"),
         F.count_if(F.col("outcome") == "deferred").alias("n_deferred"),
         F.count_if(F.col("outcome") == "replayed").alias("n_replayed"),
-        F.count_distinct(
-            F.when(F.col("outcome") == "delivered", F.col("serializer"))
-        ).alias("n_encodes"),
+        F.count_if(F.col("outcome") == "encode_failed").alias("n_encode_failed"),
+        F.count_distinct(F.when(attempted, F.col("serializer"))).alias(
+            "n_encodes"
+        ),
     )
 
 

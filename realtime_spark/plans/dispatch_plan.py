@@ -287,6 +287,10 @@ def _fl_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("room"), k % 8).alias("topic"),
         event.alias("event"),
         (k % 7 == 3).alias("is_user_broadcast"),
+        F.when(
+            k % 7 == 3,
+            F.when(k % 2 == 0, F.lit("json")).otherwise(F.lit("binary")),
+        ).alias("payload_encoding"),
         F.when(k % 3 == 0, (k % 480).cast("string")).alias("message_uid"),
         F.concat(F.lit("s"), k % _N_SOCKETS).alias("sender_socket"),
     )
@@ -340,6 +344,9 @@ _flm AS (
               WHEN o_orderkey % 5 = 1 THEN 'system'
               ELSE 'broadcast' END AS event,
          (o_orderkey % 7 = 3) AS is_user_broadcast,
+         CASE WHEN o_orderkey % 7 = 3 THEN
+           CASE WHEN o_orderkey % 2 = 0 THEN 'json' ELSE 'binary' END
+         END AS payload_encoding,
          CASE WHEN o_orderkey % 3 = 0
               THEN CAST(o_orderkey % 480 AS VARCHAR) END AS message_uid,
          's' || (o_orderkey % {_N_SOCKETS}) AS sender_socket
@@ -368,6 +375,8 @@ _flp AS (
          WHEN m.message_uid IS NOT NULL
               AND CAST(m.message_uid AS BIGINT) >= s.rlo
               AND CAST(m.message_uid AS BIGINT) < s.rhi THEN 'replayed'
+         WHEN m.is_user_broadcast AND m.payload_encoding = 'binary'
+              AND s.serializer = 'v1' THEN 'encode_failed'
          ELSE 'delivered' END AS outcome
   FROM _flm m
   JOIN _fls s ON m.tenant_id = s.s_tid AND m.topic = s.join_topic
@@ -382,7 +391,9 @@ SELECT msg_id, tenant_id, event,
        COUNT(*) FILTER (outcome = 'withheld') AS n_withheld,
        COUNT(*) FILTER (outcome = 'deferred') AS n_deferred,
        COUNT(*) FILTER (outcome = 'replayed') AS n_replayed,
-       COUNT(DISTINCT serializer) FILTER (outcome = 'delivered') AS n_encodes
+       COUNT(*) FILTER (outcome = 'encode_failed') AS n_encode_failed,
+       COUNT(DISTINCT serializer) FILTER (outcome IN ('delivered', 'encode_failed'))
+         AS n_encodes
 FROM _flp
 GROUP BY msg_id, tenant_id, event
 """

@@ -180,7 +180,8 @@ def test_single_broadcast_unauthorized_is_explicit_403(spark):
 
 FL_MSG_DDL = (
     "msg_id long, tenant_id string, topic string, event string, "
-    "is_user_broadcast boolean, message_uid string, sender_socket string"
+    "is_user_broadcast boolean, payload_encoding string, message_uid string, "
+    "sender_socket string"
 )
 FL_SUB_DDL = (
     "socket_id string, tenant_id string, join_topic string, serializer string, "
@@ -196,7 +197,7 @@ def _fl(spark, msgs, subs):
 
 
 def test_fastlane_presence_tristate_and_counter(spark):
-    msgs = [(1, "t", "room", "presence_diff", False, None, "s9")]
+    msgs = [(1, "t", "room", "presence_diff", False, None, None, "s9")]
     subs = [
         ("s1", "t", "room", "v1", True, True, []),
         ("s2", "t", "room", "v1", False, True, []),   # denied -> withheld
@@ -212,8 +213,8 @@ def test_fastlane_presence_tristate_and_counter(spark):
 
 def test_fastlane_broadcast_read_gate_and_replay(spark):
     msgs = [
-        (1, "t", "room", "broadcast", False, "m1", "s0"),
-        (2, "t", "room", "system", False, None, "s0"),
+        (1, "t", "room", "broadcast", False, None, "m1", "s0"),
+        (2, "t", "room", "system", False, None, None, "s0"),
     ]
     subs = [
         ("s1", "t", "room", "v1", True, True, ["m1"]),   # replay dedup
@@ -233,14 +234,39 @@ def test_fastlane_broadcast_read_gate_and_replay(spark):
 
 
 def test_fastlane_user_broadcast_flag_counts_as_broadcast(spark):
-    msgs = [(1, "t", "room", "custom_evt", True, None, "s0")]
+    msgs = [(1, "t", "room", "custom_evt", True, "json", None, "s0")]
     subs = [("s2", "t", "room", "v1", True, False, [])]
     pairs = _fl(spark, msgs, subs)
     assert pairs.collect()[0]["outcome"] == "withheld"
 
 
+def test_fastlane_binary_user_broadcast_fails_encode_on_v1(spark):
+    # convert_to_json_broadcast errors for binary payloads: V1 sockets get
+    # nothing (cached failure), V2 sockets deliver; a json UserBroadcast
+    # renders for both
+    msgs = [
+        (1, "t", "room", "ub", True, "binary", None, "s0"),
+        (2, "t", "room", "ub", True, "json", None, "s0"),
+    ]
+    subs = [
+        ("s1", "t", "room", "v1", True, True, []),
+        ("s2", "t", "room", "v2", True, True, []),
+    ]
+    pairs = _fl(spark, msgs, subs)
+    got = {(r["msg_id"], r["socket_id"]): r["outcome"] for r in pairs.collect()}
+    assert got[(1, "s1")] == "encode_failed"
+    assert got[(1, "s2")] == "delivered"
+    assert got[(2, "s1")] == "delivered"
+    assert got[(2, "s2")] == "delivered"
+    rows = {r["msg_id"]: r for r in fastlane_summary(pairs).collect()}
+    # the failed V1 render is still one cached fastlane! attempt
+    assert rows[1]["n_encode_failed"] == 1
+    assert rows[1]["n_encodes"] == 2
+    assert rows[2]["n_encodes"] == 2
+
+
 def test_fastlane_encode_cache_counts_distinct_serializers(spark):
-    msgs = [(1, "t", "room", "system", False, None, "s0")]
+    msgs = [(1, "t", "room", "system", False, None, None, "s0")]
     subs = [
         ("s1", "t", "room", "v1", True, True, []),
         ("s2", "t", "room", "v1", True, True, []),
