@@ -961,6 +961,10 @@ from realtime_spark.plans.dispatch_plan import (  # noqa: E402
     dispatch_oracles,
     dispatch_queries,
 )
+from realtime_spark.plans.placement_plan import (  # noqa: E402
+    placement_oracles,
+    placement_queries,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -988,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(crdt_queries())
     qs.update(behavior_queries())
     qs.update(dispatch_queries())
+    qs.update(placement_queries())
     qs["cdc_multi_pairs"] = q_cdc_multi_pairs
     qs["cdc_subscription_ids"] = q_cdc_subscription_ids
     qs["cdc_wildcard"] = q_cdc_wildcard
@@ -1040,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(crdt_oracles())
     sqls.update(behavior_oracles())
     sqls.update(dispatch_oracles())
+    sqls.update(placement_oracles())
     sqls["cdc_multi_pairs"] = ORACLE_CDC_MULTI_PAIRS
     sqls["cdc_subscription_ids"] = ORACLE_CDC_SUBSCRIPTION_IDS
     sqls["cdc_wildcard"] = ORACLE_CDC_WILDCARD

@@ -117,6 +117,7 @@ def _bench_queries():
         "single_broadcast_outcomes",
         "fastlane_dispatch",
         "cdc_fanout_encodes",
+        "rebalance_audit",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

@@ -1,0 +1,110 @@
+"""Placement plans: tenant→node assignment and the rebalance audit
+(nodes.ex launch_node semantics + operations.ex rebalance counting gated by
+rebalancer.ex cluster-stability).
+
+Fixture: tenants derived from `customer` cycling through every region of
+the reference's default mapping plus one unknown region; a 4-region node
+topology where one region gained a node between the two observations
+(unstable → suppressed), one region has a single node, and one has none
+(default-node fallback). The oracle re-derives the expected node from the
+statically-known sorted node lists and the same md5 placement hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_spark.operators.placement import (
+    PLACEMENT_SEED,
+    REGION_MAPPING,
+    rebalance_audit,
+)
+from realtime_spark.sources.testdata import load_table
+
+_REGIONS = list(REGION_MAPPING) + ["mars-central-1"]  # 19: one untranslatable
+_PLATFORMS = [REGION_MAPPING[r] for r in REGION_MAPPING]  # aligned, 18
+_DEFAULT_NODE = "default@node"
+
+_CUR_NODES = [
+    ("ap-southeast-1", "n1"),
+    ("ap-southeast-1", "n2"),
+    ("ap-southeast-1", "n3"),
+    ("ap-southeast-2", "n4"),
+    ("ap-southeast-2", "n5"),  # joined since the previous observation
+    ("us-east-1", "n6"),
+    ("us-east-1", "n7"),
+    ("eu-west-2", "n8"),
+    # us-west-1: zero nodes -> default fallback
+]
+_PREV_NODES = [x for x in _CUR_NODES if x != ("ap-southeast-2", "n5")]
+
+
+def _pl_tenants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    arr = F.array(*[F.lit(r) for r in _REGIONS])
+    k = F.col("c_custkey")
+    return c.select(
+        F.concat(F.lit("c"), k).alias("tenant_id"),
+        F.element_at(arr, (k % 19).cast("int") + F.lit(1)).alias("region"),
+        F.concat(F.lit("n"), k % 9 + 1).alias("current_node"),
+    )
+
+
+def _nodes_df(spark: SparkSession, rows) -> DataFrame:
+    return spark.createDataFrame(rows, schema="region string, node string")
+
+
+def q_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rebalance_audit(
+        _pl_tenants(spark, sf_dir),
+        _nodes_df(spark, _PREV_NODES),
+        _nodes_df(spark, _CUR_NODES),
+        _DEFAULT_NODE,
+    )
+
+
+def _sql_list(xs) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+
+ORACLE_REBALANCE_AUDIT = f"""
+WITH _plt AS (
+  SELECT 'c' || c_custkey AS tenant_id,
+         ({_sql_list(_REGIONS)})[CAST(c_custkey % 19 AS INT) + 1] AS region,
+         'n' || (c_custkey % 9 + 1) AS current_node,
+         ('0x' || substr(md5('{PLACEMENT_SEED}:c' || c_custkey), 1, 15))::BIGINT
+           AS h
+  FROM customer
+),
+_plp AS (
+  SELECT tenant_id, current_node, h,
+         ({_sql_list(_PLATFORMS)} || [NULL])
+           [CAST(c2 % 19 AS INT) + 1] AS platform_region
+  FROM (SELECT *, CAST(substr(tenant_id, 2) AS BIGINT) AS c2 FROM _plt)
+),
+_ple AS (
+  SELECT tenant_id, platform_region, current_node,
+    CASE platform_region
+      WHEN 'ap-southeast-1' THEN (['n1', 'n2', 'n3'])[CAST(h % 3 AS INT) + 1]
+      WHEN 'ap-southeast-2' THEN (['n4', 'n5'])[CAST(h % 2 AS INT) + 1]
+      WHEN 'us-east-1' THEN (['n6', 'n7'])[CAST(h % 2 AS INT) + 1]
+      WHEN 'eu-west-2' THEN 'n8'
+      ELSE '{_DEFAULT_NODE}' END AS expected_node,
+    (platform_region IS DISTINCT FROM 'ap-southeast-2') AS stable
+  FROM _plp
+)
+SELECT tenant_id, platform_region, current_node, expected_node, stable,
+       (stable AND current_node <> expected_node) AS misplaced
+FROM _ple
+"""
+
+
+def placement_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {"rebalance_audit": q_rebalance_audit}
+
+
+def placement_oracles() -> dict[str, str]:
+    return {"rebalance_audit": ORACLE_REBALANCE_AUDIT}
