@@ -330,3 +330,51 @@ def split_pk_changes(
         old_record=F.lit(None).cast(moves.schema["old_record"].dataType),
     )
     return normal.unionByName(dels).unionByName(ins)
+
+
+def vacant_prune(
+    events: DataFrame,
+    now_epoch_s: int,
+    threshold_s: int = 600,
+    key_col: str = "tenant_id",
+    kind_col: str = "kind",
+    vacant_kind: str = "vacant",
+) -> DataFrame:
+    """MetricsCleaner's vacancy table as a fold over the telemetry event log.
+
+    The reference keeps an ets set per concern (vacant websockets,
+    disconnected tenants): a 'vacant'/'unregistered' event inserts
+    (tenant, now) — last write wins on the set key — and the matching
+    'occupied'/'registered' event deletes the row; the periodic sweep
+    selects rows older than now - threshold, prunes their Prometheus tag
+    series, and deletes them (reference: lib/realtime/metrics_cleaner.ex:
+    9-23 event handlers, 105-131 select/prune/select_delete with the 600 s
+    default threshold at :28).
+
+    Relationally the ets set IS the last event per key: present iff the
+    last event is the vacant kind, timestamped by that event. Input
+    ``events``: (key, kind, ts, seq) where seq breaks same-timestamp ties
+    the way ets last-write-wins does. Output: one row per currently-vacant
+    key with ``vacant_since_sec`` and ``pruned`` (older than the
+    threshold); ets-deleted keys (last event occupied) don't appear.
+
+    One partial-aggregated max_by groupBy on the key — no window sort, no
+    self-join; the sweep predicate is a post-aggregation filter.
+    """
+    from realtime_spark.functions.timeutil import epoch_seconds
+
+    last = events.groupBy(key_col).agg(
+        F.max_by(
+            F.struct(F.col(kind_col).alias("k"), epoch_seconds("ts").alias("s")),
+            F.struct(F.col("ts"), F.col("seq")),
+        ).alias("_last")
+    )
+    cutoff = now_epoch_s - threshold_s
+    return (
+        last.filter(F.col("_last.k") == vacant_kind)
+        .select(
+            key_col,
+            F.col("_last.s").alias("vacant_since_sec"),
+            (F.col("_last.s") < F.lit(cutoff)).alias("pruned"),
+        )
+    )

@@ -103,8 +103,53 @@ FROM _ple
 
 
 def placement_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {"rebalance_audit": q_rebalance_audit}
+    return {"rebalance_audit": q_rebalance_audit, "vacant_prune": q_vacant_prune}
 
 
 def placement_oracles() -> dict[str, str]:
-    return {"rebalance_audit": ORACLE_REBALANCE_AUDIT}
+    return {"rebalance_audit": ORACLE_REBALANCE_AUDIT, "vacant_prune": ORACLE_VACANT_PRUNE}
+
+
+# ---------------------------------------------------------------------------
+# metrics vacancy sweep (lib/realtime/metrics_cleaner.ex)
+# ---------------------------------------------------------------------------
+
+# sweep instant: 600 s past a mid-final-day cutoff so both pruned and kept
+# vacancies exist at every SF (events span 2024-01-01..01-30)
+_VP_CUTOFF = 1706616000  # 2024-01-30T12:00:00Z
+_VP_NOW = _VP_CUTOFF + 600
+
+
+def q_vacant_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.materialize import vacant_prune
+
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        F.concat(F.lit("n"), F.col("user_id") % 50).alias("tenant_id"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("occupied"))
+        .otherwise(F.lit("vacant"))
+        .alias("kind"),
+        "ts",
+        F.col("event_id").alias("seq"),
+    )
+    return vacant_prune(ev, now_epoch_s=_VP_NOW, threshold_s=600)
+
+
+ORACLE_VACANT_PRUNE = f"""
+WITH _vpe AS (
+  SELECT 'n' || (user_id % 50) AS tenant_id,
+         CASE WHEN event_id % 3 = 0 THEN 'occupied' ELSE 'vacant' END AS kind,
+         ts, event_id AS seq
+  FROM events
+),
+_vpl AS (
+  SELECT tenant_id, kind, ts,
+         row_number() OVER (PARTITION BY tenant_id
+                            ORDER BY ts DESC, seq DESC) AS rn
+  FROM _vpe
+)
+SELECT tenant_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS vacant_since_sec,
+       (floor(epoch(ts)) < {_VP_CUTOFF}) AS pruned
+FROM _vpl WHERE rn = 1 AND kind = 'vacant'
+"""

@@ -98,3 +98,34 @@ def test_rebalance_audit_correct_placement_not_flagged(spark):
     nodes = _nodes(spark, [("us-east-1", "n1")])
     row = rebalance_audit(placements, nodes, nodes, "d").collect()[0]
     assert row["misplaced"] is False and row["stable"] is True
+
+
+def test_vacant_prune_fold(spark):
+    from realtime_spark.operators.materialize import vacant_prune
+
+    rows = [
+        # t1: vacant then occupied -> deleted from the set, absent
+        ("t1", "vacant", "2024-01-01 00:00:00", 1),
+        ("t1", "occupied", "2024-01-02 00:00:00", 2),
+        # t2: occupied then vacant long ago -> present, pruned
+        ("t2", "occupied", "2024-01-01 00:00:00", 3),
+        ("t2", "vacant", "2024-01-02 00:00:00", 4),
+        # t3: vacant recently -> present, kept
+        ("t3", "vacant", "2024-01-10 00:00:00", 5),
+        # t4: same-ts tie broken by seq (ets last write wins) -> occupied
+        ("t4", "vacant", "2024-01-05 00:00:00", 6),
+        ("t4", "occupied", "2024-01-05 00:00:00", 7),
+    ]
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        rows, "tenant_id string, kind string, ts string, seq long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    now = 1704844800  # 2024-01-10T00:00:00Z
+    out = {
+        r["tenant_id"]: (r["vacant_since_sec"], r["pruned"])
+        for r in vacant_prune(ev, now_epoch_s=now, threshold_s=600).collect()
+    }
+    assert set(out) == {"t2", "t3"}
+    assert out["t2"][1] is True  # Jan 2 vacancy is far older than 600 s
+    assert out["t3"][1] is False  # vacant exactly at the sweep instant: kept
