@@ -129,3 +129,15 @@ def test_vacant_prune_fold(spark):
     assert set(out) == {"t2", "t3"}
     assert out["t2"][1] is True  # Jan 2 vacancy is far older than 600 s
     assert out["t3"][1] is False  # vacant exactly at the sweep instant: kept
+
+
+def test_rebalance_audit_new_region_is_unstable(spark):
+    # a region that had no nodes at the previous observation just gained
+    # one: membership changed, so the verdict is suppressed even though the
+    # tenant already sits on the (now-correct) node set
+    placements = spark.createDataFrame([("t1", "us-east-1", "n9")], TEN_DDL)
+    prev = _nodes(spark, [("eu-west-2", "n8")])
+    cur = _nodes(spark, [("eu-west-2", "n8"), ("us-east-1", "n1")])
+    row = rebalance_audit(placements, prev, cur, "d").collect()[0]
+    assert row["stable"] is False and row["misplaced"] is False
+    assert row["expected_node"] == "n1"
