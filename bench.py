@@ -356,6 +356,61 @@ def bench_streaming_presence(spark, sf_dir: str, micro_batches: int | None = Non
     }
 
 
+def bench_streaming_fanout(spark, sf_dir: str, micro_batches: int = 10) -> dict:
+    """Fastlane dispatch throughput: the full per-socket gate chain
+    (sender skip, tri-state presence gates, broadcast_read withhold, replay
+    dedup, V1-binary encode failure) plus the encode-once rollup, applied
+    per micro-batch over a streaming message feed. The reference's
+    dispatch/3 runs this per pubsub delivery inside the tenant's
+    100 events/s envelope; here it is one broadcast join + partial-agg
+    rollup per batch."""
+    import tempfile
+
+    from realtime_spark.operators.dispatch import fastlane_pairs, fastlane_summary
+    from realtime_spark.plans.dispatch_plan import _fl_messages, _fl_subscribers
+
+    msgs = _fl_messages(spark, sf_dir)
+    n_msgs = msgs.count()
+    subs = _fl_subscribers(spark)
+    counted = {"deliveries": 0, "msgs": 0}
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ckpt = os.path.join(d, "ckpt")
+        msgs.repartition(micro_batches).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def on_batch(batch_df, epoch_id):
+            summ = fastlane_summary(fastlane_pairs(batch_df, subs))
+            agg = summ.selectExpr(
+                "count(*) AS m", "sum(n_delivered) AS d"
+            ).collect()[0]
+            counted["msgs"] += agg["m"] or 0
+            counted["deliveries"] += agg["d"] or 0
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(max(1, micro_batches // 5)))
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+    return {
+        "fanout_msgs_per_sec": round(n_msgs / wall, 1),
+        "fanout_deliveries_per_sec": round(counted["deliveries"] / wall, 1),
+        "msgs": n_msgs,
+        "deliveries": counted["deliveries"],
+        "wall_sec": round(wall, 3),
+    }
+
+
 def bench_streaming_mv(spark, sf_dir: str, micro_batches: int = 10) -> dict:
     """Materialized-view maintenance throughput: CDC changes folded into a
     continuously updated snapshot (streaming/materialize_stream.py) —
@@ -434,6 +489,7 @@ def main() -> None:
         ("mv", bench_streaming_mv),
         ("pgoutput", bench_streaming_pgoutput),
         ("pgoutput_wire", lambda s, d: bench_streaming_pgoutput(s, d, wire=True)),
+        ("fanout", bench_streaming_fanout),
     ):
         try:
             streaming[key] = bench_fn(spark, sf_dir)
