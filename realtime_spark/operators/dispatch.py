@@ -41,8 +41,9 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 #: outcome precedence mirrors the reference's with/else pipeline order:
-#: suspend -> changeset -> rate precheck -> dispatch split.
+#: tenant lookup -> suspend -> changeset -> rate precheck -> dispatch split.
 BATCH_OUTCOMES = (
+    "tenant_not_found",
     "tenant_suspended",
     "invalid_batch",
     "rate_limited",
@@ -129,7 +130,12 @@ def batch_broadcast_outcomes(
     )
 
     outcome = (
-        F.when(F.col("suspended"), F.lit("tenant_suspended"))
+        # no tenant row joined: the reference's broadcast(_, nil, _, _)
+        # clause, {:error, :tenant_not_found} (batch_broadcast.ex:97) —
+        # without this guard an unknown tenant would fall through the null
+        # gate comparisons and dispatch as if unlimited
+        F.when(F.col("suspended").isNull(), F.lit("tenant_not_found"))
+        .when(F.col("suspended"), F.lit("tenant_suspended"))
         .when(F.col("_any_invalid") == 1, F.lit("invalid_batch"))
         .when(F.col("current_eps") > F.col("max_eps"), F.lit("rate_limited"))
         .when(
@@ -225,7 +231,11 @@ def single_broadcast_outcomes(
     )
 
     outcome = (
-        F.when(F.col("suspended"), F.lit("forbidden_suspended"))
+        # unknown tenant: 404-shaped error before any gate (matches the
+        # batch path's tenant_not_found clause; the controller resolves the
+        # tenant before either endpoint runs)
+        F.when(F.col("suspended").isNull(), F.lit("tenant_not_found"))
+        .when(F.col("suspended"), F.lit("forbidden_suspended"))
         .when(~valid, F.lit("invalid"))
         .when(F.col("current_eps") >= F.col("max_eps"), F.lit("rate_limited"))
         .when(~F.col("private"), F.lit("ok_public"))
@@ -233,7 +243,8 @@ def single_broadcast_outcomes(
         .otherwise(F.lit("forbidden_unauthorized"))
     )
     status = (
-        F.when(outcome == "forbidden_suspended", F.lit(403))
+        F.when(outcome == "tenant_not_found", F.lit(404))
+        .when(outcome == "forbidden_suspended", F.lit(403))
         .when(outcome == "invalid", F.lit(422))
         .when(outcome == "rate_limited", F.lit(429))
         .when(outcome == "forbidden_unauthorized", F.lit(403))

@@ -346,3 +346,19 @@ def test_dispatch_plans_broadcast_no_smj(spark):
         plan = buf.getvalue()
         assert "SortMergeJoin" not in plan, f"{q.__name__}:\n{plan}"
         assert "BroadcastHashJoin" in plan, f"{q.__name__}:\n{plan}"
+
+
+def test_unknown_tenant_is_not_found_on_both_paths(spark):
+    # the reference resolves the tenant before either endpoint runs:
+    # broadcast(_, nil, _, _) -> {:error, :tenant_not_found}; without the
+    # guard the null gate comparisons would dispatch as if unlimited
+    msgs = [_msg("ghost", "1")]
+    got = _bb(spark, msgs, [("other", False, 10, 0, 1)])
+    assert got["1"] == ("tenant_not_found", False)
+
+    sb = _sb(
+        spark,
+        [("ghost", "1", "t", "e", "ok", "json", False, "anon")],
+        [("other", False, 10, 0, 1)],
+    )
+    assert sb["1"] == ("tenant_not_found", 404, None)
