@@ -62,31 +62,70 @@ def route_to_nodes(matched: DataFrame, node_map: DataFrame) -> DataFrame:
 # V2 binary serializer (S9)
 # ---------------------------------------------------------------------------
 
-# opcode for user broadcast frames (reference: v2_serializer.ex push frame)
+# fastlane opcodes (reference: v2_serializer.ex:9-13)
+_OP_BROADCAST = 2
 _OP_USER_BROADCAST = 4
 
 
-def v2_frame(topic: Column, event: Column, metadata_json: Column, payload: Column) -> Column:
-    """Binary push frame: [opcode:1][topic_len:1][event_len:1][meta_len:4]
-    [topic][event][metadata][payload]. Length-prefixed header then raw
-    payload bytes, mirroring the reference's size-prefixed V2 layout
-    (reference: lib/realtime_web/socket/v2_serializer.ex:19-70). Built as a
-    pure concat of binary slices — serialized once per (topic, message), not
-    per recipient (O4)."""
+def _int1(c: Column) -> Column:
+    return F.substring(F.to_binary(F.lpad(F.hex(c), 2, "0"), F.lit("hex")), 1, 1)
+
+
+def v2_frame(
+    topic: Column,
+    event: Column,
+    metadata_json: Column,
+    payload: Column,
+    payload_encoding_json: Column | bool = True,
+) -> Column:
+    """UserBroadcast binary push frame, byte-for-byte the reference layout
+    (v2_serializer.ex:19-45):
+
+      [opcode=4:1][topic_size:1][user_event_size:1][metadata_size:1]
+      [user_payload_encoding:1 (1=json, 0=binary)]
+      [topic][user_event][metadata][user_payload]
+
+    All three size fields are single bytes — the reference's byte_size!
+    raises above 255, so callers own that bound (P6 clamps topics; the
+    metadata here is a short id struct). Built as a pure concat of binary
+    slices — serialized once per (topic, message), not per recipient (O4).
+    """
     t = F.encode(topic, "UTF-8")
     e = F.encode(event, "UTF-8")
     m = F.encode(metadata_json, "UTF-8")
-    int1 = lambda c: F.substring(F.to_binary(F.lpad(F.hex(c), 2, "0"), F.lit("hex")), 1, 1)  # noqa: E731
-    int4 = lambda c: F.to_binary(F.lpad(F.hex(c), 8, "0"), F.lit("hex"))  # noqa: E731
+    enc = (
+        payload_encoding_json
+        if isinstance(payload_encoding_json, Column)
+        else F.lit(bool(payload_encoding_json))
+    )
     return F.concat(
-        int1(F.lit(_OP_USER_BROADCAST)),
-        int1(F.octet_length(t)),
-        int1(F.octet_length(e)),
-        int4(F.octet_length(m)),
+        _int1(F.lit(_OP_USER_BROADCAST)),
+        _int1(F.octet_length(t)),
+        _int1(F.octet_length(e)),
+        _int1(F.octet_length(m)),
+        _int1(enc.cast("int")),
         t,
         e,
         m,
         payload,
+    )
+
+
+def v2_broadcast_binary_frame(
+    topic: Column, event: Column, data: Column
+) -> Column:
+    """Plain Broadcast with a binary payload, opcode 2
+    (v2_serializer.ex:47-61): [2][topic_size:1][event_size:1][topic]
+    [event][data]."""
+    t = F.encode(topic, "UTF-8")
+    e = F.encode(event, "UTF-8")
+    return F.concat(
+        _int1(F.lit(_OP_BROADCAST)),
+        _int1(F.octet_length(t)),
+        _int1(F.octet_length(e)),
+        t,
+        e,
+        data,
     )
 
 

@@ -44,10 +44,12 @@ class TestV2Frame:
             "id string, topic string, event string, payload map<string,string>, private boolean",
         )
         frame = bytes(encode_frames(df).collect()[0]["frame"])
+        # v2_serializer.ex:32-41 header: opcode, three 1-byte sizes, then
+        # the payload-encoding flag (1 = json)
         assert frame[0] == 4  # opcode
-        topic_len, event_len = frame[1], frame[2]
-        meta_len = int.from_bytes(frame[3:7], "big")
-        off = 7
+        topic_len, event_len, meta_len = frame[1], frame[2], frame[3]
+        assert frame[4] == 1  # user_payload_encoding: json
+        off = 5
         assert frame[off : off + topic_len].decode() == "room:1"
         off += topic_len
         assert frame[off : off + event_len].decode() == "broadcast"
@@ -56,6 +58,22 @@ class TestV2Frame:
         assert '"id":"m1"' in meta and '"private":true' in meta
         off += meta_len
         assert frame[off:].decode() == '{"k":"v"}'
+
+    def test_binary_broadcast_frame_layout(self, spark):
+        from pyspark.sql import functions as F
+
+        from realtime_spark.operators.routing import v2_broadcast_binary_frame
+
+        df = spark.createDataFrame([(b"\x01\x02",)], "data binary").select(
+            v2_broadcast_binary_frame(
+                F.lit("room:1"), F.lit("ev"), F.col("data")
+            ).alias("frame")
+        )
+        frame = bytes(df.collect()[0]["frame"])
+        assert frame[0] == 2 and frame[1] == 6 and frame[2] == 2
+        assert frame[3:9].decode() == "room:1"
+        assert frame[9:11].decode() == "ev"
+        assert frame[11:] == b"\x01\x02"
 
 
 class TestSubscriptionUpsert:
