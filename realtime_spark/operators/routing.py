@@ -176,19 +176,30 @@ def fanout_subscribers(
 def v1_message(
     topic: Column, event: Column, payload_json: Column
 ) -> Column:
-    """Phoenix V1 wire message: the JSON array
-    `[join_ref, ref, topic, event, payload]` with null refs for
-    server-pushed broadcasts (reference: the V1 JSON serializer the V2
-    binary format replaced, lib/realtime_web/socket/v2_serializer.ex keeps
-    V1 as the fallback). String escaping is delegated to `to_json` on a
-    2-element array (then bracket-stripped), so topics/events containing
-    quotes or unicode serialize correctly; the payload is already JSON
-    text and is spliced verbatim. Serialized once per (topic, event,
-    message) like the V2 path (O4 encode-once)."""
-    head = F.to_json(F.array(topic, event))
-    inner = F.substring(head, 2, F.length(head) - 2)
+    """Phoenix V1 wire message: the JSON OBJECT
+    `{"topic": t, "event": e, "payload": p, "ref": null}` — the V1
+    serializer ships Message structs as objects with a null ref for
+    server-pushed broadcasts (the array form `[join_ref, ref, topic,
+    event, payload]` is V2's TEXT framing, not V1). The reference keeps
+    V1 as the fallback the dispatcher converts UserBroadcasts for
+    (message_dispatcher.ex:163-168). String escaping is delegated to
+    `to_json` on single-element arrays (then bracket-stripped), so
+    topics/events containing quotes or unicode serialize correctly; the
+    payload is already JSON text and is spliced verbatim. Serialized once
+    per (topic, event, message) like the V2 path (O4 encode-once)."""
+
+    def jstr(c: Column) -> Column:
+        a = F.to_json(F.array(c))
+        return F.substring(a, 2, F.length(a) - 2)
+
     return F.concat(
-        F.lit("[null,null,"), inner, F.lit(","), payload_json, F.lit("]")
+        F.lit('{"topic":'),
+        jstr(topic),
+        F.lit(',"event":'),
+        jstr(event),
+        F.lit(',"payload":'),
+        payload_json,
+        F.lit(',"ref":null}'),
     )
 
 

@@ -143,7 +143,7 @@ class TestV1Frame:
     """V1 JSON serializer parity: [join_ref, ref, topic, event, payload]
     with proper string escaping, one frame per message (O4 encode-once)."""
 
-    def test_roundtrips_as_phoenix_array(self, spark):
+    def test_roundtrips_as_phoenix_v1_object(self, spark):
         import json
 
         from pyspark.sql import functions as F
@@ -161,9 +161,12 @@ class TestV1Frame:
             v1_message(F.col("topic"), F.col("event"), F.col("pj")).alias("f"),
         ).collect()
         for r in out:
-            assert json.loads(r["f"]) == [
-                None, None, r["topic"], r["event"], json.loads(r["pj"]),
-            ]
+            assert json.loads(r["f"]) == {
+                "topic": r["topic"],
+                "event": r["event"],
+                "payload": json.loads(r["pj"]),
+                "ref": None,
+            }
 
     def test_encode_frames_v1_carries_dedup_id(self, spark):
         import json
@@ -175,7 +178,8 @@ class TestV1Frame:
             "id bigint, topic string, event string, payload map<string,string>, private boolean",
         )
         row = encode_frames_v1(msgs).collect()[0]
-        arr = json.loads(row["frame_v1"])
-        assert arr[2] == "room:1" and arr[3] == "broadcast"
-        assert arr[4]["id"] == 7 and arr[4]["private"] is True
-        assert arr[4]["payload"] == {"k": "v"}
+        obj = json.loads(row["frame_v1"])
+        assert obj["topic"] == "room:1" and obj["event"] == "broadcast"
+        assert obj["ref"] is None
+        assert obj["payload"]["id"] == 7 and obj["payload"]["private"] is True
+        assert obj["payload"]["payload"] == {"k": "v"}
