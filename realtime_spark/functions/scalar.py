@@ -23,10 +23,13 @@ def payload_size_ok(payload_json: Column, max_kb: int = 3000) -> Column:
 
 
 def tenant_topic(tenant: Column, topic: Column, public: bool = True) -> Column:
-    """F10: `realtime:tenant:topic` namespacing
-    (reference: lib/realtime/tenants.ex:504-512)."""
-    prefix = F.concat_ws(":", F.lit("realtime"), tenant, topic)
-    return prefix if public else F.concat(prefix, F.lit(":private"))
+    """F10: tenant-scoped pubsub topic — `{external_id}:{topic}` for public
+    channels, `{external_id}-private:{topic}` for private ones
+    (reference: lib/realtime/tenants.ex:504-513; the private marker is a
+    suffix on the TENANT segment, not on the sub-topic)."""
+    if public:
+        return F.concat(tenant, F.lit(":"), topic)
+    return F.concat(tenant, F.lit("-private:"), topic)
 
 
 def ensure_payload_id(payload: Column) -> Column:

@@ -177,7 +177,7 @@ def q_batch_ingest_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_BATCH_INGEST_GROUPS = f"""
-SELECT 'realtime:t0:' || event_type AS ns_topic,
+SELECT 't0:' || event_type AS ns_topic,
        (user_id % 2 = 0) AS private, COUNT(*) AS n_msgs
 FROM events
 WHERE strlen(repeat(props, CAST(user_id % 200 AS INT))) <= {_MAX_KB_TINY * 1000}
@@ -568,9 +568,11 @@ def q_pgoutput_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         & r["private"].isNotNull()
     )
     body = F.coalesce(r["binary_payload"], r["payload"])
+    # tenants.ex:509-513: "{id}:{topic}" public, "{id}-private:{topic}" private
     ns = F.concat(
-        F.concat_ws(":", F.lit("realtime"), F.lit("t0"), r["topic"]),
-        F.when(r["private"] == "t", F.lit(":private")).otherwise(F.lit("")),
+        F.lit("t0"),
+        F.when(r["private"] == "t", F.lit("-private:")).otherwise(F.lit(":")),
+        r["topic"],
     )
     out = dec.filter(
         required_ok
@@ -600,8 +602,8 @@ WITH m AS (
   FROM events
 )
 SELECT id,
-       'realtime:t0:' || topic ||
-         CASE WHEN priv THEN ':private' ELSE '' END AS ns_topic,
+       't0' || CASE WHEN priv THEN '-private:' ELSE ':' END || topic
+         AS ns_topic,
        'broadcast' AS event,
        CASE WHEN binp IS NOT NULL THEN 'binary' ELSE 'json' END AS encoding,
        CAST(strlen(COALESCE(binp, payload)) AS INT) AS body_len
