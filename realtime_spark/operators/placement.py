@@ -129,18 +129,20 @@ def rebalance_audit(
     'wrong node' from 'cluster still settling'.
     """
     cur_topo = region_topology(nodes_cur)
-    prev_topo = region_topology(nodes_prev).select(
-        F.col("region").alias("p_region"), F.col("nodes").alias("prev_nodes")
-    )
-    stability = (
-        cur_topo.join(prev_topo, cur_topo["region"] == prev_topo["p_region"], "full")
-        .select(
-            F.coalesce("region", "p_region").alias("region"),
-            (
-                F.coalesce("nodes", F.array())
-                == F.coalesce("prev_nodes", F.array())
-            ).alias("stable"),
-        )
+    # stability per region from ONE aggregation over the tagged union —
+    # a full-outer join of the two observations would compile to a
+    # sort-merge join (full outers cannot broadcast); this stays a single
+    # tiny-dim shuffle instead
+    tagged = nodes_prev.select(
+        "region", "node", F.lit("p").alias("_obs")
+    ).unionByName(nodes_cur.select("region", "node", F.lit("c").alias("_obs")))
+    stability = tagged.groupBy("region").agg(
+        (
+            F.array_sort(F.collect_list(F.when(F.col("_obs") == "p", F.col("node"))))
+            == F.array_sort(
+                F.collect_list(F.when(F.col("_obs") == "c", F.col("node")))
+            )
+        ).alias("stable")
     )
     placed = expected_node(placements, cur_topo, default_node)
     s = F.broadcast(

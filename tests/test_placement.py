@@ -141,3 +141,20 @@ def test_rebalance_audit_new_region_is_unstable(spark):
     row = rebalance_audit(placements, prev, cur, "d").collect()[0]
     assert row["stable"] is False and row["misplaced"] is False
     assert row["expected_node"] == "n1"
+
+
+def test_placement_plan_broadcasts_no_smj(spark):
+    """Topology/stability dims are broadcast; the tenant stream must not
+    sort-merge-join at any point."""
+    import io
+    from contextlib import redirect_stdout
+
+    from realtime_spark.plans.placement_plan import q_rebalance_audit
+    from tests.conftest import SF_DIR
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q_rebalance_audit(spark, SF_DIR).explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
