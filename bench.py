@@ -118,6 +118,7 @@ def _bench_queries():
         "fastlane_dispatch",
         "cdc_fanout_encodes",
         "rebalance_audit",
+        "v2_push_decode",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

@@ -524,6 +524,7 @@ def dispatch_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastlane_presence_counter": q_fastlane_presence_counter,
         "cdc_fanout_deliveries": q_cdc_fanout_deliveries,
         "cdc_fanout_encodes": q_cdc_fanout_encodes,
+        "v2_push_decode": q_v2_push_decode,
     }
 
 
@@ -535,4 +536,81 @@ def dispatch_oracles() -> dict[str, str]:
         "fastlane_presence_counter": ORACLE_FASTLANE_PRESENCE_COUNTER,
         "cdc_fanout_deliveries": ORACLE_CDC_FANOUT_DELIVERIES,
         "cdc_fanout_encodes": ORACLE_CDC_FANOUT_ENCODES,
+        "v2_push_decode": ORACLE_V2_PUSH_DECODE,
     }
+
+
+# ---------------------------------------------------------------------------
+# inbound V2 binary decode (v2_serializer.ex:158-212): encode->decode
+# roundtrip in Spark, expectations stated directly by the oracle
+# ---------------------------------------------------------------------------
+
+
+def _v2_push_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_spark.operators.routing import _int1
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    enc8 = lambda c: F.encode(c, "UTF-8")  # noqa: E731
+    jr = enc8(F.concat(F.lit("j"), k % 5))
+    topic = enc8(F.concat(F.lit("room:"), k % 8))
+    payload = enc8(F.substring("o_orderpriority", 1, 5))
+    ev = enc8(F.concat(F.lit("e"), k % 7))
+    f0 = F.concat(
+        _int1(F.lit(0)),
+        _int1(F.octet_length(jr)),
+        _int1(F.octet_length(topic)),
+        _int1(F.octet_length(ev)),
+        jr, topic, ev, payload,
+    )
+    ref = enc8((k % 100).cast("string"))
+    ue = enc8(F.concat(F.lit("ue"), k % 4))
+    meta = enc8(
+        F.when(
+            k % 4 == 0,
+            F.concat(F.lit('{"id":'), (k % 50).cast("string"), F.lit("}")),
+        ).otherwise(F.lit(""))
+    )
+    f3 = F.concat(
+        _int1(F.lit(3)),
+        _int1(F.octet_length(jr)),
+        _int1(F.octet_length(ref)),
+        _int1(F.octet_length(topic)),
+        _int1(F.octet_length(ue)),
+        _int1(F.octet_length(meta)),
+        _int1((k % 2).cast("int")),
+        jr, ref, topic, ue, meta, payload,
+    )
+    return o.select(
+        F.when(k % 3 == 0, f0).otherwise(f3).alias("frame")
+    )
+
+
+def q_v2_push_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: frames byte-built by the V2 layout, then decoded by the
+    byte-slicing decoder; the oracle states the expected fields directly
+    from the base columns, so drift in EITHER direction mismatches."""
+    from realtime_spark.operators.routing import v2_decode_push
+
+    return v2_decode_push(_v2_push_frames(spark, sf_dir))
+
+
+ORACLE_V2_PUSH_DECODE = """
+WITH b AS (
+  SELECT o_orderkey AS k, substr(o_orderpriority, 1, 5) AS pay FROM orders
+)
+SELECT
+  CASE WHEN k % 3 = 0 THEN 'push' ELSE 'user_broadcast_push' END AS kind,
+  'j' || (k % 5) AS join_ref,
+  CASE WHEN k % 3 <> 0 THEN CAST(k % 100 AS VARCHAR) END AS ref,
+  'room:' || (k % 8) AS topic,
+  CASE WHEN k % 3 = 0 THEN 'e' || (k % 7) ELSE 'broadcast' END AS event,
+  CASE WHEN k % 3 <> 0 THEN 'ue' || (k % 4) END AS user_event,
+  CASE WHEN k % 3 = 0 THEN 'binary'
+       WHEN k % 2 = 0 THEN 'binary' ELSE 'json' END AS payload_encoding,
+  CASE WHEN k % 3 <> 0 THEN
+    CASE WHEN k % 4 = 0 THEN '{"id":' || (k % 50) || '}' ELSE '{}' END
+  END AS metadata_json,
+  hex(pay) AS payload_hex
+FROM b
+"""

@@ -140,8 +140,8 @@ class TestSubscriptionDelete:
 
 
 class TestV1Frame:
-    """V1 JSON serializer parity: [join_ref, ref, topic, event, payload]
-    with proper string escaping, one frame per message (O4 encode-once)."""
+    """V1 JSON serializer parity: the {"topic","event","payload","ref"}
+    object with proper string escaping, one frame per message (O4)."""
 
     def test_roundtrips_as_phoenix_v1_object(self, spark):
         import json
@@ -183,3 +183,43 @@ class TestV1Frame:
         assert obj["ref"] is None
         assert obj["payload"]["id"] == 7 and obj["payload"]["private"] is True
         assert obj["payload"]["payload"] == {"k": "v"}
+
+
+class TestV2Decode:
+    def test_push_and_user_broadcast_push_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+
+        from realtime_spark.operators.routing import v2_decode_push
+
+        # hand-built frames: opcode 0, opcode 3 (empty + present metadata),
+        # and an unknown opcode that must be dropped
+        f0 = bytes([0, 2, 6, 3]) + b"j1room:1ev0" + b"\x01\x02"
+        f3 = (
+            bytes([3, 2, 3, 6, 3, 0, 1])
+            + b"j2" + b"r42" + b"room:2" + b"ue1" + b"PAY"
+        )
+        f3m = (
+            bytes([3, 2, 3, 6, 3, 10, 0])
+            + b"j3" + b"r43" + b"room:3" + b"ue2" + b'{"id":"x"}' + b"\xff"
+        )
+        bad = bytes([9, 1, 1, 1]) + b"xyz"
+        df = spark.createDataFrame([(f0,), (f3,), (f3m,), (bad,)], "frame binary")
+        rows = {r["topic"]: r for r in v2_decode_push(df).collect()}
+        assert set(rows) == {"room:1", "room:2", "room:3"}
+
+        r = rows["room:1"]
+        assert r["kind"] == "push" and r["join_ref"] == "j1"
+        assert r["event"] == "ev0" and r["ref"] is None
+        assert r["payload_encoding"] == "binary" and r["payload_hex"] == "0102"
+
+        r = rows["room:2"]
+        assert r["kind"] == "user_broadcast_push" and r["ref"] == "r42"
+        assert r["event"] == "broadcast" and r["user_event"] == "ue1"
+        assert r["payload_encoding"] == "json"  # flag byte 1
+        assert r["metadata_json"] == "{}"  # empty metadata decodes to {}
+        assert r["payload_hex"] == b"PAY".hex().upper()
+
+        r = rows["room:3"]
+        assert r["payload_encoding"] == "binary"  # flag byte 0
+        assert r["metadata_json"] == '{"id":"x"}'
+        assert r["payload_hex"] == "FF"
