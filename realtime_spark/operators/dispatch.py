@@ -31,28 +31,47 @@ rollup; subscriber dims are broadcast (1000s of sockets, not billions).
 
 from __future__ import annotations
 
-from typing import Sequence
-
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
 # batch broadcast (batch_broadcast.ex)
 # ---------------------------------------------------------------------------
 
-#: outcome precedence mirrors the reference's with/else pipeline order:
-#: tenant lookup -> suspend -> changeset -> rate precheck -> dispatch split.
-BATCH_OUTCOMES = (
-    "tenant_not_found",
-    "tenant_suspended",
-    "invalid_batch",
-    "rate_limited",
-    "batch_too_large",
-    "sent_public",
-    "sent_super_user",
-    "sent_private",
-    "unauthorized",
-)
+
+def _join_tenants(
+    messages: DataFrame, tenants: DataFrame, max_payload_kb_col: str = "max_payload_kb"
+) -> DataFrame:
+    """Broadcast-join the tenant dim onto a message stream (shared by the
+    batch and single HTTP paths so their tenant semantics cannot fork)."""
+    t = F.broadcast(
+        tenants.select(
+            F.col("tenant_id").alias("t_tid"),
+            "suspended",
+            "max_eps",
+            "current_eps",
+            F.col(max_payload_kb_col).alias("t_max_kb"),
+        )
+    )
+    return messages.join(t, messages["tenant_id"] == F.col("t_tid"), "left").drop(
+        "t_tid"
+    )
+
+
+def _join_policies(m: DataFrame, policies: DataFrame) -> DataFrame:
+    """Broadcast-join write-policy rows on (topic, claims_role)."""
+    p = F.broadcast(
+        policies.select(
+            F.col("topic").alias("p_topic"),
+            F.col("claims_role").alias("p_role"),
+            F.col("can_write").alias("p_write"),
+        )
+    )
+    return m.join(
+        p,
+        (m["topic"] == p["p_topic"]) & (m["claims_role"] == p["p_role"]),
+        "left",
+    )
 
 
 def batch_broadcast_outcomes(
@@ -91,16 +110,7 @@ def batch_broadcast_outcomes(
     batch aggregate (size, any-invalid) is a per-tenant groupBy folded back
     in via a second broadcast join — message rows never shuffle.
     """
-    t = F.broadcast(
-        tenants.select(
-            F.col("tenant_id").alias("t_tid"),
-            "suspended",
-            "max_eps",
-            "current_eps",
-            F.col(max_payload_kb_col).alias("t_max_kb"),
-        )
-    )
-    m = messages.join(t, messages["tenant_id"] == F.col("t_tid"), "left").drop("t_tid")
+    m = _join_tenants(messages, tenants, max_payload_kb_col)
 
     valid = (
         F.col("topic").isNotNull()
@@ -115,19 +125,7 @@ def batch_broadcast_outcomes(
         F.max((~F.col("_valid")).cast("int")).alias("_any_invalid"),
     )
     m = m.join(F.broadcast(batch), "tenant_id", "left")
-
-    p = F.broadcast(
-        policies.select(
-            F.col("topic").alias("p_topic"),
-            F.col("claims_role").alias("p_role"),
-            F.col("can_write").alias("p_write"),
-        )
-    )
-    m = m.join(
-        p,
-        (m["topic"] == p["p_topic"]) & (m["claims_role"] == p["p_role"]),
-        "left",
-    )
+    m = _join_policies(m, policies)
 
     outcome = (
         # no tenant row joined: the reference's broadcast(_, nil, _, _)
@@ -193,16 +191,7 @@ def single_broadcast_outcomes(
     Same plan shape as the batch path minus the batch aggregate: two
     broadcast joins, fully map-side.
     """
-    t = F.broadcast(
-        tenants.select(
-            F.col("tenant_id").alias("t_tid"),
-            "suspended",
-            "max_eps",
-            "current_eps",
-            F.col("max_payload_kb").alias("t_max_kb"),
-        )
-    )
-    m = messages.join(t, messages["tenant_id"] == F.col("t_tid"), "left").drop("t_tid")
+    m = _join_tenants(messages, tenants)
 
     limit = F.col("t_max_kb") * 1000
     size_ok = F.when(
@@ -217,18 +206,7 @@ def single_broadcast_outcomes(
         & size_ok
     )
 
-    p = F.broadcast(
-        policies.select(
-            F.col("topic").alias("p_topic"),
-            F.col("claims_role").alias("p_role"),
-            F.col("can_write").alias("p_write"),
-        )
-    )
-    m = m.join(
-        p,
-        (m["topic"] == p["p_topic"]) & (m["claims_role"] == p["p_role"]),
-        "left",
-    )
+    m = _join_policies(m, policies)
 
     outcome = (
         # unknown tenant: 404-shaped error before any gate (matches the
@@ -296,7 +274,9 @@ def fastlane_pairs(messages: DataFrame, subscribers: DataFrame) -> DataFrame:
         convert_to_json_broadcast errors, the failure is cached, nothing is
         sent -> 'encode_failed' (:140-142,149-157,163-168;
         socket/user_broadcast.ex:38)
-      * the publishing socket is skipped entirely (pid == from, :49,:93)
+      * the publishing socket is skipped entirely (pid == from, :49,:93);
+        a null ``sender_socket`` means a server-originated message (the
+        HTTP paths broadcast with from = :none) — nobody is skipped
 
     Join on (tenant_id, topic == join_topic): subscriber side broadcast,
     message side map-only.
@@ -316,7 +296,7 @@ def fastlane_pairs(messages: DataFrame, subscribers: DataFrame) -> DataFrame:
         s,
         (messages["tenant_id"] == s["s_tid"]) & (messages["topic"] == s["join_topic"]),
         "inner",
-    ).filter(F.col("socket_id") != F.col("sender_socket"))
+    ).filter(~F.col("socket_id").eqNullSafe(F.col("sender_socket")))
 
     is_broadcast = F.col("is_user_broadcast") | (F.col("event") == BROADCAST_EVENT)
     replayed = F.col("message_uid").isNotNull() & F.array_contains(

@@ -28,7 +28,7 @@ but the audit also runs per-connection) the same plan holds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: seed namespacing the placement hash (same md5 convention as
@@ -121,42 +121,40 @@ def rebalance_audit(
     registry. ``nodes_prev``/``nodes_cur``: (region, node) membership at the
     two observation points Rebalancer.check compares.
 
-    A tenant is ``misplaced`` iff its platform region's node set is
-    UNCHANGED between the observations (rebalancer.ex:14-28 — membership
-    churn suppresses action) and launch_node's deterministic answer differs
-    from ``current_node`` (operations.ex:19-22). Output keeps the verdict
-    per tenant with the region-stability flag so the caller can separate
-    'wrong node' from 'cluster still settling'.
+    A tenant is ``misplaced`` iff the CLUSTER-WIDE node set is unchanged
+    between the observations and launch_node's deterministic answer differs
+    from ``current_node`` (operations.ex:19-22). The stability gate is
+    global, not per-region: the reference snapshots ``Node.list()`` — every
+    connected node — and any membership change anywhere suppresses every
+    verdict until the next check (connect.ex:366-369,567-569;
+    rebalancer.ex:14-28). Output keeps the verdict per tenant with the
+    stability flag so the caller can separate 'wrong node' from 'cluster
+    still settling'.
     """
     cur_topo = region_topology(nodes_cur)
-    # stability per region from ONE aggregation over the tagged union —
-    # a full-outer join of the two observations would compile to a
-    # sort-merge join (full outers cannot broadcast); this stays a single
-    # tiny-dim shuffle instead
-    tagged = nodes_prev.select(
-        "region", "node", F.lit("p").alias("_obs")
-    ).unionByName(nodes_cur.select("region", "node", F.lit("c").alias("_obs")))
-    stability = tagged.groupBy("region").agg(
+    # global stability from ONE aggregation over the tagged union of both
+    # observations (region-blind, like Node.list()): a join formulation
+    # would need a full outer, which cannot broadcast
+    tagged = nodes_prev.select("node", F.lit("p").alias("_obs")).unionByName(
+        nodes_cur.select("node", F.lit("c").alias("_obs"))
+    )
+    stability = tagged.groupBy().agg(
         (
-            F.array_sort(F.collect_list(F.when(F.col("_obs") == "p", F.col("node"))))
+            F.array_sort(F.collect_set(F.when(F.col("_obs") == "p", F.col("node"))))
             == F.array_sort(
-                F.collect_list(F.when(F.col("_obs") == "c", F.col("node")))
+                F.collect_set(F.when(F.col("_obs") == "c", F.col("node")))
             )
         ).alias("stable")
     )
     placed = expected_node(placements, cur_topo, default_node)
-    s = F.broadcast(
-        stability.select(F.col("region").alias("platform_region"), "stable")
-    )
-    out = placed.join(s, "platform_region", "left")
-    stable = F.coalesce(F.col("stable"), F.lit(True))  # regions w/o nodes: no churn
+    out = placed.crossJoin(F.broadcast(stability))
     return out.select(
         "tenant_id",
         "platform_region",
         "current_node",
         "expected_node",
-        stable.alias("stable"),
-        (stable & (F.col("current_node") != F.col("expected_node"))).alias(
+        "stable",
+        (F.col("stable") & (F.col("current_node") != F.col("expected_node"))).alias(
             "misplaced"
         ),
     )

@@ -138,8 +138,11 @@ def v2_decode_push(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
     """Decode inbound V2 binary frames — the serializer's client->server
     direction (v2_serializer.ex:158-212):
 
-      opcode 0 (push):  [0][join_ref_size:1][topic_size:1][event_size:1]
-                        [join_ref][topic][event][data]  -> binary payload
+      opcode 0 (push):  [0][join_ref_size:1][ref_size:1][topic_size:1]
+                        [event_size:1][join_ref][ref][topic][event][data]
+                        -> Message with a binary payload (:158-177; the
+                        inbound push DOES carry ref, unlike the outbound
+                        encode! push which omits it)
       opcode 3 (user_broadcast_push):
                         [3][join_ref_size:1][ref_size:1][topic_size:1]
                         [user_event_size:1][metadata_size:1]
@@ -147,13 +150,15 @@ def v2_decode_push(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
                         [user_event][metadata][user_payload]
                         -> Message{event: "broadcast"} carrying
                         (user_event, encoding, payload, metadata); an empty
-                        metadata field decodes to {} (:196-201)
+                        metadata field decodes to {} (:179-212)
 
-    Rows with any other opcode are dropped (the reference's decode! raises;
-    a dead-letter split belongs to the caller). Pure byte-slicing column
-    arithmetic — no UDF; sizes and offsets are staged through projections
-    so common subexpressions stay shared. Payload bytes are returned hex-
-    encoded so the row is engine-stable.
+    Both layouts share the (join_ref, ref, topic, event) header prefix;
+    only the header length (5 vs 7 bytes) and the metadata/encoding tail
+    differ. Rows with any other opcode are dropped (the reference's
+    decode! raises; a dead-letter split belongs to the caller). Pure
+    byte-slicing column arithmetic — no UDF; sizes and offsets are staged
+    through projections so common subexpressions stay shared. Payload
+    bytes are returned hex-encoded so the row is engine-stable.
     """
     f = F.col("_f")
 
@@ -163,51 +168,24 @@ def v2_decode_push(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
     staged = frames.select(
         F.col(frame_col).alias("_f"),
         bval(1).alias("_op"),
-        bval(2).alias("_s1"),
-        bval(3).alias("_s2"),
-        bval(4).alias("_s3"),
-        bval(5).alias("_s4"),
-        bval(6).alias("_s5"),
-        bval(7).alias("_s6"),
+        bval(2).alias("_s_jr"),
+        bval(3).alias("_s_ref"),
+        bval(4).alias("_s_t"),
+        bval(5).alias("_s_e"),
+        bval(6).alias("_s_m"),
+        bval(7).alias("_s_enc"),
     ).filter(F.col("_op").isin(_OP_PUSH, _OP_USER_BROADCAST_PUSH))
 
     is3 = F.col("_op") == _OP_USER_BROADCAST_PUSH
-    o = staged.withColumns(
-        {
-            "_o_jr": F.when(is3, F.lit(8)).otherwise(F.lit(5)),
-        }
-    ).withColumns(
-        {
-            "_o_ref": F.col("_o_jr") + F.col("_s1"),  # op3 only
-        }
-    ).withColumns(
-        {
-            "_o_t": F.when(is3, F.col("_o_ref") + F.col("_s2")).otherwise(
-                F.col("_o_jr") + F.col("_s1")
-            ),
-        }
-    ).withColumns(
-        {
-            "_t_sz": F.when(is3, F.col("_s3")).otherwise(F.col("_s2")),
-        }
-    ).withColumns(
-        {
-            "_o_e": F.col("_o_t") + F.col("_t_sz"),
-        }
-    ).withColumns(
-        {
-            "_e_sz": F.when(is3, F.col("_s4")).otherwise(F.col("_s3")),
-        }
-    ).withColumns(
-        {
-            "_o_m": F.col("_o_e") + F.col("_e_sz"),
-        }
-    ).withColumns(
-        {
-            "_o_p": F.when(is3, F.col("_o_m") + F.col("_s5")).otherwise(
-                F.col("_o_m")
-            ),
-        }
+    o = (
+        staged.withColumn("_o_jr", F.when(is3, F.lit(8)).otherwise(F.lit(6)))
+        .withColumn("_o_ref", F.col("_o_jr") + F.col("_s_jr"))
+        .withColumn("_o_t", F.col("_o_ref") + F.col("_s_ref"))
+        .withColumn("_o_e", F.col("_o_t") + F.col("_s_t"))
+        .withColumn("_o_m", F.col("_o_e") + F.col("_s_e"))
+        .withColumn(
+            "_o_p", F.when(is3, F.col("_o_m") + F.col("_s_m")).otherwise(F.col("_o_m"))
+        )
     )
 
     def txt(pos: Column, size: Column) -> Column:
@@ -217,22 +195,22 @@ def v2_decode_push(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
         F.when(is3, F.lit("user_broadcast_push"))
         .otherwise(F.lit("push"))
         .alias("kind"),
-        txt(F.col("_o_jr"), F.col("_s1")).alias("join_ref"),
-        F.when(is3, txt(F.col("_o_ref"), F.col("_s2"))).alias("ref"),
-        txt(F.col("_o_t"), F.col("_t_sz")).alias("topic"),
+        txt(F.col("_o_jr"), F.col("_s_jr")).alias("join_ref"),
+        txt(F.col("_o_ref"), F.col("_s_ref")).alias("ref"),
+        txt(F.col("_o_t"), F.col("_s_t")).alias("topic"),
         F.when(is3, F.lit("broadcast"))
-        .otherwise(txt(F.col("_o_e"), F.col("_e_sz")))
+        .otherwise(txt(F.col("_o_e"), F.col("_s_e")))
         .alias("event"),
-        F.when(is3, txt(F.col("_o_e"), F.col("_e_sz"))).alias("user_event"),
+        F.when(is3, txt(F.col("_o_e"), F.col("_s_e"))).alias("user_event"),
         F.when(
             is3,
-            F.when(F.col("_s6") == 0, F.lit("binary")).otherwise(F.lit("json")),
+            F.when(F.col("_s_enc") == 0, F.lit("binary")).otherwise(F.lit("json")),
         )
         .otherwise(F.lit("binary"))
         .alias("payload_encoding"),
         F.when(
             is3,
-            F.when(F.col("_s5") > 0, txt(F.col("_o_m"), F.col("_s5"))).otherwise(
+            F.when(F.col("_s_m") > 0, txt(F.col("_o_m"), F.col("_s_m"))).otherwise(
                 F.lit("{}")
             ),
         ).alias("metadata_json"),

@@ -281,14 +281,19 @@ def _fl_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 5 == 1, F.lit("system"))
         .otherwise(F.lit("broadcast"))
     )
+    # UserBroadcasts exist only on the generic dispatch clause — a
+    # presence_diff or system push can never be one (UserBroadcast structs
+    # carry user_event, not a channel event), so the flag is confined to
+    # the 'broadcast' rows
+    is_ub = (k % 7 == 3) & (k % 5 >= 2)
     return o.select(
         k.alias("msg_id"),
         F.concat(F.lit("n"), k % 2).alias("tenant_id"),
         F.concat(F.lit("room"), k % 8).alias("topic"),
         event.alias("event"),
-        (k % 7 == 3).alias("is_user_broadcast"),
+        is_ub.alias("is_user_broadcast"),
         F.when(
-            k % 7 == 3,
+            is_ub,
             F.when(k % 2 == 0, F.lit("json")).otherwise(F.lit("binary")),
         ).alias("payload_encoding"),
         F.when(k % 3 == 0, (k % 480).cast("string")).alias("message_uid"),
@@ -343,8 +348,8 @@ _flm AS (
          CASE WHEN o_orderkey % 5 = 0 THEN 'presence_diff'
               WHEN o_orderkey % 5 = 1 THEN 'system'
               ELSE 'broadcast' END AS event,
-         (o_orderkey % 7 = 3) AS is_user_broadcast,
-         CASE WHEN o_orderkey % 7 = 3 THEN
+         (o_orderkey % 7 = 3 AND o_orderkey % 5 >= 2) AS is_user_broadcast,
+         CASE WHEN o_orderkey % 7 = 3 AND o_orderkey % 5 >= 2 THEN
            CASE WHEN o_orderkey % 2 = 0 THEN 'json' ELSE 'binary' END
          END AS payload_encoding,
          CASE WHEN o_orderkey % 3 = 0
@@ -553,17 +558,18 @@ def _v2_push_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("o_orderkey")
     enc8 = lambda c: F.encode(c, "UTF-8")  # noqa: E731
     jr = enc8(F.concat(F.lit("j"), k % 5))
+    ref = enc8((k % 100).cast("string"))
     topic = enc8(F.concat(F.lit("room:"), k % 8))
     payload = enc8(F.substring("o_orderpriority", 1, 5))
     ev = enc8(F.concat(F.lit("e"), k % 7))
     f0 = F.concat(
         _int1(F.lit(0)),
         _int1(F.octet_length(jr)),
+        _int1(F.octet_length(ref)),
         _int1(F.octet_length(topic)),
         _int1(F.octet_length(ev)),
-        jr, topic, ev, payload,
+        jr, ref, topic, ev, payload,
     )
-    ref = enc8((k % 100).cast("string"))
     ue = enc8(F.concat(F.lit("ue"), k % 4))
     meta = enc8(
         F.when(
@@ -602,7 +608,7 @@ WITH b AS (
 SELECT
   CASE WHEN k % 3 = 0 THEN 'push' ELSE 'user_broadcast_push' END AS kind,
   'j' || (k % 5) AS join_ref,
-  CASE WHEN k % 3 <> 0 THEN CAST(k % 100 AS VARCHAR) END AS ref,
+  CAST(k % 100 AS VARCHAR) AS ref,
   'room:' || (k % 8) AS topic,
   CASE WHEN k % 3 = 0 THEN 'e' || (k % 7) ELSE 'broadcast' END AS event,
   CASE WHEN k % 3 <> 0 THEN 'ue' || (k % 4) END AS user_event,

@@ -4,10 +4,11 @@ rebalancer.ex cluster-stability).
 
 Fixture: tenants derived from `customer` cycling through every region of
 the reference's default mapping plus one unknown region; a 4-region node
-topology where one region gained a node between the two observations
-(unstable → suppressed), one region has a single node, and one has none
-(default-node fallback). The oracle re-derives the expected node from the
-statically-known sorted node lists and the same md5 placement hash.
+topology with a multi-node region (hash pick), a single-node region, and a
+nodeless region (default-node fallback); cluster membership unchanged
+between observations so the global stability gate is open. The oracle
+re-derives the expected node from the statically-known sorted node lists
+and the same md5 placement hash.
 """
 
 from __future__ import annotations
@@ -33,13 +34,17 @@ _CUR_NODES = [
     ("ap-southeast-1", "n2"),
     ("ap-southeast-1", "n3"),
     ("ap-southeast-2", "n4"),
-    ("ap-southeast-2", "n5"),  # joined since the previous observation
+    ("ap-southeast-2", "n5"),
     ("us-east-1", "n6"),
     ("us-east-1", "n7"),
     ("eu-west-2", "n8"),
     # us-west-1: zero nodes -> default fallback
 ]
-_PREV_NODES = [x for x in _CUR_NODES if x != ("ap-southeast-2", "n5")]
+# cluster membership unchanged between observations: the global stability
+# gate is open and misplacement verdicts are live (the suppressed case is
+# pinned by tests/test_placement.py — a single changed node anywhere would
+# blank EVERY verdict, which would make a degenerate fixture)
+_PREV_NODES = list(_CUR_NODES)
 
 
 def _pl_tenants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,7 +98,7 @@ _ple AS (
       WHEN 'us-east-1' THEN (['n6', 'n7'])[CAST(h % 2 AS INT) + 1]
       WHEN 'eu-west-2' THEN 'n8'
       ELSE '{_DEFAULT_NODE}' END AS expected_node,
-    (platform_region IS DISTINCT FROM 'ap-southeast-2') AS stable
+    TRUE AS stable
   FROM _plp
 )
 SELECT tenant_id, platform_region, current_node, expected_node, stable,

@@ -362,3 +362,15 @@ def test_unknown_tenant_is_not_found_on_both_paths(spark):
         [("other", False, 10, 0, 1)],
     )
     assert sb["1"] == ("tenant_not_found", 404, None)
+
+
+def test_fastlane_null_sender_skips_nobody(spark):
+    # HTTP-path broadcasts dispatch with from = :none — no subscriber is
+    # the sender, so a null sender_socket must fan out to everyone
+    msgs = [(1, "t", "room", "system", False, None, None, None)]
+    subs = [
+        ("s1", "t", "room", "v1", True, True, []),
+        ("s2", "t", "room", "v2", True, True, []),
+    ]
+    pairs = _fl(spark, msgs, subs)
+    assert {r["socket_id"] for r in pairs.collect()} == {"s1", "s2"}

@@ -74,9 +74,10 @@ def test_expected_node_is_deterministic_and_spread(spark):
     assert used == {"n1", "n2", "n3"}  # consistent hash spreads over all nodes
 
 
-def test_rebalance_audit_stability_gate(spark):
-    # region A unchanged: misplacement flagged; region B gained a node:
-    # verdict suppressed even though the tenant sits on the wrong node
+def test_rebalance_audit_stability_gate_is_cluster_wide(spark):
+    # the reference snapshots Node.list() — the WHOLE cluster — so a node
+    # joining eu-west-2 suppresses the verdict for a misplaced us-east-1
+    # tenant too (connect.ex:366-369, rebalancer.ex:14-28)
     placements = spark.createDataFrame(
         [("t1", "us-east-1", "bad-node"), ("t2", "eu-west-1", "bad-node")],
         TEN_DDL,
@@ -89,8 +90,15 @@ def test_rebalance_audit_stability_gate(spark):
         r["tenant_id"]: (r["expected_node"], r["stable"], r["misplaced"])
         for r in rebalance_audit(placements, prev, cur, "d").collect()
     }
-    assert got["t1"] == ("n1", True, True)
+    assert got["t1"] == ("n1", False, False)
     assert got["t2"][1] is False and got["t2"][2] is False
+
+    # same topology at both observations: verdicts are live
+    got2 = {
+        r["tenant_id"]: (r["stable"], r["misplaced"])
+        for r in rebalance_audit(placements, cur, cur, "d").collect()
+    }
+    assert got2["t1"] == (True, True)
 
 
 def test_rebalance_audit_correct_placement_not_flagged(spark):
@@ -131,10 +139,9 @@ def test_vacant_prune_fold(spark):
     assert out["t3"][1] is False  # vacant exactly at the sweep instant: kept
 
 
-def test_rebalance_audit_new_region_is_unstable(spark):
-    # a region that had no nodes at the previous observation just gained
-    # one: membership changed, so the verdict is suppressed even though the
-    # tenant already sits on the (now-correct) node set
+def test_rebalance_audit_new_node_is_unstable(spark):
+    # a node joining anywhere changes Node.list(): the verdict is
+    # suppressed even though the tenant already sits on the wrong node
     placements = spark.createDataFrame([("t1", "us-east-1", "n9")], TEN_DDL)
     prev = _nodes(spark, [("eu-west-2", "n8")])
     cur = _nodes(spark, [("eu-west-2", "n8"), ("us-east-1", "n1")])

@@ -193,7 +193,7 @@ class TestV2Decode:
 
         # hand-built frames: opcode 0, opcode 3 (empty + present metadata),
         # and an unknown opcode that must be dropped
-        f0 = bytes([0, 2, 6, 3]) + b"j1room:1ev0" + b"\x01\x02"
+        f0 = bytes([0, 2, 2, 6, 3]) + b"j1r7room:1ev0" + b"\x01\x02"
         f3 = (
             bytes([3, 2, 3, 6, 3, 0, 1])
             + b"j2" + b"r42" + b"room:2" + b"ue1" + b"PAY"
@@ -209,7 +209,9 @@ class TestV2Decode:
 
         r = rows["room:1"]
         assert r["kind"] == "push" and r["join_ref"] == "j1"
-        assert r["event"] == "ev0" and r["ref"] is None
+        # the inbound push DOES carry ref (v2_serializer.ex:158-177),
+        # unlike the outbound encode! push layout
+        assert r["event"] == "ev0" and r["ref"] == "r7"
         assert r["payload_encoding"] == "binary" and r["payload_hex"] == "0102"
 
         r = rows["room:2"]
