@@ -73,8 +73,10 @@ def wap_publish(
 
     Crash safety: the only mutation visible to readers is the single
     os.replace of the CURRENT pointer file. A crash before it leaves the
-    old version live (the orphan v{n+1} dir is overwritten by the next
-    promotion); a crash after it has already completed the publish.
+    old version live (the orphan v{n+1} dir is swept by a later
+    promotion's GC, which retains only the new version and the one the
+    pointer named just before the swap); a crash after it has already
+    completed the publish.
     """
     from realtime_spark.operators.quality_checks import run_checks
 
@@ -99,17 +101,26 @@ def wap_publish(
     vs = _version_dirs(base_dir)
     nxt = (vs[-1] + 1) if vs else 0
     vdir = os.path.join(base_dir, f"v{nxt}")
-    shutil.rmtree(vdir, ignore_errors=True)  # orphan from a prior crash
+    # the version the pointer names RIGHT NOW is what in-flight readers
+    # resolved — it, not the highest-numbered dir, is the predecessor to
+    # retain (a crash between rename and pointer swap leaves an orphan
+    # dir above the published one; keying GC off the listing would retain
+    # the orphan and delete the live predecessor)
+    prev = _current_version(base_dir)
     os.replace(staging, vdir)
     tmp_ptr = os.path.join(base_dir, f"_{_POINTER}.tmp")
     with open(tmp_ptr, "w") as fh:
         fh.write(f"v{nxt}")
     os.replace(tmp_ptr, os.path.join(base_dir, _POINTER))
-    # GC: keep the new version and its predecessor (in-flight readers of
-    # the old pointer), drop anything older.
-    for v in vs[:-1]:
-        shutil.rmtree(os.path.join(base_dir, f"v{v}"), ignore_errors=True)
-    return audit
+    # GC: keep the new version and the outgoing pointer target (in-flight
+    # readers of the old pointer), drop everything else — including
+    # crash-orphaned dirs that were staged but never published.
+    for v in vs:
+        if v not in (nxt, prev):
+            shutil.rmtree(os.path.join(base_dir, f"v{v}"), ignore_errors=True)
+    # the staged files just moved to vdir: return a materialized audit
+    # frame (collected rows), not a plan over the renamed-away staging path
+    return spark.createDataFrame([tuple(r.values()) for r in rows], audit.schema)
 
 
 def read_published(spark: SparkSession, base_dir: str) -> DataFrame:

@@ -120,11 +120,56 @@ def _binary_value(data: bytes, type_name: str) -> str:
         return str(struct.unpack(">q", data)[0] if len(data) == 8
                    else struct.unpack(">I", data)[0])
     if type_name == "float4":
-        return repr(struct.unpack(">f", data)[0])
+        return _pg_float_text(struct.unpack(">f", data)[0], single=True)
     if type_name == "float8":
-        return repr(struct.unpack(">d", data)[0])
+        return _pg_float_text(struct.unpack(">d", data)[0], single=False)
+    if type_name == "date":
+        (days,) = struct.unpack(">i", data)
+        return (_PG_EPOCH.date() + timedelta(days=days)).isoformat()
+    if type_name == "numeric":
+        return _pg_numeric_text(data)
     # bytea and anything unknown: pg hex text form
     return "\\x" + data.hex()
+
+
+def _pg_float_text(v: float, single: bool) -> str:
+    """Postgres text rendering of a float: shortest round-trip decimal AT
+    THE VALUE'S OWN WIDTH (a float4 0.1 prints '0.1', not the repr of its
+    float64 widening), pg special-value spellings, and no trailing '.0'
+    on integral values ('1', not '1.0')."""
+    import math
+
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    if single:
+        import numpy as np
+
+        s = repr(np.float32(v))  # shortest repr round-tripping at 32 bits
+    else:
+        s = repr(v)
+    if s.endswith(".0"):
+        s = s[:-2]
+    return s
+
+
+def _pg_numeric_text(data: bytes) -> str:
+    """Binary numeric -> pg text: base-10000 digits with weight/sign/dscale
+    header; exact Decimal reconstruction rendered to dscale places (pg
+    prints trailing zeros up to the stored display scale)."""
+    from decimal import Decimal
+
+    nd, weight, sign, dscale = struct.unpack_from(">hhHH", data, 0)
+    if sign == 0xC000:
+        return "NaN"
+    digits = struct.unpack_from(f">{nd}h", data, 8) if nd else ()
+    val = Decimal(0)
+    for i, d in enumerate(digits):
+        val += Decimal(d) * (Decimal(10000) ** (weight - i))
+    if sign == 0x4000:
+        val = -val
+    return str(val.quantize(Decimal(1).scaleb(-dscale)))
 
 
 def _decode_tuple(
@@ -418,7 +463,14 @@ def fold_slot_frames(
         if kind == "begin":
             begin = msg
             continue
-        if kind in ("commit", "relation", "type", "origin", "unsupported"):
+        if kind == "commit":
+            # the transaction is over: a data frame arriving without its
+            # own Begin (lost/filtered upstream) must NOT inherit this
+            # committed transaction's xid/lsn/commit_ts — and the stale
+            # dict must not persist in streaming state forever
+            begin = None
+            continue
+        if kind in ("relation", "type", "origin", "unsupported"):
             continue
         commit_ts = (
             _PG_EPOCH + timedelta(microseconds=begin["commit_ts_us"])

@@ -44,7 +44,11 @@ class AdaptiveCadence:
         self.poll_interval_ms = poll_interval_ms
         self.idle_multiplier = idle_multiplier
         self.jitter_ms = jitter_ms
-        self._state = seed & 0x7FFFFFFF
+        # Park-Miller needs a state in [1, 2^31-2]: a zero (seed=0 or a
+        # multiple of the modulus) would be a fixed point and collapse the
+        # jitter to a constant — the synchronized-poll herd it exists to
+        # break up
+        self._state = (seed % 0x7FFFFFFE) + 1
 
     def _jitter(self) -> int:
         # Park-Miller LCG: deterministic stand-in for Enum.random(50..100)
@@ -87,6 +91,10 @@ def run_cdc_poll_loop(
         slot = {"n": 0}
 
         def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            # pin the micro-batch once: the slot count, the shed gate, and
+            # the match pipeline all read the checkpointed frame instead of
+            # re-scanning the source per action
+            batch_df = batch_df.localCheckpoint()
             # slot count FIRST, like the reference's list_changes which
             # reports slot_changes_count even when nothing is delivered
             # (a shed batch must still register as backlog, not idle)

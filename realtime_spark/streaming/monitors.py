@@ -7,8 +7,10 @@ frame incrementally — per micro-batch, fold the batch's (key, hour) counts
 into a running count store, then re-evaluate the detector on the
 accumulated frame. The sum-merge fold is NOT naturally idempotent (unlike
 materialize_stream's max/latest fold), so each published version carries
-the epoch_id it folded and a replayed at-least-once micro-batch is skipped
-rather than double-added (_fold_into_store). Monitor
+the (checkpoint query id, epoch_id) it folded and a replayed at-least-once
+micro-batch of the same lineage is skipped rather than double-added, while
+a fresh pipeline whose epochs restart at 0 still folds (_fold_into_store).
+Monitor
 state is |keys x hours| integers — bounded by the time range, never by the
 event count, which is what makes re-evaluation per batch affordable.
 
@@ -32,14 +34,9 @@ from realtime_spark.operators.stats import BASE_EPOCH
 
 _EPOCH_MARKER = "_applied_epoch.txt"
 
-
-def _versions(store_dir: str) -> list[int]:
-    if not os.path.isdir(store_dir):
-        return []
-    return sorted(
-        int(d[1:]) for d in os.listdir(store_dir)
-        if d.startswith("v") and d[1:].isdigit()
-    )
+# one shared version-dir lister with the WAP store (same v{n} scheme);
+# a fix there reaches here
+from realtime_spark.operators.publish import _version_dirs as _versions  # noqa: E402
 
 
 def read_counts(spark: SparkSession, store_dir: str) -> DataFrame | None:
@@ -49,38 +46,57 @@ def read_counts(spark: SparkSession, store_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(store_dir, f"v{vs[-1]}"))
 
 
-def _applied_epoch(store_dir: str) -> int | None:
-    """epoch_id folded into the latest version, or None (pre-marker store)."""
+def _checkpoint_query_id(checkpoint_dir: str) -> str | None:
+    """The streaming query id Spark persists in {checkpoint}/metadata —
+    stable across restarts FROM the checkpoint, fresh when the checkpoint
+    is fresh. Scoping the idempotency marker to it distinguishes a genuine
+    at-least-once replay (same lineage, same epoch -> skip) from a new
+    pipeline run against an existing store whose epoch ids restart at 0
+    (different lineage -> fold)."""
+    import json
+
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            return json.load(fh).get("id")
+    except (OSError, ValueError):
+        return None
+
+
+def _applied_marker(store_dir: str) -> str | None:
+    """'{query_id}:{epoch_id}' folded into the latest version, or None."""
     vs = _versions(store_dir)
     if not vs:
         return None
     marker = os.path.join(store_dir, f"v{vs[-1]}", _EPOCH_MARKER)
     try:
         with open(marker) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
+            return fh.read().strip()
+    except OSError:
         return None
 
 
 def _fold_into_store(
-    merged: DataFrame, store_dir: str, epoch_id: int
+    merged: DataFrame, store_dir: str, marker_value: str
 ) -> None:
     """Publish `merged` as the next store version, atomically paired with
-    the epoch_id it folded. foreachBatch is at-least-once: a crash between
-    publishing v{n+1} and the checkpoint commit replays the micro-batch,
-    and an additive sum-merge would double-count it. The epoch marker makes
-    the fold idempotent — callers skip an epoch the latest version already
-    carries. Write order: parquet + marker into a staging dir, then ONE
-    os.rename, so a version is never visible without its marker."""
+    the (query id, epoch id) it folded. foreachBatch is at-least-once: a
+    crash between publishing v{n+1} and the checkpoint commit replays the
+    micro-batch, and an additive sum-merge would double-count it. The
+    marker makes the fold idempotent — callers skip an epoch the latest
+    version already carries for the same checkpoint lineage. Write order:
+    parquet + marker into a staging dir, then ONE os.rename, so a version
+    is never visible without its marker. The predecessor version is
+    retained one fold (concurrent read_counts evaluators keep their
+    files, same retention rule as the WAP store); older versions drop."""
     vs = _versions(store_dir)
     nxt_n = (vs[-1] + 1) if vs else 0
     stage = os.path.join(store_dir, f"_stage_v{nxt_n}")
     shutil.rmtree(stage, ignore_errors=True)
     merged.write.mode("overwrite").parquet(stage)
     with open(os.path.join(stage, _EPOCH_MARKER), "w") as fh:
-        fh.write(str(epoch_id))
+        fh.write(marker_value)
     os.rename(stage, os.path.join(store_dir, f"v{nxt_n}"))
-    for v in vs:
+    for v in vs[:-1]:
         shutil.rmtree(os.path.join(store_dir, f"v{v}"), ignore_errors=True)
 
 
@@ -102,8 +118,9 @@ def run_hourly_count_stream(
     spark = stream.sparkSession
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if _applied_epoch(store_dir) == epoch_id:
-            return  # replayed micro-batch: counts already folded
+        marker = f"{_checkpoint_query_id(checkpoint_dir)}:{epoch_id}"
+        if _applied_marker(store_dir) == marker:
+            return  # replayed micro-batch (same lineage): already folded
         hour = F.floor(
             (epoch_seconds(ts_col) - F.lit(BASE_EPOCH)) / 3600
         ).cast("bigint")
@@ -120,7 +137,7 @@ def run_hourly_count_stream(
             .groupBy(*keys, "hour")
             .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         )
-        _fold_into_store(merged, store_dir, epoch_id)
+        _fold_into_store(merged, store_dir, marker)
 
     writer = stream.writeStream.foreachBatch(on_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -165,8 +182,9 @@ def run_bin_count_stream(
     width = (hi - lo) / nbins
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if _applied_epoch(store_dir) == epoch_id:
-            return  # replayed micro-batch: counts already folded
+        marker = f"{_checkpoint_query_id(checkpoint_dir)}:{epoch_id}"
+        if _applied_marker(store_dir) == marker:
+            return  # replayed micro-batch (same lineage): already folded
         delta = (
             batch_df.select(
                 *keys, value_bin(value_col, lo, width, nbins).alias("bin")
@@ -182,7 +200,7 @@ def run_bin_count_stream(
             .groupBy(*keys, "bin")
             .agg(F.sum("c").cast("bigint").alias("c"))
         )
-        _fold_into_store(merged, store_dir, epoch_id)
+        _fold_into_store(merged, store_dir, marker)
 
     writer = stream.writeStream.foreachBatch(on_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -165,7 +165,23 @@ def test_fold_slot_frames_txn_boundaries():
     assert ins[2] == "INSERT" and ins[6] == 1 and ins[7] == 100
     assert ins[8]["name"] == "a" and ins[8]["flag"] == "t"
     assert trunc[2] == "TRUNCATE" and trunc[6] == 2
-    assert begin is not None  # last begin carried for the streaming lift
+    # Commit ENDS the transaction: nothing carries to the next batch, and
+    # a data frame arriving with no Begin of its own must not inherit the
+    # committed transaction's metadata
+    assert begin is None
+    orphan_rows, _ = fold_slot_frames(
+        "s", [(7, encode_insert(42, ["2", "b", None, None, None, None, None]))],
+        rel, begin,
+    )
+    assert orphan_rows[0][5] is None and orphan_rows[0][6] is None
+
+    # a batch that ends MID-transaction does carry its begin forward
+    open_frames = [
+        (8, encode_begin(300, _TS_US, 3)),
+        (9, encode_insert(42, ["3", "c", None, None, None, None, None])),
+    ]
+    _, open_begin = fold_slot_frames("s", open_frames, rel)
+    assert open_begin is not None and open_begin["xid"] == 3
 
 
 def test_toast_key_presence_semantics():
@@ -392,3 +408,41 @@ class TestWireFraming:
         assert dict(a[0]["record"]) == dict(b[0]["record"])
         assert a[0]["action"] == b[0]["action"] == "INSERT"
         assert a[0]["xid"] == b[0]["xid"] == 9
+
+
+def test_binary_value_pg_text_renderings():
+    """Binary tuple values must render as Postgres TEXT output: float4 at
+    32-bit shortest repr, pg special-value spellings, no trailing '.0',
+    binary date as ISO days-since-2000, and base-10000 numeric with the
+    stored display scale (decoder.ex:246-283 text-normalization contract)."""
+    import struct
+
+    from realtime_spark.sources.pgoutput import _binary_value
+
+    f4 = lambda v: struct.pack(">f", v)  # noqa: E731
+    f8 = lambda v: struct.pack(">d", v)  # noqa: E731
+    assert _binary_value(f4(0.1), "float4") == "0.1"  # not the f64 widening
+    assert _binary_value(f4(1.0), "float4") == "1"
+    assert _binary_value(f8(1.0), "float8") == "1"
+    assert _binary_value(f8(0.25), "float8") == "0.25"
+    assert _binary_value(f4(float("nan")), "float4") == "NaN"
+    assert _binary_value(f8(float("inf")), "float8") == "Infinity"
+    assert _binary_value(f8(float("-inf")), "float8") == "-Infinity"
+
+    # date: int4 days since 2000-01-01
+    assert _binary_value(struct.pack(">i", 0), "date") == "2000-01-01"
+    assert _binary_value(struct.pack(">i", 10348), "date") == "2028-05-01"
+    assert _binary_value(struct.pack(">i", -1), "date") == "1999-12-31"
+
+    # numeric: [ndigits][weight][sign][dscale][base-10000 digits]
+    def num(digits, weight, sign, dscale):
+        return struct.pack(f">hhHH{len(digits)}h", len(digits), weight,
+                           sign, dscale, *digits)
+
+    assert _binary_value(num([12, 3450], 0, 0x0000, 4), "numeric") == "12.3450"
+    assert _binary_value(num([5], 0, 0x4000, 0), "numeric") == "-5"
+    # weight 1: first digit is the 10000^1 place -> 1*10000 + 2345
+    assert _binary_value(num([1, 2345], 1, 0x0000, 2), "numeric") == "12345.00"
+    assert _binary_value(num([42], -1, 0x0000, 6), "numeric") == "0.004200"
+    assert _binary_value(num([], 0, 0xC000, 0), "numeric") == "NaN"
+    assert _binary_value(num([], 0, 0x0000, 0), "numeric") == "0"

@@ -65,8 +65,10 @@ def _value_for(col, draw):
         n = draw(st.integers(min_value=-lim, max_value=lim))
         return (t, n), str(n)
     if t == "float8":
+        from realtime_spark.sources.pgoutput import _pg_float_text
+
         x = draw(st.floats(allow_nan=False, allow_infinity=False, width=64))
-        return (t, x), repr(x)
+        return (t, x), _pg_float_text(x, single=False)
     if t == "timestamp":
         us = draw(st.integers(min_value=0, max_value=10**15))
         return (t, us), _pg_text_timestamp(us)

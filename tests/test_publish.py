@@ -67,11 +67,13 @@ def test_wap_promote_is_pointer_swap(spark, tmp_path):
 
 
 def test_monitor_fold_replay_idempotent(spark, tmp_path):
-    """At-least-once replay of a micro-batch (same epoch_id) must not
-    double-add into the additive count store: the published version carries
-    the epoch it folded, and the fold guard skips a seen epoch."""
+    """At-least-once replay of a micro-batch (same lineage + epoch) must
+    not double-add into the additive count store: the published version
+    carries the (query id, epoch) marker it folded, and the fold guard
+    skips a seen marker — while a fresh checkpoint lineage whose epochs
+    restart at 0 still folds."""
     from realtime_spark.streaming.monitors import (
-        _applied_epoch,
+        _applied_marker,
         _fold_into_store,
         read_counts,
     )
@@ -80,22 +82,42 @@ def test_monitor_fold_replay_idempotent(spark, tmp_path):
     delta = spark.createDataFrame(
         [("a", 0, 5), ("b", 0, 3)], "k string, hour long, cnt long"
     )
-    _fold_into_store(delta, store, epoch_id=0)
-    assert _applied_epoch(store) == 0  # the on_batch guard's skip signal
+    _fold_into_store(delta, store, "q1:0")
+    assert _applied_marker(store) == "q1:0"  # the on_batch guard's signal
     total0 = {
         (r["k"], r["hour"]): r["cnt"] for r in read_counts(spark, store).collect()
     }
     assert total0 == {("a", 0): 5, ("b", 0): 3}
-    # a NEW epoch folds normally
+    # a NEW epoch of the same lineage folds normally
     merged = (
         read_counts(spark, store)
         .unionByName(delta)
         .groupBy("k", "hour")
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
-    _fold_into_store(merged, store, epoch_id=1)
-    assert _applied_epoch(store) == 1
+    _fold_into_store(merged, store, "q1:1")
+    assert _applied_marker(store) == "q1:1"
     assert read_counts(spark, store).filter("k = 'a'").collect()[0]["cnt"] == 10
+    # a DIFFERENT lineage at epoch 0 must NOT be mistaken for a replay of
+    # the long-gone q1 epoch 0
+    assert _applied_marker(store) != "q2:0"
+
+
+def test_monitor_fold_retains_predecessor_version(spark, tmp_path):
+    """A concurrent read_counts evaluator that resolved v{n} must keep its
+    files through the NEXT fold (same one-predecessor retention as the WAP
+    store); only versions two folds back drop."""
+    import os
+
+    from realtime_spark.streaming.monitors import _fold_into_store
+
+    store = str(tmp_path / "store")
+    delta = spark.createDataFrame([("a", 0, 1)], "k string, hour long, cnt long")
+    _fold_into_store(delta, store, "q:0")
+    _fold_into_store(delta, store, "q:1")
+    assert sorted(d for d in os.listdir(store) if d.startswith("v")) == ["v0", "v1"]
+    _fold_into_store(delta, store, "q:2")
+    assert sorted(d for d in os.listdir(store) if d.startswith("v")) == ["v1", "v2"]
 
 
 def test_wap_audits_staged_files_not_plan(spark, tmp_path):
@@ -196,3 +218,38 @@ def test_daily_production_loop_end_to_end(spark, tmp_path):
         published.limit(20), spark.read.parquet(idx)
     )
     assert again.count() >= 0  # probe runs over the appended index
+
+
+def test_wap_gc_keys_off_pointer_not_listing(spark, tmp_path):
+    """A crash after the version rename but before the pointer swap leaves
+    an orphan v{n+1}. The next promotion must retain the version CURRENT
+    actually named (in-flight readers resolved it) and sweep the orphan —
+    not the other way round."""
+    import os
+
+    from realtime_spark.operators.quality_checks import not_null
+
+    base = str(tmp_path / "wap")
+    df = spark.range(5).select(F.col("id"))
+    wap_publish(df, base, [not_null("id")])  # -> v0, CURRENT=v0
+    # simulate the crash-orphan: a staged-but-never-published v1
+    os.makedirs(os.path.join(base, "v1"))
+    with open(os.path.join(base, "v1", "junk"), "w") as fh:
+        fh.write("x")
+    wap_publish(df, base, [not_null("id")])  # -> v2, CURRENT=v2
+    dirs = sorted(d for d in os.listdir(base) if d.startswith("v"))
+    assert dirs == ["v0", "v2"]  # live predecessor kept, orphan swept
+    with open(os.path.join(base, "CURRENT")) as fh:
+        assert fh.read().strip() == "v2"
+
+
+def test_wap_returned_audit_survives_promotion(spark, tmp_path):
+    """The audit frame handed back must be consumable after the staging
+    dir has been renamed away (it is materialized, not a plan over the
+    moved path)."""
+    from realtime_spark.operators.quality_checks import not_null
+
+    base = str(tmp_path / "wap")
+    out = wap_publish(spark.range(5), base, [not_null("id")])
+    rows = out.collect()  # would raise FileNotFound if still plan-backed
+    assert rows and all(r["ok"] for r in rows)

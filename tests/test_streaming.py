@@ -872,3 +872,16 @@ def test_adaptive_poll_loop_gaps_stretch_and_collapse(spark, sf_dir, tmp_path):
     assert telemetry2[0]["slot_changes"] > 0
     assert telemetry2[0]["processed"] == 0
     assert 70 <= telemetry2[0]["delay_ms"] <= 120
+
+
+def test_adaptive_jitter_never_degenerate():
+    """Park-Miller requires nonzero state: seed 0 (or a modulus multiple)
+    must still produce a moving jitter inside the 50..100 envelope, not a
+    constant that re-synchronizes every poller."""
+    from realtime_spark.streaming.adaptive import AdaptiveCadence
+
+    for seed in (0, 0x7FFFFFFF, 1, 42):
+        c = AdaptiveCadence(seed=seed)
+        vals = {c._jitter() for _ in range(24)}
+        assert len(vals) > 1, f"seed {seed}: jitter collapsed to {vals}"
+        assert all(50 <= v <= 100 for v in vals)
