@@ -239,7 +239,7 @@ kinds AS (
     CASE
       WHEN action = 'track' AND NOT COALESCE(prev_action = 'track', FALSE) THEN 'join'
       WHEN action = 'track' AND COALESCE(prev_action = 'track', FALSE)
-           AND prev_meta <> meta THEN 'update'
+           AND prev_meta IS DISTINCT FROM meta THEN 'update'
       WHEN action = 'untrack' AND COALESCE(prev_action = 'track', FALSE) THEN 'leave'
     END AS kind
   FROM lagged

@@ -3,12 +3,16 @@ updated latest-state snapshot (streaming lift of operators/materialize.py).
 
 Per micro-batch: fold the batch (tombstones kept), merge with the stored
 snapshot, write the new snapshot version. The store is a directory of
-versioned snapshot subdirs (`v{epoch}`) with the latest version discovered
-by max suffix — a poor-man's transaction log: the new version is fully
-written before the old one is removed, so a crash mid-batch leaves the
-previous consistent snapshot in place and the checkpointed source offsets
-replay the batch (idempotent: re-merging the same changes is a no-op
-because max_by picks the same winners).
+versioned snapshot subdirs (`v{n}`, n = max existing + 1, NOT the epoch id
+— epochs restart at 0 on a fresh checkpoint and would collide with or
+fall below existing versions) with the latest discovered by max suffix —
+a poor-man's transaction log: the snapshot is staged then renamed into
+place in ONE os.rename, so a crash mid-write leaves the previous
+consistent snapshot live; the predecessor version is retained one fold
+for concurrent readers (same rules as monitors._fold_into_store and the
+WAP store). The checkpointed source offsets replay the batch after a
+crash (idempotent: re-merging the same changes is a no-op because max_by
+picks the same winners).
 
 At 100 TB the versioned-overwrite becomes a Delta/Iceberg MERGE INTO keyed
 on (schema, table, pk) — the fold/merge DataFrame shapes stay identical;
@@ -25,14 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from realtime_spark.operators.materialize import materialize_latest, merge_snapshots
 
-
-def _versions(store_dir: str) -> list[int]:
-    if not os.path.isdir(store_dir):
-        return []
-    return sorted(
-        int(d[1:]) for d in os.listdir(store_dir)
-        if d.startswith("v") and d[1:].isdigit()
-    )
+# one shared version-dir lister across all three versioned stores
+from realtime_spark.operators.publish import _version_dirs as _versions  # noqa: E402
 
 
 def read_snapshot(spark: SparkSession, store_dir: str) -> DataFrame | None:
@@ -67,9 +65,19 @@ def run_materialize_stream(
         )
         prev = read_snapshot(spark, store_dir)
         new = folded if prev is None else merge_snapshots(prev, folded)
-        out = os.path.join(store_dir, f"v{epoch_id + 1}")
-        new.write.mode("overwrite").partitionBy("table_name").parquet(out)
-        for v in _versions(store_dir)[:-1]:
+        # next version = max existing + 1 (epoch ids restart on a fresh
+        # checkpoint and a replayed epoch would overwrite the very version
+        # it is reading); stage + one rename so a partial write is never
+        # discoverable as latest
+        vs = _versions(store_dir)
+        nxt = (vs[-1] + 1) if vs else 0
+        stage = os.path.join(store_dir, f"_stage_v{nxt}")
+        shutil.rmtree(stage, ignore_errors=True)
+        new.write.mode("overwrite").partitionBy("table_name").parquet(stage)
+        os.rename(stage, os.path.join(store_dir, f"v{nxt}"))
+        # retain the predecessor one fold for concurrent serve_snapshot
+        # readers; drop everything older
+        for v in vs[:-1]:
             shutil.rmtree(os.path.join(store_dir, f"v{v}"), ignore_errors=True)
 
     writer = stream.writeStream.foreachBatch(on_batch).option(

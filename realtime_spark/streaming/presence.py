@@ -58,7 +58,12 @@ def presence_diffs_stateful(events: DataFrame) -> DataFrame:
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (topic, presence_key) = key
-        current: str | None = state.get[0] if state.exists else None
+        # presence is STATE EXISTENCE, not meta non-nullness: a track with
+        # a null/empty meta still makes the key present (Phoenix tracks
+        # empty metas); conflating the two would re-join on every track
+        # and drop the final leave
+        present: bool = state.exists
+        current: str | None = state.get[0] if present else None
         rows: list[tuple[Any, ...]] = []
 
         # concatenate the micro-batch's chunks before sorting: Arrow delivers
@@ -74,20 +79,20 @@ def presence_diffs_stateful(events: DataFrame) -> DataFrame:
             tss = merged["ts"].to_numpy()
             for action, meta, ts in zip(actions, metas, tss):
                 if action == "track":
-                    if current is None:
-                        current = meta
+                    if not present:
+                        present, current = True, meta
                         rows.append((topic, presence_key, "join", current, ts))
                     elif current != meta:
                         current = meta
                         rows.append((topic, presence_key, "update", current, ts))
                     # unchanged re-track: no-op
-                elif action == "untrack" and current is not None:
+                elif action == "untrack" and present:
                     rows.append((topic, presence_key, "leave", current, ts))
-                    current = None
-        if current is None:
-            state.remove()
-        else:
+                    present, current = False, None
+        if present:
             state.update((current,))
+        else:
+            state.remove()
         if rows:
             yield pd.DataFrame(
                 rows, columns=["topic", "presence_key", "kind", "meta", "ts"]
@@ -139,15 +144,19 @@ def presence_diffs_sharded(events: DataFrame, n_shards: int = 32) -> DataFrame:
             metas = merged["meta"].to_numpy()
             tss = merged["ts"].to_numpy()
             for pkey, action, meta, ts in zip(pkeys, actions, metas, tss):
+                # membership = key IN the map (a stored null meta is still
+                # present); .get()-is-None would leak null-meta entries
+                # forever and re-join on every track
+                in_map = pkey in current
                 cur = current.get(pkey)
                 if action == "track":
-                    if cur is None:
+                    if not in_map:
                         current[pkey] = meta
                         rows.append((topic, pkey, "join", meta, ts))
                     elif cur != meta:
                         current[pkey] = meta
                         rows.append((topic, pkey, "update", meta, ts))
-                elif action == "untrack" and cur is not None:
+                elif action == "untrack" and in_map:
                     rows.append((topic, pkey, "leave", cur, ts))
                     del current[pkey]
         if current:
@@ -175,7 +184,8 @@ def presence_diffs_batch(events: DataFrame) -> DataFrame:
     """Batch/oracle analog of the stateful diff operator: replay the event log
     per (topic, presence_key) in ts order with lag() and emit the same
     join/update/leave/no-op decisions. One shuffle on the state key."""
-    w = Window.partitionBy("topic", "presence_key").orderBy("ts")
+    order = ["ts", "seq"] if "seq" in events.columns else ["ts"]
+    w = Window.partitionBy("topic", "presence_key").orderBy(*order)
     lagged = events.withColumn("prev_meta", F.lag("meta").over(w)).withColumn(
         "prev_action", F.lag("action").over(w)
     )
@@ -187,7 +197,7 @@ def presence_diffs_batch(events: DataFrame) -> DataFrame:
         .when(
             (F.col("action") == "track")
             & present_before
-            & (F.col("prev_meta") != F.col("meta")),
+            & ~F.col("prev_meta").eqNullSafe(F.col("meta")),
             "update",
         )
         .when((F.col("action") == "untrack") & F.coalesce(present_before, F.lit(False)), "leave")
@@ -200,7 +210,10 @@ def presence_diffs_batch(events: DataFrame) -> DataFrame:
 def presence_state_batch(events: DataFrame) -> DataFrame:
     """A8: current state per (topic, presence_key) = last surviving track.
     Output one row per present key with its latest meta."""
-    w = Window.partitionBy("topic", "presence_key").orderBy(F.desc("ts"))
+    order = (
+        [F.desc("ts"), F.desc("seq")] if "seq" in events.columns else [F.desc("ts")]
+    )
+    w = Window.partitionBy("topic", "presence_key").orderBy(*order)
     last = (
         events.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -258,19 +271,16 @@ def presence_diffs_tws(events: DataFrame, n_shards: int = 32) -> DataFrame:
                     merged["ts"].to_numpy(),
                 ):
                     kt = (pkey,)
-                    cur = (
-                        self._members.getValue(kt)[0]
-                        if self._members.containsKey(kt)
-                        else None
-                    )
+                    in_map = self._members.containsKey(kt)
+                    cur = self._members.getValue(kt)[0] if in_map else None
                     if action == "track":
-                        if cur is None:
+                        if not in_map:
                             self._members.updateValue(kt, (meta,))
                             out.append((topic, pkey, "join", meta, ts))
                         elif cur != meta:
                             self._members.updateValue(kt, (meta,))
                             out.append((topic, pkey, "update", meta, ts))
-                    elif action == "untrack" and cur is not None:
+                    elif action == "untrack" and in_map:
                         out.append((topic, pkey, "leave", cur, ts))
                         self._members.removeKey(kt)
             if out:

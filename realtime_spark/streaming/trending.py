@@ -52,9 +52,13 @@ def trending_counts_stream(
     hour = F.floor((epoch_seconds(ts_col) - F.lit(BASE_EPOCH)) / 3600).cast(
         "bigint"
     )
+    # a null ts (or key) cannot bucket — and a nullable hour column with
+    # any null crosses Arrow as float64, turning state keys into '5.0'
+    # and crashing int(); filter BEFORE the state fold so the pandas
+    # column stays int64
     bucketed = events.select(
         F.col(key_col).cast("string").alias("key"), hour.alias("hour")
-    )
+    ).filter(F.col("key").isNotNull() & F.col("hour").isNotNull())
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -68,7 +72,7 @@ def trending_counts_stream(
             touched = True
             for h, c in p.groupby("hour").size().items():
                 held[str(h)] = held.get(str(h), 0) + int(c)
-        if not touched:
+        if not touched or not held:
             return
         max_h = max(int(h) for h in held)
         cutoff = max_h - window_hours + 1

@@ -323,3 +323,48 @@ class TestReplayAlgebra:
             }
 
         assert key(replayed) == key(full)
+
+
+class TestSnapshotStoreVersioning:
+    def test_fresh_checkpoint_continues_version_sequence(self, spark, tmp_path):
+        """Versions are max-existing+1, not epoch_id+1: a second pipeline
+        run with a FRESH checkpoint (epochs restart at 0) against the same
+        store must fold on top, not write a lower-numbered version that the
+        GC immediately deletes. The predecessor version survives one fold
+        for concurrent readers."""
+        import os
+
+        from realtime_spark.streaming.materialize_stream import (
+            run_materialize_stream,
+            serve_snapshot,
+        )
+
+        def one_change(cid, status):
+            return (
+                cid, cid, "INSERT", "public", "t",
+                __import__("datetime").datetime(2026, 1, 1),
+                {"id": "1", "s": status}, None, ["id"],
+            )
+
+        ddl = (
+            "change_id bigint, seq bigint, action string, schema_name string, "
+            "table_name string, commit_timestamp timestamp, "
+            "record map<string,string>, old_record map<string,string>, "
+            "pk array<string>"
+        )
+        base = str(tmp_path)
+        for run, status in ((1, "A"), (2, "B")):
+            src = os.path.join(base, f"src{run}")
+            spark.createDataFrame([one_change(run, status)], ddl).write.parquet(src)
+            stream = spark.readStream.schema(ddl).parquet(src)
+            # fresh checkpoint per run: epochs restart at 0 both times
+            q = run_materialize_stream(
+                stream, os.path.join(base, "store"), os.path.join(base, f"ckpt{run}")
+            )
+            q.awaitTermination(120)
+
+        store = os.path.join(base, "store")
+        vs = sorted(d for d in os.listdir(store) if d.startswith("v"))
+        assert vs == ["v0", "v1"], vs  # second run continued the sequence
+        row = serve_snapshot(spark, store).collect()[0]
+        assert row["record"]["s"] == "B"  # and actually folded on top

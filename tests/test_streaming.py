@@ -885,3 +885,48 @@ def test_adaptive_jitter_never_degenerate():
         vals = {c._jitter() for _ in range(24)}
         assert len(vals) > 1, f"seed {seed}: jitter collapsed to {vals}"
         assert all(50 <= v <= 100 for v in vals)
+
+
+def test_presence_null_meta_is_still_present(spark, tmp_path):
+    """Presence is state existence, not meta non-nullness: a track with a
+    null meta joins ONCE (re-tracks are no-ops), and untrack still emits
+    the leave — for both the per-key and the sharded state operators."""
+    import os
+
+    rows = [
+        ("r", "u1", "track", None, 1.0),
+        ("r", "u1", "track", None, 2.0),   # re-track with same null meta: no-op
+        ("r", "u1", "untrack", None, 3.0),  # leave must fire
+        ("r", "u2", "track", None, 1.0),
+        ("r", "u2", "track", "m", 2.0),    # null -> m is an update
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "topic string, presence_key string, action string, meta string, sec double",
+    ).withColumn("ts", F.col("sec").cast("timestamp")).drop("sec")
+
+    expected = {
+        ("r", "u1", "join", None),
+        ("r", "u1", "leave", None),
+        ("r", "u2", "join", None),
+        ("r", "u2", "update", "m"),
+    }
+    assert _as_set(presence_diffs_batch(ev)) == expected
+
+    src = str(tmp_path / "src")
+    ev.repartition(1).write.parquet(src)
+    for i, op in enumerate((presence_diffs_stateful, presence_diffs_sharded)):
+        stream = spark.readStream.schema(
+            "topic string, presence_key string, action string, meta string, ts timestamp"
+        ).parquet(src)
+        out_dir = str(tmp_path / f"out{i}")
+        q = (
+            op(stream).writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = _as_set(spark.read.parquet(out_dir))
+        assert got == expected, f"{op.__name__}: {got}"
