@@ -13,6 +13,7 @@ not a bulk cipher.
 from __future__ import annotations
 
 import base64
+import binascii
 
 import pandas as pd
 from pyspark.sql import Column
@@ -30,7 +31,6 @@ _SBOX = bytes.fromhex(
     "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
     "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
 )
-_INV_SBOX = bytes(256)
 _inv = bytearray(256)
 for i, v in enumerate(_SBOX):
     _inv[v] = i
@@ -55,7 +55,12 @@ def _mul(a: int, b: int) -> int:
 
 
 def _expand_key(key: bytes) -> list[bytes]:
-    """11 round keys of 16 bytes (FIPS-197 §5.2)."""
+    """11 round keys of 16 bytes (FIPS-197 §5.2). AES-128 only: a wrong
+    key size raises (the reference's :crypto badarg) instead of silently
+    truncating to the first 16 bytes — ciphertext from a truncated key
+    would be undecryptable by any correct implementation."""
+    if len(key) != 16:
+        raise ValueError(f"AES-128 key must be 16 bytes, got {len(key)}")
     words = [key[i:i + 4] for i in range(0, 16, 4)]
     for r in range(10):
         t = words[-1]
@@ -111,16 +116,16 @@ def _xor(a: bytes, b: bytes) -> bytes:
     return bytes(x ^ y for x, y in zip(a, b))
 
 
-def aes128_encrypt_block(block: bytes, key: bytes) -> bytes:
-    rk = _expand_key(key)
+def aes128_encrypt_block(block: bytes, key: bytes, rk: list[bytes] | None = None) -> bytes:
+    rk = rk if rk is not None else _expand_key(key)
     s = _xor(block, rk[0])
     for r in range(1, 10):
         s = _xor(_mix(_sub_shift(s)), rk[r])
     return _xor(_sub_shift(s), rk[10])
 
 
-def aes128_decrypt_block(block: bytes, key: bytes) -> bytes:
-    rk = _expand_key(key)
+def aes128_decrypt_block(block: bytes, key: bytes, rk: list[bytes] | None = None) -> bytes:
+    rk = rk if rk is not None else _expand_key(key)
     s = _xor(block, rk[10])
     for r in range(9, 0, -1):
         s = _inv_mix(_xor(_inv_shift_sub(s), rk[r]))
@@ -134,23 +139,38 @@ def _pad(data: bytes) -> bytes:
 
 
 def _unpad(data: bytes) -> bytes:
-    return data[: len(data) - data[-1]]
+    """Validated PKCS#7 strip: wrong-key/corrupt ciphertext yields a random
+    final byte; checking all padding bytes turns silent mis-truncation into
+    an error the caller can map to NULL/quarantine."""
+    n = data[-1]
+    if not 1 <= n <= 16 or data[-n:] != bytes([n]) * n:
+        raise ValueError("invalid PKCS#7 padding")
+    return data[:-n]
 
 
 def encrypt_secret(text: str, key: bytes) -> str:
     """crypto.ex encrypt!/1: AES-128-ECB over padded utf-8, base64."""
     raw = _pad(text.encode("utf-8"))
+    rk = _expand_key(key)  # one schedule per call, not per block
     out = b"".join(
-        aes128_encrypt_block(raw[i:i + 16], key) for i in range(0, len(raw), 16)
+        aes128_encrypt_block(raw[i:i + 16], key, rk)
+        for i in range(0, len(raw), 16)
     )
     return base64.b64encode(out).decode("ascii")
 
 
 def decrypt_secret(b64_text: str, key: bytes) -> str:
-    """crypto.ex decrypt!/1."""
+    """crypto.ex decrypt!/1. Raises ValueError on an empty / non-16-multiple
+    ciphertext or invalid padding (the reference raises badarg); the column
+    wrapper maps these to NULL so one corrupt tenant row cannot kill the
+    whole scan."""
     raw = base64.b64decode(b64_text)
+    if not raw or len(raw) % 16:
+        raise ValueError(f"ciphertext length {len(raw)} is not a positive multiple of 16")
+    rk = _expand_key(key)  # one schedule per call, not per block
     out = b"".join(
-        aes128_decrypt_block(raw[i:i + 16], key) for i in range(0, len(raw), 16)
+        aes128_decrypt_block(raw[i:i + 16], key, rk)
+        for i in range(0, len(raw), 16)
     )
     return _unpad(out).decode("utf-8")
 
@@ -166,6 +186,14 @@ def encrypt_col(col: Column, key: bytes) -> Column:
 def decrypt_col(col: Column, key: bytes) -> Column:
     @pandas_udf("string")
     def _dec(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: None if v is None else decrypt_secret(v, key))
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return decrypt_secret(v, key)
+            except (ValueError, UnicodeDecodeError, binascii.Error):
+                return None  # corrupt/wrong-key row -> NULL, not a dead job
+
+        return s.map(one)
 
     return _dec(col)

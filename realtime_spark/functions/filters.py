@@ -393,7 +393,12 @@ def compile_filter_on_record(
 
     `typed_cols`, when given, maps every record key to the typed base Column
     it was projected from; the predicate then reads the base column directly
-    instead of re-building the record map per lookup. `typed_dtypes` (record
+    instead of re-building the record map per lookup. CONTRACT: the typed
+    columns must carry the ACTION-APPROPRIATE values — the new row for
+    INSERT/UPDATE and the delete identity for DELETE (a typed scan of a
+    change feed materializes exactly that; testdata.changes_from_orders
+    does). The interpreter path picks record vs old_record per action at
+    runtime; the compiled path bakes the choice into the source projection. `typed_dtypes` (record
     key -> Spark dtype string of that typed column) additionally lets the
     compiler DROP the cast entirely when the column is already the
     comparison family's native type — the predicate becomes a bare

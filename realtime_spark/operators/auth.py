@@ -608,15 +608,19 @@ def gate_messages(
     `mode`. Public messages pass (reference gates only private channels).
 
     Broadcast join on (topic, claims_role); fail-closed: a private message
-    with no policy row is dropped, like an unauthorized probe.
+    with no policy row is dropped, like an unauthorized probe. Duplicate
+    policy rows for the same key are AND-merged (also fail-closed) so a
+    conflicting pair can neither fan the message out twice nor let one
+    permissive duplicate override a deny.
     """
     flag = "can_read" if mode == "read" else "can_write"
     p = F.broadcast(
-        policies.filter(F.col("extension") == extension).select(
+        policies.filter(F.col("extension") == extension)
+        .groupBy(
             F.col("topic").alias("p_topic"),
             F.col("claims_role").alias("p_role"),
-            F.col(flag).alias("p_ok"),
         )
+        .agg(F.min(F.col(flag)).alias("p_ok"))
     )
     joined = messages.join(
         p,
@@ -682,11 +686,18 @@ def apply_rls_exists_policy(
     broadcasts the lookup when small (the common policy-table case) and
     falls back to a shuffled semi-join when it is data-sized — either way
     no row expansion, no driver evaluation."""
+    if not keys:
+        # an EXISTS with no equality keys would degenerate to a cartesian
+        # semi-join that passes every protected row — fail CLOSED instead
+        raise ValueError("apply_rls_exists_policy requires at least one key pair")
     protected = (
         (F.col("c.schema_name") == F.lit(schema_name))
-        & (F.col("c.table_name") == F.lit(table_name))
         & (F.col("s.claims_role") == F.lit(claims_role))
     )
+    if table_name is not None:
+        # == lit(None) would be NULL on every row, silently emptying BOTH
+        # branches of the split; None means "this schema's every table"
+        protected = protected & (F.col("c.table_name") == F.lit(table_name))
     target = F.when(
         F.col("c.action") == "DELETE", F.col("c.old_record")
     ).otherwise(F.col("c.record"))

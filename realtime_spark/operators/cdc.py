@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from realtime_spark.functions.filters import (
     FILTER_STRUCT_DDL,
+    FilterValidationError,
     compile_filters_on_record,
     filters_match_expr,
     filters_to_rows,
@@ -67,14 +68,29 @@ def subscriptions_df(
     """
     type_maps = dict(type_maps or {})
     merged: dict[str, str] = {}
+    ambiguous: set[str] = set()  # same column name, conflicting type families
     for m in type_maps.values():
-        merged.update(m)
+        for col, t in m.items():
+            if col in merged and merged[col] != t:
+                ambiguous.add(col)
+            merged[col] = t
     rows = []
     for i, s in enumerate(specs):
         filters = parse_filter_string(s.get("filters"))
         schema = s.get("schema", "public")
         table = s.get("table", "*")
         types = type_maps.get((schema, table), merged if "*" in (schema, table) else {})
+        if "*" in (schema, table) and filters:
+            # a wildcard filter on a column whose type differs across
+            # relations has no single comparison family — last-wins would
+            # silently compare numbers as strings on some tables; reject it
+            # like the reference's subscription_check_filters type check
+            bad = [f.column_name for f in filters if f.column_name in ambiguous]
+            if bad:
+                raise FilterValidationError(
+                    f"wildcard filter column(s) {bad} have conflicting types "
+                    "across relations; subscribe per table instead"
+                )
         rows.append(
             {
                 "id": int(s.get("id", i + 1)),
@@ -119,9 +135,14 @@ def upsert_subscriptions(existing: DataFrame, incoming: DataFrame) -> DataFrame:
         "action_filter",
         F.coalesce(F.col("selected_columns"), F.array().cast("array<string>")),
     ]
-    keyed = lambda df: df.withColumn("_k", F.md5(F.concat_ws("|", *[  # noqa: E731
-        c if isinstance(c, Column) else F.col(c) for c in key
-    ])))
+    # key via to_json(struct(...)): unambiguous field boundaries — a plain
+    # concat_ws separator both flattens arrays and skips NULLs, so
+    # selected_columns ['a','b'] vs ['a|b'] (or a '|' inside an id) would
+    # collide and the anti-join would drop an unrelated subscription
+    keyed = lambda df: df.withColumn("_k", F.md5(F.to_json(F.struct(*[  # noqa: E731
+        (c if isinstance(c, Column) else F.col(c)).alias(f"k{i}")
+        for i, c in enumerate(key)
+    ]), {"ignoreNullFields": "false"})))
     ex = keyed(existing)
     inc = keyed(incoming)
     kept = ex.join(inc.select("_k"), "_k", "left_anti")
@@ -249,7 +270,10 @@ def _lit_str(col: Column) -> str | None:
 def _sub_pred(r, cols, typed_cols=None, typed_dtypes=None) -> Column:
     """Plan-time predicate for one collected subscription row: entity equality
     + action filter + compiled filter conjunction over the action-appropriate
-    record (DELETE evaluates old_record — wal2json delete identity).
+    record (DELETE evaluates old_record — wal2json delete identity). With
+    `typed_cols` the action pick is the SOURCE's job: typed change scans
+    must project the delete identity into the typed columns for DELETE rows
+    (see compile_filter_on_record's contract note).
 
     `cols` maps change-column name -> Column (over whatever frame the
     predicate runs on); `typed_cols` optionally maps record keys to typed

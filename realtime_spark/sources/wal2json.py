@@ -9,7 +9,7 @@ JSON object to `apply_rls`
 Spark-natively the same stream arrives as JSON lines (file or Kafka source);
 `parse_wal2json` turns it into the engine's normalized change-event frame:
 
-    change_id        bigint     (monotonic surrogate for LSN ordering)
+    change_id        bigint     (batch-scoped surrogate id; see select note)
     action           string     INSERT|UPDATE|DELETE|TRUNCATE
     schema_name      string
     table_name       string
@@ -62,6 +62,11 @@ def parse_wal2json(raw: DataFrame, json_col: str = "value") -> DataFrame:
     ident = F.col("w.identity")
     meta_src = F.coalesce(cols, ident)
     out = parsed.select(
+        # BATCH-SCOPED surrogate: unique within one parse call only — ids
+        # restart per micro-batch and order by partition index, so they are
+        # NOT a cross-batch identity or a WAL total order. Cross-batch
+        # consumers key on the change CONTENT (pk + commit_timestamp + seq
+        # from the feed) or the pgoutput path's real LSNs.
         F.monotonically_increasing_id().alias("change_id"),
         action_expr.alias("action"),
         F.col("w.schema").alias("schema_name"),

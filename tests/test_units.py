@@ -527,3 +527,73 @@ class TestAesCrypto:
         # utf-8 survives
         s = "pässwörd→日本"
         assert decrypt_secret(encrypt_secret(s, self.KEY), self.KEY) == s
+
+
+class TestReviewGuards:
+    def test_aes_key_length_validated(self):
+        import pytest as _pytest
+
+        from realtime_spark.functions.crypto import encrypt_secret
+
+        with _pytest.raises(ValueError, match="16 bytes"):
+            encrypt_secret("x", b"0" * 32)  # silently truncating would
+            # produce ciphertext no correct AES-128 peer can decrypt
+
+    def test_decrypt_corrupt_ciphertext_raises_not_garbage(self):
+        import base64
+
+        import pytest as _pytest
+
+        from realtime_spark.functions.crypto import decrypt_secret
+
+        key = b"realtime-enc-16B"
+        with _pytest.raises(ValueError):
+            decrypt_secret("", key)  # empty
+        with _pytest.raises(ValueError):
+            decrypt_secret(base64.b64encode(b"short").decode(), key)  # %16
+        with _pytest.raises(ValueError):
+            # random block: PKCS#7 check fails instead of silent truncation
+            decrypt_secret(base64.b64encode(b"\x01" * 16).decode(), key)
+
+    def test_decrypt_col_maps_corrupt_rows_to_null(self, spark):
+        from pyspark.sql import functions as F
+
+        from realtime_spark.functions.crypto import decrypt_col, encrypt_secret
+
+        key = b"realtime-enc-16B"
+        good = encrypt_secret("hello", key)
+        df = spark.createDataFrame([(good,), ("AAAA",), (None,)], "c string")
+        got = [r["d"] for r in df.select(decrypt_col(F.col("c"), key).alias("d")).collect()]
+        assert got == ["hello", None, None]
+
+    def test_wildcard_filter_on_ambiguous_column_rejected(self, spark):
+        import pytest as _pytest
+
+        from realtime_spark.functions.filters import FilterValidationError
+        from realtime_spark.operators.cdc import subscriptions_df
+
+        maps = {
+            ("public", "a"): {"val": "int4"},
+            ("public", "b"): {"val": "text"},
+        }
+        with _pytest.raises(FilterValidationError, match="conflicting types"):
+            subscriptions_df(
+                spark,
+                [{"subscription_id": "w", "table": "*", "filters": "val=gt.9"}],
+                type_maps=maps,
+            )
+        # per-table subscription on the same column is fine
+        subscriptions_df(
+            spark,
+            [{"subscription_id": "s", "table": "a", "filters": "val=gt.9"}],
+            type_maps=maps,
+        )
+
+    def test_exists_policy_guards(self, spark):
+        import pytest as _pytest
+
+        from realtime_spark.operators.auth import apply_rls_exists_policy
+
+        lookup = spark.createDataFrame([(1,)], "c_custkey long")
+        with _pytest.raises(ValueError, match="at least one key"):
+            apply_rls_exists_policy(lookup.alias("c"), lookup, [])
