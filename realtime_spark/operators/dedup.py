@@ -68,11 +68,19 @@ def shingles_expr(text: Column, k: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _digest(text: Column) -> Column:
+    """Content digest with NULL text mapped to a sentinel: md5(NULL) is
+    NULL, and a NULL join key matches nothing — null-text rows would be
+    silently DELETED by the semi-join keep paths instead of deduped to
+    one. The sentinel cannot collide with a real md5 (not 32 hex chars)."""
+    return F.coalesce(F.md5(text), F.lit("_null_"))
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup by content digest: returns (digest, canonical_id, n_dups,
     ids) for every duplicate group (n_dups > 1). Canonical = min id."""
     g = (
-        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("digest"))
+        df.select(F.col(id_col).alias("id"), _digest(F.col(text_col)).alias("digest"))
         .groupBy("digest")
         .agg(
             F.min("id").alias("canonical_id"),
@@ -85,7 +93,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep exactly one row (min id) per distinct text value."""
-    w_ids = df.withColumn("_digest", F.md5(F.col(text_col)))
+    w_ids = df.withColumn("_digest", _digest(F.col(text_col)))
     canon = w_ids.groupBy("_digest").agg(F.min(F.col(id_col)).alias(id_col))
     return w_ids.join(canon, ["_digest", id_col], "left_semi").drop("_digest")
 
@@ -110,7 +118,9 @@ def jaccard_pairs(
     prefix), not the shingle string: narrower shuffle rows and cheap key
     hashing; the oracle mirrors the same digest so collisions (if any) agree.
     Shingles occurring in more than `max_shingle_freq` docs are dropped
-    (stop-shingle skew guard). Exact Jaccard is inherently quadratic in
+    from BOTH the intersection and the size terms (stop-shingle skew
+    guard; mixing an unfiltered |A| with a filtered |A∩B| would
+    systematically underestimate Jaccard as soon as the guard fires). Exact Jaccard is inherently quadratic in
     co-occurrence — at 100 TB use minhash_lsh_pairs to generate candidates
     and this operator only to score them. Output: (doc_a, doc_b, jaccard)
     with doc_a < doc_b.
@@ -129,11 +139,11 @@ def jaccard_pairs(
     # map-side — and recomputing sizes as a map-only size(shingles) over the
     # source, which re-tokenizes the corpus instead of reusing the persist.)
     sh = sh.persist()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     freq_ok = sh.groupBy("sx").agg(F.count(F.lit(1)).alias("freq")).filter(
         F.col("freq") <= max_shingle_freq
     )
     sh_f = sh.join(freq_ok.select("sx"), "sx", "left_semi")
+    sizes = sh_f.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh_f.alias("a")
     b = sh_f.alias("b")
     inter = (
@@ -209,6 +219,11 @@ def minhash_bands(
     interpreted higher-order functions), and the per-function permutations
     are num_hashes map-side-combined min() aggs over (doc, x) pairs.
     """
+    if bands <= 0 or num_hashes % bands:
+        # a remainder silently discards trailing hash functions; worse,
+        # bands > num_hashes makes every band key the empty slice and the
+        # whole corpus collides into one quadratic bucket
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
     sh = spread_by(df, id_col).select(
         F.col(id_col).alias("doc"),
@@ -340,18 +355,25 @@ def jaccard_for_pairs(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    denom = (
+        F.coalesce(F.col("n_a"), F.lit(0))
+        + F.coalesce(F.col("n_b"), F.lit(0))
+        - ni
+    )
     return (
+        # LEFT joins throughout: a candidate pair whose doc is too short to
+        # shingle (no sizes row) must come back with jaccard 0, not vanish
+        # from the output its caller supplied it to
         p.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .join(sa, "doc_a", "left")
+        .join(sb, "doc_b", "left")
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.coalesce(F.col("n_inter"), F.lit(0))
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
-                6,
-            ).alias("jaccard"),
+            F.when(denom > 0, F.round(ni / denom, 6))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
         )
     )
 
@@ -488,6 +510,10 @@ def duplicate_clusters(
     iterative driver loop, NOT a driver-side .collect(): every step stays
     distributed. Not expressible as one SQL plan; the DuckDB oracle replays
     it with a recursive CTE.
+
+    Doc ids must be integral (they label-propagate as bigints); a
+    non-numeric id would cast to NULL and silently collapse the graph, so
+    it is rejected instead — hash string ids to int64 upstream first.
     """
     # persist the (usually expensive) pair derivation once: the symmetric
     # edge union would otherwise evaluate the upstream LSH/scoring plan twice
@@ -495,6 +521,13 @@ def duplicate_clusters(
         F.col(a_col).cast("bigint").alias("src"),
         F.col(b_col).cast("bigint").alias("dst"),
     ).persist()
+    bad = p.filter(F.col("src").isNull() | F.col("dst").isNull()).limit(1)
+    if bad.count():
+        p.unpersist()
+        raise ValueError(
+            f"duplicate_clusters: non-integral id in ({a_col}, {b_col}) — "
+            "cast/hash doc ids to bigint before clustering"
+        )
     # small-graph fast path: below ~2M edges (≈32 MB of longs) the
     # distributed loop is pure job-scheduling overhead — diameter×(shuffle
     # join + agg + checkpoint) jobs to label a graph union-find folds in
@@ -596,7 +629,7 @@ def dedup_incremental(
     min-id groupBy as dedup_exact. The digest store is append-only: each
     accepted batch contributes its digests for the next run.
     """
-    batch = new_docs.withColumn("_digest", F.md5(F.col(text_col)))
+    batch = new_docs.withColumn("_digest", _digest(F.col(text_col)))
     fresh = batch.join(
         existing_digests.select(F.col("digest").alias("_digest")),
         "_digest",
@@ -698,7 +731,9 @@ def shingle_novelty(
     combined agg keyed by shingle) -> join back on (shingle) -> per-doc
     counts. The shuffle carries (doc, 60-bit shingle digest) pairs, never
     text. Output: (doc, n_shingles, n_novel, novelty) with novelty
-    quantized; docs with no shingles (< k tokens) report novelty NULL.
+    quantized; docs with no shingles (< k tokens) are ABSENT from the
+    output (the explode yields no rows for them) — callers wanting them
+    left-join the corpus back.
     """
     sh = spread_by(df, id_col).select(
         F.col(id_col).alias("doc"),

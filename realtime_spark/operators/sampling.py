@@ -42,7 +42,11 @@ def hash_sample(
     """Deterministic ~fraction sample keyed on `key_col`. Map-only: the
     predicate reaches the scan (partition/row-group pruning applies when the
     key correlates with layout)."""
-    return df.filter(hash_bucket(F.col(key_col), buckets) < int(fraction * buckets))
+    # round, don't truncate: 0.29 * 10000 is 2899.999... in binary floats
+    # and int() would keep one bucket too few
+    return df.filter(
+        hash_bucket(F.col(key_col), buckets) < int(round(fraction * buckets))
+    )
 
 
 def stratified_sample(
@@ -56,10 +60,10 @@ def stratified_sample(
     """Per-stratum deterministic sampling: each stratum keeps its own
     fraction (e.g. downsample boilerplate-heavy sources, keep rare ones).
     Map-only; the stratum threshold is a small CASE expression."""
-    thresh: Column = F.lit(int(default_fraction * buckets))
+    thresh: Column = F.lit(int(round(default_fraction * buckets)))
     for stratum, frac in sorted(fractions.items()):
         thresh = F.when(
-            F.col(strata_col) == stratum, F.lit(int(frac * buckets))
+            F.col(strata_col) == stratum, F.lit(int(round(frac * buckets)))
         ).otherwise(thresh)
     return df.filter(hash_bucket(F.col(key_col), buckets) < thresh)
 
@@ -82,7 +86,7 @@ def split_assign(
     cum = 0.0
     for name, w in splits[:-1]:
         cum += w
-        cond = b < int(cum * buckets)
+        cond = b < int(round(cum * buckets))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = splits[-1][0]
     out = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
@@ -143,7 +147,14 @@ def temperature_mix(
     takes = counts.crossJoin(F.broadcast(total)).select(
         group_col,
         "_n_g",
-        F.expr(f"CAST(({int(budget)} * _wi) DIV _z AS BIGINT)").alias("_take_k"),
+        # DECIMAL(38,0) intermediate: budget * _wi exceeds int64 as soon as
+        # budget x weight reaches ~9.2e18 (e.g. a 1e9-row budget against a
+        # 1e10-row group), and the silent non-ANSI wraparound would yield a
+        # negative take that samples zero rows; div's bigint result is fine
+        # because take_k <= budget
+        F.expr(
+            f"CAST((CAST({int(budget)} AS DECIMAL(38,0)) * _wi) DIV _z AS BIGINT)"
+        ).alias("_take_k"),
     )
     w = Window.partitionBy(group_col).orderBy(
         hash_bucket(F.col(key_col), 2**60), F.col(key_col)

@@ -105,14 +105,21 @@ def brute_force_topk(
     )
 
     def _local_topk(batches):
-        parts = [pdf for pdf in batches if len(pdf)]
-        if not parts:
-            return
-        allp = pd.concat(parts, ignore_index=True)
-        allp = allp.sort_values(
-            ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
-        )
-        yield allp.groupby("query_id", sort=False).head(k)
+        # incremental prune: fold each Arrow batch into a running per-query
+        # top-k so Python holds at most (q x k + one batch) rows — a single
+        # pd.concat of the whole partition would materialize q x |partition|
+        # scored triplets before any pruning
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            merged = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            merged = merged.sort_values(
+                ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
+            )
+            acc = merged.groupby("query_id", sort=False).head(k)
+        if acc is not None and len(acc):
+            yield acc
 
     pruned = scored.mapInPandas(_local_topk, scored.schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -606,14 +613,21 @@ def hard_negatives(
     )
 
     def _local_topk(batches):
-        parts = [pdf for pdf in batches if len(pdf)]
-        if not parts:
-            return
-        allp = pd.concat(parts, ignore_index=True)
-        allp = allp.sort_values(
-            ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
-        )
-        yield allp.groupby("query_id", sort=False).head(k)
+        # incremental prune: fold each Arrow batch into a running per-query
+        # top-k so Python holds at most (q x k + one batch) rows — a single
+        # pd.concat of the whole partition would materialize q x |partition|
+        # scored triplets before any pruning
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            merged = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            merged = merged.sort_values(
+                ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
+            )
+            acc = merged.groupby("query_id", sort=False).head(k)
+        if acc is not None and len(acc):
+            yield acc
 
     pruned = scored.mapInPandas(_local_topk, scored.schema)
     w = Window.partitionBy("query_id").orderBy(
@@ -1023,7 +1037,13 @@ def hash_embed_topk(
         .groupBy("qdoc", "doc")
         .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
     )
-    qn = norms.select(F.col("doc").alias("qdoc"), F.col("n2").alias("qn2"))
+    # slice to the query ids BEFORE the broadcast hint: norms is a
+    # corpus-cardinality aggregate, and broadcasting it unfiltered would
+    # collect the whole corpus's norms onto the driver at exactly the
+    # scale this operator targets
+    qn = norms.filter(F.col("doc").isin(list(query_docs))).select(
+        F.col("doc").alias("qdoc"), F.col("n2").alias("qn2")
+    )
     scored = (
         dots.join(norms, "doc")
         .join(F.broadcast(qn), "qdoc")

@@ -580,14 +580,17 @@ def corpus_percentiles(
 # pattern sets into the same projection
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+    # uuid BEFORE phone: an all-digit uuid ('12345678-1234-...') is a valid
+    # phone-pattern match, and the phone pass would consume it first
     ("uuid", r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
 )
 
 
 def redact_pii(text: Column) -> Column:
     """Replace each PII pattern with a <TYPE> token, applied in declaration
-    order (email before phone so the digits of a mailbox never half-match).
+    order (email before phone so the digits of a mailbox never half-match;
+    uuid before phone so digit-only uuids keep their type).
     Pure regexp_replace chain: zero shuffle, whole-stage codegen."""
     out = text
     for name, pat in PII_PATTERNS:

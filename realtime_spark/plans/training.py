@@ -138,9 +138,9 @@ sh0 AS (
 sh AS (
   SELECT doc, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sx FROM sh0
 ),
-sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 freq_ok AS (SELECT sx FROM sh GROUP BY 1 HAVING COUNT(*) <= 1000),
 shf AS (SELECT sh.* FROM sh JOIN freq_ok USING (sx)),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shf GROUP BY 1),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
   FROM shf a JOIN shf b ON a.sx = b.sx AND a.doc < b.doc
