@@ -69,12 +69,19 @@ def merge_diffs(local_live: DataFrame, merged: DataFrame) -> DataFrame:
     Output: (topic, presence_key, kind ['join'|'leave'|'update'], meta)
     where meta is the post-merge meta for join/update, the departed meta
     for leave."""
-    l = local_live.select(*KEY, F.col("meta").alias("l_meta"))
-    m = merged.select(*KEY, F.col("meta").alias("m_meta"))
+    # explicit presence flags: meta is a legitimate NULL value, so testing
+    # l_meta/m_meta nullness would classify a null-meta local entry as a
+    # cluster-wide 'join' even when the merged state dropped it ('leave')
+    l = local_live.select(
+        *KEY, F.col("meta").alias("l_meta"), F.lit(True).alias("l_present")
+    )
+    m = merged.select(
+        *KEY, F.col("meta").alias("m_meta"), F.lit(True).alias("m_present")
+    )
     j = l.join(m, list(KEY), "full_outer")
     kind = (
-        F.when(F.col("l_meta").isNull(), F.lit("join"))
-        .when(F.col("m_meta").isNull(), F.lit("leave"))
+        F.when(F.col("l_present").isNull(), F.lit("join"))
+        .when(F.col("m_present").isNull(), F.lit("leave"))
         .when(~F.col("l_meta").eqNullSafe(F.col("m_meta")), F.lit("update"))
     )
     return (

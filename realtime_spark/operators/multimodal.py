@@ -133,9 +133,10 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame timestamp.
 
-    Frame count = min(duration/every_ms, max_frames); frame 'content' is the
-    deterministic digest of (payload digest, frame index) until a real codec
-    is plugged into decode_media.
+    Frame count = min(ceil(duration_ms / every_ms), max_frames) — every
+    sampled timestamp i*every_ms lies strictly inside [0, duration_ms);
+    frame 'content' is the deterministic digest of (payload digest, frame
+    index) until a real codec is plugged into decode_media.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -145,7 +146,7 @@ def sample_frames(
                 if not fake:
                     decode_media(bytes(row["payload"]), "video")
                 dur = row["meta"]["duration_ms"] or 0
-                n = min(int(dur // every_ms) + (1 if dur else 0), max_frames)
+                n = min(int(-(-dur // every_ms)), max_frames)  # ceil; 0 if no duration
                 base = hashlib.md5(bytes(row["payload"]) if row["payload"] is not None else b"").hexdigest()
                 for i in range(n):
                     out["media_id"].append(row["media_id"])
@@ -263,6 +264,11 @@ def _walk_boxes(payload: bytes, start: int, end: int):
             if off + 16 > end:
                 return
             sz = struct.unpack(">Q", payload[off + 8:off + 16])[0]
+            if sz < 16:
+                # corrupt largesize (< header size, incl. 0) would make
+                # `off += sz` stop advancing: an infinite loop no
+                # try/except can catch — treat as truncation and stop
+                return
             yield typ, off + 16, min(off + sz, end)
         else:
             if sz < 8:
@@ -339,8 +345,12 @@ def sniff_media(media: DataFrame, id_col: str = "media_id",
         for b in batches:
             if not len(b):
                 continue
-            metas = [sniff_media_header(p if isinstance(p, bytes) else bytes(p))
-                     for p in b[payload_col]]
+            metas = [
+                None
+                if p is None
+                else sniff_media_header(p if isinstance(p, bytes) else bytes(p))
+                for p in b[payload_col]
+            ]  # NULL payload -> header_ok=false row (quarantine contract)
             yield pd.DataFrame(
                 {
                     "media_id": b[id_col].to_numpy(),
@@ -450,6 +460,15 @@ def wav_pcm_stats(
             for mid, p in zip(b[id_col], b[payload_col]):
                 raw = p if isinstance(p, bytes) else bytes(p)
                 with wave.open(io.BytesIO(raw), "rb") as w:
+                    if w.getsampwidth() != 1 or w.getnchannels() != 1:
+                        # the byte-wise amplitude fold below is only
+                        # meaningful for 8-bit mono PCM; interleaved
+                        # 16-bit bytes would emit silent garbage stats
+                        raise ValueError(
+                            "wav_pcm_stats expects 8-bit mono PCM, got "
+                            f"{8 * w.getsampwidth()}-bit "
+                            f"{w.getnchannels()}-channel"
+                        )
                     rate = w.getframerate()
                     n = w.getnframes()
                     frames = w.readframes(n)
@@ -654,7 +673,7 @@ def zip_members(
                                 "n_bytes": info.file_size,
                                 "crc32": info.CRC,
                                 "content_digest": hashlib.md5(
-                                    z.read(info.filename)
+                                    z.read(info)  # by ZipInfo: duplicate member names are legal in zip
                                 ).hexdigest(),
                             }
                         )

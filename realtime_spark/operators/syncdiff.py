@@ -40,12 +40,18 @@ def bucket_digests(
     """Per-bucket digest of a corpus: (bucket, xor_digest, n_rows).
     Bucket = stable hash of the id; digest = bit_xor of the 60-bit md5 of
     'id:content'. One map-side-combined groupBy over <= `buckets` keys."""
+    # NULL text must still contribute to the bucket digest (concat would
+    # null the whole hash and bit_xor would skip the row, hiding
+    # NULL<->value transitions); the sentinel cannot collide with real
+    # text's md5 input because ':' separates the non-null id prefix
     h = (
         F.conv(
             F.substring(
                 F.md5(
                     F.concat(
-                        F.col(id_col).cast("string"), F.lit(":"), F.col(text_col)
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        F.coalesce(F.col(text_col), F.lit("\x00null")),
                     )
                 ),
                 1,
@@ -89,7 +95,9 @@ def corpus_changed_docs(
 ) -> DataFrame:
     """Row-level diff restricted to changed buckets: (id, status) with
     status in {'added', 'removed', 'changed'} ('added' = only in b).
-    The restriction is lossless — any differing row flips its bucket's
+    Ids must be non-null keys (a NULL id cannot equi-join in the naive
+    diff either); NULL text is a first-class value — NULL<->value
+    transitions report 'changed'. The restriction is lossless — any differing row flips its bucket's
     digest — so the result equals the naive full-outer diff while reading
     and shuffling only the changed slice."""
     cb = F.broadcast(changed_buckets(a, b, id_col, text_col, buckets))
@@ -98,7 +106,10 @@ def corpus_changed_docs(
         return (
             df.withColumn("bucket", hash_bucket(F.col(id_col), buckets))
             .join(cb, "bucket", "left_semi")
-            .select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("dg"))
+            .select(
+                F.col(id_col).alias("id"),
+                F.coalesce(F.md5(F.col(text_col)), F.lit("_null_")).alias("dg"),
+            )
         )
 
     sa, sb = slim(a), slim(b)
@@ -106,7 +117,7 @@ def corpus_changed_docs(
     status = (
         F.when(F.col("a.id").isNull(), F.lit("added"))
         .when(F.col("b.id").isNull(), F.lit("removed"))
-        .when(F.col("a.dg") != F.col("b.dg"), F.lit("changed"))
+        .when(~F.col("a.dg").eqNullSafe(F.col("b.dg")), F.lit("changed"))
     )
     return (
         j.select(F.coalesce(F.col("a.id"), F.col("b.id")).alias("id"), status.alias("status"))

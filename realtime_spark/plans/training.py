@@ -1800,7 +1800,8 @@ SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
        CAST(i * {_FRAME_EVERY_MS} AS BIGINT) AS ts_ms,
        md5(md5(text) || ':' || CAST(i AS VARCHAR)) AS frame_digest
 FROM documents,
-     unnest(range(0, least((n_chars * 10) // {_FRAME_EVERY_MS} + 1, {_FRAME_MAX}))) AS u(i)
+     unnest(range(0, least((n_chars * 10 + {_FRAME_EVERY_MS} - 1) // {_FRAME_EVERY_MS},
+                           {_FRAME_MAX}))) AS u(i)
 """
 
 

@@ -26,6 +26,18 @@ from pyspark.sql import functions as F
 WINDOW = "60 seconds"
 SLIDE = "1 second"
 
+_UNIT_SECONDS = {
+    "millisecond": 0.001, "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+}
+
+
+def _duration_seconds(spec: str) -> float:
+    """Parse a Spark interval string ('60 seconds', '1 minute') to seconds.
+    Taking only the leading number would silently divide a '1 minute'
+    window's sum by 1, inflating avg_per_sec 60x."""
+    n, unit = spec.split()
+    return float(n) * _UNIT_SECONDS[unit.rstrip("s").lower()]
+
 
 def streaming_rate(
     events: DataFrame,
@@ -37,7 +49,7 @@ def streaming_rate(
 ) -> DataFrame:
     """Sliding event-time rate per key: one row per (key, window) with the
     trailing-window event count and per-second average."""
-    win_seconds = int(window.split()[0])
+    win_seconds = _duration_seconds(window)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(*keys, F.window(F.col(ts_col), window, slide).alias("win"))
