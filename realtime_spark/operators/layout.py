@@ -56,6 +56,13 @@ def interleave_bits(codes: Sequence[Column], bits: int = _DEFAULT_BITS) -> Colum
     position within each group). Pure arithmetic/bit expression — one
     codegen span, and mechanically mirrored in SQL by sql_interleave_bits."""
     n = len(codes)
+    if n * bits > 63:
+        # the top output bit would reach the bigint sign bit and the key
+        # silently wraps negative (and the SQL mirror errors instead) —
+        # shrink bits per column as dimensionality grows
+        raise ValueError(
+            f"z-key needs {n * bits} bits; use bits <= {63 // n} for {n} columns"
+        )
     z = F.lit(0).cast("bigint")
     for b in range(bits):
         for i, c in enumerate(codes):

@@ -25,6 +25,9 @@ class Check:
     kind: str
     # violation predicate: rows where the constraint is broken
     violated: Column | None = None
+    # uniqueness checks carry their column here — the display name is a
+    # label, not data (slicing it would break on any custom name)
+    column: str | None = None
 
 
 def not_null(col: str) -> Check:
@@ -67,7 +70,7 @@ def in_range_open_top(col: str, lo) -> Check:
 
 def unique(col: str) -> Check:
     # evaluated via a dedicated agg (needs a distinct), flagged by kind
-    return Check(f"unique({col})", "uniqueness")
+    return Check(f"unique({col})", "uniqueness", column=col)
 
 
 def run_checks(
@@ -81,13 +84,19 @@ def run_checks(
     names: list[tuple[str, str]] = []
     for c in checks:
         if c.kind == "uniqueness":
-            col = c.name[len("unique("):-1]
+            if c.column is None:
+                raise ValueError(f"uniqueness check {c.name!r} needs column=")
+            col = c.column
             aggs.append(
                 (F.count(col) - F.countDistinct(col)).alias(f"_v_{c.name}")
             )
         else:
+            # coalesce: SUM over an empty (but valid) table is NULL, and a
+            # NULL ok would read as an audit FAILURE downstream
             aggs.append(
-                F.sum(F.when(c.violated, 1).otherwise(0)).alias(f"_v_{c.name}")
+                F.coalesce(
+                    F.sum(F.when(c.violated, 1).otherwise(0)), F.lit(0)
+                ).alias(f"_v_{c.name}")
             )
         names.append((c.name, c.kind))
     row = df.agg(*aggs)
@@ -114,8 +123,11 @@ def referential_check(
     child_table: str,
 ) -> DataFrame:
     """FK integrity: child keys with no parent (broadcast anti-join when
-    the parent is dim-sized; AQE decides otherwise). One audit row."""
-    orphans = child.join(
+    the parent is dim-sized; AQE decides otherwise). One audit row.
+    SQL FK semantics: a NULL child key references nothing and is NOT a
+    violation (the anti-join would otherwise count every optional-FK row
+    as an orphan)."""
+    orphans = child.filter(F.col(child_col).isNotNull()).join(
         parent.select(F.col(parent_col).alias(child_col)).distinct(),
         child_col,
         "left_anti",

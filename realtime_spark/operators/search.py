@@ -65,34 +65,30 @@ def term_stats(post: DataFrame) -> DataFrame:
     )
 
 
-def bm25_topk(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    query_terms: Sequence[str],
-    k: int = 20,
-    k1: float = 1.2,
-    b: float = 0.75,
-    round_digits: int = 4,
-) -> DataFrame:
-    """Top-k documents for a bag-of-terms query under BM25.
+# index bucket contract, shared by writer and reader: a drifted copy would
+# prune away the partition holding a query term and silently drop it
+INDEX_BUCKETS = 64
 
-    idf = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))   (Robertson-Sparck Jones)
-    score(d) = sum_t idf_t * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
 
-    Scores are rounded before ranking and ties broken by doc id, so the
-    result is engine-stable (the DuckDB oracle replays the same formula).
-    """
-    terms = [t.lower() for t in query_terms]
-    lengths = doc_lengths(df, id_col, text_col)
-    stats = lengths.agg(
-        F.count(F.lit(1)).alias("n_docs_total"),
-        F.avg("dl").alias("avgdl"),
-    )
-    qpost = postings(df, id_col, text_col, terms=terms)
-    dfreq = qpost.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+def _term_bucket_col(term: Column) -> Column:
+    return F.crc32(term) % INDEX_BUCKETS
+
+
+def _term_bucket_py(term: str) -> int:
+    import zlib
+
+    return zlib.crc32(term.encode()) % INDEX_BUCKETS
+
+
+def _bm25_rank(post, lengths, stats, k, k1, b, round_digits):
+    """Shared BM25 scoring + top-k tail: the corpus-scan and index paths
+    must stay score-identical (same formula, rounding, tie-break), so the
+    formula lives exactly once."""
+    from pyspark.sql.window import Window
+
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     scored = (
-        qpost.join(dfreq, "term")
+        post.join(dfreq, "term")
         .join(lengths, "doc")
         .crossJoin(F.broadcast(stats))
         .withColumn(
@@ -121,12 +117,38 @@ def bm25_topk(
     # local top-k, the driver merges — no single-partition global sort.
     # row_number then ranks only the k surviving rows.
     top = scores.orderBy(F.desc("score"), F.asc("doc")).limit(k)
-    from pyspark.sql.window import Window
-
     w = Window.orderBy(F.desc("score"), F.asc("doc"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc", "score", "n_terms_matched", "rank"
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25.
+
+    idf = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))   (Robertson-Sparck Jones)
+    score(d) = sum_t idf_t * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Scores are rounded before ranking and ties broken by doc id, so the
+    result is engine-stable (the DuckDB oracle replays the same formula).
+    """
+    terms = [t.lower() for t in query_terms]
+    lengths = doc_lengths(df, id_col, text_col)
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qpost = postings(df, id_col, text_col, terms=terms)
+    return _bm25_rank(qpost, lengths, stats, k, k1, b, round_digits)
 
 
 def build_vocab(
@@ -175,8 +197,17 @@ def oov_rate(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
     )
-    return per_doc.withColumn(
-        "oov_rate", quantize(F.col("n_oov") / F.col("n_tokens"), round_digits)
+    # zero-token docs produce no exploded rows: join the doc universe back
+    # so they report (0, 0, NULL rate) instead of vanishing — consistent
+    # with doc_lengths, which reports dl=0 for them
+    base = df.select(F.col(id_col).alias("doc"))
+    return base.join(per_doc, "doc", "left").select(
+        "doc",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+        quantize(
+            F.coalesce("n_oov", F.lit(0)) / F.col("n_tokens"), round_digits
+        ).alias("oov_rate"),
     )
 
 
@@ -235,6 +266,13 @@ def tfidf_nearest_neighbor(
             .filter(F.col("df_t") <= max_df)
         )
         w = w.join(keep.select("term"), "term", "left_semi")
+        # the norms carried by tfidf_weights cover the UNfiltered vector;
+        # reusing them would make 'cos' a cosine of no consistent space
+        # (identical docs sharing a dropped stop-term would score < 1)
+        norms2 = w.groupBy("doc").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm2")
+        )
+        w = w.drop("norm").join(norms2, "doc").withColumnRenamed("norm2", "norm")
     a = w.alias("a")
     b = w.alias("b")
     dots = (
@@ -291,6 +329,8 @@ def phrase_hits(
     equi-joins, the standard positional-index intersection.
     """
     terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("phrase_hits: empty phrase")
     cur = post.filter(F.col("term") == terms[0]).select(
         "doc", F.col("pos").alias("p0")
     )
@@ -328,9 +368,13 @@ def write_postings_index(
     dictionary + postings lists.
     """
     post = postings(df, id_col, text_col).withColumn(
-        "bucket", F.crc32(F.col("term")) % 64
+        "bucket", _term_bucket_col(F.col("term"))
     )
-    post.repartition("bucket").sortWithinPartitions("term").write.mode(
+    # sort by (bucket, term): the dynamic-partition writer requires a
+    # bucket ordering and would insert its OWN sort over a term-only sort,
+    # leaving in-file term order to unguaranteed sort stability (and
+    # paying two sorts)
+    post.repartition("bucket").sortWithinPartitions("bucket", "term").write.mode(
         mode
     ).partitionBy("bucket").parquet(f"{path}/postings")
     lengths = doc_lengths(df, id_col, text_col)
@@ -356,7 +400,7 @@ def bm25_topk_from_index(
     row-group skipping), the doc-length side joins on doc, and the
     two-value stats file broadcasts."""
     terms = [t.lower() for t in query_terms]
-    buckets = sorted({__import__("zlib").crc32(t.encode()) % 64 for t in terms})
+    buckets = sorted({_term_bucket_py(t) for t in terms})
     post = (
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("bucket").isin(buckets))
@@ -365,37 +409,4 @@ def bm25_topk_from_index(
     )
     lengths = spark.read.parquet(f"{path}/doclen")
     stats = spark.read.parquet(f"{path}/stats")
-    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    scored = (
-        post.join(dfreq, "term")
-        .join(lengths, "doc")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs_total") - F.col("df_t") + 0.5)
-                / (F.col("df_t") + 0.5)
-            ),
-        )
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1.0))
-            / (
-                F.col("tf")
-                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-    )
-    scores = scored.groupBy("doc").agg(
-        F.round(F.sum("contrib"), round_digits).alias("score"),
-        F.count(F.lit(1)).alias("n_terms_matched"),
-    )
-    top = scores.orderBy(F.desc("score"), F.asc("doc")).limit(k)
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.desc("score"), F.asc("doc"))
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "doc", "score", "n_terms_matched", "rank"
-    )
+    return _bm25_rank(post, lengths, stats, k, k1, b, round_digits)

@@ -1127,13 +1127,15 @@ e AS (
 ),
 fk1 AS (
   SELECT (SELECT COUNT(*) FROM orders) AS total,
-         (SELECT COUNT(*) FROM orders
-          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS v
+         (SELECT COUNT(*) FROM orders o
+          WHERE o_custkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS v
 ),
 fk2 AS (
   SELECT (SELECT COUNT(*) FROM lineitem) AS total,
-         (SELECT COUNT(*) FROM lineitem
-          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS v
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS v
 )
 SELECT 'orders' AS table_name, 'not_null(o_orderkey)' AS constraint,
        'completeness' AS kind, CAST(v_nn AS BIGINT) AS violations,

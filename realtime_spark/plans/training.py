@@ -500,13 +500,21 @@ SELECT term, cnt, rank FROM vocab
 """
 
 ORACLE_VOCAB_OOV = f"""
-WITH {_VOCAB_CTES.strip()}
-SELECT tok.doc, COUNT(*) AS n_tokens,
-       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-       floor((SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) / COUNT(*))
-             * 10000.0 + 0.5) / 10000.0 AS oov_rate
-FROM tok LEFT JOIN vocab v USING (term)
-GROUP BY tok.doc
+WITH {_VOCAB_CTES.strip()},
+perdoc AS (
+  SELECT tok.doc, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM tok LEFT JOIN vocab v USING (term)
+  GROUP BY tok.doc
+)
+SELECT d.doc_id AS doc,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN p.n_tokens IS NULL THEN NULL
+            ELSE floor((p.n_oov / p.n_tokens) * 10000.0 + 0.5) / 10000.0
+       END AS oov_rate
+FROM documents d LEFT JOIN perdoc p ON p.doc = d.doc_id
 """
 
 
