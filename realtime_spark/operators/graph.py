@@ -78,10 +78,16 @@ def pagerank(
                     )
                 ).alias("rank_micro"),
             )
-            .localCheckpoint(eager=False)
+            # eager: materializes the round (populating and then reusing
+            # the e/deg caches) and truncates lineage; eager=False would
+            # defer everything to the caller's first action, by which time
+            # unpersist had already dropped the never-filled cache and
+            # every iteration would rescan the edge input
+            .localCheckpoint()
         )
     out = ranks
     e.unpersist()
+    nodes.unpersist()
     return out
 
 
@@ -110,6 +116,10 @@ def triangle_stats(
     e = edges.select(
         F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
         F.greatest(F.col(a_col), F.col(b_col)).cast("bigint").alias("b"),
+    ).filter(
+        # self-loops would fabricate (x,x,y) "triangles" through the
+        # ordered three-join and double-count degree
+        F.col("a") != F.col("b")
     ).distinct().persist()
     e1 = e.alias("e1")
     e2 = e.alias("e2")

@@ -53,7 +53,13 @@ def score_pairs(
     w_disagree) comparison, add the agreement or disagreement weight
     (integer milli-bans: 1000 * log-likelihood-ratio, pre-scaled by the
     caller). NULL-involved comparisons contribute 0 (the standard
-    'missing is uninformative' convention)."""
+    'missing is uninformative' convention). NOTE the deliberate asymmetry
+    with agreement_patterns, whose binary bit vector cannot express
+    'missing' and records a NULL comparison as disagreement: EM weights
+    should be estimated on fields that are populated in the candidate
+    population (or imputed) — on heavily-null fields the m/u estimates
+    would be calibrated against a stricter population than this scorer
+    applies them to."""
     score = F.lit(0)
     for pred, w_a, w_d in comparisons:
         score = score + F.when(pred.isNull(), 0).otherwise(
@@ -70,13 +76,20 @@ def resolve_best(
 ) -> DataFrame:
     """One row per left record: its best-scoring candidate (ties -> lowest
     right id) and whether it clears the match threshold."""
+    # min_by over (-score, rid): highest score, ties to the LOWEST right
+    # id — and unlike negating the id column it stays deterministic for
+    # string/uuid ids (unary minus would cast those to double -> NULL
+    # tie-break keys -> arbitrary pick)
     best = scored.groupBy(left_id).agg(
-        F.max_by(
+        F.min_by(
             F.struct(
                 F.col(right_id).alias("rid"),
                 F.col("match_score").alias("s"),
             ),
-            F.struct(F.col("match_score"), -F.col(right_id)),
+            F.struct(
+                (-F.col("match_score")).alias("ns"),
+                F.col(right_id).alias("r"),
+            ),
         ).alias("b"),
         F.count(F.lit(1)).alias("n_candidates"),
     )

@@ -146,7 +146,12 @@ def hll_registers(
     qbits = 60 - precision
     h = stable_hash(F.col(key_col).cast("string"), F.lit(""), 1 << 60)
     return (
-        df.select(*group_cols, h.alias("_h"))
+        # NULL keys hash to NULL and would emit a phantom (j=NULL, rho=NULL)
+        # register that inflates n_registers while the NULL rho skips the
+        # sum — both estimator branches drift; COUNT(DISTINCT) ignores
+        # NULLs, so the sketch must too
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
         .select(
             *group_cols,
             (F.col("_h") % m).alias("j"),

@@ -61,7 +61,12 @@ def ols_trend(
     x = (epoch_seconds(ts_col) - F.lit(BASE_EPOCH)).cast("bigint")
     y = cents(F.col(value_col))
     d38 = "decimal(38,0)"
-    sums = df.select(*keys, x.alias("x"), y.alias("y")).groupBy(*keys).agg(
+    # restrict EVERY statistic to rows where both x and y exist: count(1)
+    # with null-skipping sums would mix populations and the normal
+    # equations would solve neither regression
+    sums = df.select(*keys, x.alias("x"), y.alias("y")).filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    ).groupBy(*keys).agg(
         F.count(F.lit(1)).cast(d38).alias("n"),
         F.sum(F.col("x").cast(d38)).alias("sx"),
         F.sum(F.col("y").cast(d38)).alias("sy"),
@@ -168,19 +173,24 @@ def histogram_quantiles(
     width = (hi - lo) / nbins
     counts = df.select(
         *keys, value_bin(value_col, lo, width, nbins).alias("bin")
-    ).groupBy(*keys, "bin").agg(F.count(F.lit(1)).alias("c"))
+    ).filter(F.col("bin").isNotNull()).groupBy(*keys, "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
     return quantiles_from_bins(counts, keys, lo, width, qs, round_digits)
 
 
 def value_bin(value_col: str, lo: float, width: float, nbins: int) -> Column:
     """Clamped equi-width bin assignment (shared by the batch histogram and
-    the streaming bin-count monitor)."""
-    return F.least(
-        F.greatest(
-            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)
-        ),
+    the streaming bin-count monitor). NULL/NaN values yield a NULL bin —
+    greatest() SKIPS null arguments, so without the guard they would clamp
+    into bin 0 and drag every downstream quantile toward lo; consumers
+    drop the NULL bin."""
+    v = F.col(value_col)
+    clamped = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
         F.lit(nbins - 1),
     ).cast("bigint")
+    return F.when(v.isNotNull() & ~F.isnan(v.cast("double")), clamped)
 
 
 def quantiles_from_bins(
@@ -210,7 +220,11 @@ def quantiles_from_bins(
             )
         )
     )
-    target = F.ceil(F.col("q") * F.col("n")).cast("bigint")
+    # q=0: ceil(0*n)=0 can never satisfy cum-c < 0 and the row would be
+    # silently absent; clamp to the first value (the minimum)
+    target = F.greatest(
+        F.ceil(F.col("q") * F.col("n")).cast("bigint"), F.lit(1)
+    )
     hit = qrows.filter(
         (F.col("cum") >= target) & (F.col("cum") - F.col("c") < target)
     )
@@ -306,7 +320,10 @@ def ols_state(
     x = (epoch_seconds(ts_col) - F.lit(BASE_EPOCH)).cast("bigint")
     y = cents(F.col(value_col))
     d38 = "decimal(38,0)"
-    return df.select(*keys, x.alias("x"), y.alias("y")).groupBy(*keys).agg(
+    # same both-non-null population rule as ols_trend (see its comment)
+    return df.select(*keys, x.alias("x"), y.alias("y")).filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    ).groupBy(*keys).agg(
         F.count(F.lit(1)).cast(d38).alias("n"),
         F.sum(F.col("x").cast(d38)).alias("sx"),
         F.sum(F.col("y").cast(d38)).alias("sy"),

@@ -189,6 +189,7 @@ def run_bin_count_stream(
             batch_df.select(
                 *keys, value_bin(value_col, lo, width, nbins).alias("bin")
             )
+            .filter(F.col("bin").isNotNull())
             .groupBy(*keys, "bin")
             .agg(F.count(F.lit(1)).alias("c"))
         )
