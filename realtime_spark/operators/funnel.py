@@ -32,7 +32,13 @@ def funnel_steps(
     """Per-user funnel progression. Output: (user, ts_1..ts_n, stage) where
     ts_i is the first qualifying timestamp of step i (NULL if never reached)
     and stage = number of steps completed."""
+    if not steps:
+        raise ValueError("funnel_steps: steps must be non-empty")
     user = F.col(user_col).alias("user")
+    # a NULL ts can neither order against other steps nor count as a
+    # completion time: drop such events up front (the SQL oracles filter
+    # identically)
+    events = events.filter(F.col(ts_col).isNotNull())
     cur: DataFrame | None = None
     for i, step in enumerate(steps, start=1):
         step_events = events.filter(F.col(type_col) == step).select(
@@ -93,5 +99,8 @@ def retention_cohorts(
         "user",
     )
     return ret.groupBy("cohort_day", "day_offset").agg(
-        F.countDistinct("user").alias("n_users")
+        # (cohort, offset, user) is already unique after the distinct +
+        # one-row-per-user join: a plain count avoids the Expand pass a
+        # distinct aggregate would add
+        F.count(F.lit(1)).alias("n_users")
     )

@@ -63,7 +63,8 @@ def sliding_rate(
         "sec",
         "bucket_count",
         F.sum("bucket_count").over(w).alias("window_sum"),
-        (F.sum("bucket_count").over(w) / F.lit(window_seconds)).alias("avg_per_sec"),
+    ).withColumn(  # derive from the materialized column: one window agg
+        "avg_per_sec", F.col("window_sum") / F.lit(window_seconds)
     )
 
 
@@ -97,7 +98,11 @@ def shed_rate_limited(
     cond = [e[k] == triggered[k] for k in keys] + [
         e["_sec"] == triggered["_shed_sec"]
     ]
-    joined = e.join(F.broadcast(triggered), cond, "left_anti")
+    # no broadcast hint: the triggered (key, sec) set is unbounded (one
+    # row per limited second per key over the whole history) and a forced
+    # broadcast bypasses the size guard; AQE still broadcasts it when it
+    # is actually small
+    joined = e.join(triggered, cond, "left_anti")
     return joined.drop("_sec")
 
 
@@ -113,6 +118,13 @@ def rate_limit_edges(
     average first exceeds the limit and the matching un-trigger when it
     falls back under (reference: lib/realtime/rate_counter/rate_counter.ex:
     197-224 check, 259-279 edge emission on state change).
+
+    Event-driven semantics: edges exist only at ACTIVE seconds, so the
+    untrigger of a key that goes silent while triggered is emitted at its
+    next active second (or never) — the reference's per-second ticker
+    would untrigger ~one window after the burst; replaying these edges as
+    a timeline must treat a trailing 'trigger' as expiring one window
+    after the last counted event.
 
     lag() over the per-second flag stream per key; the first active second
     of a key is an edge when already triggered (lag NULL -> treated as
@@ -138,6 +150,7 @@ def client_window_limit(
     max_calls: int = 5,
     window_seconds: int = 30,
     ts_col: str = "ts",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Per-client fixed-count sliding window: an event is rejected when the
     client already made `max_calls` calls in the trailing `window_seconds`.
@@ -148,19 +161,41 @@ def client_window_limit(
     sliding average (A6): tenant limits shed load, the client window stops
     one chatty socket.
 
-    RANGE-frame count on the second bucket: every event sees all events of
-    its client in the trailing window *including same-second peers*, which
-    makes the count independent of intra-second row order — deterministic
-    without any tiebreak column. One shuffle on the client key.
+    Without `seq_col` (default): RANGE-frame count on the second bucket —
+    every event sees all events of its client in the trailing window
+    *including same-second peers*, which makes the count independent of
+    intra-second row order: deterministic without any tiebreak column, but
+    STRICTER than the reference on intra-second bursts (a second whose
+    burst exceeds the cap rejects the WHOLE second, where the reference's
+    arrival-ordered counter accepts the first `max_calls`). With
+    `seq_col`, arrival order within a second is defined and the
+    reference-exact rule applies: an event is accepted iff strictly fewer
+    than `max_calls` PRIOR events fall in its trailing window. One shuffle
+    on the client key either way.
     """
     base = df.withColumn("_sec", epoch_seconds(ts_col))
-    w = (
+    if seq_col is None:
+        w = (
+            Window.partitionBy(*client_keys)
+            .orderBy("_sec")
+            .rangeBetween(-(window_seconds - 1), 0)
+        )
+        return (
+            base.withColumn("calls_in_window", F.count(F.lit(1)).over(w))
+            .withColumn("accepted", F.col("calls_in_window") <= F.lit(max_calls))
+            .drop("_sec")
+        )
+    # prior-in-window = (all prior rows) - (prior rows older than the
+    # window): two cumulative counts, no self-join
+    w_rows = Window.partitionBy(*client_keys).orderBy("_sec", seq_col)
+    w_old = (
         Window.partitionBy(*client_keys)
         .orderBy("_sec")
-        .rangeBetween(-(window_seconds - 1), 0)
+        .rangeBetween(Window.unboundedPreceding, -window_seconds)
     )
+    prior = F.row_number().over(w_rows) - 1 - F.count(F.lit(1)).over(w_old)
     return (
-        base.withColumn("calls_in_window", F.count(F.lit(1)).over(w))
-        .withColumn("accepted", F.col("calls_in_window") <= F.lit(max_calls))
+        base.withColumn("calls_in_window", (prior + 1).cast("bigint"))
+        .withColumn("accepted", prior < F.lit(max_calls))
         .drop("_sec")
     )

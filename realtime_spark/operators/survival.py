@@ -43,7 +43,10 @@ def user_lifetimes(
         F.min(epoch_seconds(ts_col)).alias("first_s"),
         F.max(epoch_seconds(ts_col)).alias("last_s"),
     )
-    end = df.agg(F.max(epoch_seconds(ts_col)).alias("end_s"))
+    # corpus end from the ALREADY-aggregated spans (max of per-user maxes
+    # is the global max): re-scanning the raw event log for one scalar
+    # would double the only raw pass
+    end = spans.agg(F.max("last_s").alias("end_s"))
     return spans.crossJoin(F.broadcast(end)).select(
         user_col,
         F.floor((F.col("last_s") - F.col("first_s")) / duration_unit_s)

@@ -880,7 +880,7 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
 
 _FUNNEL_CTES = """
 s1 AS (SELECT user_id AS usr, MIN(ts) AS ts_1
-       FROM events WHERE event_type = 'view' GROUP BY 1),
+       FROM events WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1),
 s2 AS (SELECT e.user_id AS usr, MIN(e.ts) AS ts_2
        FROM events e JOIN s1 ON s1.usr = e.user_id
        WHERE e.event_type = 'click' AND e.ts > s1.ts_1 GROUP BY 1),

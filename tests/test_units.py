@@ -597,3 +597,46 @@ class TestReviewGuards:
         lookup = spark.createDataFrame([(1,)], "c_custkey long")
         with _pytest.raises(ValueError, match="at least one key"):
             apply_rls_exists_policy(lookup.alias("c"), lookup, [])
+
+
+class TestClientWindowSeq:
+    def test_intra_second_burst_accepts_first_max_calls(self, spark):
+        """With a seq column the reference-exact arrival rule applies: 6
+        same-second calls accept the first 5 (the default second-bucket
+        variant deterministically rejects the whole burst instead)."""
+        from pyspark.sql import functions as F
+
+        from realtime_spark.operators.rate_limit import client_window_limit
+
+        rows = [("c1", 0.0, i) for i in range(6)]
+        df = spark.createDataFrame(
+            rows, "client string, sec double, seq long"
+        ).withColumn("ts", F.col("sec").cast("timestamp")).drop("sec")
+        got = client_window_limit(
+            df, ["client"], max_calls=5, window_seconds=30, seq_col="seq"
+        )
+        acc = {r["seq"]: r["accepted"] for r in got.collect()}
+        assert [acc[i] for i in range(6)] == [True] * 5 + [False]
+        # default variant: burst > cap rejects the whole second, documented
+        strict = client_window_limit(df, ["client"], max_calls=5, window_seconds=30)
+        assert all(not r["accepted"] for r in strict.collect())
+
+    def test_seq_window_expires_old_calls(self, spark):
+        from pyspark.sql import functions as F
+
+        from realtime_spark.operators.rate_limit import client_window_limit
+
+        rows = [("c", 0.0, 1), ("c", 1.0, 2), ("c", 31.0, 3)]
+        df = spark.createDataFrame(
+            rows, "client string, sec double, seq long"
+        ).withColumn("ts", F.col("sec").cast("timestamp")).drop("sec")
+        got = {
+            r["seq"]: r["calls_in_window"]
+            for r in client_window_limit(
+                df, ["client"], max_calls=1, window_seconds=30, seq_col="seq"
+            ).collect()
+        }
+        # at t=31 the trailing 30 s window covers seconds [2, 31]: both
+        # earlier calls (t=0, t=1) have expired — zero prior calls, same
+        # boundary as the RANGE variant's -(window-1)..0 frame
+        assert got == {1: 1, 2: 2, 3: 1}
