@@ -20,11 +20,15 @@ from pyspark.sql import functions as F
 _PG_TO_SPARK: dict[str, tuple[str, str]] = {
     "bool": ("boolean", "bool"),
     "boolean": ("boolean", "bool"),
-    "int2": ("int", "long"),
-    "int4": ("int", "long"),
+    # int2/int4 cast to bigint like their comparison family: a narrower
+    # 'int' target made the compiled path try_cast('3000000000') to NULL
+    # (never matches) while the interpreter's long cast matched — delivery
+    # would depend on which match strategy ran
+    "int2": ("bigint", "long"),
+    "int4": ("bigint", "long"),
     "int8": ("bigint", "long"),
-    "smallint": ("int", "long"),
-    "integer": ("int", "long"),
+    "smallint": ("bigint", "long"),
+    "integer": ("bigint", "long"),
     "bigint": ("bigint", "long"),
     "oid": ("bigint", "long"),
     "float4": ("double", "double"),

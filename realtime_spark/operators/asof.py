@@ -51,9 +51,22 @@ def asof_join(
     on = list(on)
     l_tag, r_tag = (0, 1) if strict else (1, 0)
     lt = left.withColumn(_TAG, F.lit(l_tag)).withColumn(_TS, F.col(left_ts))
-    rt_cols = [F.col(c) for c in on] + [F.col(right_ts).alias(_TS)]
-    rt_cols += [F.col(c) for c in value_cols]
-    rt = right.select(*rt_cols).withColumn(_TAG, F.lit(r_tag))
+    # carry the matched right row as ONE struct: per-column ignorenulls
+    # fill would (a) let a matched row's legitimately-NULL value fall
+    # through to a STALE older row and (b) tear multiple value_cols across
+    # different right rows. The struct is non-null whenever a right row
+    # exists, so NULL values inside it survive intact. Right rows with a
+    # NULL as-of timestamp are undefined predecessors and are dropped
+    # (they would sort before everything and leak into every left row).
+    rt = (
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
+            *[F.col(c) for c in on],
+            F.col(right_ts).alias(_TS),
+            F.struct(*[F.col(c) for c in value_cols]).alias("_vs"),
+        )
+        .withColumn(_TAG, F.lit(r_tag))
+    )
     combined = lt.unionByName(rt, allowMissingColumns=True)
 
     w = (
@@ -61,10 +74,11 @@ def asof_join(
         .orderBy(F.col(_TS).asc(), F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = combined
+    filled = combined.withColumn("_vs", F.last(F.col("_vs"), ignorenulls=True).over(w))
+    out = filled.filter(F.col(_TAG) == F.lit(l_tag))
     for c in value_cols:
-        filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    return filled.filter(F.col(_TAG) == F.lit(l_tag)).drop(_TAG, _TS)
+        out = out.withColumn(c, F.col("_vs")[c])
+    return out.drop(_TAG, _TS, "_vs")
 
 
 def hour_bucket(ts_col) -> "F.Column":

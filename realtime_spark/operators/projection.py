@@ -46,7 +46,11 @@ def toast_merge(record: Column, old_record: Column) -> Column:
     Key-presence (not value-nullness) decides, matching the FULL OUTER JOIN on
     column name in the reference."""
     new_keys = F.map_keys(record)
-    only_old = F.map_filter(old_record, lambda k, v: ~F.array_contains(new_keys, k))
+    # coalesce: map_concat null-propagates, so an UPDATE with NULL
+    # old_record (e.g. replica identity NOTHING) would null the ENTIRE
+    # merged record instead of passing the new tuple through
+    safe_old = F.coalesce(old_record, F.map_from_arrays(F.array(), F.array()))
+    only_old = F.map_filter(safe_old, lambda k, v: ~F.array_contains(new_keys, k))
     return F.map_concat(record, only_old)
 
 
@@ -97,8 +101,13 @@ def _grouped_from_pairs(pairs: DataFrame) -> DataFrame:
         F.col("s.claims_role").alias("claims_role"),
         F.col("s.subscription_id").alias("subscription_id"),
         sel.alias("selected_columns"),
-        # deterministic group key (W2): roles and selection groups ordered by text
-        F.coalesce(F.array_join(sel, ","), F.lit("")).alias("sel_key"),
+        # deterministic group key (W2). to_json keeps NULL (keep-all) vs []
+        # (pk-only) vs comma-embedded names distinct — array_join would
+        # conflate all three and F.first would then pick an arbitrary
+        # selection for the merged group
+        F.when(sel.isNull(), F.lit("\x00all"))
+        .otherwise(F.to_json(sel))
+        .alias("sel_key"),
     )
     return p.groupBy("change_id", "claims_role", "sel_key").agg(
         *[F.first(f).alias(f) for f in _CHANGE_FIELDS if f != "change_id"],
@@ -128,7 +137,7 @@ def _grouped_from_sets(sets: DataFrame) -> DataFrame:
             F.transform(
                 F.filter(
                     F.col("subs"),
-                    lambda s: (s["claims_role"] == F.col("g.claims_role"))
+                    lambda s: s["claims_role"].eqNullSafe(F.col("g.claims_role"))
                     & s["selected_columns"].eqNullSafe(F.col("g.selected_columns")),
                 ),
                 lambda s: s["subscription_id"],
@@ -170,6 +179,12 @@ def project_output(
             F.broadcast(privileges),
             ["claims_role", "schema_name", "table_name"],
             "left",
+        ).withColumn(
+            # fail CLOSED: a role with no grants row gets an EMPTY column
+            # whitelist (masked to nothing + Error 401 via pk_unreadable),
+            # not the NULL that means "privileges not checked"
+            "allowed_columns",
+            F.coalesce(F.col("allowed_columns"), F.array().cast("array<string>")),
         )
     else:
         grouped = grouped.withColumn(
@@ -198,14 +213,26 @@ def project_output(
     record_out = F.when(action != "DELETE", mask(merged))
     old_out = F.when(
         action == "DELETE",
-        keep_keys(F.col("old_record"), pk) if rls_enabled else mask(F.col("old_record")),
+        # coalesce: a pk-less table under RLS must ship NOTHING of the old
+        # row (keep_keys' NULL-whitelist keep-all would leak every column
+        # alongside the Error 400)
+        keep_keys(F.col("old_record"), F.coalesce(pk, F.array()))
+        if rls_enabled
+        else mask(F.col("old_record")),
     ).when(action == "UPDATE", mask(F.col("old_record")))
 
     oversize = F.coalesce(F.col("record_bytes") > F.lit(max_record_bytes), F.lit(False))
 
     def clamp(m: Column) -> Column:
         return F.when(
-            oversize, F.map_filter(m, lambda k, v: F.octet_length(v) <= _SALVAGE_VALUE_BYTES)
+            oversize,
+            # NULL values survive the salvage (octet_length(NULL) is NULL
+            # and map_filter drops non-true entries; pg's jsonb null is a
+            # 4-byte value and is kept)
+            F.map_filter(
+                m,
+                lambda k, v: v.isNull() | (F.octet_length(v) <= _SALVAGE_VALUE_BYTES),
+            ),
         ).otherwise(m)
 
     no_pk = pk.isNull() | (F.size(pk) == 0)

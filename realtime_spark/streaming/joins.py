@@ -77,7 +77,12 @@ def interval_join(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}"))
     )
     out = l.join(r, cond, how)
-    return out.select(F.col("_k").alias(key), *[c for c in out.columns if c not in ("_k", "_rk")])
+    # coalesce the key: under full/right outer joins an unmatched right
+    # row has _k NULL and only _rk carries its key
+    return out.select(
+        F.coalesce(F.col("_k"), F.col("_rk")).alias(key),
+        *[c for c in out.columns if c not in ("_k", "_rk")],
+    )
 
 
 def delivery_latency(
