@@ -29,6 +29,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from realtime_spark.operators.text import quantize
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -99,7 +101,9 @@ def cdc_chunks(
     avg_bits: int = 8,
     max_size: int = 1024,
 ) -> DataFrame:
-    """(doc, chunk_idx, offset, length, digest) per content-defined chunk."""
+    """(doc, chunk_idx, offset, length, digest) per content-defined chunk.
+    Doc ids must be integral (the fixed CHUNK_SCHEMA carries them as
+    bigint); hash string ids to int64 upstream first."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -122,7 +126,11 @@ def cdc_chunks(
                             "digest": dg,
                         }
                     )
-            yield pd.DataFrame(rows)
+            if rows:
+                # pd.DataFrame([]) has zero COLUMNS and the Arrow
+                # serializer cannot map it onto CHUNK_SCHEMA — a batch of
+                # empty payloads must emit nothing, not crash the task
+                yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(run, CHUNK_SCHEMA)
 
@@ -153,5 +161,5 @@ def chunk_dedup_stats(chunks: DataFrame) -> DataFrame:
         "n_distinct",
         F.col("total_bytes").cast("bigint").alias("total_bytes"),
         F.col("distinct_bytes").cast("bigint").alias("distinct_bytes"),
-        (F.floor(ratio * 10000.0 + F.lit(0.5)) / 10000.0).alias("dedup_ratio"),
+        quantize(ratio, 4).alias("dedup_ratio"),
     )

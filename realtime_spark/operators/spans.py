@@ -47,7 +47,11 @@ def span_digests(
     )
     rows = spread_by(df, id_col).select(
         F.col(id_col).alias("doc"),
-        F.explode(F.when(n >= w, spans).otherwise(F.array())).alias("sp"),
+        F.explode(
+            F.when(n >= w, spans).otherwise(
+                F.array().cast("array<struct<pos:int,s:string>>")
+            )
+        ).alias("sp"),
     )
     return rows.select(
         "doc",
@@ -64,10 +68,11 @@ def duplicated_spans(
     """Every span occurrence that is NOT the corpus-wide first occurrence of
     its digest: (doc, pos, sx, first_doc, first_pos). First = min by
     (doc, pos) lexicographically — deterministic, order-insensitive."""
-    sp = span_digests(df, id_col, text_col, w)
+    # persist: the stride-1 window explode + md5 is the dominant cost and
+    # feeds both the firsts aggregation and the probe side of the join
+    sp = span_digests(df, id_col, text_col, w).persist()
     firsts = sp.groupBy("sx").agg(
         F.min(F.struct("doc", "pos")).alias("first"),
-        F.count(F.lit(1)).alias("occurrences"),
     )
     return (
         sp.join(firsts, "sx")
@@ -92,7 +97,7 @@ def span_dedup_stats(
     n_dup_spans, dup_frac). Docs shorter than w tokens produce no row (they
     contribute no spans). dup_frac is the quality signal used to drop or
     trim documents dominated by verbatim repeats."""
-    sp = span_digests(df, id_col, text_col, w)
+    sp = span_digests(df, id_col, text_col, w).persist()
     firsts = sp.groupBy("sx").agg(F.min(F.struct("doc", "pos")).alias("first"))
     is_dup = (
         (F.col("doc") != F.col("first.doc")) | (F.col("pos") != F.col("first.pos"))

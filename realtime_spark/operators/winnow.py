@@ -45,8 +45,10 @@ def _gram_hashes(text: Column, k: int) -> Column:
 
 def winnow_expr(text: Column, k: int = 3, w: int = 4) -> Column:
     """Distinct winnowed fingerprint hashes of `text` (array<bigint>).
-    Documents shorter than one full window contribute their single overall
-    minimum (one clamped window)."""
+    Documents with at least k tokens but shorter than one full window
+    contribute their single overall minimum (one clamped window); documents
+    with FEWER than k tokens produce no k-grams and therefore no
+    fingerprints at all — they are invisible to winnow_pairs."""
     grams = _gram_hashes(text, k)
     n = F.size(grams)
     mins = F.transform(

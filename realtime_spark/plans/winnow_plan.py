@@ -71,9 +71,9 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WINNOW_PAIRS = f"""
 WITH {DOCS_DUP_CTE.strip()},
 {_WINNOW_CTES.format(src="_docs_dup").strip()},
-sizes AS (SELECT doc, COUNT(*) AS n_fp FROM fps GROUP BY doc),
 freq_ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 1000),
 f AS (SELECT fps.* FROM fps SEMI JOIN freq_ok USING (fp)),
+sizes AS (SELECT doc, COUNT(*) AS n_fp FROM f GROUP BY doc),
 shared AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_shared
   FROM f a JOIN f b ON a.fp = b.fp AND a.doc < b.doc
@@ -84,7 +84,7 @@ SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
 FROM shared
 JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
-WHERE n_shared / (sa.n_fp + sb.n_fp - n_shared) >= {_THRESHOLD}
+WHERE round(n_shared / (sa.n_fp + sb.n_fp - n_shared), 6) >= {_THRESHOLD}
 """
 
 
