@@ -98,7 +98,12 @@ def stationary_distribution(
             tm.join(x, tm["s"] == x["state"])
             .select(
                 F.col("t").alias("state"),
-                F.expr("(mass * cnt) div outc").alias("m"),
+                # DECIMAL(38,0) intermediate: mass*cnt exceeds int64 once
+                # per-edge counts reach corpus scale (ANSI would throw,
+                # non-ANSI silently wraps negative)
+                F.expr(
+                    "CAST((CAST(mass AS DECIMAL(38,0)) * cnt) DIV outc AS BIGINT)"
+                ).alias("m"),
             )
             .groupBy("state")
             .agg(F.sum("m").alias("mass"))
@@ -117,6 +122,12 @@ def stationary_distribution(
                 "state",
                 F.coalesce(F.col("mass"), F.lit(0)).cast("bigint").alias("mass"),
             )
-            .localCheckpoint(eager=False)
+            # eager: materializes the round (so the tm/states caches are
+            # actually populated and reused) and truncates lineage
+            .localCheckpoint()
         )
-    return x.select("state", F.col("mass").alias("mass_micro"))
+    out = x.select("state", F.col("mass").alias("mass_micro"))
+    t.unpersist()
+    tm.unpersist()
+    states.unpersist()
+    return out

@@ -40,7 +40,11 @@ def write_training_shards(
     partitioned by `shard`, rows sorted by `position` within each file."""
     ordered = training_order(df, key_col, n_shards)
     (
-        ordered.repartition(n_shards, F.col("shard"))
+        # range-partition on the shard id: hash-partitioning the id leaves
+        # ~1/e of the write tasks empty and others carrying 2-3 shards
+        # (balls-in-bins), breaking the one-balanced-file-per-task shape;
+        # ranges over the uniform 0..n_shards-1 ids map ~one shard per task
+        ordered.repartitionByRange(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "position")
         .write.mode(mode)
         .option("maxRecordsPerFile", str(max_records_per_file))

@@ -39,10 +39,32 @@ def salted_join(
     Replication multiplies the non-skewed side's shuffle volume by `salt`;
     use only when `other` is much smaller than the skewed side's hot keys
     (but too big / too dynamic to broadcast outright).
+
+    Supported joins: inner / left / left_semi / left_anti. Right and full
+    outers are rejected — every `other` replica that misses at a given
+    salt bucket would emit its own null-extended row, multiplying
+    unmatched right rows by `salt`.
+
+    The salt mixes a row hash with the partition id so full-duplicate hot
+    rows (e.g. a pre-projected key-only frame, where a pure content hash
+    would be constant per key) still spread; duplicates WITHIN a partition
+    share a bucket, which the partitioner already bounds.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: right/full outers "
+            "would multiply unmatched other-side rows by salt"
+        )
     on = list(on)
     l = skewed.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt))
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in skewed.columns])
+            + F.spark_partition_id(),
+            F.lit(salt),
+        ),
     )
     r = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salt)]))
@@ -53,8 +75,9 @@ def salted_join(
 def skew_stats(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Pre-join skew diagnostics for a candidate shuffle key: one row with
 
-        n_rows, n_keys, max_cnt, mean_cnt, skew_factor (= max/mean),
-        suggested_salt (= ceil(skew_factor / 4), 1 when balanced)
+        n_rows, n_keys, max_cnt, mean_cnt_floor, skew_factor_floor
+        (= floor(max/mean)), suggested_salt (= ceil((max*n_keys/n_rows)/4),
+        1 when balanced)
 
     skew_factor ~ the slowdown of the hottest reducer vs the average; the
     salt suggestion targets <= 4x residual imbalance. Two map-side-combined
@@ -74,11 +97,21 @@ def skew_stats(df: DataFrame, keys: Sequence[str]) -> DataFrame:
         "n_keys",
         "max_cnt",
         F.floor(F.col("n_rows") / F.col("n_keys")).alias("mean_cnt_floor"),
-        F.floor(F.col("max_cnt") * F.col("n_keys") / F.col("n_rows")).alias(
-            "skew_factor_floor"
-        ),
+        # DECIMAL(38,0) product: max_cnt * n_keys overflows int64 exactly in
+        # the huge-corpus high-cardinality regime this probe targets (a
+        # wrapped negative would suggest salt=1 on the most skewed input)
+        F.floor(
+            F.col("max_cnt").cast("decimal(38,0)")
+            * F.col("n_keys")
+            / F.col("n_rows")
+        ).alias("skew_factor_floor"),
         F.greatest(
             F.lit(1).cast("bigint"),
-            F.ceil(F.col("max_cnt") * F.col("n_keys") / F.col("n_rows") / 4),
+            F.ceil(
+                F.col("max_cnt").cast("decimal(38,0)")
+                * F.col("n_keys")
+                / F.col("n_rows")
+                / 4
+            ).cast("bigint"),
         ).alias("suggested_salt"),
     )

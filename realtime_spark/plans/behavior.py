@@ -82,7 +82,7 @@ x0 AS (SELECT state, CAST(1000000 AS BIGINT) AS mass FROM states)"""
     for i in range(_MK_ITERS):
         parts.append(f""",
 f{i + 1} AS (
-  SELECT tr.t AS state, SUM((x.mass * tr.cnt) // o.outc) AS m
+  SELECT tr.t AS state, SUM(((x.mass::HUGEINT * tr.cnt) // o.outc)::BIGINT) AS m
   FROM tr JOIN outs o USING (s) JOIN x{i} x ON x.state = tr.s
   GROUP BY tr.t
 ),
