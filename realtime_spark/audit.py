@@ -20,34 +20,72 @@ from contextlib import redirect_stdout
 
 
 def _plan_text(df) -> str:
+    # execute FIRST: under AQE the pre-execution explain is the
+    # isFinalPlan=false initial plan — codegen spans are absent and
+    # runtime join conversions (the exact regressions this audit exists
+    # to catch) are invisible until the query has actually run
+    # must be collect() on THIS DataFrame: a write/count spins up its own
+    # QueryExecution, leaving df's cached one (the one explain() prints)
+    # un-executed and still isFinalPlan=false
+    df.collect()
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
-        df.explain()  # simple mode carries the [codegen id : N] markers
-    return buf.getvalue()
+    fb = io.StringIO()
+    with redirect_stdout(fb):
+        df.explain()  # simple mode carries the *(N) codegen markers
+    return buf.getvalue(), fb.getvalue()
 
 
 _MARKS = (
-    ("BroadcastHashJoin", "broadcast-hash-join"),
-    ("BroadcastNestedLoopJoin", "broadcast-nested-loop-join"),
-    ("SortMergeJoin", "SORT-MERGE-JOIN"),
-    ("ShuffledHashJoin", "shuffled-hash-join"),
-    ("Exchange", "exchange"),
-    ("InMemoryTableScan", "cached-scan"),
+    (r"BroadcastHashJoin", "broadcast-hash-join"),
+    (r"BroadcastNestedLoopJoin", "broadcast-nested-loop-join"),
+    (r"SortMergeJoin", "SORT-MERGE-JOIN"),
+    (r"ShuffledHashJoin", "shuffled-hash-join"),
+    # shuffle exchanges only: a bare substring count would also match
+    # BroadcastExchange/ReusedExchange and report nonzero "shuffles" for a
+    # pure-broadcast (zero-shuffle) plan
+    (r"(?<!Broadcast)(?<!Reused)Exchange", "exchange"),
+    (r"InMemoryTableScan", "cached-scan"),
 )
 
 
+def _top_level_fields(schema: str) -> int:
+    """Count top-level struct fields: commas inside nested map<>/array<>/
+    struct<> type arguments must not count."""
+    depth, n = 0, 1 if schema else 0
+    for ch in schema:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n += 1
+    return n
+
+
 def audit_plan(name: str, df) -> dict:
-    text = _plan_text(df)
-    counts = {label: text.count(mark) for mark, label in _MARKS}
-    counts["codegen-spans"] = len(set(re.findall(r"\*\((\d+)\)", text)))
+    text, simple = _plan_text(df)
+    # the post-AQE formatted explain appends the pre-adaptive subtree
+    # under "== Initial Plan ==": count operators only in the FINAL tree
+    # above it, but keep the full text for the per-operator details
+    # (PushedFilters/ReadSchema live below the marker)
+    cut = text.find("== Initial Plan ==")
+    tree = text[:cut] if cut != -1 else text
+    # marks from the formatted plan only (one occurrence per operator);
+    # codegen spans from the simple plan, which is where *(N) appears
+    counts = {label: len(re.findall(mark, tree)) for mark, label in _MARKS}
+    counts["codegen-spans"] = len(set(re.findall(r"\*\((\d+)\)", simple)))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
-    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", text)
+    # non-greedy to end of line: the schema may contain nested '>'
+    schemas = re.findall(r"ReadSchema: struct<(.*)>", text)
     return {
         "name": name,
-        **{k: v for k, v in counts.items() if v},
+        # zero-valued counts stay in the report: "codegen-spans: 0" IS the
+        # regression signal, and omitting the key reads as not-applicable
+        **counts,
         "pushed_filters": sorted({p for p in pushed if p}),
-        "scan_columns": [len(s.split(",")) for s in schemas],
+        "scan_columns": [_top_level_fields(s) for s in schemas],
     }
 
 
@@ -61,67 +99,9 @@ def main() -> None:
 
     spark = get_spark("plan_audit", cpus=4)
     qs = entry_mod.queries()
-    names = sys.argv[2:] or [
-        "cdc_multi_pairs",
-        "cdc_subscription_ids",
-        "replay_topk",
-        "rate_sliding_60s",
-        "dedup_minhash_lsh",
-        "dedup_jaccard",
-        "ann_brute_topk",
-        "ann_ivf_topk",
-        "node_routing",
-        "corpus_clean_pipeline",
-        "decontaminate",
-        "lsh_jaccard_pipeline",
-        "srp_cosine_pipeline",
-        "sample_per_group",
-        "cdc_materialize",
-        "search_bm25",
-        "funnel_stages",
-        "retention_cohorts",
-        "corpus_percentiles",
-        "tpch_q1",
-        "tpch_q3",
-        "tpch_q5",
-        "semdedup",
-        "span_dup_stats",
-        "dsir_weights",
-        "dedup_lsh_index",
-        "stream_interval_join",
-        "gopher_rules",
-        "ann_hard_negatives",
-        "hll_users",
-        "cdc_compact",
-        "cdc_snapshot_asof",
-        "ann_sq_topk",
-        "ann_sq_rerank",
-        "chunk_windows",
-        "fk_joint_sample",
-        "zorder_orders",
-        "sample_weighted",
-        "url_domains",
-        "corpus_diff",
-        "cdc_gap_audit",
-        "cdc_schema_drift",
-        "event_transitions",
-        "markov_stationary",
-        "ols_trend",
-        "cusum_changepoint",
-        "hist_quantiles",
-        "phrase_search",
-        "hash_embed_retrieval",
-        "ngram_novelty",
-        "quality_classifier",
-        "robust_spikes",
-        "session_transitions",
-        "dup_graph_triangles",
-        "search_bm25_index",
-        "dq_audit",
-        "ann_recall_sweep",
-        "k_anonymity",
-        "cdc_pk_change",
-    ]
+    # default: every registered query — a hard-coded list silently skips
+    # newly added queries from the audit
+    names = sys.argv[2:] or sorted(qs)
     for name in names:
         if name not in qs:
             print(f"{name}: NOT FOUND")

@@ -41,6 +41,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """Apply engine-required runtime confs to an externally provided session
     (the driver passes its own SparkSession to __spark_entry__.entry)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # idempotence sentinel read by sources.testdata.load_table — a conf
+    # key survives as long as the session does, unlike an id()-keyed set
+    # whose address a NEW session can reuse after GC
+    spark.conf.set("spark.realtime_spark.tuned", "1")
     try:
         par = spark.sparkContext.defaultParallelism
     except Exception:

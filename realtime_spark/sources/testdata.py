@@ -37,15 +37,16 @@ ORDERS_PK = ["o_orderkey"]
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
-_TUNED_SESSIONS: set[int] = set()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if id(spark) not in _TUNED_SESSIONS:
+    # sentinel conf, not an id()-keyed set: a NEW session can reuse a
+    # GC'd session object's address and would silently skip tuning,
+    # leaving the session timezone unpinned vs the UTC-pinned oracle
+    if spark.conf.get("spark.realtime_spark.tuned", None) != "1":
         from realtime_spark.session import tune_session
 
         tune_session(spark)
-        _TUNED_SESSIONS.add(id(spark))
     if name in _NANOS_TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -155,6 +156,11 @@ def messages_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SUBSET mirror of messages_from_events: the columns oracle queries read
+# (id/topic/extension/event/private/inserted_at + raw props standing in
+# for the payload map); updated_at and the day partition column have no
+# SQL counterpart here — an oracle needing them must derive them (ts /
+# CAST(ts AS DATE)) rather than reference this CTE blindly.
 MESSAGES_SQL_CTE = """
 _messages AS (
   SELECT CAST(event_id AS VARCHAR) AS id, event_type AS topic,
