@@ -305,7 +305,12 @@ def _typed_sign_cmp(raw: Column, val: Column, fam: Column) -> Column:
         b = val.try_cast(target)
         cmp_ = F.when(a < b, -1).when(a == b, 0).when(a > b, 1)
         expr = F.when(fam == family, cmp_) if expr is None else expr.when(fam == family, cmp_)
-    return expr
+    # families without a dedicated branch (e.g. 'binary' for bytea) fall
+    # back to TEXT comparison — the same default the compiled path's
+    # _FAMILY_CAST.get(fam, 'string') applies, so delivery cannot depend
+    # on which match strategy ran
+    txt = F.when(raw < val, -1).when(raw == val, 0).when(raw > val, 1)
+    return expr.otherwise(txt)
 
 
 def eval_filter_expr(f: Column, record: Column) -> Column:

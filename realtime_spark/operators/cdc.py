@@ -67,12 +67,19 @@ def subscriptions_df(
     subscriptions resolve against the union of all known relations.
     """
     type_maps = dict(type_maps or {})
+    from realtime_spark.functions.casts import pg_type_family
+
     merged: dict[str, str] = {}
-    ambiguous: set[str] = set()  # same column name, conflicting type families
+    _fams: dict[str, str] = {}
+    ambiguous: set[str] = set()  # same column name, conflicting type FAMILIES
     for m in type_maps.values():
         for col, t in m.items():
-            if col in merged and merged[col] != t:
+            fam = pg_type_family(t)
+            # compare comparison families, not raw names: int4 vs bigint
+            # both compare as 'long' and are NOT ambiguous
+            if col in _fams and _fams[col] != fam:
                 ambiguous.add(col)
+            _fams[col] = fam
             merged[col] = t
     rows = []
     for i, s in enumerate(specs):
@@ -362,6 +369,15 @@ def matched_pairs(changes: DataFrame, subs: DataFrame, strategy: str = "auto") -
     """
     rows = _collect_small_dim(subs) if strategy in ("auto", "compile") else None
     if rows is None:
+        if strategy == "compile":
+            # the caller explicitly asked for the compiled plan (scan
+            # pushdown, _rs_match_sets for the zero-shuffle projection);
+            # silently handing back the joined plan would swap semantics
+            # and plan shape without a trace
+            raise ValueError(
+                f"strategy='compile' requires <= {COMPILE_MAX_SUBS} "
+                "subscriptions; use strategy='auto' to allow the join fallback"
+            )
         return _joined_pairs(changes, subs)
     if not rows:
         empty = changes.sparkSession.createDataFrame([], subs.schema)

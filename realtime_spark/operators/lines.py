@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from realtime_spark.operators.sampling import hash_bucket
+
 from realtime_spark.operators.dedup import tokens_expr
 
 LINE_TOKENS = 8  # tokens per derived line in the test-corpus chunker
@@ -95,7 +97,7 @@ def line_flags(lines: DataFrame, min_docs: int = 20) -> DataFrame:
     """
     keyed = lines.withColumn(
         "_ldig",
-        F.conv(F.substring(F.md5("line"), 1, 15), 16, 10).cast("bigint"),
+        hash_bucket(F.col("line"), 2**60)  # shared 60-bit md5 digest helper,
     )
     stats = keyed.groupBy("_ldig").agg(
         F.countDistinct("doc").alias("n_docs"),

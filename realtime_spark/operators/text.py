@@ -125,13 +125,13 @@ def lang_quality_cols(
     where both signals are needed for every candidate document.
     """
     text = F.col(text_col)
-    toks = F.col("_lq_toks")
+    toks = F.col("__rs_lq_toks")
     n = F.size(toks)
 
     # stage 1: tokenize once
-    out = df.withColumn("_lq_toks", words_expr(text))
+    out = df.withColumn("__rs_lq_toks", words_expr(text))
 
-    # stage 2: per-language score array + quality components (all from _lq_toks)
+    # stage 2: per-language score array + quality components (all from __rs_lq_toks)
     scored = []
     for lang, stops in sorted(STOPWORDS.items()):
         arr = F.array(*[F.lit(s) for s in stops])
@@ -161,24 +161,24 @@ def lang_quality_cols(
         + 0.2 * wl_score
     )
     scale = float(10**q_round_digits)
-    out = out.withColumn("_lq_scores", F.array(*scored)).withColumn(
+    out = out.withColumn("__rs_lq_scores", F.array(*scored)).withColumn(
         q_out, F.floor(raw * scale + F.lit(0.5)) / F.lit(scale)
     )
 
     # stage 3: max score over the staged array
     out = out.withColumn(
-        "_lq_max", F.array_max(F.col("_lq_scores")).getField("score")
+        "__rs_lq_max", F.array_max(F.col("__rs_lq_scores")).getField("score")
     )
 
     # stage 4: deterministic argmax (same tie-break as detect_lang)
     winners = F.filter(
-        F.col("_lq_scores"), lambda s: s.getField("score") == F.col("_lq_max")
+        F.col("__rs_lq_scores"), lambda s: s.getField("score") == F.col("__rs_lq_max")
     )
     first = F.array_min(winners).getField("lang")
     out = out.withColumn(
-        lang_out, F.when(F.col("_lq_max") > 0, first).otherwise(F.lit("und"))
+        lang_out, F.when(F.col("__rs_lq_max") > 0, first).otherwise(F.lit("und"))
     )
-    return out.drop("_lq_toks", "_lq_scores", "_lq_max")
+    return out.drop("__rs_lq_toks", "__rs_lq_scores", "__rs_lq_max")
 
 
 def punct_ratio(text: Column) -> Column:
@@ -361,20 +361,37 @@ def fingerprints(
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass per-document stats projection (no shuffle)."""
+    """One-pass per-document stats projection (no shuffle). Values are
+    bit-identical to the individual column forms, but the word tokens are
+    STAGED once per row: the naive composition re-evaluates words_expr
+    15-20x per row because interpreted higher-order lambdas get no CSE
+    (the exact hazard lang_quality_cols documents)."""
     t = F.col(text_col)
-    return df.withColumns(
+    out = lang_quality_cols(df, text_col)  # staged detected_lang + quality
+    toks = F.col("__rs_ts_toks")
+    out = out.withColumn("__rs_ts_toks", words_expr(t))
+    n = F.size(toks)
+    stops_en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    en_hits = F.size(F.filter(toks, _contains_fn(stops_en)))
+    total_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return out.withColumns(
         {
             "n_words": whitespace_token_count(t),
             "n_bpe_tokens": bpe_token_count(t),
             "punct_ratio": F.round(punct_ratio(t), 4),
-            "stopword_ratio_en": F.round(stopword_ratio(t, "en"), 4),
-            "mean_word_len": F.round(mean_word_len(t), 4),
-            "detected_lang": detect_lang(t),
-            "quality": quality_score(t),
+            "stopword_ratio_en": F.round(
+                F.when(n > 0, en_hits / n).otherwise(F.lit(0.0)), 4
+            ),
+            "mean_word_len": F.round(
+                F.when(n > 0, total_len / n).otherwise(F.lit(0.0)), 4
+            ),
             "fingerprint": content_fingerprint(t),
         }
-    )
+    ).drop("__rs_ts_toks")
 
 
 def pack_by_token_budget(
@@ -396,8 +413,10 @@ def pack_by_token_budget(
     partition key instead of a global total order; omit it only for corpus
     sizes where a single total order is acceptable.
 
-    Output: df + (pack_id bigint, pack_pos bigint). Deterministic and
-    engine-reproducible (the DuckDB oracle replays the same window).
+    Output: df + (pack_id bigint, pack_pos bigint), where pack_pos is the
+    1-based position WITHIN the pack (the training-sequence offset).
+    Deterministic and engine-reproducible (the DuckDB oracle replays the
+    same window).
     """
     from pyspark.sql import Window
 
@@ -415,8 +434,12 @@ def pack_by_token_budget(
         F.lit(0).cast("bigint"),
     )
     pack = F.floor(cum_excl / F.lit(budget)).cast("bigint")
-    pos = F.row_number().over(w).cast("bigint")
-    return df.withColumn("pack_id", pack).withColumn("pack_pos", pos)
+    out = df.withColumn("pack_id", pack)
+    # intra-pack offset needs its own window keyed by the pack id — a
+    # global row_number here would be the position in the whole packing
+    # order, a trap for consumers using pack_pos as the sequence offset
+    wp = Window.partitionBy(*keys, F.col("pack_id")).orderBy(*order)
+    return out.withColumn("pack_pos", F.row_number().over(wp).cast("bigint"))
 
 
 def chunk_tokens(
@@ -439,6 +462,10 @@ def chunk_tokens(
 
     Output: (id, chunk_idx, start_tok, n_chunk_tokens, chunk_text).
     """
+    if stride > chunk_size:
+        # a stride past the chunk size silently leaves token gaps while
+        # the contract promises full coverage
+        raise ValueError(f"stride ({stride}) must be <= chunk_size ({chunk_size})")
     from realtime_spark.operators.dedup import tokens_expr
 
     n = F.col("_n")
@@ -678,8 +705,8 @@ def quality_feature_cols(
     emits only exact integers, so any downstream weighted sum is
     oracle-exact."""
     text = F.col(text_col)
-    toks = F.col("_qf_toks")
-    out = df.withColumn("_qf_toks", words_expr(text))
+    toks = F.col("__rs_qf_toks")
+    out = df.withColumn("__rs_qf_toks", words_expr(text))
     stops = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     out = out.withColumns(
         {
@@ -698,7 +725,7 @@ def quality_feature_cols(
             ).cast("bigint"),
         }
     )
-    return out.drop("_qf_toks")
+    return out.drop("__rs_qf_toks")
 
 
 # micro-unit weights: reward stopword evidence and moderate length, punish

@@ -57,7 +57,16 @@ def run_cdc_stream(
     """
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # pin the batch once so the shed gate, the A10 observation, and the
+        # match pipeline all read the checkpointed frame instead of
+        # re-scanning the source per action (same pattern as adaptive.py)
+        batch_df = batch_df.localCheckpoint()
         if shed_gate is not None and shed_gate(batch_df):
+            # the A10 observation only records when a job runs over the
+            # observed plan: a shed batch must still COUNT (backlog, not
+            # idle), exactly like the reference's slot_changes sentinel
+            # that reports even when nothing is delivered
+            batch_df.count()
             return
         dim = subs(epoch_id) if callable(subs) else subs
         out = match_changes(batch_df, dim)
