@@ -74,6 +74,12 @@ _docs_dup AS (
 
 # shared SQL fragments mirroring dedup.tokens_expr / shingles_expr (k=3)
 SQL_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+# mirror of text.words_expr — KEEPS apostrophes ([^a-z0-9']+ split). The
+# text.py lang/quality/fingerprint family tokenizes with words_expr, NOT
+# tokens_expr; their oracles must use this fragment or they silently diverge
+# on any corpus containing apostrophes (the synthetic fixture has none,
+# which masked exactly that divergence until round 4).
+_SQL_WORDS = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
 
 
 def _sql_shingles(k: int = 3) -> str:
@@ -1629,7 +1635,7 @@ def _oracle_lang_id() -> str:
     mx = "greatest(" + ", ".join(f"s_{lg}" for lg in _LANGS) + ")"
     pick = " ".join(f"WHEN s_{lg} = mx THEN '{lg}'" for lg in _LANGS)
     return f"""
-WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+WITH t AS (SELECT doc_id, {_SQL_WORDS} AS toks FROM documents),
 s AS (SELECT doc_id, {scores} FROM t),
 m AS (SELECT *, {mx} AS mx FROM s)
 SELECT doc_id, CASE WHEN mx <= 0 THEN 'und' ELSE (CASE {pick} END) END AS detected_lang
@@ -1647,7 +1653,7 @@ def _oracle_quality() -> str:
 
     en = "[" + ", ".join(f"'{s}'" for s in STOPWORDS["en"]) + "]"
     return rf"""
-WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+WITH t AS (SELECT doc_id, text, {_SQL_WORDS} AS toks FROM documents),
 c AS (
   SELECT doc_id,
     len(toks) AS n,
@@ -1679,8 +1685,10 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(d, "doc_id", "text", k=8)
 
 
+# COALESCE: DuckDB array_to_string([]) is NULL where Spark array_join([]) is
+# '' — an all-punctuation/empty doc must fingerprint as md5(''), not NULL
 ORACLE_TEXT_FINGERPRINTS = f"""
-WITH t AS (SELECT doc_id, array_to_string({SQL_TOKS}, ' ') AS norm FROM documents)
+WITH t AS (SELECT doc_id, COALESCE(array_to_string({_SQL_WORDS}, ' '), '') AS norm FROM documents)
 SELECT doc_id, md5(norm) AS fp,
   list_min(list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
            i -> md5(substr(norm, i, 8)))) AS rfp
@@ -1691,8 +1699,6 @@ FROM t
 # -- corpus n-gram statistics ----------------------------------------------
 
 _NGRAM_N, _NGRAM_K = 3, 5
-# words_expr keeps apostrophes: [^a-z0-9']+ split
-_SQL_WORDS = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
 
 
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2876,7 +2882,7 @@ def _oracle_lang_mix() -> str:
     )
     lst = "[" + ", ".join(f"s_{lg}" for lg in _LANGS) + "]"
     return f"""
-WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+WITH t AS (SELECT doc_id, {_SQL_WORDS} AS toks FROM documents),
 s AS (SELECT doc_id, {scores} FROM t),
 o AS (SELECT doc_id, list_sort({lst}) AS ss FROM s)
 SELECT doc_id,
@@ -2964,7 +2970,7 @@ _docs_ingest AS (
   SELECT doc_id, text FROM _docs_dup
   UNION ALL
   SELECT doc_id + 3000000,
-         array_to_string(list_reverse({SQL_TOKS}), ' ')
+         COALESCE(array_to_string(list_reverse({SQL_TOKS}), ' '), '')
   FROM _docs_dup WHERE doc_id % 10 = 2 AND doc_id < 1000000
 ),
 lg AS ({lang}),

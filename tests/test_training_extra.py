@@ -267,3 +267,86 @@ class TestTrainingShards:
         m = shard_manifest(spark, path, "doc_id")
         for r in m.collect():
             assert r["min_pos"] == 1 and r["max_pos"] == r["rows"]
+
+
+class TestWordsExprOracleParity:
+    """The text.py lang/quality/fingerprint family tokenizes with words_expr
+    (apostrophes KEPT); the synthetic corpus has no apostrophes, so the
+    oracle gate alone cannot catch an oracle written against tokens_expr.
+    This differential runs the REAL oracle SQL strings over an
+    apostrophe-bearing corpus and compares them to the Spark operators."""
+
+    def _corpus(self, spark):
+        rows = [
+            (1, "the of and don't can't it's to a in is that", "en", "src0"),
+            (2, "le la de l'ami d'accord et un est que pour", "fr", "src0"),
+            (3, "won't shan't o'clock", "en", "src1"),
+            (4, "plain words without any apostrophes at all the of and", "en", "src1"),
+            (5, "", "en", "src2"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).withColumn("n_chars", F.length("text"))
+        return df
+
+    def _duck(self, df):
+        import duckdb
+
+        con = duckdb.connect()
+        pdf = df.toPandas()
+        con.register("_pdf", pdf)
+        con.execute("CREATE TABLE documents AS SELECT * FROM _pdf")
+        return con
+
+    def test_lang_quality_fingerprint_mix_oracles_match_on_apostrophes(self, spark):
+        from realtime_spark.operators.text import (
+            detect_lang,
+            fingerprints,
+            quality_score,
+        )
+        from realtime_spark.plans.training import (
+            _oracle_lang_id,
+            _oracle_lang_mix,
+            _oracle_quality,
+            ORACLE_TEXT_FINGERPRINTS,
+            q_lang_mix,
+        )
+        from tests.oracle_utils import compare
+
+        d = self._corpus(spark)
+        con = self._duck(d)
+
+        compare(
+            d.select("doc_id", detect_lang(F.col("text")).alias("detected_lang")),
+            con, _oracle_lang_id(), "apostrophe:text_lang_id",
+        )
+        compare(
+            d.select("doc_id", quality_score(F.col("text")).alias("quality")),
+            con, _oracle_quality(), "apostrophe:text_quality",
+        )
+        compare(
+            fingerprints(d, "doc_id", "text", k=8),
+            con, ORACLE_TEXT_FINGERPRINTS, "apostrophe:text_fingerprints",
+        )
+
+        # q_lang_mix loads from a table path; inline its body over `d` instead
+        from realtime_spark.operators.text import STOPWORDS, quantize, words_expr
+
+        toks = words_expr(F.col("text"))
+        n = F.size(toks)
+        scored = []
+        for lang, stops in sorted(STOPWORDS.items()):
+            arr = F.array(*[F.lit(s) for s in stops])
+            hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+            scored.append(F.round(F.when(n > 0, hits / n).otherwise(F.lit(0.0)), 6))
+        allscores = F.array_sort(F.array(*scored))
+        best = F.element_at(allscores, -1)
+        second = F.element_at(allscores, -2)
+        mix = d.select(
+            "doc_id",
+            quantize(best, 4).alias("best_score"),
+            quantize(F.when(best > 0, second / best).otherwise(F.lit(0.0)), 4).alias(
+                "mix_ratio"
+            ),
+        )
+        compare(mix, con, _oracle_lang_mix(), "apostrophe:lang_mix")
