@@ -1016,7 +1016,77 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_stats(cdc_chunks(d))
 
 
+def _oracle_chunk_dedup() -> str:
+    """DuckDB replay of the gear-hash content-defined chunker.
+
+    The per-byte stateful loop looks SQL-inexpressible, but min_size=64
+    makes it exact in closed form: the rolling hash is linear
+    (h_i = sum_j gear[b_j] * 2^(i-j) mod 2^64), so the reset contribution
+    from any chunk start is shifted out entirely once the chunk is >= 64
+    bytes — and the boundary predicate is only ever tested at size >=
+    min_size = 64. Boundary candidates therefore come from the GLOBAL
+    no-reset prefix hash (itself a 64-term windowed sum, since older terms
+    vanish mod 2^64), and chunk selection is a short recursive CTE over the
+    candidate list: next_end(s) = least(first candidate >= s+64, s+1024, n).
+    ASCII corpus assumed (byte == ascii(char)); the pure-Python
+    differential in tests/test_behavior.py covers arbitrary bytes."""
+    from realtime_spark.operators.chunking import _GEAR
+    from realtime_spark.plans.training import DOCS_DUP_CTE
+
+    gear_vals = ", ".join(f"({b}, {g}::HUGEINT)" for b, g in enumerate(_GEAR))
+    m64 = 1 << 64
+    return f"""
+WITH RECURSIVE {DOCS_DUP_CTE.strip()},
+gear(b, g) AS (VALUES {gear_vals}),
+bytes AS (
+  SELECT doc_id AS doc, CAST(u.i AS BIGINT) AS pos,
+         ascii(substr(text, CAST(u.i AS INT), 1)) AS byte
+  FROM _docs_dup, unnest(range(1, strlen(text) + 1)) u(i)
+),
+gb AS (SELECT doc, pos, g FROM bytes JOIN gear ON gear.b = bytes.byte),
+h AS (
+  SELECT a.doc, a.pos,
+         SUM((w.g * (1::HUGEINT << CAST(a.pos - w.pos AS INT))) % {m64})
+           % {m64} AS hv
+  FROM gb a JOIN gb w ON w.doc = a.doc AND w.pos BETWEEN a.pos - 63 AND a.pos
+  GROUP BY a.doc, a.pos
+),
+cands AS (SELECT doc, pos FROM h WHERE (hv % 256) = 0),
+cand_arr AS (SELECT doc, list(pos ORDER BY pos) AS cs FROM cands GROUP BY doc),
+lens AS (SELECT doc_id AS doc, CAST(strlen(text) AS BIGINT) AS n FROM _docs_dup),
+rec AS (
+  SELECT l.doc, CAST(0 AS BIGINT) AS s,
+         least(coalesce(list_filter(ca.cs, p -> p >= 64)[1],
+                        1152921504606846976), 1024, l.n) AS e,
+         l.n AS n, COALESCE(ca.cs, CAST([] AS BIGINT[])) AS cs
+  FROM lens l LEFT JOIN cand_arr ca USING (doc) WHERE l.n > 0
+  UNION ALL
+  SELECT r.doc, r.e,
+         least(coalesce(list_filter(r.cs, p -> p - r.e >= 64)[1],
+                        1152921504606846976), r.e + 1024, r.n),
+         r.n, r.cs
+  FROM rec r WHERE r.e < r.n
+),
+chunks AS (
+  SELECT r.doc,
+         md5(substr(d.text, CAST(r.s + 1 AS INT), CAST(r.e - r.s AS INT)))
+           AS digest,
+         r.e - r.s AS length
+  FROM rec r JOIN _docs_dup d ON d.doc_id = r.doc
+),
+pd AS (SELECT digest, MAX(length) AS length FROM chunks GROUP BY digest)
+SELECT (SELECT COUNT(*) FROM chunks) AS n_chunks,
+       (SELECT COUNT(*) FROM pd) AS n_distinct,
+       (SELECT CAST(SUM(length) AS BIGINT) FROM chunks) AS total_bytes,
+       (SELECT CAST(SUM(length) AS BIGINT) FROM pd) AS distinct_bytes,
+       floor((SELECT SUM(length) FROM pd) * 1.0
+             / (SELECT SUM(length) FROM chunks) * 10000.0 + 0.5) / 10000.0
+         AS dedup_ratio
+"""
+
+
 _WAVE3_QUERIES["chunk_dedup"] = q_chunk_dedup
+_WAVE3_ORACLES["chunk_dedup"] = _oracle_chunk_dedup()
 
 
 def q_search_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,10 +1,16 @@
 """BPE tokenizer-training queries over the documents corpus.
 
-`bpe_pair_counts` (the round-0 statistic every merge decision is made
-from) is oracle-checked against DuckDB; the iterative trainer and the
-segmenter are genuinely non-SQL-expressible (driver-looped argmax rounds),
-so they get rows-only driver checks plus an exact pure-Python differential
-test (tests/test_bpe.py) — the same contract as k-means/PageRank.
+ALL THREE queries are oracle-checked. `bpe_pair_counts` is the round-0
+statistic. The trainer (`bpe_merges`) is driver-looped argmax rounds, but
+at the fixture's _N_MERGES=12 the rounds UNROLL into chained MATERIALIZED
+CTEs: each round is one pair-count aggregate, a 1-row argmax, and a pure
+list-expression merge application. The leftmost non-overlapping merge has
+a positional closed form (merge at i iff the pair matches and, for l==r
+runs, the offset inside the run of l's is even), so no fold is needed.
+The segmenter (`bpe_segment`) replays the rank-greedy per-word loop as a
+recursive CTE over DISTINCT words (word types, exactly like the Spark
+memo cache). The pure-Python differential (tests/test_bpe.py) remains as
+the independent third implementation.
 """
 
 from __future__ import annotations
@@ -78,6 +84,119 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.select("doc_id", "n_bpe_tokens")
 
 
+# positional closed form of merge_pair_expr's leftmost non-overlapping
+# merge: position i merges iff (syms[i], syms[i+1]) == (l, r) and — only
+# relevant when l == r, where consecutive candidates overlap — i sits at an
+# EVEN offset inside its maximal run of l's (leftmost-first consumption)
+_SQL_MERGE_POSITIONS = """list_filter(range(1, len(syms)), i ->
+      syms[CAST(i AS INT)] = m.l AND syms[CAST(i AS INT) + 1] = m.r
+      AND (m.l <> m.r OR ((i - coalesce(list_max(list_filter(range(1, i),
+            j -> syms[CAST(j AS INT)] <> m.l)), 0) - 1) % 2 = 0)))"""
+
+
+def _bpe_chain_ctes() -> str:
+    """WITH-body that unrolls _N_MERGES training rounds: s{k} is the
+    word-type symbol table after round k, m{k} the round's argmax merge.
+    MATERIALIZED is load-bearing: each round references the previous one
+    twice (pair counts + merge application), so un-materialized CTEs would
+    inline exponentially (2^rounds parquet scans)."""
+    parts = [f"""toksd AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+                '[^a-z0-9]+'), x -> x <> '')) AS word
+  FROM documents
+),
+wf AS (SELECT word, COUNT(*) AS freq FROM toksd GROUP BY 1),
+s0 AS MATERIALIZED (
+  SELECT freq,
+         list_append([substr(word, CAST(i AS INT), 1)
+                      FOR i IN range(1, len(word)+1)], '</w>') AS syms
+  FROM wf
+)"""]
+    for k in range(1, _N_MERGES + 1):
+        parts.append(f""",
+pc{k} AS (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT)+1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM s{k - 1}, unnest(range(1, len(syms))) t(i) GROUP BY 1, 2
+),
+m{k} AS MATERIALIZED (SELECT l, r, cnt FROM pc{k}
+                      ORDER BY cnt DESC, l, r LIMIT 1),
+sp{k} AS (SELECT freq, syms, {_SQL_MERGE_POSITIONS} AS mp
+          FROM s{k - 1}, m{k} m),
+s{k} AS MATERIALIZED (
+  SELECT freq,
+         [CASE WHEN list_contains(mp, i) THEN m.l || m.r
+               ELSE syms[CAST(i AS INT)] END
+          FOR i IN range(1, len(syms) + 1)
+          IF NOT list_contains(mp, i - 1)] AS syms
+  FROM sp{k}, m{k} m
+)""")
+    traces = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, l, r, cnt FROM m{k}"
+        for k in range(1, _N_MERGES + 1)
+    )
+    # train_bpe stops at the first round whose best count is <= 1; the
+    # cumulative-min gate mirrors the break (later rounds computed on the
+    # then-divergent symbol table are discarded with it)
+    parts.append(f""",
+allm AS ({traces}),
+gated AS (SELECT *, MIN(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+            AS chain_min FROM allm)""")
+    return "".join(parts)
+
+
+def _oracle_bpe_merges() -> str:
+    return f"""
+WITH {_bpe_chain_ctes()}
+SELECT CAST(rank AS INT) AS rank, l AS l_sym, r AS r_sym,
+       cnt AS pair_count
+FROM gated WHERE chain_min > 1 ORDER BY rank
+"""
+
+
+def _oracle_bpe_segment() -> str:
+    return f"""
+WITH RECURSIVE {_bpe_chain_ctes()},
+mm AS MATERIALIZED (
+  SELECT map_from_entries(list(struct_pack(k := l || chr(1) || r,
+                                           v := rank))) AS m
+  FROM gated WHERE chain_min > 1
+),
+dwords AS (SELECT DISTINCT word FROM toksd),
+seg AS (
+  SELECT word,
+         list_append([substr(word, CAST(i AS INT), 1)
+                      FOR i IN range(1, len(word)+1)], '</w>') AS syms
+  FROM dwords
+  UNION ALL
+  SELECT s.word,
+         list_slice(s.syms, 1, b.best.i - 1)
+         || [s.syms[CAST(b.best.i AS INT)] || s.syms[CAST(b.best.i AS INT) + 1]]
+         || list_slice(s.syms, b.best.i + 2, len(s.syms))
+  FROM seg s, mm,
+  LATERAL (SELECT list_sort(list_filter(
+             [struct_pack(r := map_extract(mm.m,
+                  s.syms[CAST(i AS INT)] || chr(1)
+                  || s.syms[CAST(i AS INT) + 1])[1], i := i)
+              FOR i IN range(1, len(s.syms))],
+             x -> x.r IS NOT NULL))[1] AS best) b
+  WHERE b.best IS NOT NULL
+),
+final AS (
+  SELECT s.word, len(s.syms) AS n
+  FROM seg s, mm
+  WHERE len(list_filter(range(1, len(s.syms)), i ->
+          map_extract(mm.m, s.syms[CAST(i AS INT)] || chr(1)
+                      || s.syms[CAST(i AS INT) + 1])[1] IS NOT NULL)) = 0
+)
+SELECT d.doc_id, CAST(COALESCE(SUM(f.n), 0) AS INT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN toksd t ON t.doc_id = d.doc_id
+LEFT JOIN final f ON f.word = t.word
+GROUP BY d.doc_id
+"""
+
+
 def tokenizer_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -87,4 +206,8 @@ def tokenizer_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def tokenizer_oracles() -> dict[str, str]:
-    return {"bpe_pair_counts": ORACLE_BPE_PAIR_COUNTS}
+    return {
+        "bpe_pair_counts": ORACLE_BPE_PAIR_COUNTS,
+        "bpe_merges": _oracle_bpe_merges(),
+        "bpe_segment": _oracle_bpe_segment(),
+    }
