@@ -246,7 +246,10 @@ def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by over the (tiny) cluster-member set."""
     from realtime_spark.operators.dedup import duplicate_clusters
 
-    d = docs_with_dups(spark, sf_dir)
+    # one materialization of the dup-injected corpus: it feeds three
+    # consumers (shingling, member tokenization, the final anti-join) —
+    # without the cut each re-runs the parquet scan + union
+    d = docs_with_dups(spark, sf_dir).localCheckpoint()
     pairs = jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
     clusters = duplicate_clusters(pairs)
     # tokenize ONLY cluster members (the docs whose length matters), not the
@@ -260,14 +263,16 @@ def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != "")
         ).alias("n_tok"),
     )
-    keepers = members.groupBy("cluster_id").agg(
-        F.max_by(
-            F.col("doc_id"), F.struct(F.col("n_tok"), (-F.col("doc_id")).alias("r"))
-        ).alias("keep_id")
+    # keeper selection as ONE window over the tiny member set (row_number
+    # partitioned by cluster) instead of a groupBy-max_by plus a second
+    # broadcast join back — same keeper (max n_tok, ties -> min doc_id,
+    # exactly the oracle's row_number), one less job (~0.4 s at sf0.1)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tok"), F.asc("doc_id")
     )
     drop = (
-        members.join(F.broadcast(keepers), "cluster_id")
-        .filter(F.col("doc_id") != F.col("keep_id"))
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
         .select("doc_id")
     )
     return d.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id")
