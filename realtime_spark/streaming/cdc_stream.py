@@ -29,7 +29,11 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from realtime_spark.operators.cdc import match_changes
+from realtime_spark.operators.cdc import (
+    CompiledMatcher,
+    _collect_small_dim,
+    match_changes,
+)
 
 
 def run_cdc_stream(
@@ -56,6 +60,20 @@ def run_cdc_stream(
     a dim refresh costs nothing extra.
     """
 
+    # compile-once match cache: the expression tree is rebuilt only when the
+    # subscription set actually changes (keyed by the collected dim rows),
+    # not on every micro-batch — see CompiledMatcher. For a static dim this
+    # compiles exactly once for the life of the query.
+    cache: dict[str, Any] = {"key": None, "matcher": None}
+
+    def _matcher_for(dim: DataFrame, batch_df: DataFrame) -> CompiledMatcher:
+        rows = _collect_small_dim(dim)
+        key = None if rows is None else repr(rows)
+        if key is None or cache["key"] != key:
+            cache["matcher"] = CompiledMatcher(dim, batch_df.columns)
+            cache["key"] = key
+        return cache["matcher"]
+
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # pin the batch once so the shed gate, the A10 observation, and the
         # match pipeline all read the checkpointed frame instead of
@@ -69,7 +87,7 @@ def run_cdc_stream(
             batch_df.count()
             return
         dim = subs(epoch_id) if callable(subs) else subs
-        out = match_changes(batch_df, dim)
+        out = _matcher_for(dim, batch_df)(batch_df)
         sink(out, epoch_id)
 
     # A10 slot-backlog observability: the raw per-batch change count BEFORE
