@@ -99,6 +99,118 @@ def test_behavior_family_scales_linearly(spark):
         assert abs(base_s[k] - rep_s[k]) <= 1e-6, (k, base_s[k], rep_s[k])
 
 
+def test_fastlane_dispatch_scales_linearly(spark):
+    """Replicate the message feed 20x under distinct msg_ids: every gate
+    decision (sender skip, presence/broadcast_read, replay dedup, encode
+    failure) is a pure function of (message fields, socket fields), so each
+    replica reproduces the base decisions exactly — deliveries and summary
+    rows must scale exactly linearly."""
+    from pyspark.sql import functions as F
+
+    from realtime_spark.operators.dispatch import fastlane_pairs, fastlane_summary
+    from realtime_spark.plans.dispatch_plan import _fl_messages, _fl_subscribers
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    msgs = _fl_messages(spark, sf)
+    subs = _fl_subscribers(spark)
+    base = fastlane_summary(fastlane_pairs(msgs, subs))
+    base_n = base.count()
+    base_d = base.agg(F.sum("n_delivered")).collect()[0][0]
+
+    rep = msgs.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
+    ).withColumn(
+        "msg_id", F.col("msg_id") + F.col("rep") * F.lit(10_000_000_000)
+    ).drop("rep")
+    big = fastlane_summary(fastlane_pairs(rep, subs))
+    assert big.count() == base_n * REPLICAS
+    assert big.agg(F.sum("n_delivered")).collect()[0][0] == base_d * REPLICAS
+
+
+def test_cdc_fanout_scales_linearly(spark):
+    """Replicate the change feed 20x under distinct msg_ids: per-socket CDC
+    visibility (topic join + id intersection + new-api gate) is decided per
+    change row, so deliveries and encode-once counts scale exactly."""
+    from pyspark.sql import functions as F
+
+    from realtime_spark.operators.dispatch import cdc_fanout, cdc_fanout_summary
+    from realtime_spark.plans.dispatch_plan import _cdc_changes, _cdc_subscribers
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    changes = _cdc_changes(spark, sf)
+    subs = _cdc_subscribers(spark)
+    base_deliv = cdc_fanout(changes, subs)
+    base_n = base_deliv.count()
+    base_enc = cdc_fanout_summary(base_deliv).agg(F.sum("n_encodes")).collect()[0][0]
+
+    rep = changes.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
+    ).withColumn(
+        "msg_id", F.col("msg_id") + F.col("rep") * F.lit(10_000_000_000)
+    ).drop("rep")
+    big_deliv = cdc_fanout(rep, subs)
+    assert big_deliv.count() == base_n * REPLICAS
+    big_enc = cdc_fanout_summary(big_deliv).agg(F.sum("n_encodes")).collect()[0][0]
+    assert big_enc == base_enc * REPLICAS
+
+
+def test_placement_audit_scales_linearly(spark):
+    """Replicate the tenant registry 20x under distinct tenant ids: the audit
+    emits exactly one verdict row per tenant (20x rows), every expected_node
+    stays inside the region's topology (placement is hash-of-tenant, so
+    per-replica assignments differ — validity, not equality, is the
+    invariant), and the tenant side of the plan stays shuffle-free (the only
+    exchange is the broadcast of the 1-row stability aggregate + topology)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from realtime_spark.plans.placement_plan import (
+        _CUR_NODES,
+        _DEFAULT_NODE,
+        _PREV_NODES,
+        _nodes_df,
+        _pl_tenants,
+    )
+    from realtime_spark.operators.placement import rebalance_audit
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    tenants = _pl_tenants(spark, sf)
+    base_n = tenants.count()
+    rep = tenants.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
+    ).withColumn(
+        "tenant_id", F.concat(F.col("tenant_id"), F.lit("#"), F.col("rep"))
+    ).drop("rep")
+    out = rebalance_audit(rep, _nodes_df(spark, _PREV_NODES), _nodes_df(spark, _CUR_NODES), _DEFAULT_NODE)
+    assert out.count() == base_n * REPLICAS
+
+    valid = {r: set() for r, _ in _CUR_NODES}
+    for r, n in _CUR_NODES:
+        valid[r].add(n)
+    bad = out.filter(
+        F.col("platform_region").isin(*valid.keys())
+        & ~F.col("expected_node").isin(
+            *{n for ns in valid.values() for n in ns}
+        )
+    ).count()
+    assert bad == 0
+
+    plan = io.StringIO()
+    with redirect_stdout(plan):
+        out.explain("formatted")
+    # tenant-side shuffle-free: exchanges exist only under the broadcast
+    # dims (topology groupBy, 1-row stability fold) — no Exchange node may
+    # carry tenant rows. Formatted-plan node blocks list their Input
+    # attributes, so any exchange whose input mentions tenant_id is a
+    # tenant-row shuffle.
+    for block in plan.getvalue().split("\n\n"):
+        first = block.strip().splitlines()[0] if block.strip() else ""
+        if ") Exchange" in first or ") BroadcastExchange" in first:
+            assert "tenant_id" not in block, f"tenant rows shuffled:\n{block}"
+
+
 def test_pgoutput_decode_scales_by_slot(spark):
     """Replicate the pgoutput frame feed N x under distinct slot names: the
     decode must produce exactly N x the change rows with identical per-slot
