@@ -65,7 +65,16 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """Cosine similarity, NULL when either vector has zero norm (a zero
+    vector has no direction). The guard is load-bearing twice over: under
+    ANSI mode a bare division crashes the whole job on the first zero
+    vector, and the NaN alternative orders DIFFERENTLY across engines
+    (DuckDB ranks NaN above +inf, so `NaN > threshold` is true there and
+    false in Spark). NULL is the one value both engines agree on: fails
+    every threshold, sorts last under DESC. Oracles mirror with an
+    explicit CASE WHEN on the norm product."""
+    d = norm_expr(a) * norm_expr(b)
+    return F.when(d != 0.0, dot_expr(a, b) / d)
 
 
 def brute_force_topk(
@@ -182,14 +191,25 @@ def ivf_assign(
         for i in range(v.shape[1]):
             vn += v[:, i] * v[:, i]
             cn += cmat[:, i] * cmat[:, i]
-        cos = _seq_dot(v, cmat) / (
-            np.sqrt(vn)[:, None] * np.sqrt(cn)[None, :]
-        )
+        denom = np.sqrt(vn)[:, None] * np.sqrt(cn)[None, :]
+        # zero-norm convention mirrors cosine_expr: the cosine is NULL, and
+        # NULL ranks LAST — numpy's argmax treats NaN as maximal, the exact
+        # opposite of both engines' NULLS-LAST ordering, so the pick runs
+        # over -inf-masked scores (all-masked row -> index 0 = smallest
+        # centroid_id, same as the oracle's all-NULL tie-break)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = _seq_dot(v, cmat) / np.where(denom == 0.0, np.nan, denom)
         # HALF_UP like Spark round() (numpy rounds half-to-even)
         cos = np.copysign(np.floor(np.abs(cos) * scale + 0.5) / scale, cos)
-        idx = np.argmax(cos, axis=1)
+        idx = np.argmax(np.where(np.isnan(cos), -np.inf, cos), axis=1)
+        best = cos[np.arange(len(idx)), idx]
         return pd.DataFrame(
-            {"cid": cids[idx], "cos": cos[np.arange(len(idx)), idx]}
+            {
+                "cid": cids[idx],
+                "cos": pd.array(
+                    np.where(np.isnan(best), None, best), dtype="Float64"
+                ),
+            }
         )
 
     return corpus.withColumn("_best", _assign(F.col(vec_col))).select(

@@ -1309,9 +1309,11 @@ def _oracle_ann_recall() -> str:
 ),
 {p}_s AS (
   SELECT p.query_id, a.neighbor_id,
-         round(list_dot_product(p.q_vec::DOUBLE[], a.c_vec::DOUBLE[]) /
+         round(CASE WHEN (sqrt(list_dot_product(p.q_vec::DOUBLE[], p.q_vec::DOUBLE[])) *
+            sqrt(list_dot_product(a.c_vec::DOUBLE[], a.c_vec::DOUBLE[]))) <> 0 THEN
+           list_dot_product(p.q_vec::DOUBLE[], a.c_vec::DOUBLE[]) /
            (sqrt(list_dot_product(p.q_vec::DOUBLE[], p.q_vec::DOUBLE[])) *
-            sqrt(list_dot_product(a.c_vec::DOUBLE[], a.c_vec::DOUBLE[]))), 4) AS cos
+            sqrt(list_dot_product(a.c_vec::DOUBLE[], a.c_vec::DOUBLE[]))) END, 4) AS cos
   FROM asg a JOIN {p}_probes p USING (centroid_id)
   WHERE p.query_id <> a.neighbor_id
 ),
@@ -1348,9 +1350,11 @@ q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
       WHERE {_ANN_QUERY_PRED}),
 probes0 AS (
   SELECT q.query_id, q.q_vec, c.centroid_id,
-         round(list_dot_product(q.q_vec::DOUBLE[], c.embedding::DOUBLE[]) /
+         round(CASE WHEN (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[])) *
+            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) <> 0 THEN
+           list_dot_product(q.q_vec::DOUBLE[], c.embedding::DOUBLE[]) /
            (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[])) *
-            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS qc_cos
+            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) END, 6) AS qc_cos
   FROM q CROSS JOIN cents c
 ),
 bs AS (

@@ -93,7 +93,11 @@ def q_emb_cosine_to_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_vec.select(
         "vec_id",
         quantize(
-            F.col("dot") / (F.sqrt(F.col("ee")) * F.sqrt(F.col("mm"))), 4
+            F.when(
+                F.sqrt(F.col("ee")) * F.sqrt(F.col("mm")) != 0.0,
+                F.col("dot") / (F.sqrt(F.col("ee")) * F.sqrt(F.col("mm"))),
+            ),
+            4,
         ).alias("cos_to_centroid"),
     )
 
@@ -111,7 +115,7 @@ s AS (
   FROM u JOIN cent ON u.label = cent.label AND u.i = cent.i
   GROUP BY u.vec_id
 )
-SELECT vec_id, {_SQL_Q4.format(expr="dot / (sqrt(ee) * sqrt(mm))")} AS cos_to_centroid
+SELECT vec_id, {_SQL_Q4.format(expr="CASE WHEN (sqrt(ee) * sqrt(mm)) <> 0 THEN dot / (sqrt(ee) * sqrt(mm)) END")} AS cos_to_centroid
 FROM s
 """
 
@@ -136,9 +140,13 @@ def q_emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair.select(
         "la",
         "lb",
-        quantize(F.col("dot") / (F.sqrt(F.col("aa")) * F.sqrt(F.col("bb"))), 4).alias(
-            "centroid_cos"
-        ),
+        quantize(
+            F.when(
+                F.sqrt(F.col("aa")) * F.sqrt(F.col("bb")) != 0.0,
+                F.col("dot") / (F.sqrt(F.col("aa")) * F.sqrt(F.col("bb"))),
+            ),
+            4,
+        ).alias("centroid_cos"),
     )
 
 
@@ -155,7 +163,7 @@ p AS (
   FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
   GROUP BY a.label, b.label
 )
-SELECT la, lb, {_SQL_Q4.format(expr="dot / (sqrt(aa) * sqrt(bb))")} AS centroid_cos
+SELECT la, lb, {_SQL_Q4.format(expr="CASE WHEN (sqrt(aa) * sqrt(bb)) <> 0 THEN dot / (sqrt(aa) * sqrt(bb)) END")} AS centroid_cos
 FROM p
 """
 

@@ -768,10 +768,14 @@ SELECT doc, CAST({_sql_simhash_bits()} AS BIGINT) AS simhash FROM h
 
 # -- embedding-cosine near-dup + ANN ---------------------------------------
 
+# CASE-guard mirrors cosine_expr's NULL-on-zero-norm convention: NaN is NOT
+# engine-portable (DuckDB ranks NaN above +inf, Spark ANSI refuses 0/0)
 _SQL_COS = (
-    "round(list_dot_product({a}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]) / "
+    "round(CASE WHEN (sqrt(list_dot_product({a}.embedding::DOUBLE[], {a}.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]))) <> 0 THEN "
+    "list_dot_product({a}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]) / "
     "(sqrt(list_dot_product({a}.embedding::DOUBLE[], {a}.embedding::DOUBLE[])) * "
-    "sqrt(list_dot_product({b}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]))), {r})"
+    "sqrt(list_dot_product({b}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]))) END, {r})"
 )
 
 
@@ -842,9 +846,11 @@ asg AS (
 q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE {_ANN_QUERY_PRED}),
 probes0 AS (
   SELECT q.query_id, q.q_vec, c.centroid_id,
-         round(list_dot_product(q.q_vec::DOUBLE[], c.embedding::DOUBLE[]) /
+         round(CASE WHEN (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[])) *
+            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) <> 0 THEN
+           list_dot_product(q.q_vec::DOUBLE[], c.embedding::DOUBLE[]) /
            (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[])) *
-            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS qc_cos
+            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) END, 6) AS qc_cos
   FROM q CROSS JOIN cents c
 ),
 probes AS (
@@ -856,9 +862,11 @@ probes AS (
 ),
 s AS (
   SELECT p.query_id, a.neighbor_id,
-         round(list_dot_product(p.q_vec::DOUBLE[], a.c_vec::DOUBLE[]) /
+         round(CASE WHEN (sqrt(list_dot_product(p.q_vec::DOUBLE[], p.q_vec::DOUBLE[])) *
+            sqrt(list_dot_product(a.c_vec::DOUBLE[], a.c_vec::DOUBLE[]))) <> 0 THEN
+           list_dot_product(p.q_vec::DOUBLE[], a.c_vec::DOUBLE[]) /
            (sqrt(list_dot_product(p.q_vec::DOUBLE[], p.q_vec::DOUBLE[])) *
-            sqrt(list_dot_product(a.c_vec::DOUBLE[], a.c_vec::DOUBLE[]))), 4) AS cos
+            sqrt(list_dot_product(a.c_vec::DOUBLE[], a.c_vec::DOUBLE[]))) END, 4) AS cos
   FROM asg a JOIN probes p USING (centroid_id)
   WHERE p.query_id <> a.neighbor_id
 ),
@@ -2073,10 +2081,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, cents, threshold=_SEMDEDUP_T)
 
 
+# same NULL-on-zero-norm guard as _SQL_COS, over bare vector expressions
 _SQL_VEC_COS = (
-    "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "round(CASE WHEN (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))) <> 0 THEN "
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
     "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
-    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), {r})"
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))) END, {r})"
 )
 
 ORACLE_SEMDEDUP = f"""

