@@ -365,7 +365,7 @@ _ORACLE_FULL_RECORD = (
     " || '|o_orderkey=' || CAST(o_orderkey AS VARCHAR)"
     " || '|o_orderpriority=' || o_orderpriority"
     " || '|o_orderstatus=' || o_orderstatus"
-    " || '|o_totalprice=' || CAST(o_totalprice AS VARCHAR)"
+    " || '|o_totalprice=' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"
 )
 
 
@@ -389,7 +389,7 @@ SELECT change_id, action AS type,
   CASE WHEN action = 'DELETE' THEN NULL ELSE
     'o_orderkey=' || CAST(o_orderkey AS VARCHAR)
     || '|o_orderstatus=' || o_orderstatus
-    || '|o_totalprice=' || CAST(o_totalprice AS VARCHAR)
+    || '|o_totalprice=' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
   END AS record
 FROM _orders_changes
 """

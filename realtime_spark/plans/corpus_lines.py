@@ -49,12 +49,21 @@ def docs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     targets, mirrored 1:1 by the _LINES_CTE oracle below."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = chunk_lines_expr(F.col("text"), LINE_TOKENS)
-    first_line = F.element_at(base, 1)
+    # try_: an empty doc chunks to zero lines, and under ANSI a bare
+    # element_at on the empty array kills the job; DuckDB's base[1] yields
+    # NULL there, so the mirrored value is a NULL first line
+    first_line = F.try_element_at(base, F.lit(1))
     key = F.col("doc_id")
     empty = F.array().cast("array<string>")
     lines = F.concat(
         base,
-        F.when(key % 5 == 1, F.array(first_line)).otherwise(empty),
+        # size guard: a zero-line doc must NOT inject a NULL self-dup line —
+        # NULL join keys make the two engines diverge (Spark's left join
+        # keeps the row with NULL flags, DuckDB's USING join drops it), so
+        # the line frames carry a no-NULL-lines contract instead
+        F.when((key % 5 == 1) & (F.size(base) > 0), F.array(first_line)).otherwise(
+            empty
+        ),
         F.when(key % 4 == 0, F.array(F.lit(_BOILER_NEWSLETTER))).otherwise(empty),
         F.when(key % 6 == 0, F.array(F.lit(_BOILER_RIGHTS))).otherwise(empty),
     )
@@ -76,7 +85,7 @@ chunked AS (
 doc_lines AS (
   SELECT doc_id,
          base
-         || CASE WHEN doc_id % 5 = 1 THEN [base[1]]
+         || CASE WHEN doc_id % 5 = 1 AND len(base) > 0 THEN [base[1]]
                  ELSE CAST([] AS VARCHAR[]) END
          || CASE WHEN doc_id % 4 = 0 THEN ['{_BOILER_NEWSLETTER}']
                  ELSE CAST([] AS VARCHAR[]) END

@@ -1110,7 +1110,7 @@ r AS (
          COUNT(*) OVER (PARTITION BY o_orderkey) AS n_versions
   FROM _orders_versions
 )
-SELECT o_orderkey, status, CAST(price AS VARCHAR) AS price,
+SELECT o_orderkey, status, CAST(CAST(price AS DECIMAL(18,2)) AS VARCHAR) AS price,
        action AS last_action, n_versions
 FROM r WHERE rn = 1 AND action <> 'DELETE'
 """
@@ -1292,7 +1292,7 @@ r AS (
          COUNT(*) OVER (PARTITION BY o_orderkey) AS n_versions
   FROM bound
 )
-SELECT o_orderkey, status, CAST(price AS VARCHAR) AS price,
+SELECT o_orderkey, status, CAST(CAST(price AS DECIMAL(18,2)) AS VARCHAR) AS price,
        action AS last_action, n_versions
 FROM r WHERE rn = 1 AND action <> 'DELETE'
 """
@@ -1346,7 +1346,7 @@ SELECT w.o_orderkey,
        CASE WHEN w.last_action <> 'DELETE'
             THEN w.last_status END AS status,
        CASE WHEN w.last_action <> 'DELETE'
-            THEN CAST(w.last_price AS VARCHAR) END AS price,
+            THEN CAST(CAST(w.last_price AS DECIMAL(18,2)) AS VARCHAR) END AS price,
        b.status AS old_status,
        w.last_seq, CAST(w.n_squashed AS BIGINT) AS n_squashed
 FROM win w LEFT JOIN base b USING (o_orderkey)

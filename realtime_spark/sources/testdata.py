@@ -92,7 +92,11 @@ def changes_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").cast("string"),
             F.col("o_custkey").cast("string"),
             F.col("o_orderstatus").cast("string"),
-            F.col("o_totalprice").cast("string"),
+            # decimal render: Spark's double->string flips to scientific
+            # notation at 1e7 ('9.9999999999E8') where DuckDB and wal2json
+            # both print plain decimal — numeric columns render through
+            # DECIMAL(18,2) so every engine prints the same text
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
             F.col("o_orderdate").cast("string"),
             F.col("o_orderpriority").cast("string"),
             nullable,
@@ -192,7 +196,7 @@ def versioned_changes_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame
             F.array(
                 F.col("o_orderkey").cast("string"),
                 status.cast("string"),
-                price.cast("string"),
+                price.cast("decimal(18,2)").cast("string"),
             ),
         )
         base = o.filter(keep) if keep is not None else o
