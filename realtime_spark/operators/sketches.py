@@ -238,8 +238,11 @@ def bloom_maybe_contains(
     hit = probes.join(
         F.broadcast(bloom.withColumn("_set", F.lit(1))), "bitpos", "left"
     )
+    # MIN==1 (not SUM==k): 'all probed positions are set' must hold per
+    # DISTINCT key — a key appearing twice in `keys` doubles the exploded
+    # rows and a SUM==k test then reports a true member as absent
     return hit.groupBy(key_col).agg(
-        (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == F.lit(num_hashes)).alias(
+        (F.min(F.coalesce(F.col("_set"), F.lit(0))) == F.lit(1)).alias(
             "maybe_present"
         )
     )

@@ -507,12 +507,18 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_quality_classifier() -> str:
     from realtime_spark.operators.text import QUALITY_LOGIT_WEIGHTS as W
 
+    # quality_feature_cols tokenizes with words_expr (apostrophe-KEEPING) —
+    # the oracle must mirror _SQL_WORDS, not the apostrophe-less SQL_TOKS
+    # (the same fixture-masked divergence class fixed in the lang/quality/
+    # fingerprint oracles; surfaced by the stress corpus)
+    from realtime_spark.plans.training import _SQL_WORDS
+
     logit = (
         f"{W['bias']} + w * {W['words']} + st * {W['stop']} + lg * {W['long']}"
         f" + pu * {W['punct']} + dg * {W['digits']}"
     )
     return rf"""
-WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+WITH t AS (SELECT doc_id, text, {_SQL_WORDS} AS toks FROM documents),
 f AS (
   SELECT doc_id,
          len(toks) AS w,

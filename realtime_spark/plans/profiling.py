@@ -68,7 +68,9 @@ def _doc_profile_oracle() -> str:
     parts = []
     for c, is_str in _DOC_COLS.items():
         al = (
-            _SQL_Q2.format(expr=f"AVG(strlen({c}))")
+            # length() = characters, matching Spark's F.length; strlen()
+            # counts BYTES and silently diverges on any non-ASCII text
+            _SQL_Q2.format(expr=f"AVG(length({c}))")
             if is_str
             else "CAST(NULL AS DOUBLE)"
         )

@@ -212,7 +212,7 @@ def q_unpivot_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_UNPIVOT_DOC_STATS = """
 WITH wide AS (
   SELECT doc_id,
-         CAST(strlen(text) AS DOUBLE) AS n_chars,
+         CAST(length(text) AS DOUBLE) AS n_chars,  -- chars, not strlen bytes
          CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_ws_tokens,
          CAST(len(string_split_regex(text, '\\.')) AS DOUBLE) AS n_sentences
   FROM documents
