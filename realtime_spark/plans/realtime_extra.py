@@ -1461,6 +1461,8 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "token_refresh_flow": q_token_refresh_flow,
         "tenant_secret_roundtrip": q_tenant_secret_roundtrip,
         "rls_claims_param": q_rls_claims_param,
+        "rls_pg_policy": q_rls_pg_policy,
+        "rls_pg_policy_exists": q_rls_pg_policy_exists,
         "wal2json_parse": q_wal2json_parse,
         "node_routing": q_node_routing,
         "session_stats": q_session_stats,
@@ -1497,6 +1499,8 @@ def realtime_extra_oracles() -> dict[str, str]:
         "token_refresh_flow": _oracle_token_refresh(),
         "tenant_secret_roundtrip": ORACLE_TENANT_SECRET,
         "rls_claims_param": _oracle_rls_claims(),
+        "rls_pg_policy": _oracle_rls_pg_policy(),
+        "rls_pg_policy_exists": _oracle_rls_pg_policy_exists(),
         "wal2json_parse": ORACLE_WAL2JSON_PARSE,
         "node_routing": _oracle_node_routing(),
         "session_stats": ORACLE_SESSION_STATS,
@@ -1566,4 +1570,109 @@ def _oracle_rls_claims() -> str:
 WITH {ORDERS_CHANGES_SQL_CTE.strip()}
 SELECT change_id, 's-' || CAST(o_custkey AS VARCHAR) AS subscription_id
 FROM _orders_changes WHERE o_custkey IN (1, 7, 13)
+"""
+
+
+# the tenant-authored policy in its NATIVE Postgres dialect — translated by
+# functions/pg_policy.py, not hand-compiled (P7 fidelity: the reference runs
+# this text as-is under role impersonation, migrations/20211116212300:36-68)
+_PG_POLICY_TEXT = (
+    "(select auth.uid()) = o_custkey::text "
+    "OR (o_totalprice > 150000 AND o_orderstatus <> 'F')"
+)
+
+
+def q_rls_pg_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 via the pg-dialect translator: the policy is authored in Postgres
+    SQL (auth.uid(), ::casts, the (select ...) initplan idiom) and
+    machine-translated to the claims-parameterized Spark expression the
+    compiled RLS plan evaluates. Two subscribers with different `sub`
+    claims; each sees its own rows plus the price-gated public set."""
+    from realtime_spark.functions.pg_policy import translate_pg_policy
+    from realtime_spark.operators.auth import apply_rls_policies, rls_policies_df
+    from realtime_spark.operators.cdc import matched_pairs, subscriptions_df
+    from realtime_spark.sources.testdata import changes_from_orders
+
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(
+        spark,
+        [
+            {"subscription_id": f"s-{c}", "table": "orders",
+             "claims_role": "authenticated", "claims": {"sub": str(c)}}
+            for c in (7, 13)
+        ],
+    )
+    expr = translate_pg_policy(
+        _PG_POLICY_TEXT,
+        {"o_custkey": "int8", "o_totalprice": "numeric", "o_orderstatus": "text"},
+    )
+    pols = rls_policies_df(
+        spark,
+        [{"table": "orders", "claims_role": "authenticated", "policy_expr": expr}],
+    )
+    out = apply_rls_policies(matched_pairs(changes, subs), pols)
+    return out.select(
+        F.col("c.change_id").alias("change_id"),
+        F.col("s.subscription_id").alias("subscription_id"),
+    )
+
+
+def _oracle_rls_pg_policy() -> str:
+    from realtime_spark.sources.testdata import ORDERS_CHANGES_SQL_CTE
+
+    return f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()},
+subs AS (SELECT * FROM (VALUES (7), (13)) AS t(sub))
+SELECT c.change_id, 's-' || CAST(s.sub AS VARCHAR) AS subscription_id
+FROM _orders_changes c CROSS JOIN subs s
+WHERE CAST(c.o_custkey AS VARCHAR) = CAST(s.sub AS VARCHAR)
+   OR (c.o_totalprice > 150000 AND c.o_orderstatus <> 'F')
+"""
+
+
+def q_rls_pg_policy_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/J5 via the translator's EXISTS decomposition: the pg policy's
+    `EXISTS (SELECT 1 FROM customer ...)` probe compiles to the left-semi
+    join plan (set-at-a-time), with the residual predicate pushed onto the
+    lookup side before the join."""
+    from realtime_spark.functions.pg_policy import compile_pg_policy
+    from realtime_spark.operators.auth import apply_rls_exists_policy
+    from realtime_spark.operators.cdc import matched_pairs, subscriptions_df
+    from realtime_spark.sources.testdata import changes_from_orders, load_table
+
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(
+        spark, [{"subscription_id": "s-ex", "table": "orders",
+                 "claims_role": "authenticated"}]
+    )
+    cp = compile_pg_policy(
+        "EXISTS (SELECT 1 FROM customer cu WHERE cu.c_custkey = orders.o_custkey "
+        "AND cu.c_mktsegment = 'BUILDING')",
+        {"o_custkey": "int8"},
+        lookup_cols={"customer": {"c_custkey": "int8", "c_mktsegment": "text"}},
+    )
+    lookup = load_table(spark, sf_dir, "customer")
+    if cp.residual_sql:
+        lookup = lookup.filter(F.expr(cp.residual_sql))
+    out = apply_rls_exists_policy(
+        matched_pairs(changes, subs), lookup, cp.keys,
+        table_name="orders", claims_role="authenticated",
+    )
+    return out.select(
+        F.col("c.change_id").alias("change_id"),
+        F.col("s.subscription_id").alias("subscription_id"),
+    )
+
+
+def _oracle_rls_pg_policy_exists() -> str:
+    from realtime_spark.sources.testdata import ORDERS_CHANGES_SQL_CTE
+
+    return f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()}
+SELECT c.change_id, 's-ex' AS subscription_id
+FROM _orders_changes c
+WHERE EXISTS (
+  SELECT 1 FROM customer cu
+  WHERE cu.c_custkey = c.o_custkey AND cu.c_mktsegment = 'BUILDING'
+)
 """
