@@ -120,13 +120,101 @@ _CLAIM_HELPERS = {
     "role": "role",  # auth.role() — but claims_role column is authoritative
 }
 
-# scalar functions whose name+semantics match between the dialects for the
-# argument types policies use (strings/numerics); anything else is rejected
+# scalar functions whose semantics match between the dialects for the
+# argument types policies use (strings/numerics); anything else is rejected.
+# Dialect-name divergences are bridged by _FN_RENAME at render time, and
+# NULL-semantics divergences by _render_fn (pg concat() skips NULL args;
+# Spark concat() returns NULL if any arg is NULL).
 _FN_WHITELIST = {
     "lower", "upper", "length", "char_length", "trim", "ltrim", "rtrim",
     "abs", "coalesce", "nullif", "concat", "greatest", "least", "left",
     "right", "replace", "substring", "substr", "starts_with",
 }
+
+# pg name -> Spark registry name (Spark has startswith, not starts_with)
+_FN_RENAME = {"starts_with": "startswith"}
+
+
+def _render_fn(name: str, args: list[str]) -> str:
+    spark_name = _FN_RENAME.get(name, name)
+    if name == "concat":
+        # pg concat() ignores NULL arguments; Spark concat() is NULL if any
+        # argument is NULL — coalesce each arg to keep pg semantics
+        args = [f"coalesce({a}, '')" for a in args]
+    return f"{spark_name}({', '.join(args)})"
+
+
+def _parse_pg_array_literal(body: str) -> list[str | None]:
+    """Parse the inside of a pg ``'{...}'`` array literal with text[]
+    semantics: comma-separated elements; a double-quoted element may contain
+    commas, braces, and backslash escapes (``\\"`` and ``\\\\``); unquoted
+    elements are whitespace-trimmed, may use backslash escapes, and an
+    unquoted NULL (any case) is the SQL NULL. Mirrors pg's array_in
+    (src/backend/utils/adt/arrayfuncs.c ReadArrayStr)."""
+    items: list[str | None] = []
+    i, n = 0, len(body)
+    if not body.strip():
+        return items
+    while True:
+        while i < n and body[i] in " \t":
+            i += 1
+        if i < n and body[i] == '"':
+            i += 1
+            buf: list[str] = []
+            while True:
+                if i >= n:
+                    raise PolicyTranslationError(
+                        "unterminated quoted element in array literal"
+                    )
+                ch = body[i]
+                if ch == "\\":
+                    if i + 1 >= n:
+                        raise PolicyTranslationError(
+                            "dangling backslash in array literal"
+                        )
+                    buf.append(body[i + 1])
+                    i += 2
+                elif ch == '"':
+                    i += 1
+                    break
+                else:
+                    buf.append(ch)
+                    i += 1
+            items.append("".join(buf))
+            while i < n and body[i] in " \t":
+                i += 1
+            if i < n and body[i] != ",":
+                raise PolicyTranslationError(
+                    f"expected ',' after quoted array element, got {body[i]!r}"
+                )
+        else:
+            buf = []
+            while i < n and body[i] != ",":
+                ch = body[i]
+                if ch == "\\":
+                    if i + 1 >= n:
+                        raise PolicyTranslationError(
+                            "dangling backslash in array literal"
+                        )
+                    buf.append(body[i + 1])
+                    i += 2
+                elif ch == '"':
+                    raise PolicyTranslationError(
+                        "misplaced quote inside unquoted array element"
+                    )
+                else:
+                    buf.append(ch)
+                    i += 1
+            val = "".join(buf).strip()
+            if not val:
+                raise PolicyTranslationError(
+                    "empty unquoted element in array literal"
+                )
+            items.append(None if val.upper() == "NULL" else val)
+        if i >= n:
+            return items
+        i += 1  # skip the comma
+
 
 _EXISTS_ERR = (
     "EXISTS is only supported as the entire policy body of the form "
@@ -316,9 +404,10 @@ class _Parser:
             body = _unquote_str(t.text)
             if not (body.startswith("{") and body.endswith("}")):
                 raise PolicyTranslationError("= ANY('literal') must be a '{a,b}' array literal")
-            items = [_spark_str(v.strip()) for v in body[1:-1].split(",") if v.strip()]
-            if not items:
+            elems = _parse_pg_array_literal(body[1:-1])
+            if not elems:
                 raise PolicyTranslationError("= ANY('{}') empty array literal")
+            items = ["NULL" if v is None else _spark_str(v) for v in elems]
             # a trailing ::type[] cast on the literal is meaningless post-expansion
             while self._accept("op", "::"):
                 self._type_name()
@@ -366,7 +455,7 @@ class _Parser:
                     if out == "\x00JWT\x00":
                         out = self._claims_get(k)
                     else:
-                        out = f"try_element_at({out}, {_spark_str(k)})"
+                        out = self._json_get(out, k, op)
                 elif key.kind == "num":
                     raise PolicyTranslationError("json array indexing (-> n) unsupported")
                 else:
@@ -414,6 +503,29 @@ class _Parser:
         if key == "role":
             return self.claims_role
         return f"try_element_at({self.claims}, {_spark_str(key)})"
+
+    def _json_get(self, operand: str, key: str, op: str) -> str:
+        """``->``/``->>`` on a non-claims-map operand. Everything here is
+        text-carried (json/jsonb columns and nested claim values render as
+        strings), so extraction compiles to ``get_json_object``. Navigation
+        (``->`` into an object/array) and ``->>`` scalar extraction are
+        exact; the one divergence is ``->`` of a scalar *string*, where pg
+        keeps the JSON quotes and get_json_object strips them. Non-text
+        operands (a CAST from a numeric/timestamp catalog type) would be a
+        type error in pg too — reject at translate time so the caller fails
+        closed instead of crashing the whole pairs query at analysis."""
+        if operand.startswith("CAST("):
+            raise PolicyTranslationError(
+                f"{op} applied to a non-json operand (json extraction needs "
+                "a json/jsonb/text value)"
+            )
+        if re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", key):
+            path = f"$.{key}"
+        elif "'" in key or "\\" in key or "[" in key or "]" in key:
+            raise PolicyTranslationError(f"unsupported json key {key!r}")
+        else:
+            path = f"$['{key}']"
+        return f"get_json_object({operand}, {_spark_str(path)})"
 
     def _record_col(self, col: str, force_outer: bool = False) -> str:
         lc = col.lower()
@@ -516,12 +628,12 @@ class _Parser:
                 raise PolicyTranslationError(f"function {name}() unsupported")
             self._next()
             if self._accept("op", ")"):
-                return f"{name}()"
+                return _render_fn(name, [])
             args = [self._or()]
             while self._accept("op", ","):
                 args.append(self._or())
             self._expect("op", ")")
-            return f"{name}({', '.join(args)})"
+            return _render_fn(name, args)
 
         return self._record_col(name)
 
@@ -652,20 +764,32 @@ def compile_pg_policy(
         if not outers:
             residual.append(rendered)
             continue
-        # must be exactly `lookupcol = OUTER` / `OUTER = lookupcol`
+        # must be exactly `lookupcol = OUTER` / `OUTER = lookupcol` — the
+        # OUTER marker position decides which side is the row column (a
+        # membership test against the lookup's columns would mis-orient the
+        # key when both relations share both names — RLS fail-open)
         m = re.fullmatch(
             r"\(([a-z_0-9$]+) = \x00OUTER:([a-z_0-9$]+)\x00\)", rendered
-        ) or re.fullmatch(
-            r"\(\x00OUTER:([a-z_0-9$]+)\x00 = ([a-z_0-9$]+)\)", rendered
         )
+        if m:
+            lk, rec = m.group(1), m.group(2)
+        else:
+            m = re.fullmatch(
+                r"\(\x00OUTER:([a-z_0-9$]+)\x00 = ([a-z_0-9$]+)\)", rendered
+            )
+            if m:
+                rec, lk = m.group(1), m.group(2)
         if not m:
             shown = _OUTER_RE.sub(r"<row:\1>", rendered)
             raise PolicyTranslationError(
                 "EXISTS conjuncts referencing row columns must be plain "
                 f"equalities lookup.col = row_col (got: {shown})"
             )
-        a, b = m.group(1), m.group(2)
-        lk, rec = (a, b) if a in cols else (b, a)
+        if lk not in cols:
+            raise PolicyTranslationError(
+                f"EXISTS key equality must compare a {table!r} column to a "
+                f"row column (got {lk!r} = row.{rec})"
+            )
         keys.append((rec, lk))
     if not keys:
         raise PolicyTranslationError(

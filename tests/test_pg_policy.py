@@ -145,6 +145,92 @@ def test_expr_policy_roundtrip_through_compile():
     )
 
 
+def test_exists_key_direction_with_shared_column_names():
+    """Both relations carry BOTH column names (owner_id, user_id): the OUTER
+    marker's side — not lookup-membership — must decide the key direction.
+    Policy compares docs.owner_id (row) to acl.user_id (lookup); a
+    membership heuristic would flip it to (user_id, owner_id) — fail-open."""
+    tm = {"owner_id": "uuid", "user_id": "uuid"}
+    lk = {"acl": {"user_id": "uuid", "owner_id": "uuid"}}
+    for body in (
+        "acl.user_id = docs.owner_id",
+        "docs.owner_id = acl.user_id",
+    ):
+        cp = compile_pg_policy(
+            f"EXISTS (SELECT 1 FROM acl WHERE {body})", tm, lookup_cols=lk
+        )
+        assert cp.keys == [("owner_id", "user_id")], body
+
+
+def test_exists_key_must_be_lookup_column():
+    # a literal on the non-OUTER side is not a join key — reject, don't guess
+    with pytest.raises(PolicyTranslationError):
+        compile_pg_policy(
+            "EXISTS (SELECT 1 FROM members m WHERE 5 = orders.room_id)",
+            TM, lookup_cols=LK,
+        )
+
+
+@pytest.mark.parametrize(
+    "pg,want_in",
+    [
+        # pg double-quoting strips; quoted comma does not split
+        ("""o_orderstatus = ANY('{"admin","ed,itor"}')""",
+         "IN ('admin', 'ed,itor')"),
+        # escaped quote and backslash inside a quoted element
+        (r"""o_orderstatus = ANY('{"a\"b","c\\d"}')""",
+         r"""IN ('a"b', 'c\\d')"""),
+        # unquoted NULL element is SQL NULL; unquoted values trim whitespace
+        ("o_orderstatus = ANY('{ a , NULL , b }')",
+         "IN ('a', NULL, 'b')"),
+        # quoted "NULL"/"null" is the string, not SQL NULL
+        ("""o_orderstatus = ANY('{"NULL",x}')""", "IN ('NULL', 'x')"),
+    ],
+)
+def test_any_array_literal_pg_quoting(pg, want_in):
+    assert want_in in translate_pg_policy(pg, TM)
+
+
+def test_any_array_literal_rejects_malformed():
+    for bad in (
+        "o_orderstatus = ANY('{\"unterminated}')",
+        "o_orderstatus = ANY('{a\"b}')",          # quote mid-element
+        "o_orderstatus = ANY('{a,,b}')",           # empty element
+    ):
+        with pytest.raises(PolicyTranslationError):
+            translate_pg_policy(bad, TM)
+
+
+def test_starts_with_renames_to_spark_startswith():
+    out = translate_pg_policy("starts_with(o_orderstatus, 'O')", TM)
+    assert "startswith(" in out and "starts_with(" not in out
+
+
+def test_concat_keeps_pg_null_semantics():
+    # pg concat() skips NULL args; Spark's is NULL-poisoning — coalesce each
+    out = translate_pg_policy("concat(o_orderstatus, tenant) = 'x'", TM)
+    assert out.count("coalesce(") == 2
+
+
+def test_json_extract_on_record_column():
+    tm = {"meta": "jsonb", "o_custkey": "int8"}
+    out = translate_pg_policy("meta ->> 'owner' = 'u1'", tm)
+    assert "get_json_object(" in out and "'$.owner'" in out
+    # nested navigation chains paths through get_json_object
+    out2 = translate_pg_policy("meta -> 'a' ->> 'b' = 'x'", tm)
+    assert out2.count("get_json_object(") == 2
+    # non-json operand (numeric catalog type casts to BIGINT) fails closed
+    with pytest.raises(PolicyTranslationError):
+        translate_pg_policy("o_custkey ->> 'k' = 'x'", tm)
+
+
+def test_jwt_nested_claim_extraction():
+    out = translate_pg_policy(
+        "auth.jwt() -> 'app_metadata' ->> 'tenant' = tenant", TM
+    )
+    assert "get_json_object(try_element_at(s.claims, 'app_metadata'), '$.tenant')" in out
+
+
 # ---------------------------------------------------------------------------
 # evaluation on the real plans
 # ---------------------------------------------------------------------------
