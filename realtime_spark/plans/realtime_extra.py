@@ -1463,6 +1463,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "rls_claims_param": q_rls_claims_param,
         "rls_pg_policy": q_rls_pg_policy,
         "rls_pg_policy_exists": q_rls_pg_policy_exists,
+        "rls_pg_policy_dialect": q_rls_pg_policy_dialect,
         "wal2json_parse": q_wal2json_parse,
         "node_routing": q_node_routing,
         "session_stats": q_session_stats,
@@ -1501,6 +1502,7 @@ def realtime_extra_oracles() -> dict[str, str]:
         "rls_claims_param": _oracle_rls_claims(),
         "rls_pg_policy": _oracle_rls_pg_policy(),
         "rls_pg_policy_exists": _oracle_rls_pg_policy_exists(),
+        "rls_pg_policy_dialect": _oracle_rls_pg_policy_dialect(),
         "wal2json_parse": ORACLE_WAL2JSON_PARSE,
         "node_routing": _oracle_node_routing(),
         "session_stats": ORACLE_SESSION_STATS,
@@ -1675,4 +1677,66 @@ WHERE EXISTS (
   SELECT 1 FROM customer cu
   WHERE cu.c_custkey = c.o_custkey AND cu.c_mktsegment = 'BUILDING'
 )
+"""
+
+
+_PG_POLICY_DIALECT_TEXT = (
+    # the dialect corners the translator bridges rather than passes through:
+    # pg-quoted array literal (quotes strip, commas inside quotes don't
+    # split), concat() NULL-skipping (o_nullable IS NULL on ~1/7 of rows —
+    # a NULL-poisoning concat would drop every 'F' row whose nullable is
+    # NULL), and ->> json extraction of a nested JWT claim
+    """o_orderpriority = ANY('{"1-URGENT","2-HIGH"}') """
+    "OR starts_with(concat(o_nullable, o_orderstatus), 'F') "
+    "OR auth.jwt() -> 'app_metadata' ->> 'tier' = 'gold'"
+)
+
+
+def q_rls_pg_policy_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 dialect-bridging fidelity: quoted `= ANY('{..}')` array literals,
+    pg concat() NULL-skipping, starts_with -> startswith renaming, and
+    `auth.jwt() -> 'k' ->> 'k'` nested-claim json extraction, all in one
+    policy evaluated by the compiled claims-parameterized RLS plan
+    (reference: policies are arbitrary pg SQL run under set_config'd
+    claims, migrations/20211116212300_create_realtime_subscription_table.ex)."""
+    from realtime_spark.functions.pg_policy import translate_pg_policy
+    from realtime_spark.operators.auth import apply_rls_policies, rls_policies_df
+    from realtime_spark.operators.cdc import matched_pairs, subscriptions_df
+    from realtime_spark.sources.testdata import ORDERS_PG_TYPES, changes_from_orders
+
+    changes = changes_from_orders(spark, sf_dir)
+    subs = subscriptions_df(
+        spark,
+        [
+            {"subscription_id": f"s-{tier}", "table": "orders",
+             "claims_role": "authenticated",
+             "claims": {"app_metadata": '{"tier": "%s"}' % tier}}
+            for tier in ("gold", "basic")
+        ],
+    )
+    expr = translate_pg_policy(_PG_POLICY_DIALECT_TEXT, ORDERS_PG_TYPES)
+    pols = rls_policies_df(
+        spark,
+        [{"table": "orders", "claims_role": "authenticated", "policy_expr": expr}],
+    )
+    out = apply_rls_policies(matched_pairs(changes, subs), pols)
+    return out.select(
+        F.col("c.change_id").alias("change_id"),
+        F.col("s.subscription_id").alias("subscription_id"),
+    )
+
+
+def _oracle_rls_pg_policy_dialect() -> str:
+    from realtime_spark.sources.testdata import ORDERS_CHANGES_SQL_CTE
+
+    # DuckDB shares pg's concat() NULL-skipping and starts_with(), so the
+    # oracle states the policy's intent directly in the pg idiom
+    return f"""
+WITH {ORDERS_CHANGES_SQL_CTE.strip()},
+subs AS (SELECT * FROM (VALUES ('gold'), ('basic')) AS t(tier))
+SELECT c.change_id, 's-' || s.tier AS subscription_id
+FROM _orders_changes c CROSS JOIN subs s
+WHERE c.o_orderpriority IN ('1-URGENT', '2-HIGH')
+   OR starts_with(concat(c.o_nullable, c.o_orderstatus), 'F')
+   OR s.tier = 'gold'
 """
