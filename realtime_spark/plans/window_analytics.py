@@ -285,14 +285,22 @@ def q_fuzzy_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape that survives scale, vs an all-pairs cross join that cannot.
     A deterministic 1-in-N id sample bounds the demo block sizes; each
     sampled doc gains a 2-character-mutated twin (id+3000000) so real
-    near-matches exist in the synthetic word-soup corpus."""
+    near-matches exist in the synthetic word-soup corpus.
+
+    Normalization contract: non-ASCII characters fold to '?' before banding
+    and distance. The distance is thereby defined in CHARACTERS on every
+    engine — DuckDB's levenshtein counts UTF-8 BYTES (a 2-byte char
+    substitution scores 2, and byte-length bands would even diverge the
+    candidate pair set), so an unfolded prefix is not engine-portable."""
     base = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % _FUZZY_SAMPLE_MOD == 0)
         .select(
             "doc_id",
             "source",
-            F.substring("text", 1, _FUZZY_PREFIX).alias("prefix"),
+            F.regexp_replace(
+                F.substring("text", 1, _FUZZY_PREFIX), "[^\\x00-\\x7F]", "?"
+            ).alias("prefix"),
         )
     )
     mutated = base.select(
@@ -336,7 +344,13 @@ def q_fuzzy_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_FUZZY_DOC_PAIRS = f"""
 WITH base AS (
-  SELECT doc_id, source, substr(text, 1, {_FUZZY_PREFIX}) AS prefix
+  -- ASCII fold mirrors the query's normalization contract: DuckDB's
+  -- levenshtein counts UTF-8 bytes, Spark's counts characters; folding
+  -- non-ASCII to '?' makes chars == bytes so the distance (and the length
+  -- band) is the same metric on both engines
+  SELECT doc_id, source,
+         regexp_replace(substr(text, 1, {_FUZZY_PREFIX}),
+                        '[^\\x00-\\x7F]', '?', 'g') AS prefix
   FROM documents WHERE doc_id % {_FUZZY_SAMPLE_MOD} = 0
 ),
 u AS (
@@ -348,8 +362,11 @@ u AS (
   FROM base
 ),
 d AS (
+  -- length() = characters, matching Spark's F.length: a bytes-based band
+  -- (strlen) would block unicode prefixes differently per engine and the
+  -- candidate PAIR SETS would diverge, not just a value
   SELECT doc_id, source, prefix,
-         CAST(floor(strlen(prefix) / 4) AS INT) AS band
+         CAST(floor(length(prefix) / 4) AS INT) AS band
   FROM u
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

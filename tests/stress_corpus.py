@@ -95,6 +95,18 @@ def build_stress_dir(out_dir: str, base_sf: str = BASE_SF) -> str:
     for i in range(0, n, 37):
         j = (i + 211) % n
         d.loc[d.index[j], "text"] = d["text"].iloc[i] + " extra"
+    # fuzzy_doc_pairs samples doc_id % 20 == 0, length-bands the 48-char
+    # prefix, and pairs each doc with its 2-char-mutated twin (positions 10
+    # and 26 become ASCII). This prefix is engineered so base = 48 chars /
+    # 52 bytes (band 13 under a bytes band) while the twin = 48 chars /
+    # 50 bytes (band 12): a bytes-vs-chars band drift DROPS the (base, twin)
+    # pair on one engine only — the divergence class of the round-5
+    # strlen-band find, which the old corpus could not surface
+    uni_prefix = "abcdéfghiüjklmnopqrstuvwxötuvàbcdefghijklmnopqrs"
+    assert len(uni_prefix) == 48 and len(uni_prefix.encode()) == 52
+    sampled = d.index[(d["doc_id"] % 20 == 0).to_numpy()][:4]
+    for k, idx in enumerate(sampled):
+        d.loc[idx, "text"] = uni_prefix + f" tail{k} " + str(d.loc[idx, "text"])
     d["n_chars"] = d["text"].str.len().astype("int64")
     _write(d, f"{base_sf}/documents.parquet", f"{out_dir}/documents.parquet")
 
