@@ -124,7 +124,12 @@ _CLAIM_HELPERS = {
 # argument types policies use (strings/numerics); anything else is rejected.
 # Dialect-name divergences are bridged by _FN_RENAME at render time, and
 # NULL-semantics divergences by _render_fn (pg concat() skips NULL args;
-# Spark concat() returns NULL if any arg is NULL).
+# Spark concat() returns NULL if any arg is NULL). Declared edge divergence:
+# NEGATIVE length/position arguments to left/right/substring follow Spark
+# semantics here (pg left(s,-1) drops the last char, Spark returns '';
+# pg substr counts negative starts on the number line, Spark from the end) —
+# the renderer carries no literal-value info to reject them statically, and
+# real policies do not use them.
 _FN_WHITELIST = {
     "lower", "upper", "length", "char_length", "trim", "ltrim", "rtrim",
     "abs", "coalesce", "nullif", "concat", "greatest", "least", "left",
@@ -431,6 +436,18 @@ class _Parser:
             t = self._peek()
             if t and t.kind == "op" and t.text in ("*", "/", "%"):
                 self._next()
+                if t.text == "/":
+                    # pg `/` on integer operands TRUNCATES (7/2 = 3) while
+                    # Spark's `/` is always double division (3.5) — the
+                    # renderer carries no operand types, so a faithful
+                    # translation is impossible and `a / b = c` would
+                    # silently match different rows. Outside the subset ->
+                    # fail closed (`*` and `%` agree between the dialects).
+                    raise PolicyTranslationError(
+                        "division is not translatable (pg integer `/` "
+                        "truncates, Spark's is double division) — rewrite "
+                        "the policy without `/`"
+                    )
                 right = self._unary()
                 left = f"({left} {t.text} {right})"
             else:

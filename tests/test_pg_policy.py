@@ -89,6 +89,7 @@ def test_translate_string_escaping():
         "pg_sleep(10) = 1",                    # non-whitelisted function
         "auth.jwt() = 'x'",                    # claims map used as scalar
         "CASE WHEN true THEN true ELSE false END",  # unsupported construct
+        "o_custkey / 2 = 3",  # pg int `/` truncates, Spark's is double division
         "o_custkey = (SELECT max(x) FROM t)",  # scalar subquery
         "EXISTS (SELECT 1 FROM members m WHERE m.status = 'x') AND true",
     ],

@@ -1,0 +1,480 @@
+"""Property-based differential test of the pg-policy translator.
+
+Hypothesis generates random policy expressions from the translator's
+documented subset as small ASTs; each AST is interpreted twice —
+
+  1. rendered to Postgres-dialect SQL text, machine-translated by
+     ``translate_pg_policy``, and evaluated by Spark over a fixture change
+     frame (the production path), and
+  2. evaluated by an independent pure-Python implementation of Postgres
+     semantics (three-valued logic, NULL propagation, concat() NULL-skip,
+     LIKE/ILIKE, IN/ANY/BETWEEN null rules, DELETE-aware record selection)
+
+— and the sets of visible change ids must agree. This is the test shape
+that would have caught all five round-4 translator findings (EXISTS key
+direction aside, which has no row expression) before a human did: the
+array-literal quoting, starts_with resolution, concat NULL semantics, and
+json-extraction analysis crashes are all reachable from this grammar.
+
+The fixture rows make wrong-side reads visible: old_record values differ
+from record values, so a translator that read ``record`` on DELETE (or
+``old_record`` elsewhere) diverges immediately.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from realtime_spark.functions.pg_policy import translate_pg_policy
+
+TM = {"s1": "text", "s2": "text", "n1": "int8", "d1": "numeric"}
+
+CLAIMS = {
+    "sub": "7",
+    "email": "a@b.example",
+    "tenant": "t'1",
+    "app_metadata": '{"tier": "gold"}',
+}
+CLAIMS_ROLE = "authenticated"
+
+# row value pools (record side); old_record derives from them (see below)
+_S_VALS = [None, "", "abc", "it's", "x_y%z", "zz", "t'1", "7"]
+_N_VALS = [None, -3, 0, 7, 42]
+_D_VALS = [None, -1.5, 0.0, 2.5, 10.0]
+
+
+def _rows():
+    rows = []
+    i = 0
+    for s1 in _S_VALS:
+        for n1 in _N_VALS:
+            s2 = _S_VALS[(i * 3 + 1) % len(_S_VALS)]
+            d1 = _D_VALS[i % len(_D_VALS)]
+            action = ("INSERT", "UPDATE", "DELETE")[i % 3]
+            rows.append((i, action, {"s1": s1, "s2": s2, "n1": n1, "d1": d1}))
+            i += 1
+    return rows
+
+
+def _old_of(vals):
+    """old_record values: deliberately DIFFERENT from record values so a
+    wrong-side read diverges (string cols suffixed, numerics shifted)."""
+    def f(k, v):
+        if v is None:
+            return None
+        if k.startswith("s"):
+            return v + "O"
+        return v + 1
+    return {k: f(k, v) for k, v in vals.items()}
+
+
+ROWS = _rows()
+
+
+# ---------------------------------------------------------------------------
+# AST: tuples ('kind', ...). Two interpreters: render (pg SQL) / pyeval.
+# Typed grammar: str-expr, num-expr, bool-expr — mirrors the subset the
+# translator accepts (division deliberately absent: it is rejected).
+# ---------------------------------------------------------------------------
+
+_LIKE_PATS = ["%a%", "ab%", "%z", "_bc", "%", "it''s-not-this", "x\\_y%"]
+
+
+def _pg_str(v: str) -> str:
+    return "'" + v.replace("'", "''") + "'"
+
+
+def str_exprs():
+    leaf = st.one_of(
+        st.sampled_from(["abc", "", "it's", "zz", "7", "t'1"]).map(
+            lambda v: ("slit", v)
+        ),
+        st.sampled_from(["s1", "s2"]).map(lambda c: ("scol", c)),
+        st.sampled_from(["uid", "email"]).map(lambda h: ("claim", h)),
+        st.just(("jwt", "tenant")),
+        st.just(("jwt_nested", "app_metadata", "tier")),
+    )
+    return st.recursive(
+        leaf,
+        lambda inner: st.one_of(
+            st.tuples(st.sampled_from(["lower", "upper", "trim"]), inner).map(
+                lambda t: ("fn1", t[0], t[1])
+            ),
+            st.tuples(inner, inner).map(lambda t: ("concat", t[0], t[1])),
+            st.tuples(inner, inner).map(lambda t: ("strcat", t[0], t[1])),
+            st.tuples(inner, st.integers(0, 4)).map(
+                lambda t: ("left", t[0], t[1])
+            ),
+            st.tuples(inner, st.integers(1, 3), st.integers(0, 4)).map(
+                lambda t: ("substr", t[0], t[1], t[2])
+            ),
+            st.tuples(inner, inner).map(lambda t: ("coalesce_s", t[0], t[1])),
+        ),
+        max_leaves=4,
+    )
+
+
+def num_exprs():
+    leaf = st.one_of(
+        st.integers(-5, 50).map(lambda v: ("nlit", v)),
+        st.sampled_from([-1.5, 0.0, 2.5, 10.0]).map(lambda v: ("dlit", v)),
+        st.sampled_from(["n1", "d1"]).map(lambda c: ("ncol", c)),
+    )
+    return st.recursive(
+        leaf,
+        lambda inner: st.one_of(
+            st.tuples(st.sampled_from(["+", "-", "*"]), inner, inner).map(
+                lambda t: ("arith", t[0], t[1], t[2])
+            ),
+            inner.map(lambda e: ("neg", e)),
+            inner.map(lambda e: ("abs", e)),
+            st.tuples(inner, inner).map(lambda t: ("greatest", t[0], t[1])),
+            st.tuples(inner, inner).map(lambda t: ("least", t[0], t[1])),
+        ),
+        max_leaves=3,
+    ) | str_exprs().map(lambda e: ("length", e))
+
+
+_CMP_OPS = ["=", "<>", "<", "<=", ">", ">="]
+
+
+def bool_exprs():
+    leaf = st.one_of(
+        st.tuples(st.sampled_from(_CMP_OPS), str_exprs(), str_exprs()).map(
+            lambda t: ("cmp_s", t[0], t[1], t[2])
+        ),
+        st.tuples(st.sampled_from(_CMP_OPS), num_exprs(), num_exprs()).map(
+            lambda t: ("cmp_n", t[0], t[1], t[2])
+        ),
+        st.tuples(
+            str_exprs(), st.sampled_from(_LIKE_PATS), st.booleans(), st.booleans()
+        ).map(lambda t: ("like", t[0], t[1], t[2], t[3])),
+        st.tuples(
+            str_exprs(),
+            st.lists(st.sampled_from(["abc", "zz", "it's", "7", ""]), min_size=1,
+                     max_size=3),
+            st.booleans(),
+        ).map(lambda t: ("in_s", t[0], t[1], t[2])),
+        st.tuples(
+            str_exprs(),
+            st.lists(st.sampled_from(["abc", "zz", "it's", "a,b"]), min_size=1,
+                     max_size=3),
+            st.booleans(),
+        ).map(lambda t: ("any_s", t[0], t[1], t[2])),
+        st.tuples(num_exprs(), st.integers(-5, 10), st.integers(-1, 50),
+                  st.booleans()).map(
+            lambda t: ("between", t[0], t[1], t[2], t[3])
+        ),
+        st.tuples(st.one_of(str_exprs(), num_exprs()), st.booleans()).map(
+            lambda t: ("isnull", t[0], t[1])
+        ),
+        st.tuples(str_exprs(), str_exprs()).map(
+            lambda t: ("isdistinct", t[0], t[1])
+        ),
+        st.tuples(str_exprs(), st.sampled_from(["abc", "zz"])).map(
+            lambda t: ("startswith", t[0], t[1])
+        ),
+        st.sampled_from([True, False]).map(lambda b: ("blit", b)),
+    )
+    return st.recursive(
+        leaf,
+        lambda inner: st.one_of(
+            st.tuples(inner, inner).map(lambda t: ("and", t[0], t[1])),
+            st.tuples(inner, inner).map(lambda t: ("or", t[0], t[1])),
+            inner.map(lambda e: ("not", e)),
+        ),
+        max_leaves=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# interpreter 1: render to pg SQL text
+# ---------------------------------------------------------------------------
+
+
+def render(ast) -> str:
+    k = ast[0]
+    if k == "slit":
+        return _pg_str(ast[1])
+    if k == "scol":
+        return ast[1]
+    if k == "claim":
+        return f"auth.{ast[1]}()"
+    if k == "jwt":
+        return f"auth.jwt() ->> {_pg_str(ast[1])}"
+    if k == "jwt_nested":
+        return f"auth.jwt() -> {_pg_str(ast[1])} ->> {_pg_str(ast[2])}"
+    if k == "fn1":
+        return f"{ast[1]}({render(ast[2])})"
+    if k == "concat":
+        return f"concat({render(ast[1])}, {render(ast[2])})"
+    if k == "strcat":
+        return f"({render(ast[1])} || {render(ast[2])})"
+    if k == "left":
+        return f"left({render(ast[1])}, {ast[2]})"
+    if k == "substr":
+        return f"substr({render(ast[1])}, {ast[2]}, {ast[3]})"
+    if k == "coalesce_s":
+        return f"coalesce({render(ast[1])}, {render(ast[2])})"
+    if k == "nlit":
+        v = ast[1]
+        return str(v) if v >= 0 else f"(- {abs(v)})"
+    if k == "dlit":
+        v = ast[1]
+        return repr(abs(v)) if v >= 0 else f"(- {repr(abs(v))})"
+    if k == "ncol":
+        return ast[1]
+    if k == "arith":
+        return f"({render(ast[2])} {ast[1]} {render(ast[3])})"
+    if k == "neg":
+        return f"(- {render(ast[1])})"
+    if k == "abs":
+        return f"abs({render(ast[1])})"
+    if k in ("greatest", "least"):
+        return f"{k}({render(ast[1])}, {render(ast[2])})"
+    if k == "length":
+        return f"length({render(ast[1])})"
+    if k == "cmp_s" or k == "cmp_n":
+        return f"({render(ast[2])} {ast[1]} {render(ast[3])})"
+    if k == "like":
+        op = ("NOT " if ast[3] else "") + ("ILIKE" if ast[4] else "LIKE")
+        return f"({render(ast[1])} {op} {_pg_str(ast[2])})"
+    if k == "in_s":
+        items = ", ".join(_pg_str(v) for v in ast[2])
+        return f"({render(ast[1])} {'NOT ' if ast[3] else ''}IN ({items}))"
+    if k == "any_s":
+        if ast[2] and ast[3]:
+            # quoted pg array literal: exercises the array_in parser
+            body = ",".join('"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+                            for v in ast[2])
+            lit = _pg_str("{" + body + "}")
+            return f"({render(ast[1])} = ANY({lit}::text[]))"
+        items = ", ".join(_pg_str(v) for v in ast[2])
+        return f"({render(ast[1])} = ANY(ARRAY[{items}]))"
+    if k == "between":
+        return (
+            f"({render(ast[1])} {'NOT ' if ast[4] else ''}BETWEEN "
+            f"{ast[2]} AND {ast[3]})"
+        )
+    if k == "isnull":
+        return f"({render(ast[1])} IS {'NOT ' if ast[2] else ''}NULL)"
+    if k == "isdistinct":
+        return f"({render(ast[1])} IS DISTINCT FROM {render(ast[2])})"
+    if k == "startswith":
+        return f"starts_with({render(ast[1])}, {_pg_str(ast[2])})"
+    if k == "blit":
+        return "true" if ast[1] else "false"
+    if k == "and":
+        return f"({render(ast[1])} AND {render(ast[2])})"
+    if k == "or":
+        return f"({render(ast[1])} OR {render(ast[2])})"
+    if k == "not":
+        return f"(NOT {render(ast[1])})"
+    raise AssertionError(k)
+
+
+# ---------------------------------------------------------------------------
+# interpreter 2: pure-Python Postgres semantics (3-valued logic)
+# ---------------------------------------------------------------------------
+
+
+def _like_match(s, pat, ci):
+    rx = ""
+    i = 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "\\" and i + 1 < len(pat):
+            rx += re.escape(pat[i + 1])
+            i += 2
+            continue
+        if ch == "%":
+            rx += ".*"
+        elif ch == "_":
+            rx += "."
+        else:
+            rx += re.escape(ch)
+        i += 1
+    flags = re.DOTALL | (re.IGNORECASE if ci else 0)
+    return re.fullmatch(rx, s, flags) is not None
+
+
+def pyeval(ast, vals):
+    """Evaluate to a python value (str/num/bool) or None (SQL NULL)."""
+    k = ast[0]
+    if k == "slit":
+        return ast[1]
+    if k == "scol":
+        return vals[ast[1]]
+    if k == "claim":
+        return CLAIMS["sub" if ast[1] == "uid" else "email"]
+    if k == "jwt":
+        return CLAIMS.get(ast[1])
+    if k == "jwt_nested":
+        doc = CLAIMS.get(ast[1])
+        if doc is None:
+            return None
+        return json.loads(doc).get(ast[2])
+    if k == "fn1":
+        v = pyeval(ast[2], vals)
+        if v is None:
+            return None
+        return {"lower": str.lower, "upper": str.upper, "trim": str.strip}[ast[1]](v)
+    if k == "concat":  # pg concat() skips NULLs
+        a, b = pyeval(ast[1], vals), pyeval(ast[2], vals)
+        return ("" if a is None else a) + ("" if b is None else b)
+    if k == "strcat":  # || is NULL-poisoning
+        a, b = pyeval(ast[1], vals), pyeval(ast[2], vals)
+        return None if a is None or b is None else a + b
+    if k == "left":
+        v = pyeval(ast[1], vals)
+        return None if v is None else v[: ast[2]]
+    if k == "substr":
+        v = pyeval(ast[1], vals)
+        return None if v is None else v[ast[2] - 1 : ast[2] - 1 + ast[3]]
+    if k == "coalesce_s":
+        a = pyeval(ast[1], vals)
+        return a if a is not None else pyeval(ast[2], vals)
+    if k in ("nlit", "dlit"):
+        return ast[1]
+    if k == "ncol":
+        return vals[ast[1]]
+    if k == "arith":
+        a, b = pyeval(ast[2], vals), pyeval(ast[3], vals)
+        if a is None or b is None:
+            return None
+        return {"+": a + b, "-": a - b, "*": a * b}[ast[1]]
+    if k == "neg":
+        v = pyeval(ast[1], vals)
+        return None if v is None else -v
+    if k == "abs":
+        v = pyeval(ast[1], vals)
+        return None if v is None else abs(v)
+    if k in ("greatest", "least"):  # both dialects skip NULLs
+        xs = [x for x in (pyeval(ast[1], vals), pyeval(ast[2], vals))
+              if x is not None]
+        if not xs:
+            return None
+        return max(xs) if k == "greatest" else min(xs)
+    if k == "length":
+        v = pyeval(ast[1], vals)
+        return None if v is None else len(v)
+    if k in ("cmp_s", "cmp_n"):
+        a, b = pyeval(ast[2], vals), pyeval(ast[3], vals)
+        if a is None or b is None:
+            return None
+        op = ast[1]
+        return {
+            "=": a == b, "<>": a != b, "<": a < b,
+            "<=": a <= b, ">": a > b, ">=": a >= b,
+        }[op]
+    if k == "like":
+        v = pyeval(ast[1], vals)
+        if v is None:
+            return None
+        hit = _like_match(v, ast[2], ci=ast[4])
+        return (not hit) if ast[3] else hit
+    if k in ("in_s", "any_s"):
+        v = pyeval(ast[1], vals)
+        if v is None:
+            return None
+        hit = v in ast[2]
+        if k == "in_s" and ast[3]:  # NOT IN
+            return not hit
+        return hit
+    if k == "between":
+        v = pyeval(ast[1], vals)
+        if v is None:
+            return None
+        hit = ast[2] <= v <= ast[3]
+        return (not hit) if ast[4] else hit
+    if k == "isnull":
+        v = pyeval(ast[1], vals)
+        return (v is not None) if ast[2] else (v is None)
+    if k == "isdistinct":
+        a, b = pyeval(ast[1], vals), pyeval(ast[2], vals)
+        return a != b if (a is None) == (b is None) else True
+    if k == "startswith":
+        v = pyeval(ast[1], vals)
+        return None if v is None else v.startswith(ast[2])
+    if k == "blit":
+        return ast[1]
+    if k == "and":
+        a, b = pyeval(ast[1], vals), pyeval(ast[2], vals)
+        if a is False or b is False:
+            return False
+        if a is None or b is None:
+            return None
+        return True
+    if k == "or":
+        a, b = pyeval(ast[1], vals), pyeval(ast[2], vals)
+        if a is True or b is True:
+            return True
+        if a is None or b is None:
+            return None
+        return False
+    if k == "not":
+        v = pyeval(ast[1], vals)
+        return None if v is None else (not v)
+    raise AssertionError(k)
+
+
+# ---------------------------------------------------------------------------
+# the differential property
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pairs_df(spark):
+    from pyspark.sql import functions as F
+
+    def rec(vals):
+        return {k: (None if v is None else str(v)) for k, v in vals.items()}
+
+    rows = []
+    for i, action, vals in ROWS:
+        rows.append(
+            (
+                i,
+                action,
+                rec(vals) if action != "DELETE" else None,
+                rec(_old_of(vals)) if action != "INSERT" else None,
+            )
+        )
+    changes = spark.createDataFrame(
+        rows,
+        "change_id int, action string, record map<string,string>, "
+        "old_record map<string,string>",
+    )
+    subs = spark.createDataFrame(
+        [(CLAIMS_ROLE, CLAIMS)], "claims_role string, claims map<string,string>"
+    )
+    return changes.alias("c").crossJoin(subs.alias("s")).localCheckpoint()
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ast=bool_exprs())
+def test_translated_policy_matches_pg_semantics(spark, pairs_df, ast):
+    from pyspark.sql import functions as F
+
+    pg_sql = render(ast)
+    expr = translate_pg_policy(pg_sql, TM)  # must translate: grammar ⊆ subset
+
+    got = {
+        r["change_id"]
+        for r in pairs_df.filter(F.expr(expr)).select("c.change_id").collect()
+    }
+    want = set()
+    for i, action, vals in ROWS:
+        effective = _old_of(vals) if action == "DELETE" else vals
+        if pyeval(ast, effective) is True:
+            want.add(i)
+    assert got == want, f"policy: {pg_sql}\nspark expr: {expr}"
