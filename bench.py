@@ -457,6 +457,62 @@ def bench_streaming_mv(spark, sf_dir: str, micro_batches: int = 10) -> dict:
     }
 
 
+def bench_streaming_ingest(spark, sf_dir: str, micro_batches: int = 5) -> dict:
+    """Streaming corpus-ingest throughput (streaming/ingest.py): half the
+    documents table is the standing corpus; the other half plus injected
+    exact/near duplicates arrives as micro-batches through the full
+    admission pipeline — incremental exact dedup against the digest store,
+    LSH probe against the band index, and per-epoch store appends."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from realtime_spark.sources.testdata import load_table
+    from realtime_spark.streaming.ingest import run_ingest_stream, seed_ingest_state
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    arriving = (
+        d.filter(F.col("doc_id") % 2 == 1)  # genuinely new
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 4 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )  # exact dups of the corpus
+        )
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 4 == 2).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat("text", F.lit(" near dup tail marker")).alias("text"),
+            )  # near dups of the corpus
+        )
+    )
+    n_docs = arriving.count()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = os.path.join(tmp, "corpus")
+        ckpt = os.path.join(tmp, "ckpt")
+        src = os.path.join(tmp, "src")
+        seed_ingest_state(corpus, root)
+        arriving.repartitionByRange(micro_batches, "doc_id").write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = run_ingest_stream(stream, root, ckpt)
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        accepted = spark.read.parquet(f"{root}/accepted").count()
+    return {
+        "ingest_docs_per_sec": round(n_docs / wall, 1),
+        "docs": n_docs,
+        "accepted": accepted,
+        "micro_batches": micro_batches,
+        "wall_sec": round(wall, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -502,6 +558,7 @@ def main() -> None:
         ("pgoutput", bench_streaming_pgoutput),
         ("pgoutput_wire", lambda s, d: bench_streaming_pgoutput(s, d, wire=True)),
         ("fanout", bench_streaming_fanout),
+        ("ingest", bench_streaming_ingest),
     ):
         try:
             best_run, samples = None, []

@@ -1,0 +1,170 @@
+"""Streaming corpus ingest: the daily-ingest dedup pipeline
+(plans/training.py::q_daily_ingest_keep) as a continuous Structured
+Streaming job — arriving document batches are admission-gated, exact-deduped
+against everything already accepted, LSH-probed for near-duplicates of the
+standing corpus AND of every earlier accepted batch, and the survivors are
+appended to the corpus stores the NEXT batch dedups against.
+
+This is the form a production training-data pipeline actually runs: the
+batch operators (`dedup_incremental`, `minhash_bands`,
+`lsh_candidates_against_index`) are reused verbatim — the streaming layer
+only adds arrival-order state threading and crash safety.
+
+State layout (all parquet, under one root):
+
+    <root>/digests/ingest_epoch=seed/   content digests of the standing corpus
+    <root>/digests/ingest_epoch=e{N}/   digests accepted in micro-batch N
+    <root>/lsh/ingest_epoch=seed/band=*/  banded MinHash index of the corpus
+    <root>/lsh/ingest_epoch=e{N}/band=*/  index rows of batch N's survivors
+    <root>/accepted/ingest_epoch=e{N}/  the surviving documents themselves
+
+Exactly-once without markers: every epoch writes its outputs by OVERWRITING
+its own `ingest_epoch=e{N}` directories. The file-source checkpoint replays
+a failed epoch with the same epoch id and the same input files, the
+pipeline is deterministic, so a replay rewrites byte-identical content
+instead of appending duplicates — the same stage-then-swap idempotency the
+version stores use, expressed through partition-directory overwrite.
+
+Ordering semantics are arrival-order (exactly the daily-ingest contract):
+earlier batches win ties; within a batch the smallest id per digest wins
+(dedup_incremental). A doc that is a near-dup of a LATER batch is kept —
+near-dup priority across unordered inputs is the BATCH pipeline's job
+(dedup_keep_longest over the full corpus), not the ingest tail's.
+
+Scale shape per micro-batch: the batch side is a daily increment — its
+digests and banded signatures broadcast into anti-join / index-probe scans
+of the stores; the stores never shuffle and are only APPENDED to (one new
+partition directory per epoch, band-partitioned for probe pruning). State
+growth is the accepted corpus itself — there is no unbounded operator
+state, which is what lets this run forever.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_spark.operators.dedup import (
+    dedup_incremental,
+    lsh_candidates_against_index,
+    minhash_bands,
+    _digest,
+)
+
+
+def seed_ingest_state(
+    corpus: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+) -> None:
+    """Initialize the stores from the standing corpus (run once)."""
+    corpus.select(_digest(F.col(text_col)).alias("digest")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{root}/digests/ingest_epoch=seed")
+    banded = minhash_bands(corpus, id_col, text_col, num_hashes, bands, k)
+    banded.repartition("band").sortWithinPartitions("key").write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(f"{root}/lsh/ingest_epoch=seed")
+
+
+def process_ingest_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gate: Callable[[DataFrame], DataFrame] | None = None,
+    num_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+) -> None:
+    """One micro-batch of the ingest pipeline (foreachBatch body; also the
+    unit a replay re-executes — everything below is deterministic in
+    (batch content, epoch_id) and writes only epoch-owned directories)."""
+    spark = batch_df.sparkSession
+    if gate is not None:
+        batch_df = gate(batch_df)
+    # admission log boundary (and the measured plan-explosion cut: pushdown
+    # would otherwise re-inline gate expressions into every downstream
+    # predicate — see q_daily_ingest_keep)
+    batch_df = batch_df.localCheckpoint()
+
+    # exclude this epoch's OWN partitions from the store reads: a crash
+    # between the three writes below leaves a partial `ingest_epoch=e{N}`
+    # behind, and a replay that read it would dedup the batch against its
+    # own half-written output (kept would collapse toward empty). Later
+    # epochs cannot exist at replay time, so own-epoch exclusion restores
+    # exactly the pre-crash read set; the filter is on the partition column
+    # and prunes, never scans.
+    own = f"e{epoch_id}"
+    digests = spark.read.parquet(f"{root}/digests").filter(
+        F.col("ingest_epoch") != own
+    )
+    fresh = dedup_incremental(batch_df, digests, id_col, text_col)
+    fresh = fresh.localCheckpoint()
+
+    index = spark.read.parquet(f"{root}/lsh").filter(F.col("ingest_epoch") != own)
+    near = (
+        lsh_candidates_against_index(
+            fresh, index, id_col, text_col, num_hashes, bands, k
+        )
+        .select(F.col("new_doc").alias(id_col))
+        .distinct()
+    )
+    kept = fresh.join(F.broadcast(near), id_col, "left_anti").localCheckpoint()
+
+    # epoch-owned overwrites: replaying this epoch rewrites identical bytes
+    kept.write.mode("overwrite").parquet(
+        f"{root}/accepted/ingest_epoch=e{epoch_id}"
+    )
+    kept.select(_digest(F.col(text_col)).alias("digest")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{root}/digests/ingest_epoch=e{epoch_id}")
+    banded = minhash_bands(kept, id_col, text_col, num_hashes, bands, k)
+    banded.repartition("band").sortWithinPartitions("key").write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(f"{root}/lsh/ingest_epoch=e{epoch_id}")
+
+
+def run_ingest_stream(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gate: Callable[[DataFrame], DataFrame] | None = None,
+    num_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+    available_now: bool = True,
+):
+    """Wire the ingest pipeline onto a streaming document source. Returns
+    the started StreamingQuery. `seed_ingest_state` must have run (the
+    stores are the pipeline's inputs as well as its outputs)."""
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        process_ingest_batch(
+            batch_df, epoch_id, root,
+            id_col=id_col, text_col=text_col, gate=gate,
+            num_hashes=num_hashes, bands=bands, k=k,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(on_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def accepted_docs(spark: SparkSession, root: str) -> DataFrame:
+    """All documents accepted so far (every committed epoch)."""
+    return spark.read.parquet(f"{root}/accepted")
