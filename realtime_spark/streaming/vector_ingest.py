@@ -1,0 +1,147 @@
+"""Streaming vector ingest: continuous IVF index maintenance with optional
+semantic dedup — the embedding-side twin of streaming/ingest.py.
+
+Arriving embedding batches are assigned to their nearest centroid
+(ivf_assign — one Arrow-batched scan, zero shuffle), optionally rejected
+when a vector's cosine to ANY already-indexed member of its bucket reaches
+the dedup threshold (SemDeDup's cluster-confined comparison, applied
+incrementally: the bucket bounds the candidate set, never all-pairs), and
+the survivors are appended to the searchable on-disk IVF index the next
+batch probes.
+
+State layout (all parquet, under one root):
+
+    <root>/centroids/                       the (static) centroid set
+    <root>/ivf/ingest_epoch=seed/centroid_id=*/   the standing corpus index
+    <root>/ivf/ingest_epoch=e{N}/centroid_id=*/   batch N's survivors
+    <root>/accepted/ingest_epoch=e{N}/            survivor ids per epoch
+
+Exactly-once follows the ingest.py protocol: each epoch overwrites its own
+``ingest_epoch=e{N}`` directories and excludes them from its reads, so a
+crash-replay rewrites identical bytes instead of self-deduping or
+duplicating (see streaming/ingest.py for the full argument).
+
+Search serves straight off the store: ``spark.read.parquet(<root>/ivf)``
+is a valid index frame for ``ivf_topk_from_index`` — results are identical
+to a batch index built over corpus ∪ accepted (asserted by the tests),
+and the probe still prunes on the ``centroid_id`` partition level.
+
+Scale shape per micro-batch: the batch is a daily increment — its assigned
+rows broadcast into the bucket-membership join, so only index buckets the
+batch actually touches are compared; the index is append-only (one new
+partition directory per epoch). Centroid drift is the one thing this job
+does NOT handle — periodically re-run kmeans_refine + write_ivf_index
+(index rebuild is the compaction analog for the vector store).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_spark.operators.similarity import cosine_expr, ivf_assign
+
+
+def seed_vector_state(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Initialize the stores from the standing corpus (run once)."""
+    centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    ).write.mode("overwrite").parquet(f"{root}/centroids")
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{root}/ivf/ingest_epoch=seed"
+    )
+
+
+def process_vector_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dedup_threshold: float | None = None,
+) -> None:
+    """One micro-batch: assign, (optionally) bucket-confined semantic dedup
+    against everything already indexed, append survivors. Deterministic in
+    (batch content, epoch_id); writes only epoch-owned directories."""
+    spark = batch_df.sparkSession
+    cents = spark.read.parquet(f"{root}/centroids").select(
+        F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
+    )
+    assigned = ivf_assign(batch_df, cents, id_col, vec_col).localCheckpoint()
+
+    if dedup_threshold is not None:
+        own = f"e{epoch_id}"
+        index = spark.read.parquet(f"{root}/ivf").filter(
+            F.col("ingest_epoch") != own
+        )
+        member = index.select(
+            "centroid_id",
+            F.col(id_col).alias("_m_id"),
+            F.col(vec_col).alias("_m_vec"),
+        )
+        # batch side broadcasts; only buckets the batch touches are compared
+        dup_ids = (
+            F.broadcast(assigned)
+            .join(member, "centroid_id")
+            .filter(
+                (F.col(id_col) != F.col("_m_id"))
+                & (
+                    F.round(cosine_expr(F.col(vec_col), F.col("_m_vec")), 6)
+                    >= dedup_threshold
+                )
+            )
+            .select(id_col)
+            .distinct()
+        )
+        kept = assigned.join(F.broadcast(dup_ids), id_col, "left_anti")
+    else:
+        kept = assigned
+    kept = kept.localCheckpoint()
+
+    kept.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{root}/ivf/ingest_epoch=e{epoch_id}"
+    )
+    kept.select(id_col).write.mode("overwrite").parquet(
+        f"{root}/accepted/ingest_epoch=e{epoch_id}"
+    )
+
+
+def run_vector_ingest_stream(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dedup_threshold: float | None = None,
+    available_now: bool = True,
+):
+    """Wire the vector-ingest pipeline onto a streaming embedding source.
+    Returns the started StreamingQuery; `seed_vector_state` must have run."""
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        process_vector_batch(
+            batch_df, epoch_id, root,
+            id_col=id_col, vec_col=vec_col, dedup_threshold=dedup_threshold,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(on_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def searchable_index(spark: SparkSession, root: str) -> DataFrame:
+    """The live index (seed + every committed epoch) — a valid input for
+    ivf_topk_from_index."""
+    return spark.read.parquet(f"{root}/ivf")
