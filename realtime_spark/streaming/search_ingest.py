@@ -1,0 +1,132 @@
+"""Streaming search-index ingest: continuous inverted-index (BM25)
+maintenance — the text-search member of the streaming ingest trio
+(corpus ingest → vector ingest → search ingest).
+
+Arriving document batches are tokenized ONCE into (term, doc, tf) postings
+and per-doc lengths, written as per-epoch partition directories of the same
+bucket-partitioned layout `write_postings_index` uses, so queries keep the
+partition-pruned probe. Corpus statistics are stored as per-epoch PARTIALS
+(n_docs, sum_dl — exact bigints) and folded at query time: BM25's global
+terms (df_t, N, avgdl) are recomputed over the union, so scores served off
+the growing store are BIT-IDENTICAL to a batch rebuild over the same
+documents (asserted by the tests; the batch pair itself is DuckDB-oracled
+via search_bm25 / search_bm25_index).
+
+Exactly-once follows the ingest.py protocol — each epoch overwrites its own
+``ingest_epoch=e{N}`` directories and a replay rewrites identical bytes.
+This job never READS the stores while processing (pure append), so no
+own-epoch read exclusion is needed.
+
+Scale shape per micro-batch: one tokenize scan of the increment, one
+map-side-combined postings aggregation, three epoch-owned writes. Query
+cost is unchanged from the batch index: the probe reads only the query
+terms' bucket partitions across epochs (partition pruning on `bucket`
+within every ``ingest_epoch`` directory), the doclen side is doc-count
+sized, and the stats fold touches |epochs| rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_spark.operators.search import (
+    _bm25_rank,
+    _term_bucket_col,
+    _term_bucket_py,
+    doc_lengths,
+    postings,
+)
+
+
+def _write_epoch(
+    df: DataFrame, root: str, tag: str, id_col: str, text_col: str
+) -> None:
+    post = postings(df, id_col, text_col).withColumn(
+        "bucket", _term_bucket_col(F.col("term"))
+    )
+    post.repartition("bucket").sortWithinPartitions("bucket", "term").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{root}/postings/ingest_epoch={tag}")
+    lengths = doc_lengths(df, id_col, text_col)
+    lengths.write.mode("overwrite").parquet(f"{root}/doclen/ingest_epoch={tag}")
+    # exact-integer stat partials: the query-time fold sums bigints, so the
+    # recombined avgdl is bit-identical to a batch avg over the union
+    lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    ).write.mode("overwrite").parquet(f"{root}/stats/ingest_epoch={tag}")
+
+
+def seed_search_state(
+    corpus: DataFrame, root: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Initialize the index from the standing corpus (run once)."""
+    _write_epoch(corpus, root, "seed", id_col, text_col)
+
+
+def process_search_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch: tokenize, write epoch-owned postings/doclen/stats."""
+    _write_epoch(batch_df, root, f"e{epoch_id}", id_col, text_col)
+
+
+def run_search_ingest_stream(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Wire the index-maintenance pipeline onto a streaming document source.
+    Returns the started StreamingQuery; `seed_search_state` must have run."""
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        process_search_batch(batch_df, epoch_id, root, id_col, text_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(on_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bm25_topk_from_live_index(
+    spark: SparkSession,
+    root: str,
+    query_terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 4,
+) -> DataFrame:
+    """BM25 top-k served off the growing store: query-term bucket partitions
+    across every epoch, doc lengths across every epoch, and the global
+    stats folded exactly from the per-epoch partials."""
+    terms = sorted({t.lower() for t in query_terms})
+    buckets = sorted({_term_bucket_py(t) for t in terms})
+    post = (
+        spark.read.parquet(f"{root}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .drop("bucket", "ingest_epoch")
+    )
+    lengths = spark.read.parquet(f"{root}/doclen").drop("ingest_epoch")
+    stats = spark.read.parquet(f"{root}/stats").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs_total"),
+        (
+            F.sum("sum_dl").cast("double") / F.sum("n_docs").cast("double")
+        ).alias("avgdl"),
+    )
+    return _bm25_rank(post, lengths, stats, k, k1, b, round_digits)

@@ -1,0 +1,100 @@
+"""Streaming search-index ingest (streaming/search_ingest.py): BM25 served
+off the growing per-epoch store must be BIT-IDENTICAL to bm25_topk over the
+union of every ingested document — the operator pair whose agreement is
+independently DuckDB-oracled (search_bm25 / search_bm25_index)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_spark.operators.search import bm25_topk
+from realtime_spark.sources.testdata import load_table
+from realtime_spark.streaming.search_ingest import (
+    bm25_topk_from_live_index,
+    process_search_batch,
+    run_search_ingest_stream,
+    seed_search_state,
+)
+
+SF = "/root/testdata/sf0.001"
+TERMS = ("spark", "window", "merge")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from realtime_spark.session import get_spark
+
+    return get_spark("test_streaming_search_ingest", cpus=4)
+
+
+def _parts(spark):
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 3 == 0)
+    b0 = d.filter(F.col("doc_id") % 3 == 1)
+    b1 = d.filter(F.col("doc_id") % 3 == 2)
+    return corpus, b0, b1
+
+
+def _rows(df):
+    return sorted(
+        (r["doc"], r["score"], r["n_terms_matched"], r["rank"])
+        for r in df.collect()
+    )
+
+
+def test_search_ingest_scores_match_batch_rebuild(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    corpus, b0, b1 = _parts(spark)
+    seed_search_state(corpus, root)
+    b0.coalesce(1).write.parquet(f"{src}/f0")
+    b1.coalesce(1).write.parquet(f"{src}/f1")
+
+    q = run_search_ingest_stream(
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        root,
+        ckpt,
+    )
+    q.awaitTermination(300)
+
+    # global BM25 terms (df_t, N, avgdl) shift with every epoch: the live
+    # index must score exactly like a batch run over corpus ∪ b0 ∪ b1
+    live = _rows(bm25_topk_from_live_index(spark, root, TERMS, k=20))
+    full = corpus.unionByName(b0).unionByName(b1)
+    want = _rows(bm25_topk(full, "doc_id", "text", TERMS, k=20))
+    assert live == want and live
+
+    # crash-replay idempotency: re-running the last epoch rewrites identical
+    # bytes; scores unchanged
+    process_search_batch(b1, 1, root)
+    assert _rows(bm25_topk_from_live_index(spark, root, TERMS, k=20)) == want
+
+    # restart with nothing new: a no-op
+    q = run_search_ingest_stream(
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        root,
+        ckpt,
+    )
+    q.awaitTermination(300)
+    assert _rows(bm25_topk_from_live_index(spark, root, TERMS, k=20)) == want
+
+
+def test_search_ingest_seed_only_matches_corpus_scan(spark, tmp_path):
+    """Before any batch arrives the live index is just the seeded corpus."""
+    root = str(tmp_path / "idx")
+    corpus, _, _ = _parts(spark)
+    seed_search_state(corpus, root)
+    live = _rows(bm25_topk_from_live_index(spark, root, TERMS, k=20))
+    want = _rows(bm25_topk(corpus, "doc_id", "text", TERMS, k=20))
+    assert live == want and live
