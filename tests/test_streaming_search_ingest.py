@@ -90,6 +90,62 @@ def test_search_ingest_scores_match_batch_rebuild(spark, tmp_path):
     assert _rows(bm25_topk_from_live_index(spark, root, TERMS, k=20)) == want
 
 
+def test_chained_corpus_ingest_feeds_search_ingest(spark, tmp_path):
+    """Multi-hop streaming: the corpus-ingest ACCEPTED sink is the search
+    ingest's file source — dedup admission upstream, index maintenance
+    downstream, searchable state bit-identical to a batch rebuild over
+    corpus ∪ accepted."""
+    from realtime_spark.streaming.ingest import (
+        accepted_docs,
+        run_ingest_stream,
+        seed_ingest_state,
+    )
+
+    corpus, b0, b1 = _parts(spark)
+    croot = str(tmp_path / "corpus")
+    iroot = str(tmp_path / "idx")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    # hop 1: dedup admission (b1 includes exact dups of corpus + b0 docs)
+    seed_ingest_state(corpus, croot)
+    b0.coalesce(1).write.parquet(f"{src}/f0")
+    b1.unionByName(corpus.limit(5)).unionByName(b0.limit(5)).coalesce(1).write.parquet(
+        f"{src}/f1"
+    )
+    q = run_ingest_stream(
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        croot,
+        str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(300)
+
+    # hop 2: index maintenance over the accepted sink's files
+    seed_search_state(corpus, iroot)
+    q = run_search_ingest_stream(
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{croot}/accepted"),
+        iroot,
+        str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(300)
+
+    live = _rows(bm25_topk_from_live_index(spark, iroot, TERMS, k=20))
+    full = corpus.unionByName(
+        accepted_docs(spark, croot).select("doc_id", "text")
+    )
+    want = _rows(bm25_topk(full, "doc_id", "text", TERMS, k=20))
+    assert live == want and live
+    # and the dup injections really were stopped upstream
+    acc = {r["doc_id"] for r in accepted_docs(spark, croot).collect()}
+    corpus_ids = {r["doc_id"] for r in corpus.limit(5).collect()}
+    assert not (acc & corpus_ids)
+
+
 def test_search_ingest_seed_only_matches_corpus_scan(spark, tmp_path):
     """Before any batch arrives the live index is just the seeded corpus."""
     root = str(tmp_path / "idx")
