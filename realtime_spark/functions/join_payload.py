@@ -26,6 +26,7 @@ making this the front door of the CDC path rather than parity decoration.
 
 from __future__ import annotations
 
+import re
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -52,18 +53,19 @@ def _flexible_bool(v: Any):
     return None
 
 
+_INT_RE = re.compile(r"^[+-]?[0-9]+$")
+
+
 def _cast_int(v: Any):
+    # Ecto's :integer cast rejects floats (even integral ones) and accepts
+    # only exact base-10 integer strings — no underscores, whitespace, or
+    # non-ASCII digits, all of which Python's int() would admit.
     if isinstance(v, bool):
         return None
     if isinstance(v, int):
         return v
-    if isinstance(v, float) and v.is_integer():
+    if isinstance(v, str) and _INT_RE.match(v):
         return int(v)
-    if isinstance(v, str):
-        try:
-            return int(v)
-        except ValueError:
-            return None
     return None
 
 

@@ -144,8 +144,11 @@ def _render_fn(name: str, args: list[str]) -> str:
     spark_name = _FN_RENAME.get(name, name)
     if name == "concat":
         # pg concat() ignores NULL arguments; Spark concat() is NULL if any
-        # argument is NULL — coalesce each arg to keep pg semantics
-        args = [f"coalesce({a}, '')" for a in args]
+        # argument is NULL — coalesce each arg to keep pg semantics. The cast
+        # keeps the coalesce unambiguously string-typed: under ANSI mode a
+        # numeric arg would otherwise coerce the '' fallback to the numeric
+        # type and abort the query with CAST_INVALID_INPUT on any NULL row.
+        args = [f"coalesce(cast({a} as string), '')" for a in args]
     return f"{spark_name}({', '.join(args)})"
 
 

@@ -71,13 +71,27 @@ def process_vector_batch(
     against everything already indexed, append survivors. Deterministic in
     (batch content, epoch_id); writes only epoch-owned directories."""
     spark = batch_df.sparkSession
+    own = f"e{epoch_id}"
     cents = spark.read.parquet(f"{root}/centroids").select(
         F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
     )
-    assigned = ivf_assign(batch_df, cents, id_col, vec_col).localCheckpoint()
+    # A re-delivered id (seeding overlap, re-seeded source) must not be
+    # appended twice: its cosine-1.0 self-match would otherwise be discarded
+    # by an id-inequality guard and the row silently duplicated in the
+    # ivf/accepted stores. Reject ids already accepted in a *prior* epoch up
+    # front (own-epoch rows excluded so a crash-replay stays idempotent);
+    # after this anti-join the batch and the index are disjoint on id.
+    seen_ids = (
+        spark.read.parquet(f"{root}/ivf")
+        .filter(F.col("ingest_epoch") != own)
+        .select(id_col)
+    )
+    # column-pruned id scan; no broadcast hint — AQE broadcasts whichever
+    # side is small (the batch, for increments against a year of index)
+    fresh = batch_df.join(seen_ids, id_col, "left_anti")
+    assigned = ivf_assign(fresh, cents, id_col, vec_col).localCheckpoint()
 
     if dedup_threshold is not None:
-        own = f"e{epoch_id}"
         index = spark.read.parquet(f"{root}/ivf").filter(
             F.col("ingest_epoch") != own
         )
@@ -91,11 +105,8 @@ def process_vector_batch(
             F.broadcast(assigned)
             .join(member, "centroid_id")
             .filter(
-                (F.col(id_col) != F.col("_m_id"))
-                & (
-                    F.round(cosine_expr(F.col(vec_col), F.col("_m_vec")), 6)
-                    >= dedup_threshold
-                )
+                F.round(cosine_expr(F.col(vec_col), F.col("_m_vec")), 6)
+                >= dedup_threshold
             )
             .select(id_col)
             .distinct()

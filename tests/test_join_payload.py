@@ -106,6 +106,27 @@ def test_invalid_replay():
     assert errors == {"config": {"broadcast": {"replay": MAP_ERR}}}
 
 
+@pytest.mark.parametrize("bad", [10.0, 1.5, "1_0", " 10 ", "١٠", "0x10", "", True])
+def test_replay_int_cast_is_ecto_strict(bad):
+    # Ecto's :integer cast rejects floats and anything but exact base-10
+    # integer strings; Python int() alone would admit several of these
+    # (regression for the r5 ADVICE finding on _cast_int)
+    join, errors = validate_join(
+        {"config": {"broadcast": {"replay": {"since": 1, "limit": bad}}}}
+    )
+    assert join is None
+    assert "limit" in errors["config"]["broadcast"]["replay"]
+
+
+@pytest.mark.parametrize("ok,want", [("10", 10), ("-5", -5), ("+7", 7), (3, 3)])
+def test_replay_int_cast_accepts_exact_integers(ok, want):
+    join, errors = validate_join(
+        {"config": {"broadcast": {"replay": {"since": 1, "limit": ok}}}}
+    )
+    assert errors is None
+    assert join.config.broadcast.replay.limit == want
+
+
 def test_missing_enabled_presence_defaults_to_false():
     join, errors = validate_join({"config": {"presence": {}}})
     assert errors is None

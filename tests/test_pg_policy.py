@@ -211,6 +211,11 @@ def test_concat_keeps_pg_null_semantics():
     # pg concat() skips NULL args; Spark's is NULL-poisoning — coalesce each
     out = translate_pg_policy("concat(o_orderstatus, tenant) = 'x'", TM)
     assert out.count("coalesce(") == 2
+    # each arg must be cast to string INSIDE the coalesce: a numeric arg
+    # would otherwise coerce the '' fallback to the numeric type and, under
+    # ANSI mode, abort the query on any NULL row (r5 ADVICE, medium)
+    out_num = translate_pg_policy("concat(o_custkey, o_orderstatus) = 'x'", TM)
+    assert out_num.count("coalesce(cast(") == 2
 
 
 def test_json_extract_on_record_column():
@@ -308,6 +313,62 @@ def test_eval_numeric_cast_policy(spark):
         lambda rec: float(rec.get("o_totalprice") or 0) > 200000
         and rec.get("o_orderstatus") != "F",
     )
+    assert got == want and want
+
+
+def test_eval_concat_numeric_policy(spark):
+    """concat() over a numeric column with NULL rows present must evaluate
+    (r5 ADVICE, medium: the string-typed coalesce fallback was coerced to
+    BIGINT under ANSI mode and aborted the whole RLS evaluation)."""
+    from realtime_spark.operators.auth import apply_rls_policies, rls_policies_df
+
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+    from realtime_spark.operators.cdc import matched_pairs
+    from realtime_spark.sources.testdata import changes_from_orders
+
+    # plant NULL o_custkey rows (the fixture never has them): drop the key
+    # from every 5th record/old_record so the coalesce fallback is exercised
+    drop_ck = lambda col: F.map_filter(col, lambda k, v: k != "o_custkey")
+    hit = F.element_at(
+        F.coalesce(F.col("record"), F.col("old_record")), "o_orderkey"
+    ).cast("bigint") % 5 == 0
+    changes = changes_from_orders(spark, SF)
+    for c in ("record", "old_record"):
+        changes = changes.withColumn(
+            c, F.when(hit & F.col(c).isNotNull(), drop_ck(F.col(c))).otherwise(F.col(c))
+        )
+    subs = em.subscriptions_df(
+        spark, [{"subscription_id": "s1", "schema": "public", "table": "orders"}]
+    )
+    pairs = matched_pairs(changes, subs)
+    null_rows = [
+        r
+        for r in changes.collect()
+        if (r["old_record"] if r["action"] == "DELETE" else r["record"]) is not None
+        and (r["old_record"] if r["action"] == "DELETE" else r["record"]).get(
+            "o_custkey"
+        )
+        is None
+    ]
+    assert null_rows, "fixture must exercise the NULL-arg branch"
+
+    expr = translate_pg_policy(
+        "concat(o_custkey, o_orderstatus) <> ''",
+        {"o_custkey": "int8", "o_orderstatus": "text"},
+    )
+    pols = rls_policies_df(spark, [{"table": "orders", "policy_expr": expr}])
+    got = {
+        r["change_id"]
+        for r in apply_rls_policies(pairs, pols).select("c.change_id").collect()
+    }
+
+    def _pg_concat(rec):
+        ck = rec.get("o_custkey")
+        st = rec.get("o_orderstatus")
+        return ("" if ck is None else str(int(ck))) + ("" if st is None else st)
+
+    want = _expected_rows(changes, lambda rec: _pg_concat(rec) != "")
     assert got == want and want
 
 

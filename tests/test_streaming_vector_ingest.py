@@ -125,6 +125,38 @@ def test_vector_ingest_end_to_end(spark, tmp_path):
     assert sorted(spark.read.parquet(f"{root}/accepted").collect()) == before
 
 
+def test_vector_ingest_redelivered_id_not_duplicated(spark, tmp_path):
+    """A batch row whose vec_id is already indexed (seeding overlap or a
+    re-seeded source) must not be appended again — regression for the r5
+    id-inequality guard that exempted the cosine-1.0 self-match (ADVICE r5).
+    Covers both the dedup and the no-dedup path (the latter previously had
+    no protection at all)."""
+    corpus, cents, b0, _ = _parts(spark)
+    overlap = corpus.filter(F.col("vec_id") < 40)
+    assert overlap.count() > 0
+    batch = b0.unionByName(overlap)
+    b0_ids = {r["vec_id"] for r in b0.select("vec_id").collect()}
+
+    for thresh in (0.999999, None):
+        root = str(tmp_path / f"vstore_{thresh}")
+        seed_vector_state(corpus, cents, root)
+        process_vector_batch(batch, 0, root, dedup_threshold=thresh)
+        dup_ids = (
+            spark.read.parquet(f"{root}/ivf")
+            .groupBy("vec_id")
+            .count()
+            .filter("count > 1")
+            .count()
+        )
+        assert dup_ids == 0
+        accepted = {
+            r["vec_id"]
+            for r in spark.read.parquet(f"{root}/accepted").collect()
+        }
+        # fresh rows still land; the re-delivered ids are not re-accepted
+        assert accepted == b0_ids
+
+
 def test_vector_ingest_no_dedup(spark, tmp_path):
     """threshold=None: pure index maintenance, everything indexed."""
     root = str(tmp_path / "vstore")
