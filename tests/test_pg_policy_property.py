@@ -11,10 +11,16 @@ documented subset as small ASTs; each AST is interpreted twice —
      LIKE/ILIKE, IN/ANY/BETWEEN null rules, DELETE-aware record selection)
 
 — and the sets of visible change ids must agree. This is the test shape
-that would have caught all five round-4 translator findings (EXISTS key
-direction aside, which has no row expression) before a human did: the
-array-literal quoting, starts_with resolution, concat NULL semantics, and
-json-extraction analysis crashes are all reachable from this grammar.
+that would have caught all five round-4 translator findings before a human
+did: the array-literal quoting, starts_with resolution, concat NULL
+semantics, and json-extraction analysis crashes are reachable from the
+row-expression grammar, and the EXISTS key-direction bug (the round-4
+HIGH, RLS fail-open) from the two-table EXISTS grammar at the bottom —
+random watched/lookup column subsets over one shared name universe,
+both written key orientations, all four qualification spellings,
+differentially checked against a pure-Python semi-join (both the
+decomposed keys and the executed apply_rls_exists_policy plan;
+sabotage-verified on each side).
 
 The fixture rows make wrong-side reads visible: old_record values differ
 from record values, so a translator that read ``record`` on DELETE (or
@@ -478,3 +484,240 @@ def test_translated_policy_matches_pg_semantics(spark, pairs_df, ast):
         if pyeval(ast, effective) is True:
             want.add(i)
     assert got == want, f"policy: {pg_sql}\nspark expr: {expr}"
+
+
+# ---------------------------------------------------------------------------
+# EXISTS two-table policies (the round-4 HIGH bug class: key direction under
+# shared column names — RLS fail-open). Random (watched, lookup) column
+# subsets drawn from ONE shared name universe (maximal overlap), random
+# `EXISTS (SELECT 1 FROM lookup_t WHERE <key-pair(s)> [AND residual])`
+# bodies in BOTH written orientations and all four qualification spellings,
+# differentially checked: compile_pg_policy -> apply_rls_exists_policy
+# (the J5 semi-join plan) vs an independent pure-Python semi-join.
+# Reference probe shape: /root/reference/lib/realtime/tenants/repo/
+# migrations/20211116212300_create_realtime_build_prepared_statement_sql_
+# function.ex:52-61.
+# ---------------------------------------------------------------------------
+
+from realtime_spark.functions.pg_policy import compile_pg_policy
+
+_EX_COLS_K = ["k1", "k2"]
+_EX_COLS_T = ["t1", "t2"]
+_EX_ALL = _EX_COLS_K + _EX_COLS_T
+
+
+def _ex_type(c):
+    return "int8" if c in _EX_COLS_K else "text"
+
+
+def _w_rows():
+    """Watched-change rows: every (k1, t1) pool combination; k2/t2 rotate.
+    Key values overlap the lookup pools so hits AND misses both occur."""
+    rows = []
+    i = 0
+    for k1 in [None, "0", "1", "2", "3"]:
+        for t1 in [None, "a", "b", "it's"]:
+            k2 = ["1", None, "3", "0", "2"][i % 5]
+            t2 = ["b", "it's", None, "a"][i % 4]
+            action = ("INSERT", "UPDATE", "DELETE")[i % 3]
+            rows.append((i, action, {"k1": k1, "k2": k2, "t1": t1, "t2": t2}))
+            i += 1
+    return rows
+
+
+def _w_old(vals):
+    """old_record: k cols shifted +1, t cols suffixed 'O' — values that ALSO
+    exist in the lookup pools, so a wrong-side read (record on DELETE)
+    produces a different visible set, not just misses."""
+    out = {}
+    for k, v in vals.items():
+        if v is None:
+            out[k] = None
+        elif k.startswith("k"):
+            out[k] = str(int(v) + 1)
+        else:
+            out[k] = v + "O"
+    return out
+
+
+W_ROWS = _w_rows()
+
+_L_K = [None, 0, 1, 2, 3, 4]
+_L_T = [None, "a", "aO", "b", "it's", "bO"]
+L_ROWS = [
+    {
+        "k1": _L_K[j % 6],
+        "k2": _L_K[(j * 2 + 1) % 6],
+        "t1": _L_T[j % 6],
+        "t2": _L_T[(j * 3 + 2) % 6],
+    }
+    for j in range(12)
+]
+
+
+@pytest.fixture(scope="module")
+def exists_pairs(spark):
+    # record present unless DELETE; old_record present unless INSERT —
+    # mirrors the wal2json shape the production pairs carry
+    rows = [
+        (
+            i,
+            action,
+            "public",
+            "watched",
+            vals if action != "DELETE" else None,
+            _w_old(vals) if action != "INSERT" else None,
+        )
+        for i, action, vals in W_ROWS
+    ]
+    changes = spark.createDataFrame(
+        rows,
+        "change_id int, action string, schema_name string, table_name string, "
+        "record map<string,string>, old_record map<string,string>",
+    )
+    subs = spark.createDataFrame(
+        [(CLAIMS_ROLE, CLAIMS)], "claims_role string, claims map<string,string>"
+    )
+    return changes.alias("c").crossJoin(subs.alias("s")).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def lookup_df(spark):
+    return spark.createDataFrame(
+        [(r["k1"], r["k2"], r["t1"], r["t2"]) for r in L_ROWS],
+        "k1 bigint, k2 bigint, t1 string, t2 string",
+    ).localCheckpoint()
+
+
+def _render_res(a) -> str:
+    if a[0] == "rcmp":
+        lit = str(a[3]) if isinstance(a[3], int) else _pg_str(a[3])
+        return f"{a[2]} {a[1]} {lit}"
+    if a[0] == "risnull":
+        return f"{a[1]} IS {'NOT ' if a[2] else ''}NULL"
+    if a[0] == "rlike":
+        return f"{a[1]} LIKE {_pg_str(a[2])}"
+    raise AssertionError(a)
+
+
+def _res_eval(a, lrow):
+    """Residual predicate over one lookup row, pg 3VL (None = unknown)."""
+    if a[0] == "rcmp":
+        v = lrow[a[2]]
+        if v is None:
+            return None
+        op, lit = a[1], a[3]
+        return {
+            "=": v == lit, "<>": v != lit, "<": v < lit, ">=": v >= lit,
+        }[op]
+    if a[0] == "risnull":
+        v = lrow[a[1]]
+        return (v is not None) if a[2] else (v is None)
+    if a[0] == "rlike":
+        v = lrow[a[1]]
+        if v is None:
+            return None
+        return _like_match(v, a[2], ci=False)
+    raise AssertionError(a)
+
+
+def _semi_visible(eff, keys, res_asts) -> bool:
+    """Pure-Python EXISTS: does any lookup row pass the residual AND match
+    every key pair (SQL equality: NULL on either side never matches)?"""
+    for lrow in L_ROWS:
+        if any(_res_eval(a, lrow) is not True for a in res_asts):
+            continue
+        ok = True
+        for rec_col, lk_col in keys:
+            rv, lv = eff.get(rec_col), lrow[lk_col]
+            if rv is None or lv is None or str(rv) != str(lv):
+                ok = False
+                break
+        if ok:
+            return True
+    return False
+
+
+@st.composite
+def exists_policies(draw):
+    w_sub = sorted(draw(st.sets(st.sampled_from(_EX_ALL), min_size=1, max_size=4)))
+    l_sub = sorted(draw(st.sets(st.sampled_from(_EX_ALL), min_size=1, max_size=4)))
+    use_alias = draw(st.booleans())
+    alias = "lk" if use_alias else "lookup_t"
+    keys, conjs = [], []
+    for _ in range(draw(st.integers(1, 2))):
+        rec = draw(st.sampled_from(w_sub))
+        lk = draw(st.sampled_from(l_sub))
+        keys.append((rec, lk))
+        # watched side: qualified, or unqualified when the name is NOT a
+        # lookup column (unqualified resolves inner-first, pg scoping)
+        if draw(st.booleans()) and rec not in l_sub:
+            wref = rec
+        else:
+            wref = f"watched.{rec}"
+        lref = lk if draw(st.booleans()) else f"{alias}.{lk}"
+        conjs.append(f"{lref} = {wref}" if draw(st.booleans()) else f"{wref} = {lref}")
+    res_asts = []
+    for _ in range(draw(st.integers(0, 2))):
+        col = draw(st.sampled_from(l_sub))
+        if col in _EX_COLS_K:
+            res_asts.append(
+                ("rcmp", draw(st.sampled_from(["=", "<>", "<", ">="])), col,
+                 draw(st.integers(0, 4)))
+            )
+        else:
+            kind = draw(st.integers(0, 2))
+            if kind == 0:
+                res_asts.append(
+                    ("rcmp", draw(st.sampled_from(["=", "<>"])), col,
+                     draw(st.sampled_from(["a", "aO", "it's", "zz"])))
+                )
+            elif kind == 1:
+                res_asts.append(("risnull", col, draw(st.booleans())))
+            else:
+                res_asts.append(
+                    ("rlike", col, draw(st.sampled_from(["%a%", "a%", "%O", "%"])))
+                )
+    all_conjs = conjs + [_render_res(a) for a in res_asts]
+    order = draw(st.permutations(range(len(all_conjs))))
+    body = " AND ".join(all_conjs[i] for i in order)
+    sql = f"EXISTS (SELECT 1 FROM lookup_t {'AS lk ' if use_alias else ''}WHERE {body})"
+    return sql, w_sub, l_sub, keys, res_asts
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(pol=exists_policies())
+def test_exists_policy_matches_python_semi_join(spark, exists_pairs, lookup_df, pol):
+    from pyspark.sql import functions as F
+
+    from realtime_spark.operators.auth import apply_rls_exists_policy
+
+    sql, w_sub, l_sub, keys, res_asts = pol
+    cp = compile_pg_policy(
+        sql,
+        {c: _ex_type(c) for c in w_sub},
+        lookup_cols={"lookup_t": {c: _ex_type(c) for c in l_sub}},
+    )
+    # the decomposition itself must recover exactly the generated key pairs
+    # in (record_col, lookup_col) order — a flipped pair here IS the r4 bug
+    assert cp.kind == "exists"
+    assert sorted(cp.keys) == sorted(keys), f"policy: {sql}"
+
+    lk = lookup_df
+    if cp.residual_sql:
+        lk = lk.filter(F.expr(cp.residual_sql))
+    got_df = apply_rls_exists_policy(exists_pairs, lk, cp.keys, table_name="watched")
+    got = {r["change_id"] for r in got_df.select("c.change_id").collect()}
+
+    want = set()
+    for i, action, vals in W_ROWS:
+        eff = _w_old(vals) if action == "DELETE" else vals
+        if _semi_visible(eff, keys, res_asts):
+            want.add(i)
+    assert got == want, (
+        f"policy: {sql}\nkeys: {cp.keys} residual: {cp.residual_sql!r}"
+    )
