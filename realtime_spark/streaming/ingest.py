@@ -52,6 +52,7 @@ from realtime_spark.operators.dedup import (
     minhash_bands,
     _digest,
 )
+from realtime_spark.streaming.compaction import read_store
 
 
 def seed_ingest_state(
@@ -103,13 +104,13 @@ def process_ingest_batch(
     # exactly the pre-crash read set; the filter is on the partition column
     # and prunes, never scans.
     own = f"e{epoch_id}"
-    digests = spark.read.parquet(f"{root}/digests").filter(
+    digests = read_store(spark, f"{root}/digests").filter(
         F.col("ingest_epoch") != own
     )
     fresh = dedup_incremental(batch_df, digests, id_col, text_col)
     fresh = fresh.localCheckpoint()
 
-    index = spark.read.parquet(f"{root}/lsh").filter(F.col("ingest_epoch") != own)
+    index = read_store(spark, f"{root}/lsh").filter(F.col("ingest_epoch") != own)
     near = (
         lsh_candidates_against_index(
             fresh, index, id_col, text_col, num_hashes, bands, k
@@ -166,5 +167,6 @@ def run_ingest_stream(
 
 
 def accepted_docs(spark: SparkSession, root: str) -> DataFrame:
-    """All documents accepted so far (every committed epoch)."""
-    return spark.read.parquet(f"{root}/accepted")
+    """All documents accepted so far (every committed epoch; after an
+    epoch compaction, the compacted base plus the epochs above it)."""
+    return read_store(spark, f"{root}/accepted")

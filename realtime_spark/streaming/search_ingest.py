@@ -32,6 +32,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realtime_spark.streaming.compaction import read_store
 from realtime_spark.operators.search import (
     _bm25_rank,
     _term_bucket_col,
@@ -117,13 +118,13 @@ def bm25_topk_from_live_index(
     terms = sorted({t.lower() for t in query_terms})
     buckets = sorted({_term_bucket_py(t) for t in terms})
     post = (
-        spark.read.parquet(f"{root}/postings")
+        read_store(spark, f"{root}/postings")
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
         .drop("bucket", "ingest_epoch")
     )
-    lengths = spark.read.parquet(f"{root}/doclen").drop("ingest_epoch")
-    stats = spark.read.parquet(f"{root}/stats").agg(
+    lengths = read_store(spark, f"{root}/doclen").drop("ingest_epoch")
+    stats = read_store(spark, f"{root}/stats").agg(
         F.sum("n_docs").cast("bigint").alias("n_docs_total"),
         (
             F.sum("sum_dl").cast("double") / F.sum("n_docs").cast("double")

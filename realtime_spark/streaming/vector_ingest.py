@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_spark.operators.similarity import cosine_expr, ivf_assign
+from realtime_spark.streaming.compaction import read_store
 
 
 def seed_vector_state(
@@ -82,7 +83,7 @@ def process_vector_batch(
     # front (own-epoch rows excluded so a crash-replay stays idempotent);
     # after this anti-join the batch and the index are disjoint on id.
     seen_ids = (
-        spark.read.parquet(f"{root}/ivf")
+        read_store(spark, f"{root}/ivf")
         .filter(F.col("ingest_epoch") != own)
         .select(id_col)
     )
@@ -92,7 +93,7 @@ def process_vector_batch(
     assigned = ivf_assign(fresh, cents, id_col, vec_col).localCheckpoint()
 
     if dedup_threshold is not None:
-        index = spark.read.parquet(f"{root}/ivf").filter(
+        index = read_store(spark, f"{root}/ivf").filter(
             F.col("ingest_epoch") != own
         )
         member = index.select(
@@ -153,6 +154,6 @@ def run_vector_ingest_stream(
 
 
 def searchable_index(spark: SparkSession, root: str) -> DataFrame:
-    """The live index (seed + every committed epoch) — a valid input for
-    ivf_topk_from_index."""
-    return spark.read.parquet(f"{root}/ivf")
+    """The live index (seed + every committed epoch; after compaction, the
+    compacted base + later epochs) — a valid input for ivf_topk_from_index."""
+    return read_store(spark, f"{root}/ivf")
