@@ -965,6 +965,10 @@ from realtime_spark.plans.placement_plan import (  # noqa: E402
     placement_oracles,
     placement_queries,
 )
+from realtime_spark.plans.stream_stores import (  # noqa: E402
+    stream_stores_oracles,
+    stream_stores_queries,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -993,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(behavior_queries())
     qs.update(dispatch_queries())
     qs.update(placement_queries())
+    qs.update(stream_stores_queries())
     qs["cdc_multi_pairs"] = q_cdc_multi_pairs
     qs["cdc_subscription_ids"] = q_cdc_subscription_ids
     qs["cdc_wildcard"] = q_cdc_wildcard
@@ -1046,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(behavior_oracles())
     sqls.update(dispatch_oracles())
     sqls.update(placement_oracles())
+    sqls.update(stream_stores_oracles())
     sqls["cdc_multi_pairs"] = ORACLE_CDC_MULTI_PAIRS
     sqls["cdc_subscription_ids"] = ORACLE_CDC_SUBSCRIPTION_IDS
     sqls["cdc_wildcard"] = ORACLE_CDC_WILDCARD

@@ -6,8 +6,9 @@ pairs, and replay windows contain nothing.
 Any failure here is either a crash-on-empty (an operator that cannot run on
 an empty partition cannot run at 100 TB, where empty day-slices are routine)
 or a genuine empty-input convention divergence between the Spark query and
-its DuckDB oracle. Gated behind SPARK_GRAFT_DEGEN_TEST=1 purely for suite
-runtime (it duplicates the full query matrix); run it every round.
+its DuckDB oracle. Runs in the DEFAULT suite since round 6 (the full replay
+costs ~3-4 min — the r5 verdict asked for it unconditionally); set
+SPARK_GRAFT_DEGEN_TEST=0 to opt out on a constrained box.
 """
 
 from __future__ import annotations
@@ -24,9 +25,9 @@ QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
 pytestmark = pytest.mark.skipif(
-    os.environ.get("SPARK_GRAFT_DEGEN_TEST") != "1",
-    reason="set SPARK_GRAFT_DEGEN_TEST=1 to replay the oracle matrix "
-    "on the degenerate-cardinality corpus",
+    os.environ.get("SPARK_GRAFT_DEGEN_TEST", "1") != "1",
+    reason="SPARK_GRAFT_DEGEN_TEST=0 opts out of the degenerate-corpus "
+    "oracle replay (on by default)",
 )
 
 DEGEN_DIR = "/tmp/spark_graft_degen_sf"

@@ -9,13 +9,17 @@ tokenization bug survived three green rounds that way). This suite makes
 the data hostile while keeping every schema/enum/key contract intact, so
 any failure here is a genuine convention divergence, not a contract breach.
 
-Gated behind SPARK_GRAFT_STRESS_TEST=1 by default purely for suite runtime
-(it duplicates the full 261-query matrix); run it every round.
+The FULL replay (~32 min) stays gated behind SPARK_GRAFT_STRESS_TEST=1;
+the default suite runs a deterministic ROTATING quarter of the matrix
+(~66 queries/run, full coverage every 4 runs keyed on the day ordinal —
+the r5 verdict asked that plain `pytest tests/` stop under-verifying).
+Pin a rotation with SPARK_GRAFT_STRESS_ROT=<int> to reproduce a sample run.
 """
 
 from __future__ import annotations
 
 import os
+from datetime import date
 
 import pytest
 
@@ -26,13 +30,15 @@ from tests.stress_corpus import build_stress_dir
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
-pytestmark = pytest.mark.skipif(
-    os.environ.get("SPARK_GRAFT_STRESS_TEST") != "1",
-    reason="set SPARK_GRAFT_STRESS_TEST=1 to replay the oracle matrix "
-    "on the adversarial corpus",
-)
+_FULL = os.environ.get("SPARK_GRAFT_STRESS_TEST") == "1"
 
 STRESS_DIR = "/tmp/spark_graft_stress_sf"
+
+
+def _rotation_sample() -> list[str]:
+    names = sorted(QUERIES)
+    rot = int(os.environ.get("SPARK_GRAFT_STRESS_ROT", date.today().toordinal()))
+    return [n for i, n in enumerate(names) if (i + rot) % 4 == 0]
 
 
 @pytest.fixture(scope="module")
@@ -47,10 +53,27 @@ def con(stress_dir):
     c.close()
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle_on_stress(spark, con, stress_dir, name):
+def _check(spark, con, stress_dir, name):
     df = QUERIES[name](spark, stress_dir)
     if name not in ORACLES:
         assert df.count() >= 0  # rows-only: must at least survive the data
         return
     compare(df, con, ORACLES[name], name)
+
+
+@pytest.mark.skipif(
+    not _FULL,
+    reason="set SPARK_GRAFT_STRESS_TEST=1 for the full stress replay "
+    "(the default suite runs the rotating sample below)",
+)
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle_on_stress(spark, con, stress_dir, name):
+    _check(spark, con, stress_dir, name)
+
+
+@pytest.mark.skipif(
+    _FULL, reason="full stress replay active; the sample would be redundant"
+)
+@pytest.mark.parametrize("name", _rotation_sample())
+def test_query_matches_oracle_on_stress_sample(spark, con, stress_dir, name):
+    _check(spark, con, stress_dir, name)
