@@ -145,16 +145,25 @@ def gc_store(store: str) -> list[str]:
     return removed
 
 
+_RESERVED_KEYS = ("base", "min_epoch", "generation", "folded")
+
+
 def compact_store(
     spark: SparkSession,
     store: str,
     write_fold: Callable[[DataFrame, str], None],
+    extra_manifest: dict | None = None,
 ) -> dict:
     """Fold every visible partition of one store into a single compacted
     base. ``write_fold(df, path)`` materializes the folded frame at `path`
     in the store's own layout (sub-partitioning, sorting, stat summing).
     Returns the new manifest. Crash-safe per the module protocol; requires
-    the ingest stream writing this store to be stopped."""
+    the ingest stream writing this store to be stopped.
+
+    ``extra_manifest`` entries are merged into the committed manifest;
+    non-reserved keys already present (e.g. the vector store's published
+    ``centroids`` pointer) carry forward unless overridden, so a plain
+    compaction never un-publishes a rebuild."""
     manifest = read_manifest(store)
     if manifest is None:
         # install an explicit everything-visible manifest BEFORE any
@@ -195,10 +204,12 @@ def compact_store(
 
     # (3) commit: one atomic manifest replace (publish.py:100 discipline)
     new_manifest = {
+        **{k: v for k, v in manifest.items() if k not in _RESERVED_KEYS},
         "base": f"c{gen}",
         "min_epoch": max_epoch + 1,
         "generation": gen,
         "folded": tags,
+        **(extra_manifest or {}),
     }
     tmp = _manifest_path(store) + ".tmp"
     with open(tmp, "w") as fh:

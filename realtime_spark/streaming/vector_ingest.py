@@ -29,9 +29,13 @@ and the probe still prunes on the ``centroid_id`` partition level.
 Scale shape per micro-batch: the batch is a daily increment — its assigned
 rows broadcast into the bucket-membership join, so only index buckets the
 batch actually touches are compared; the index is append-only (one new
-partition directory per epoch). Centroid drift is the one thing this job
-does NOT handle — periodically re-run kmeans_refine + write_ivf_index
-(index rebuild is the compaction analog for the vector store).
+partition directory per epoch). Centroid drift is handled by the
+maintenance job at the bottom of this module: ``vector_drift`` measures
+assignment-distance drift of recent epochs vs the base in one observed
+scan, and ``rebuild_vector_index`` k-means-refines the centroids over the
+live store, reassigns everything, and publishes (new centroids, new index)
+with ONE atomic manifest commit — the store keeps serving the old pair
+until that instant.
 """
 
 from __future__ import annotations
@@ -39,7 +43,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realtime_spark.operators.similarity import cosine_expr, ivf_assign
+from realtime_spark.operators.similarity import (
+    cosine_expr,
+    ivf_assign,
+    kmeans_refine,
+)
 from realtime_spark.streaming.compaction import read_store
 
 
@@ -73,7 +81,9 @@ def process_vector_batch(
     (batch content, epoch_id); writes only epoch-owned directories."""
     spark = batch_df.sparkSession
     own = f"e{epoch_id}"
-    cents = spark.read.parquet(f"{root}/centroids").select(
+    # the PUBLISHED centroid set — the seed layout, or the version a
+    # drift-triggered rebuild committed (named by the ivf manifest)
+    cents = stored_centroids(spark, root).select(
         F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
     )
     # A re-delivered id (seeding overlap, re-seeded source) must not be
@@ -157,3 +167,140 @@ def searchable_index(spark: SparkSession, root: str) -> DataFrame:
     """The live index (seed + every committed epoch; after compaction, the
     compacted base + later epochs) — a valid input for ivf_topk_from_index."""
     return read_store(spark, f"{root}/ivf")
+
+
+# ---------------------------------------------------------------------------
+# centroid-drift maintenance: detect -> rebuild -> atomic swap
+# ---------------------------------------------------------------------------
+
+
+def stored_centroids(spark: SparkSession, root: str) -> DataFrame:
+    """The published (centroid_id, cent_vec) set for this store: the seed
+    layout, or the rebuild version the ivf manifest points at. Searches off
+    the live store must probe with THESE centroids — the set the index's
+    partitions were assigned under."""
+    from realtime_spark.streaming.compaction import read_manifest
+
+    sub = (read_manifest(f"{root}/ivf") or {}).get("centroids", "centroids")
+    return spark.read.parquet(f"{root}/{sub}")
+
+
+def vector_drift(
+    spark: SparkSession,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Assignment-distance drift metric, one index scan via ``observe``:
+    mean cosine distance (1 - cos) to the assigned centroid, split between
+    the compacted/seed BASE rows (the distribution the centroids were
+    fitted to) and the post-base EPOCH rows (the recent arrivals). A ratio
+    well above 1 means recent data sits far from every centroid — probe
+    recall degrades and bucket sizes skew; rebuild."""
+    from pyspark.sql import Observation
+
+    cents = stored_centroids(spark, root)
+    idx = searchable_index(spark, root)
+    recent = F.col("ingest_epoch").startswith("e")
+    dist = 1.0 - cosine_expr(F.col(vec_col), F.col("cent_vec"))
+    obs = Observation("vector_drift")
+    (
+        idx.join(F.broadcast(cents), "centroid_id")
+        .observe(
+            obs,
+            F.avg(F.when(recent, dist)).alias("recent_dist"),
+            F.avg(F.when(~recent, dist)).alias("base_dist"),
+            F.count(F.when(recent, F.lit(1))).alias("recent_rows"),
+            F.count(F.when(~recent, F.lit(1))).alias("base_rows"),
+        )
+        .count()
+    )
+    got = obs.get
+    ratio = None
+    if got["recent_dist"] is not None and got["base_dist"] not in (None, 0.0):
+        ratio = got["recent_dist"] / got["base_dist"]
+    return {**got, "ratio": ratio}
+
+
+def _gc_centroid_versions(root: str, keep: str) -> None:
+    import os
+    import shutil
+
+    for name in os.listdir(root):
+        if name.startswith("centroids_v") and name != keep:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+def rebuild_vector_index(
+    spark: SparkSession,
+    root: str,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Centroid-drift rebuild: k-means-refine the centroids over the LIVE
+    store, reassign every indexed vector, and publish (new centroids, new
+    index) with ONE atomic commit — the ivf store's compaction manifest,
+    which gains a ``centroids`` pointer naming the version directory. The
+    store keeps serving the old index + old centroids until the commit
+    instant (stage-then-swap); a crash at any point leaves only ignored
+    orphans (the staged fold, the unreferenced centroids_v dir), and the
+    next rebuild overwrites them. Requires the ingest stream stopped, the
+    same contract as compaction. Reference analog: this is the vector
+    store's 'partition GC + reindex' maintenance job."""
+    from realtime_spark.streaming.compaction import compact_store, read_manifest
+
+    cents_old = stored_centroids(spark, root).select(
+        F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
+    )
+    live = (
+        searchable_index(spark, root).select(id_col, vec_col).localCheckpoint()
+    )
+    gen = (read_manifest(f"{root}/ivf") or {"generation": -1})["generation"] + 1
+    new_cents = kmeans_refine(live, cents_old, id_col, vec_col, iters=iters)
+    cdir = f"centroids_v{gen}"
+    new_cents.select("centroid_id", "cent_vec").write.mode("overwrite").parquet(
+        f"{root}/{cdir}"
+    )
+    cents_new = spark.read.parquet(f"{root}/{cdir}").select(
+        F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
+    )
+
+    def fold(df: DataFrame, path: str) -> None:
+        reassigned = ivf_assign(
+            df.drop("centroid_id", "c_cos"), cents_new, id_col, vec_col
+        )
+        reassigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(path)
+
+    manifest = compact_store(
+        spark, f"{root}/ivf", fold, extra_manifest={"centroids": cdir}
+    )
+    _gc_centroid_versions(root, keep=cdir)
+    return manifest
+
+
+def maintain_vector_index(
+    spark: SparkSession,
+    root: str,
+    drift_ratio_threshold: float = 2.0,
+    min_recent_rows: int = 1,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The periodic maintenance entry point: measure assignment-distance
+    drift; when recent arrivals sit ``drift_ratio_threshold`` times further
+    from their centroids than the base distribution does, rebuild and swap
+    atomically. Returns the drift report plus what was done."""
+    d = vector_drift(spark, root, id_col, vec_col)
+    trigger = (
+        d["ratio"] is not None
+        and d["recent_rows"] >= min_recent_rows
+        and d["ratio"] >= drift_ratio_threshold
+    )
+    if not trigger:
+        return {**d, "rebuilt": False}
+    manifest = rebuild_vector_index(spark, root, iters, id_col, vec_col)
+    return {**d, "rebuilt": True, "manifest": manifest}
