@@ -119,6 +119,10 @@ def _bench_queries():
         "cdc_fanout_encodes",
         "rebalance_audit",
         "v2_push_decode",
+        # round-6 streaming-store lifecycle queries: seed -> epochs ->
+        # COMPACTION -> more epochs -> read off the live store
+        "stream_ingest_accepted",
+        "stream_bm25_topk",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

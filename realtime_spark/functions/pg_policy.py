@@ -196,6 +196,14 @@ def _parse_pg_array_literal(body: str) -> list[str | None]:
                     f"expected ',' after quoted array element, got {body[i]!r}"
                 )
         else:
+            if i < n and body[i] == "{":
+                # pg's array_in treats an unquoted '{' as a sub-array opener
+                # — for the 1-D text[] this caller handles, that is an error
+                # in pg; accepting it as a literal string would be MORE
+                # permissive than the reference (fail closed instead)
+                raise PolicyTranslationError(
+                    "nested array literal unsupported (1-D text[] only)"
+                )
             buf = []
             while i < n and body[i] != ",":
                 ch = body[i]

@@ -14,8 +14,10 @@ via search_bm25 / search_bm25_index).
 
 Exactly-once follows the ingest.py protocol — each epoch overwrites its own
 ``ingest_epoch=e{N}`` directories and a replay rewrites identical bytes.
-This job never READS the stores while processing (pure append), so no
-own-epoch read exclusion is needed.
+The only store read while processing is a column-pruned doclen id scan
+that rejects re-delivered doc ids (which would otherwise fan out the score
+join and skew the summed stat partials); it excludes the batch's own epoch
+so replays stay byte-identical.
 
 Scale shape per micro-batch: one tokenize scan of the increment, one
 map-side-combined postings aggregation, three epoch-owned writes. Query
@@ -75,8 +77,23 @@ def process_search_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """One micro-batch: tokenize, write epoch-owned postings/doclen/stats."""
-    _write_epoch(batch_df, root, f"e{epoch_id}", id_col, text_col)
+    """One micro-batch: tokenize, write epoch-owned postings/doclen/stats.
+
+    A re-delivered doc id (seeding overlap, re-seeded source) must not be
+    indexed twice — duplicate doclen rows would FAN OUT the score join and
+    the summed stat partials would silently skew every document's BM25
+    (the r6 review's twin of the vector-ingest re-delivery finding).
+    Reject ids already indexed in a prior epoch up front; own-epoch rows
+    are excluded so a crash-replay stays byte-identical."""
+    spark = batch_df.sparkSession
+    own = f"e{epoch_id}"
+    seen = (
+        read_store(spark, f"{root}/doclen")
+        .filter(F.col("ingest_epoch") != own)
+        .select(F.col("doc").alias(id_col))
+    )
+    fresh = batch_df.join(seen, id_col, "left_anti")
+    _write_epoch(fresh, root, own, id_col, text_col)
 
 
 def run_search_ingest_stream(

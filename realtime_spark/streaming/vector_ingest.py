@@ -217,8 +217,13 @@ def vector_drift(
     )
     got = obs.get
     ratio = None
-    if got["recent_dist"] is not None and got["base_dist"] not in (None, 0.0):
-        ratio = got["recent_dist"] / got["base_dist"]
+    if got["recent_dist"] is not None and got["base_dist"] is not None:
+        if got["base_dist"] > 0.0:
+            ratio = got["recent_dist"] / got["base_dist"]
+        elif got["recent_dist"] > 0.0:
+            # perfectly tight base + any recent distance IS drift — a None
+            # ratio here would silently disable the rebuild trigger forever
+            ratio = float("inf")
     return {**got, "ratio": ratio}
 
 

@@ -197,6 +197,8 @@ def test_any_array_literal_rejects_malformed():
         "o_orderstatus = ANY('{\"unterminated}')",
         "o_orderstatus = ANY('{a\"b}')",          # quote mid-element
         "o_orderstatus = ANY('{a,,b}')",           # empty element
+        "o_orderstatus = ANY('{{nested}}')",       # pg 1-D array_in errors
+        "o_orderstatus = ANY('{a,{b}}')",          # nested mid-list
     ):
         with pytest.raises(PolicyTranslationError):
             translate_pg_policy(bad, TM)

@@ -154,3 +154,29 @@ def test_search_ingest_seed_only_matches_corpus_scan(spark, tmp_path):
     live = _rows(bm25_topk_from_live_index(spark, root, TERMS, k=20))
     want = _rows(bm25_topk(corpus, "doc_id", "text", TERMS, k=20))
     assert live == want and live
+
+
+def test_search_ingest_redelivered_ids_not_double_counted(spark, tmp_path):
+    """A batch containing already-indexed doc ids (seeding overlap or a
+    re-seeded source) must not index them again: duplicate doclen rows fan
+    out the score join and doubled stat partials skew every document's
+    BM25 (r6 review finding, twin of the vector-ingest re-delivery bug)."""
+    from realtime_spark.streaming.search_ingest import process_search_batch
+
+    root = str(tmp_path / "idx")
+    corpus, b0, _ = _parts(spark)
+    seed_search_state(corpus, root)
+    process_search_batch(b0, 0, root)
+    want = _rows(bm25_topk_from_live_index(spark, root, TERMS, k=20))
+    n_doclen = spark.read.parquet(f"{root}/doclen").count()
+
+    # re-deliver the seed corpus AND batch 0 under a NEW epoch
+    process_search_batch(corpus.unionByName(b0), 1, root)
+    assert spark.read.parquet(f"{root}/doclen").count() == n_doclen
+    assert _rows(bm25_topk_from_live_index(spark, root, TERMS, k=20)) == want
+
+    # crash-replay of the same epoch is still byte-identical (own-epoch
+    # exclusion composes with the seen-id scan)
+    process_search_batch(corpus.unionByName(b0), 1, root)
+    assert spark.read.parquet(f"{root}/doclen").count() == n_doclen
+    assert _rows(bm25_topk_from_live_index(spark, root, TERMS, k=20)) == want
