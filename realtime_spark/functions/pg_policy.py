@@ -140,15 +140,40 @@ _FN_WHITELIST = {
 _FN_RENAME = {"starts_with": "startswith"}
 
 
+# a record-column reference as _record_col renders it: the raw text wrapped
+# in its comparison-type cast. Anchored so the greedy inner group stops at
+# the FINAL `AS <type>)` — the inner expression never contains ` AS `.
+_CAST_RECORD_RE = re.compile(
+    r"^CAST\((try_element_at\(.+\)) AS [A-Z0-9_(), ]+\)$"
+)
+
+
+def _as_pg_text(arg: str) -> str:
+    """Render an expression in pg STRING context. For a direct record-column
+    reference, the raw record text IS pg's rendering — wal2json wrote the
+    value with the same `*_out` function pg's own cast-to-text calls — so
+    unwrap the comparison-type cast instead of round-tripping through it:
+    the decimal(38,9) round-trip would rescale ('2.5' -> '2.500000000'),
+    and the timestamp round-trip would re-format. Everything else (claims,
+    literals, computed values) casts to string; for computed NUMERIC
+    expressions Spark's double rendering is the declared approximation."""
+    m = _CAST_RECORD_RE.match(arg)
+    if m:
+        return m.group(1)
+    return f"cast({arg} as string)"
+
+
 def _render_fn(name: str, args: list[str]) -> str:
     spark_name = _FN_RENAME.get(name, name)
     if name == "concat":
         # pg concat() ignores NULL arguments; Spark concat() is NULL if any
-        # argument is NULL — coalesce each arg to keep pg semantics. The cast
-        # keeps the coalesce unambiguously string-typed: under ANSI mode a
-        # numeric arg would otherwise coerce the '' fallback to the numeric
-        # type and abort the query with CAST_INVALID_INPUT on any NULL row.
-        args = [f"coalesce(cast({a} as string), '')" for a in args]
+        # argument is NULL — coalesce each arg to keep pg semantics. The
+        # string context renders record columns as their RAW text
+        # (_as_pg_text), which also keeps the coalesce unambiguously
+        # string-typed: under ANSI mode a numeric arg would otherwise
+        # coerce the '' fallback to the numeric type and abort the query
+        # with CAST_INVALID_INPUT on any NULL row.
+        args = [f"coalesce({_as_pg_text(a)}, '')" for a in args]
     return f"{spark_name}({', '.join(args)})"
 
 
@@ -437,7 +462,14 @@ class _Parser:
             if t and t.kind == "op" and t.text in ("+", "-", "||"):
                 self._next()
                 right = self._mul()
-                left = f"({left} {t.text} {right})"
+                if t.text == "||":
+                    # pg string context (anytext ||): record columns render
+                    # as raw text, everything else casts to string — Spark's
+                    # implicit numeric->string coercion would otherwise
+                    # rescale decimals ('2.5' -> '2.500000000')
+                    left = f"({_as_pg_text(left)} || {_as_pg_text(right)})"
+                else:
+                    left = f"({left} {t.text} {right})"
             else:
                 return left
 
@@ -474,7 +506,15 @@ class _Parser:
         while True:
             if self._accept("op", "::"):
                 spark_t = self._type_name()
-                out = out if spark_t is None else f"CAST({out} AS {spark_t})"
+                if spark_t is None:
+                    pass
+                elif spark_t == "STRING":
+                    # pg string context: a direct record column's raw text
+                    # IS pg's text rendering — never round-trip it through
+                    # the comparison-type cast (see _as_pg_text)
+                    out = _as_pg_text(out)
+                else:
+                    out = f"CAST({out} AS {spark_t})"
             elif self._peek() and self._peek().kind == "op" and self._peek().text in ("->", "->>"):
                 op = self._next().text
                 key = self._next()

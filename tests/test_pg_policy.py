@@ -213,11 +213,29 @@ def test_concat_keeps_pg_null_semantics():
     # pg concat() skips NULL args; Spark's is NULL-poisoning — coalesce each
     out = translate_pg_policy("concat(o_orderstatus, tenant) = 'x'", TM)
     assert out.count("coalesce(") == 2
-    # each arg must be cast to string INSIDE the coalesce: a numeric arg
-    # would otherwise coerce the '' fallback to the numeric type and, under
-    # ANSI mode, abort the query on any NULL row (r5 ADVICE, medium)
-    out_num = translate_pg_policy("concat(o_custkey, o_orderstatus) = 'x'", TM)
-    assert out_num.count("coalesce(cast(") == 2
+    # direct record columns render as their RAW text inside string contexts
+    # (pg's own *_out rendering, already in the wal2json value): a numeric
+    # arg must NOT round-trip through its comparison cast — decimal(38,9)
+    # would rescale '2.5' to '2.500000000' — and the coalesce stays
+    # string-typed so ANSI mode cannot coerce the '' fallback (r5 ADVICE)
+    out_num = translate_pg_policy("concat(o_custkey, o_totalprice) = 'x'", TM)
+    assert out_num.count("coalesce(try_element_at(") == 2
+    assert "DECIMAL" not in out_num and "BIGINT" not in out_num
+    # computed args still cast to string inside the coalesce
+    out_fn = translate_pg_policy("concat(lower(o_orderstatus), 'x') = 'x'", TM)
+    assert out_fn.count("coalesce(cast(") == 2
+
+
+def test_string_context_unwraps_record_casts():
+    # ::text on a numeric/int column returns the raw record text
+    out = translate_pg_policy("o_totalprice::text = '2.5'", TM)
+    assert "DECIMAL" not in out and "CAST" not in out
+    # || coerces both sides through the same pg string context
+    out2 = translate_pg_policy("o_orderstatus || o_totalprice = 'x'", TM)
+    assert "DECIMAL" not in out2 and "||" in out2
+    # non-string casts are untouched
+    out3 = translate_pg_policy("o_custkey::int8 = 7", TM)
+    assert "CAST" in out3 and "BIGINT" in out3
 
 
 def test_json_extract_on_record_column():
@@ -371,6 +389,27 @@ def test_eval_concat_numeric_policy(spark):
         return ("" if ck is None else str(int(ck))) + ("" if st is None else st)
 
     want = _expected_rows(changes, lambda rec: _pg_concat(rec) != "")
+    assert got == want and want
+
+
+def test_eval_numeric_text_policy(spark):
+    """Numeric column in pg string context matches on the RAW record text:
+    the decimal(38,9) round-trip would rescale every value ('123.4' ->
+    '123.400000000') and flip this LIKE for every row."""
+    from realtime_spark.operators.auth import apply_rls_policies, rls_policies_df
+
+    changes, pairs = _pairs(spark)
+    expr = translate_pg_policy(
+        "o_totalprice::text LIKE '%4'", {"o_totalprice": "numeric"}
+    )
+    pols = rls_policies_df(spark, [{"table": "orders", "policy_expr": expr}])
+    got = {
+        r["change_id"]
+        for r in apply_rls_policies(pairs, pols).select("c.change_id").collect()
+    }
+    want = _expected_rows(
+        changes, lambda rec: (rec.get("o_totalprice") or "").endswith("4")
+    )
     assert got == want and want
 
 

@@ -104,6 +104,9 @@ def str_exprs():
         st.sampled_from(["uid", "email"]).map(lambda h: ("claim", h)),
         st.just(("jwt", "tenant")),
         st.just(("jwt_nested", "app_metadata", "tier")),
+        # numeric column in pg STRING context (::text): must render as the
+        # RAW record text, not a decimal round-trip (r6 finding)
+        st.sampled_from(["n1", "d1"]).map(lambda c: ("ntext", c)),
     )
     return st.recursive(
         leaf,
@@ -112,6 +115,11 @@ def str_exprs():
                 lambda t: ("fn1", t[0], t[1])
             ),
             st.tuples(inner, inner).map(lambda t: ("concat", t[0], t[1])),
+            # bare numeric column as a concat() arg (the _render_fn string
+            # context, distinct from the ::text path)
+            st.tuples(st.sampled_from(["n1", "d1"]), inner).map(
+                lambda t: ("concat_n", t[0], t[1])
+            ),
             st.tuples(inner, inner).map(lambda t: ("strcat", t[0], t[1])),
             st.tuples(inner, st.integers(0, 4)).map(
                 lambda t: ("left", t[0], t[1])
@@ -215,10 +223,14 @@ def render(ast) -> str:
         return f"auth.jwt() ->> {_pg_str(ast[1])}"
     if k == "jwt_nested":
         return f"auth.jwt() -> {_pg_str(ast[1])} ->> {_pg_str(ast[2])}"
+    if k == "ntext":
+        return f"{ast[1]}::text"
     if k == "fn1":
         return f"{ast[1]}({render(ast[2])})"
     if k == "concat":
         return f"concat({render(ast[1])}, {render(ast[2])})"
+    if k == "concat_n":
+        return f"concat({ast[1]}, {render(ast[2])})"
     if k == "strcat":
         return f"({render(ast[1])} || {render(ast[2])})"
     if k == "left":
@@ -325,6 +337,11 @@ def pyeval(ast, vals):
         if doc is None:
             return None
         return json.loads(doc).get(ast[2])
+    if k == "ntext":
+        # pg numeric-to-text == the raw record text == str() of the fixture
+        # value (the record map is built with the same str())
+        v = vals[ast[1]]
+        return None if v is None else str(v)
     if k == "fn1":
         v = pyeval(ast[2], vals)
         if v is None:
@@ -333,6 +350,10 @@ def pyeval(ast, vals):
     if k == "concat":  # pg concat() skips NULLs
         a, b = pyeval(ast[1], vals), pyeval(ast[2], vals)
         return ("" if a is None else a) + ("" if b is None else b)
+    if k == "concat_n":
+        v = vals[ast[1]]
+        b = pyeval(ast[2], vals)
+        return ("" if v is None else str(v)) + ("" if b is None else b)
     if k == "strcat":  # || is NULL-poisoning
         a, b = pyeval(ast[1], vals), pyeval(ast[2], vals)
         return None if a is None or b is None else a + b
