@@ -181,3 +181,33 @@ def test_rls_exists_policy_is_broadcast_semi_join(spark, sf_dir):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin LeftSemi" in plan
+
+
+def test_read_store_manifest_filter_prunes_partitions(spark, tmp_path):
+    """The compaction manifest is applied as a PARTITION filter: orphaned /
+    folded epoch directories must be pruned at planning time, never scanned
+    (the whole point of read_store at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from realtime_spark.streaming.compaction import compact_store, read_store
+
+    store = str(tmp_path / "store")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).toDF("v").write.parquet(
+            f"{store}/ingest_epoch=e{i}"
+        )
+    compact_store(spark, store, lambda df, p: df.write.parquet(p))
+    # plant a post-commit orphan (a folded dir a crash left behind)
+    spark.range(0, 10).toDF("v").write.parquet(f"{store}/ingest_epoch=e0")
+    df = read_store(spark, store)
+    p = plan_of(df.groupBy().count())
+    # the manifest condition appears under PartitionFilters (planning-time
+    # pruning), NOT as a post-scan Filter over data rows
+    assert "PartitionFilters" in p and "ingest_epoch" in p, p
+    # and only the compacted base partition is visible — the orphan is
+    # filtered by partition value, not by reading its rows
+    tags = {
+        r["ingest_epoch"]
+        for r in df.select("ingest_epoch").distinct().collect()
+    }
+    assert tags == {"c0"}
