@@ -335,3 +335,91 @@ def test_compaction_admits_epochs_written_after_it(spark, tmp_path):
     # the stream continues with epoch 2 — must be visible immediately
     spark.range(100, 105).toDF("v").write.parquet(f"{store}/ingest_epoch=e2")
     assert _values(spark, store) == sorted(list(range(20)) + list(range(100, 105)))
+
+
+def test_compaction_random_interleavings(spark, tmp_path):
+    """Randomized protocol interleavings against a pure-Python visibility
+    model: epoch writes, compactions, simulated crash leftovers of every
+    protocol step, and GC arrive in seeded-random order; after every
+    operation the store's visible rows must equal the model. Catches
+    interactions the enumerated crash-window tests cannot (e.g. a stale
+    staging dir from gen N surviving into the gen N+1 attempt while a
+    post-commit orphan of gen N-1 is still on disk)."""
+    import random
+
+    from realtime_spark.streaming.compaction import read_manifest
+
+    rng = random.Random(20260815)
+
+    for scenario in range(5):
+        store = str(tmp_path / f"s{scenario}")
+        os.makedirs(store)
+        model: dict[str, list[int]] = {}  # visible tag -> rows
+        next_epoch = 0
+        next_row = 0
+
+        def visible_rows():
+            return sorted(v for rows in model.values() for v in rows)
+
+        def write_epoch():
+            nonlocal next_epoch, next_row
+            rows = list(range(next_row, next_row + rng.randint(1, 8)))
+            next_row += len(rows)
+            tag = f"e{next_epoch}"
+            spark.createDataFrame([(v,) for v in rows], "v bigint").write.mode(
+                "overwrite"
+            ).parquet(f"{store}/ingest_epoch={tag}")
+            model[tag] = rows
+            next_epoch += 1
+
+        def compact():
+            if not model:
+                return
+            compact_store(spark, store, lambda df, p: df.write.parquet(p))
+            folded = visible_rows()
+            base = read_manifest(store)["base"]
+            model.clear()
+            model[base] = folded
+
+        def crash_stage():
+            gen = (read_manifest(store) or {"generation": -1})["generation"] + 1
+            os.makedirs(f"{store}/_staging_c{gen}/junk", exist_ok=True)
+
+        def crash_reveal():
+            # an uncommitted c-dir can only exist once a manifest exists
+            # (compact_store installs the pre-manifest before any rename)
+            m = read_manifest(store)
+            if m is None or not model:
+                return
+            gen = m["generation"] + 1
+            src = f"{store}/ingest_epoch={next(iter(model))}"
+            dst = f"{store}/ingest_epoch=c{gen}"
+            if not os.path.exists(dst):
+                shutil.copytree(src, dst)
+
+        def crash_orphan():
+            m = read_manifest(store)
+            if m is None:
+                return
+            k = m["min_epoch"] - 1
+            if k < 0:
+                return
+            spark.createDataFrame([(999999,)], "v bigint").write.mode(
+                "overwrite"
+            ).parquet(f"{store}/ingest_epoch=e{k}")
+
+        def run_gc():
+            gc_store(store)
+
+        write_epoch()  # every scenario starts with data
+        ops = [write_epoch, compact, crash_stage, crash_reveal, crash_orphan, run_gc]
+        for _ in range(10):
+            rng.choice(ops)()
+            got = sorted(
+                r["v"] for r in read_store(spark, store).select("v").collect()
+            )
+            assert got == visible_rows(), (
+                f"scenario {scenario}: visible rows diverged from model\n"
+                f"dirs: {sorted(os.listdir(store))}\n"
+                f"manifest: {read_manifest(store)}"
+            )
