@@ -555,11 +555,15 @@ def main() -> None:
     total_rows = 0
     t_all = time.perf_counter()
     calibration_first = calibration_probe(spark)
+    # end-to-end store-lifecycle jobs: one run is the honest number (the
+    # work IS the pipeline, not a plan whose compile noise min-of-3 drops)
+    single_run = {"stream_ingest_accepted", "stream_bm25_topk"}
     for name, fn in _bench_queries().items():
         best = None
         n = 0
         try:
-            for _ in range(3):  # min-of-3: drops plan-compile/GC/host noise
+            reps_q = 1 if name in single_run else 3
+            for _ in range(reps_q):  # min-of-3: drops plan-compile/GC/host noise
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
