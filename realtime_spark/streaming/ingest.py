@@ -30,6 +30,11 @@ earlier batches win ties; within a batch the smallest id per digest wins
 (dedup_incremental). A doc that is a near-dup of a LATER batch is kept —
 near-dup priority across unordered inputs is the BATCH pipeline's job
 (dedup_keep_longest over the full corpus), not the ingest tail's.
+Dedup here is CONTENT-keyed: a re-delivered id with identical text is
+dropped by the digest store, while the same id arriving with different
+text is new content and is accepted (an id-keyed re-delivery guard would
+silently drop document revisions; the vector and search ingests guard on
+id because their stores are id-keyed, this one is content-keyed).
 
 Scale shape per micro-batch: the batch side is a daily increment — its
 digests and banded signatures broadcast into anti-join / index-probe scans
