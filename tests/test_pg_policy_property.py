@@ -564,15 +564,17 @@ def _w_old(vals):
 W_ROWS = _w_rows()
 
 _L_K = [None, 0, 1, 2, 3, 4]
-_L_T = [None, "a", "aO", "b", "it's", "bO"]
+# '7' == CLAIMS['sub'] and 'authenticated' == CLAIMS_ROLE, so claims-literal
+# residuals (col = auth.uid()/auth.role()) produce real hits AND misses
+_L_T = [None, "a", "aO", "b", "it's", "bO", "7", "authenticated"]
 L_ROWS = [
     {
         "k1": _L_K[j % 6],
         "k2": _L_K[(j * 2 + 1) % 6],
-        "t1": _L_T[j % 6],
-        "t2": _L_T[(j * 3 + 2) % 6],
+        "t1": _L_T[j % 8],
+        "t2": _L_T[(j * 3 + 2) % 8],
     }
-    for j in range(12)
+    for j in range(16)
 ]
 
 
@@ -618,6 +620,8 @@ def _render_res(a) -> str:
         return f"{a[1]} IS {'NOT ' if a[2] else ''}NULL"
     if a[0] == "rlike":
         return f"{a[1]} LIKE {_pg_str(a[2])}"
+    if a[0] == "rclaim":
+        return f"{a[1]} = auth.{a[2]}()"
     raise AssertionError(a)
 
 
@@ -639,6 +643,10 @@ def _res_eval(a, lrow):
         if v is None:
             return None
         return _like_match(v, a[2], ci=False)
+    if a[0] == "rclaim":
+        v = lrow[a[1]]
+        want = CLAIMS["sub"] if a[2] == "uid" else CLAIMS_ROLE
+        return None if v is None else v == want
     raise AssertionError(a)
 
 
@@ -679,6 +687,15 @@ def exists_policies(draw):
         lref = lk if draw(st.booleans()) else f"{alias}.{lk}"
         conjs.append(f"{lref} = {wref}" if draw(st.booleans()) else f"{wref} = {lref}")
     res_asts = []
+    # claims-literal residual (the reference's members.member_id = auth.uid()
+    # shape) — needs a text lookup column and claims_literals at compile time
+    t_cols = [c for c in l_sub if c in _EX_COLS_T]
+    use_claims = bool(t_cols) and draw(st.booleans())
+    if use_claims:
+        res_asts.append(
+            ("rclaim", draw(st.sampled_from(t_cols)),
+             draw(st.sampled_from(["uid", "role"])))
+        )
     for _ in range(draw(st.integers(0, 2))):
         col = draw(st.sampled_from(l_sub))
         if col in _EX_COLS_K:
@@ -718,10 +735,16 @@ def test_exists_policy_matches_python_semi_join(spark, exists_pairs, lookup_df, 
     from realtime_spark.operators.auth import apply_rls_exists_policy
 
     sql, w_sub, l_sub, keys, res_asts = pol
+    claims_lit = (
+        {"sub": CLAIMS["sub"], "role": CLAIMS_ROLE}
+        if any(a[0] == "rclaim" for a in res_asts)
+        else None
+    )
     cp = compile_pg_policy(
         sql,
         {c: _ex_type(c) for c in w_sub},
         lookup_cols={"lookup_t": {c: _ex_type(c) for c in l_sub}},
+        claims_literals=claims_lit,
     )
     # the decomposition itself must recover exactly the generated key pairs
     # in (record_col, lookup_col) order — a flipped pair here IS the r4 bug
