@@ -257,15 +257,24 @@ def _fold_stats(df: DataFrame, path: str) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
+def _maybe_compact(spark, store, fold) -> dict | None:
+    """Skip a store that has no directory yet (e.g. `accepted` before the
+    first epoch lands on a freshly-seeded root) instead of crashing halfway
+    through the trio and leaving the stores at mixed generations."""
+    if not os.path.isdir(store):
+        return None
+    return compact_store(spark, store, fold)
+
+
 def compact_ingest_state(spark: SparkSession, root: str) -> dict:
     """Compact the corpus-ingest trio of stores (streaming/ingest.py):
     digests and accepted fold by plain union (rows are disjoint across
     epochs by construction — each epoch anti-joined against all priors),
     the LSH index refolds band-partitioned and key-sorted."""
     return {
-        "digests": compact_store(spark, f"{root}/digests", _fold_plain),
-        "lsh": compact_store(spark, f"{root}/lsh", _fold_lsh),
-        "accepted": compact_store(spark, f"{root}/accepted", _fold_plain),
+        "digests": _maybe_compact(spark, f"{root}/digests", _fold_plain),
+        "lsh": _maybe_compact(spark, f"{root}/lsh", _fold_lsh),
+        "accepted": _maybe_compact(spark, f"{root}/accepted", _fold_plain),
     }
 
 
@@ -274,8 +283,8 @@ def compact_vector_state(spark: SparkSession, root: str) -> dict:
     IVF index refolds centroid-partitioned (probe pruning unchanged);
     accepted ids fold plain. Centroids are not epochal — untouched."""
     return {
-        "ivf": compact_store(spark, f"{root}/ivf", _fold_ivf),
-        "accepted": compact_store(spark, f"{root}/accepted", _fold_plain),
+        "ivf": _maybe_compact(spark, f"{root}/ivf", _fold_ivf),
+        "accepted": _maybe_compact(spark, f"{root}/accepted", _fold_plain),
     }
 
 
@@ -285,7 +294,7 @@ def compact_search_state(spark: SparkSession, root: str) -> dict:
     plain, and the per-epoch stat partials SUM into one base partial —
     exact bigint arithmetic, so folded BM25 scores stay bit-identical."""
     return {
-        "postings": compact_store(spark, f"{root}/postings", _fold_postings),
-        "doclen": compact_store(spark, f"{root}/doclen", _fold_plain),
-        "stats": compact_store(spark, f"{root}/stats", _fold_stats),
+        "postings": _maybe_compact(spark, f"{root}/postings", _fold_postings),
+        "doclen": _maybe_compact(spark, f"{root}/doclen", _fold_plain),
+        "stats": _maybe_compact(spark, f"{root}/stats", _fold_stats),
     }

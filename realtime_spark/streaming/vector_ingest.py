@@ -227,12 +227,16 @@ def vector_drift(
     return {**got, "ratio": ratio}
 
 
-def _gc_centroid_versions(root: str, keep: str) -> None:
+def _gc_centroid_versions(root: str, keep: set[str]) -> None:
+    """Drop stale centroid version dirs, RETAINING the outgoing version as
+    well as the new one — an in-flight search that resolved the manifest
+    just before the commit may still be reading the predecessor (the same
+    retention rule operators/publish.py applies to its version dirs)."""
     import os
     import shutil
 
     for name in os.listdir(root):
-        if name.startswith("centroids_v") and name != keep:
+        if name.startswith("centroids_v") and name not in keep:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
@@ -255,6 +259,7 @@ def rebuild_vector_index(
     store's 'partition GC + reindex' maintenance job."""
     from realtime_spark.streaming.compaction import compact_store, read_manifest
 
+    prev_cdir = (read_manifest(f"{root}/ivf") or {}).get("centroids")
     cents_old = stored_centroids(spark, root).select(
         F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
     )
@@ -282,7 +287,7 @@ def rebuild_vector_index(
     manifest = compact_store(
         spark, f"{root}/ivf", fold, extra_manifest={"centroids": cdir}
     )
-    _gc_centroid_versions(root, keep=cdir)
+    _gc_centroid_versions(root, keep={cdir} | ({prev_cdir} if prev_cdir else set()))
     return manifest
 
 
