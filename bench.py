@@ -508,11 +508,29 @@ def bench_streaming_ingest(spark, sf_dir: str, micro_batches: int = 5) -> dict:
         q.awaitTermination(600)
         wall = time.perf_counter() - t0
         accepted = spark.read.parquet(f"{root}/accepted").count()
+        # post-drain epoch compaction: the store-lifecycle maintenance cost
+        # (fold all epoch dirs into one base behind the atomic manifest) —
+        # measured here so every round records it alongside ingest itself
+        from realtime_spark.streaming.compaction import compact_ingest_state
+
+        def _nfiles() -> int:
+            return sum(len(fs) for _, _, fs in os.walk(root))
+
+        files_before = _nfiles()
+        t1 = time.perf_counter()
+        compact_ingest_state(spark, root)
+        compact_wall = time.perf_counter() - t1
+        files_after = _nfiles()
+        accepted_after = spark.read.parquet(f"{root}/accepted").count()
+        assert accepted_after == accepted  # compaction must not change rows
     return {
         "ingest_docs_per_sec": round(n_docs / wall, 1),
         "docs": n_docs,
         "accepted": accepted,
         "micro_batches": micro_batches,
+        "compact_wall_sec": round(compact_wall, 3),
+        "files_before_compaction": files_before,
+        "files_after_compaction": files_after,
         "wall_sec": round(wall, 3),
     }
 

@@ -243,3 +243,47 @@ def test_pgoutput_decode_scales_by_slot(spark):
         for r in big.groupBy("action").agg(F.count("*").alias("cnt")).collect()
     }
     assert base_actions == big_actions
+
+
+def test_compaction_listing_cost_drops_with_epochs(spark, tmp_path):
+    """The run-forever claim, as a repeatable measurement: an 80-epoch
+    store must compact to a single-digit file count, read strictly faster,
+    and return identical rows. (The absolute numbers live in SCALE.md;
+    this smoke pins the DIRECTION so a regression in the fold or the
+    manifest filter shows up as a failed ratio, not a stale doc.)"""
+    import time
+
+    from realtime_spark.streaming.compaction import compact_store, read_store
+
+    store = str(tmp_path / "digests")
+    n_epochs = 80
+    for i in range(n_epochs):
+        spark.range(i * 500, (i + 1) * 500).selectExpr(
+            "md5(cast(id AS string)) AS digest"
+        ).coalesce(2).write.mode("overwrite").parquet(
+            f"{store}/ingest_epoch=e{i}"
+        )
+
+    def nfiles() -> int:
+        return sum(len(fs) for _, _, fs in os.walk(store))
+
+    def read_wall() -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            read_store(spark, store).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    rows_before = read_store(spark, store).count()
+    files_before = nfiles()
+    wall_before = read_wall()
+
+    compact_store(spark, store, lambda df, p: df.coalesce(4).write.parquet(p))
+
+    assert read_store(spark, store).count() == rows_before
+    files_after = nfiles()
+    assert files_after < files_before / 10, (files_before, files_after)
+    wall_after = read_wall()
+    assert wall_after < wall_before, (wall_before, wall_after)
