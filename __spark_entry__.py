@@ -898,6 +898,79 @@ SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1
 """
 
 
+def q_tenant_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The channel-join tenant gate (tenant_rate_limiters.ex check_tenant/1)
+    over tenant-equivalent keys: per-key deterministic max_concurrent_users
+    thresholds (so both verdicts occur in the fixture), concurrent users
+    from A9's exact count, joins-per-second trigger from A6's sliding
+    window (peak semantics: ever-triggered in the replayed history).
+    Connections gate wins over the joins gate (reference short-circuit)."""
+    from realtime_spark.operators.rate_limit import check_tenant, rate_limit_flags
+
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy(F.col("event_type").alias("tenant")).agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    # thresholds keyed off length(tenant) % 3 so ALL THREE verdicts occur
+    # at every SF and the precedence is pinned: class-0 tenants sit AT
+    # their connection cap (and also trip the joins limit — connections
+    # must win), class-1 tenants trip only the joins limit, class-2 pass
+    tenants = users.select(
+        "tenant",
+        F.when(F.length("tenant") % 3 == 0, F.col("n_users"))
+        .otherwise(F.col("n_users") + 1000)
+        .alias("max_concurrent_users"),
+    )
+    flags = rate_limit_flags(
+        events, keys=["event_type"], limit_per_sec=1e-7, ts_col="ts",
+        window_seconds=3600,
+    )
+    joins = flags.groupBy(F.col("event_type").alias("tenant")).agg(
+        (F.max(F.col("limit_triggered")) & (F.length(F.col("event_type")) % 3 != 2))
+        .alias("joins_triggered")
+    )
+    return check_tenant(tenants, users, joins, key="tenant")
+
+
+ORACLE_TENANT_JOIN_GATE = """
+WITH users AS (
+  SELECT event_type AS tenant, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1
+),
+tenants AS (
+  SELECT tenant,
+         CASE WHEN length(tenant) % 3 = 0 THEN n_users
+              ELSE n_users + 1000 END AS max_concurrent_users
+  FROM users
+),
+b AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY sec
+           RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS window_sum
+  FROM b
+),
+joins AS (
+  SELECT event_type AS tenant,
+         MAX(CASE WHEN window_sum / 3600.0 > 0.0000001 THEN 1 ELSE 0 END) = 1
+           AND length(event_type) % 3 <> 2 AS joins_triggered
+  FROM r GROUP BY 1
+)
+SELECT t.tenant,
+       COALESCE(u.n_users, 0) AS n_users,
+       CASE WHEN COALESCE(u.n_users, 0) >= t.max_concurrent_users
+              THEN 'too_many_connections'
+            WHEN COALESCE(j.joins_triggered, false) THEN 'too_many_joins'
+            ELSE 'ok' END AS verdict
+FROM tenants t
+LEFT JOIN users u USING (tenant)
+LEFT JOIN joins j USING (tenant)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1022,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["billable_events"] = q_billable_events
     qs["presence_state"] = q_presence_state
     qs["users_counter"] = q_users_counter
+    qs["tenant_join_gate"] = q_tenant_join_gate
     return qs
 
 
@@ -1076,4 +1150,5 @@ def oracle_sql() -> dict[str, str]:
     sqls["billable_events"] = ORACLE_BILLABLE_EVENTS
     sqls["presence_state"] = ORACLE_PRESENCE_STATE
     sqls["users_counter"] = ORACLE_USERS_COUNTER
+    sqls["tenant_join_gate"] = ORACLE_TENANT_JOIN_GATE
     return sqls

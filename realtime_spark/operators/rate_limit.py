@@ -199,3 +199,44 @@ def client_window_limit(
         .withColumn("accepted", prior < F.lit(max_calls))
         .drop("_sec")
     )
+
+
+def check_tenant(
+    tenants: DataFrame,
+    current_users: DataFrame,
+    joins_triggered: DataFrame,
+    key: str = "tenant",
+) -> DataFrame:
+    """The channel-join tenant gate, set-at-a-time — check_tenant/1
+    (reference: lib/realtime_web/channels/tenant_rate_limiters.ex:13-43):
+    a join is refused with 'too_many_connections' when the tenant's
+    concurrent user count has REACHED max_concurrent_users (the reference
+    admits strictly-below only), else 'too_many_joins' when the
+    joins-per-second rate counter's limit is triggered, else 'ok' — the
+    connections gate wins when both fire (the reference short-circuits).
+
+    ``tenants``: (key, max_concurrent_users); ``current_users``:
+    (key, n_users); ``joins_triggered``: (key, joins_triggered bool).
+    Absent rows mean zero users / never triggered. Scale shape: two
+    broadcast-joinable dims onto the tenant dim — no data-sized shuffle."""
+    t = (
+        tenants.join(current_users, key, "left")
+        .join(joins_triggered, key, "left")
+    )
+    verdict = (
+        F.when(
+            F.coalesce(F.col("n_users"), F.lit(0))
+            >= F.col("max_concurrent_users"),
+            F.lit("too_many_connections"),
+        )
+        .when(
+            F.coalesce(F.col("joins_triggered"), F.lit(False)),
+            F.lit("too_many_joins"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return t.select(
+        key,
+        F.coalesce(F.col("n_users"), F.lit(0)).alias("n_users"),
+        verdict.alias("verdict"),
+    )
