@@ -137,7 +137,12 @@ def handle_presence_event(
     if not isinstance(message, dict) or "event" not in message:
         return "ok", socket  # handle(_, _, socket) -> {:ok, socket}
 
-    event = str(message["event"]).lower()
+    # String.downcase(event, :ascii): ASCII-only — Python's .lower() would
+    # also fold unicode (the Kelvin-sign K aliases 'track' under full
+    # casefolding, which the reference treats as an unknown event)
+    event = "".join(
+        c.lower() if "A" <= c <= "Z" else c for c in str(message["event"])
+    )
 
     # client window limit FIRST — applies to every event kind
     rl = socket.client_rate_limit

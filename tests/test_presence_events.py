@@ -356,3 +356,14 @@ def test_handled_events_drive_presence_diffs(spark):
     assert state.keys() == t.state.keys()
     for k, meta in state.items():
         assert json.loads(meta) == t.state[k]
+
+
+def test_event_downcase_is_ascii_only():
+    # String.downcase(event, :ascii): a unicode uppercase that case-folds
+    # to 'track' (Kelvin-sign K) must stay an UNKNOWN event
+    s = _sock(private=False, presence_key="k")
+    t = PresenceTracker()
+    kelvin_track = "TRAC\u212a"  # uppercase TRACK with Kelvin-sign K
+    assert kelvin_track.lower() == "track"  # the trap the port must avoid
+    out, s = _handle({"event": kelvin_track}, s, t)
+    assert out == UNKNOWN_PRESENCE_EVENT and t.state == {}
