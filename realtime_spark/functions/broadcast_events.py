@@ -108,7 +108,17 @@ def handle_broadcast_event(
 
 
 def _size_view(payload: Any) -> Any:
-    # V2 pushes size-check the user payload; plain maps check themselves
+    # V2 pushes size-check the user payload; plain maps check themselves.
+    # DECLARED SCOPE DIVERGENCE (alongside the byte-convention delta in
+    # _payload_bytes): the reference sizes the WHOLE push tuple
+    # {event, encoding, payload} via :erlang.external_size
+    # (broadcast_handler.ex payload_size check), so its measured bytes
+    # include the event name and encoding atom plus ETF framing overhead.
+    # This engine measures only the inner user payload (payload[2]) in
+    # JSON octets — a push whose event-name + framing bytes straddle the
+    # limit can be admitted here and rejected there. The divergence is
+    # bounded by len(event) + framing constants; tenants set the limit in
+    # megabytes, so verdicts only differ within that sliver.
     if isinstance(payload, tuple):
         return payload[2]
     return payload

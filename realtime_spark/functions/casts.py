@@ -28,11 +28,23 @@ _PG_TO_SPARK: dict[str, tuple[str, str]] = {
     "int4": ("bigint", "long"),
     "int8": ("bigint", "long"),
     "smallint": ("bigint", "long"),
+    # alias spellings pg's parser resolves before the catalog ever sees
+    # them ('int' -> int4, 'serial' -> int4 + default): user-authored
+    # policy SQL uses these, and the unknown-type fallback would silently
+    # degrade `x::int` to a TEXT comparison (r7 review find)
+    "int": ("bigint", "long"),
     "integer": ("bigint", "long"),
     "bigint": ("bigint", "long"),
+    "smallserial": ("bigint", "long"),
+    "serial2": ("bigint", "long"),
+    "serial": ("bigint", "long"),
+    "serial4": ("bigint", "long"),
+    "bigserial": ("bigint", "long"),
+    "serial8": ("bigint", "long"),
     "oid": ("bigint", "long"),
     "float4": ("double", "double"),
     "float8": ("double", "double"),
+    "float": ("double", "double"),
     "real": ("double", "double"),
     "double precision": ("double", "double"),
     "numeric": ("decimal(38,9)", "decimal"),

@@ -53,18 +53,20 @@ def _flexible_bool(v: Any):
     return None
 
 
-_INT_RE = re.compile(r"^[+-]?[0-9]+$")
+_INT_RE = re.compile(r"[+-]?[0-9]+")
 
 
 def _cast_int(v: Any):
     # Ecto's :integer cast rejects floats (even integral ones) and accepts
     # only exact base-10 integer strings — no underscores, whitespace, or
-    # non-ASCII digits, all of which Python's int() would admit.
+    # non-ASCII digits, all of which Python's int() would admit. fullmatch,
+    # not `^...$`: `$` matches before a trailing newline, so '5\n' would
+    # pass, where Integer.parse/1 must consume the whole binary.
     if isinstance(v, bool):
         return None
     if isinstance(v, int):
         return v
-    if isinstance(v, str) and _INT_RE.match(v):
+    if isinstance(v, str) and _INT_RE.fullmatch(v):
         return int(v)
     return None
 

@@ -140,41 +140,10 @@ _FN_WHITELIST = {
 _FN_RENAME = {"starts_with": "startswith"}
 
 
-# a record-column reference as _record_col renders it: the raw text wrapped
-# in its comparison-type cast. Anchored so the greedy inner group stops at
-# the FINAL `AS <type>)` — the inner expression never contains ` AS `.
-_CAST_RECORD_RE = re.compile(
-    r"^CAST\((try_element_at\(.+\)) AS [A-Z0-9_(), ]+\)$"
-)
-
-
-def _as_pg_text(arg: str) -> str:
-    """Render an expression in pg STRING context. For a direct record-column
-    reference, the raw record text IS pg's rendering — wal2json wrote the
-    value with the same `*_out` function pg's own cast-to-text calls — so
-    unwrap the comparison-type cast instead of round-tripping through it:
-    the decimal(38,9) round-trip would rescale ('2.5' -> '2.500000000'),
-    and the timestamp round-trip would re-format. Everything else (claims,
-    literals, computed values) casts to string; for computed NUMERIC
-    expressions Spark's double rendering is the declared approximation."""
-    m = _CAST_RECORD_RE.match(arg)
-    if m:
-        return m.group(1)
-    return f"cast({arg} as string)"
-
-
-def _render_fn(name: str, args: list[str]) -> str:
-    spark_name = _FN_RENAME.get(name, name)
-    if name == "concat":
-        # pg concat() ignores NULL arguments; Spark concat() is NULL if any
-        # argument is NULL — coalesce each arg to keep pg semantics. The
-        # string context renders record columns as their RAW text
-        # (_as_pg_text), which also keeps the coalesce unambiguously
-        # string-typed: under ANSI mode a numeric arg would otherwise
-        # coerce the '' fallback to the numeric type and abort the query
-        # with CAST_INVALID_INPUT on any NULL row.
-        args = [f"coalesce({_as_pg_text(a)}, '')" for a in args]
-    return f"{spark_name}({', '.join(args)})"
+# NOTE: _as_pg_text / _render_fn are _Parser methods — string context must
+# distinguish a genuine record-column cast (unwrap to the raw record text)
+# from a claims/computed cast (typed round-trip), which a shape regex over
+# the render cannot do: both render as CAST(try_element_at(...) AS T).
 
 
 def _parse_pg_array_literal(body: str) -> list[str | None]:
@@ -311,6 +280,12 @@ class _Parser:
         # EXISTS bodies, whose residual runs against the lookup frame where
         # the subscription's claims columns do not exist
         self.claims_literals = claims_literals
+        # cast render -> raw render for record columns emitted by
+        # _record_col, so string context (_as_pg_text) can unwrap exactly
+        # those and nothing else. A claims lookup cast to a comparison type
+        # renders with the same CAST(try_element_at(...)) shape but must
+        # KEEP its typed round-trip (pg: ('+5')::int::text -> '5').
+        self._record_casts: dict[str, str] = {}
 
     # -- token helpers ------------------------------------------------------
     def _peek(self, off: int = 0) -> _Tok | None:
@@ -467,7 +442,7 @@ class _Parser:
                     # as raw text, everything else casts to string — Spark's
                     # implicit numeric->string coercion would otherwise
                     # rescale decimals ('2.5' -> '2.500000000')
-                    left = f"({_as_pg_text(left)} || {_as_pg_text(right)})"
+                    left = f"({self._as_pg_text(left)} || {self._as_pg_text(right)})"
                 else:
                     left = f"({left} {t.text} {right})"
             else:
@@ -512,7 +487,7 @@ class _Parser:
                     # pg string context: a direct record column's raw text
                     # IS pg's text rendering — never round-trip it through
                     # the comparison-type cast (see _as_pg_text)
-                    out = _as_pg_text(out)
+                    out = self._as_pg_text(out)
                 else:
                     out = f"CAST({out} AS {spark_t})"
             elif self._peek() and self._peek().kind == "op" and self._peek().text in ("->", "->>"):
@@ -618,11 +593,43 @@ class _Parser:
             f"CASE WHEN {self.action} = 'DELETE' THEN {self.old_record} "
             f"ELSE {self.record} END"
         )
-        val = f"try_element_at({target}, {_spark_str(lc)})"
+        raw = f"try_element_at({target}, {_spark_str(lc)})"
         spark_t = pg_type_to_spark(self.type_map[lc])
-        if spark_t != "string":
-            val = f"CAST({val} AS {spark_t.upper()})"
+        if spark_t == "string":
+            return raw
+        val = f"CAST({raw} AS {spark_t.upper()})"
+        self._record_casts[val] = raw
         return val
+
+    def _as_pg_text(self, arg: str) -> str:
+        """Render an expression in pg STRING context. For a direct
+        record-column reference, the raw record text IS pg's rendering —
+        wal2json wrote the value with the same `*_out` function pg's own
+        cast-to-text calls — so unwrap the comparison-type cast instead of
+        round-tripping through it: the decimal(38,9) round-trip would
+        rescale ('2.5' -> '2.500000000') and the timestamp round-trip
+        would re-format. Only renders recorded by _record_col unwrap;
+        everything else (claims casts included) casts to string, keeping
+        pg's typed round-trip ('+5'::int::text -> '5'). Computed NUMERIC
+        expressions render via Spark's string cast — the declared
+        approximation."""
+        raw = self._record_casts.get(arg)
+        if raw is not None:
+            return raw
+        return f"cast({arg} as string)"
+
+    def _render_fn(self, name: str, args: list[str]) -> str:
+        spark_name = _FN_RENAME.get(name, name)
+        if name == "concat":
+            # pg concat() ignores NULL arguments; Spark concat() is NULL if
+            # any argument is NULL — coalesce each arg to keep pg semantics.
+            # The string context renders record columns as their RAW text
+            # (_as_pg_text), which also keeps the coalesce unambiguously
+            # string-typed: under ANSI mode a numeric arg would otherwise
+            # coerce the '' fallback to the numeric type and abort the query
+            # with CAST_INVALID_INPUT on any NULL row.
+            args = [f"coalesce({self._as_pg_text(a)}, '')" for a in args]
+        return f"{spark_name}({', '.join(args)})"
 
     def _primary(self) -> str:
         t = self._next()
@@ -696,12 +703,12 @@ class _Parser:
                 raise PolicyTranslationError(f"function {name}() unsupported")
             self._next()
             if self._accept("op", ")"):
-                return _render_fn(name, [])
+                return self._render_fn(name, [])
             args = [self._or()]
             while self._accept("op", ","):
                 args.append(self._or())
             self._expect("op", ")")
-            return _render_fn(name, args)
+            return self._render_fn(name, args)
 
         return self._record_col(name)
 

@@ -96,6 +96,40 @@ def read_store(spark: SparkSession, store: str) -> DataFrame:
     return spark.read.parquet(store).filter(_visible_cond(read_manifest(store)))
 
 
+class EpochRewindError(RuntimeError):
+    """A micro-batch arrived with an epoch id below a compacted store's
+    ``min_epoch``. Epoch ids come from the streaming checkpoint; after a
+    compaction folded epochs [0..N] the manifest admits only e{N+1}+, so a
+    restart against a FRESH checkpoint (batch ids restart at 0) would write
+    partitions the manifest silently hides — every read and every dedup
+    anti-join would stop seeing newly accepted rows with no error anywhere.
+    Fail loudly at write time instead. The reference's replication protocol
+    enforces the same monotonicity by acking a monotone ``wal_end`` so a
+    slot can never silently rewind
+    (/root/reference/lib/realtime/tenants/replication_connection.ex:349-356).
+    Recovery: resume with the original checkpoint directory, or re-seed the
+    store root if the checkpoint is genuinely lost."""
+
+
+def assert_epoch_admissible(epoch_id: int, *stores: str) -> None:
+    """Write-time guard for the streaming batch bodies: raise
+    ``EpochRewindError`` if any of the batch's target stores has a
+    compaction manifest whose ``min_epoch`` exceeds ``epoch_id``. Called
+    before any store read so a rewound replay cannot even self-dedup
+    against a read set it does not match."""
+    for store in stores:
+        manifest = read_manifest(store)
+        if manifest is not None and int(epoch_id) < int(manifest["min_epoch"]):
+            raise EpochRewindError(
+                f"epoch {epoch_id} is below min_epoch "
+                f"{manifest['min_epoch']} of compacted store {store!r} "
+                f"(generation {manifest['generation']}): the write would be "
+                "permanently invisible. This happens when an ingest stream "
+                "restarts with a fresh checkpoint after a compaction — "
+                "resume with the original checkpoint, or re-seed the store."
+            )
+
+
 def _epoch_dirs(store: str) -> list[str]:
     """Data partition directory names present on disk (tags, not paths)."""
     out = []

@@ -57,7 +57,7 @@ from realtime_spark.operators.dedup import (
     minhash_bands,
     _digest,
 )
-from realtime_spark.streaming.compaction import read_store
+from realtime_spark.streaming.compaction import assert_epoch_admissible, read_store
 
 
 def seed_ingest_state(
@@ -94,6 +94,11 @@ def process_ingest_batch(
     unit a replay re-executes — everything below is deterministic in
     (batch content, epoch_id) and writes only epoch-owned directories)."""
     spark = batch_df.sparkSession
+    # fresh-checkpoint rewind against a compacted store: fail loudly before
+    # writing a partition the manifest would silently hide
+    assert_epoch_admissible(
+        epoch_id, f"{root}/digests", f"{root}/lsh", f"{root}/accepted"
+    )
     if gate is not None:
         batch_df = gate(batch_df)
     # admission log boundary (and the measured plan-explosion cut: pushdown

@@ -34,7 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realtime_spark.streaming.compaction import read_store
+from realtime_spark.streaming.compaction import assert_epoch_admissible, read_store
 from realtime_spark.operators.search import (
     _bm25_rank,
     _term_bucket_col,
@@ -86,6 +86,11 @@ def process_search_batch(
     Reject ids already indexed in a prior epoch up front; own-epoch rows
     are excluded so a crash-replay stays byte-identical."""
     spark = batch_df.sparkSession
+    # fresh-checkpoint rewind against a compacted store: fail loudly before
+    # writing a partition the manifest would silently hide
+    assert_epoch_admissible(
+        epoch_id, f"{root}/postings", f"{root}/doclen", f"{root}/stats"
+    )
     own = f"e{epoch_id}"
     seen = (
         read_store(spark, f"{root}/doclen")

@@ -48,7 +48,7 @@ from realtime_spark.operators.similarity import (
     ivf_assign,
     kmeans_refine,
 )
-from realtime_spark.streaming.compaction import read_store
+from realtime_spark.streaming.compaction import assert_epoch_admissible, read_store
 
 
 def seed_vector_state(
@@ -80,6 +80,9 @@ def process_vector_batch(
     against everything already indexed, append survivors. Deterministic in
     (batch content, epoch_id); writes only epoch-owned directories."""
     spark = batch_df.sparkSession
+    # fresh-checkpoint rewind against a compacted store: fail loudly before
+    # writing a partition the manifest would silently hide
+    assert_epoch_admissible(epoch_id, f"{root}/ivf", f"{root}/accepted")
     own = f"e{epoch_id}"
     # the PUBLISHED centroid set — the seed layout, or the version a
     # drift-triggered rebuild committed (named by the ivf manifest)

@@ -106,7 +106,13 @@ def test_invalid_replay():
     assert errors == {"config": {"broadcast": {"replay": MAP_ERR}}}
 
 
-@pytest.mark.parametrize("bad", [10.0, 1.5, "1_0", " 10 ", "١٠", "0x10", "", True])
+@pytest.mark.parametrize(
+    "bad",
+    # '5\n': `$` matches before a trailing newline, so an anchored ^...$
+    # regex admits it while Integer.parse/1 must consume the whole binary
+    # (r6 ADVICE, low — fullmatch regression)
+    [10.0, 1.5, "1_0", " 10 ", "١٠", "0x10", "", True, "5\n", "5\r\n"],
+)
 def test_replay_int_cast_is_ecto_strict(bad):
     # Ecto's :integer cast rejects floats and anything but exact base-10
     # integer strings; Python int() alone would admit several of these

@@ -238,6 +238,45 @@ def test_string_context_unwraps_record_casts():
     assert "CAST" in out3 and "BIGINT" in out3
 
 
+def test_string_context_keeps_claims_cast_round_trip():
+    """r6 ADVICE (low): a claims lookup cast to a comparison type renders
+    with the same CAST(try_element_at(...)) shape as a record column, but
+    string context must KEEP its typed round-trip (pg: ('+5')::int::text
+    -> '5'), not unwrap to the raw claim text. Only renders produced by
+    _record_col unwrap."""
+    out = translate_pg_policy("(auth.jwt() ->> 'lvl')::int::text = '5'", TM)
+    assert "AS BIGINT) as string)" in out and "try_element_at(s.claims, 'lvl')" in out
+    # same inside concat's string context
+    out2 = translate_pg_policy(
+        "concat((auth.jwt() ->> 'lvl')::int, o_orderstatus) = 'x'", TM
+    )
+    assert "AS BIGINT) as string)" in out2 and out2.startswith("(concat(coalesce(cast(CAST(")
+    # record-column unwrap is untouched by the fix
+    assert "coalesce(try_element_at(" in translate_pg_policy(
+        "concat(o_custkey, 'x') = 'x'", TM
+    )
+
+
+def test_eval_claims_cast_string_context(spark):
+    """End-to-end: claims lvl='+05' under ::int::text must normalize to '5'
+    exactly as pg's typed round-trip does — the raw-unwrap bug made this
+    policy match zero rows."""
+    from realtime_spark.operators.auth import apply_rls_policies, rls_policies_df
+
+    changes, pairs = _pairs(spark, claims={"sub": "77", "lvl": "+05"})
+    expr = translate_pg_policy(
+        "(auth.jwt() ->> 'lvl')::int::text = '5' AND o_orderstatus = 'P'",
+        {"o_orderstatus": "text"},
+    )
+    pols = rls_policies_df(spark, [{"table": "orders", "policy_expr": expr}])
+    got = {
+        r["change_id"]
+        for r in apply_rls_policies(pairs, pols).select("c.change_id").collect()
+    }
+    want = _expected_rows(changes, lambda rec: rec.get("o_orderstatus") == "P")
+    assert got == want and want
+
+
 def test_json_extract_on_record_column():
     tm = {"meta": "jsonb", "o_custkey": "int8"}
     out = translate_pg_policy("meta ->> 'owner' = 'u1'", tm)
