@@ -107,26 +107,39 @@ def handle_broadcast_event(
     return NOREPLY, socket
 
 
+def _is_push(payload: Any) -> bool:
+    # the V2 serializer always decodes a user_broadcast_push to a 4-tuple
+    # (user_event, encoding, user_payload, metadata) — metadata {} when the
+    # wire field is empty (v2_serializer.ex:179-212). build_broadcast/2
+    # pattern-matches EXACTLY that arity; any other tuple falls through to
+    # the generic clause and is wrapped as a PLAIN broadcast (the tuple
+    # itself becoming the payload), so arity decides dispatch here too.
+    return isinstance(payload, tuple) and len(payload) == 4
+
+
 def _size_view(payload: Any) -> Any:
     # V2 pushes size-check the user payload; plain maps check themselves.
     # DECLARED SCOPE DIVERGENCE (alongside the byte-convention delta in
     # _payload_bytes): the reference sizes the WHOLE push tuple
-    # {event, encoding, payload} via :erlang.external_size
+    # {event, encoding, payload, metadata} via :erlang.external_size
     # (broadcast_handler.ex payload_size check), so its measured bytes
-    # include the event name and encoding atom plus ETF framing overhead.
-    # This engine measures only the inner user payload (payload[2]) in
-    # JSON octets — a push whose event-name + framing bytes straddle the
-    # limit can be admitted here and rejected there. The divergence is
-    # bounded by len(event) + framing constants; tenants set the limit in
-    # megabytes, so verdicts only differ within that sliver.
-    if isinstance(payload, tuple):
+    # include the event name, encoding atom, and metadata plus ETF framing
+    # overhead. This engine measures only the inner user payload
+    # (payload[2]) in JSON octets — a push whose event-name + framing
+    # bytes straddle the limit can be admitted here and rejected there.
+    # The divergence is bounded by len(event) + len(metadata) + framing
+    # constants; tenants set the limit in megabytes, so verdicts only
+    # differ within that sliver.
+    if _is_push(payload):
         return payload[2]
     return payload
 
 
 def _build_broadcast(socket: BroadcastSocket, payload: Any) -> SentMessage:
     sender = None if socket.self_broadcast else socket.socket_id
-    if isinstance(payload, tuple):
+    if _is_push(payload):
+        # metadata (payload[3]) is carried on the wire but unused by the
+        # handler ("not using the metadata for anything just yet")
         user_event, encoding, user_payload = payload[0], payload[1], payload[2]
         return SentMessage(
             topic=socket.tenant_topic,

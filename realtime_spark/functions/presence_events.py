@@ -133,10 +133,35 @@ def handle_presence_event(
     """handle/3. Returns ('ok' | error-atom, socket). `authorize` is the
     read/write policy evaluator (the RLS probe the engine runs through
     apply_rls_* — injected, like the reference's db_conn); it may raise
-    PolicyError(reason) to surface an RLS failure."""
+    PolicyError(reason) to surface an RLS failure.
+
+    Socket mutations take effect ONLY on 'ok': the reference's error
+    tuples carry no socket, and the channel's else-clauses keep the
+    PRE-handle socket (realtime_channel.ex handle_in("presence", ...)
+    :476-500) — so an errored event does not consume client-rate budget,
+    and an unauthorized track does NOT cache its just-evaluated policies
+    (the next track re-authorizes). Tracker mutations only happen on
+    paths that return 'ok', so they need no rollback."""
     if not isinstance(message, dict) or "event" not in message:
         return "ok", socket  # handle(_, _, socket) -> {:ok, socket}
+    import copy
 
+    work = copy.deepcopy(socket)
+    result, work = _dispatch_event(
+        message, work, tracker, tenant, now_ms, tenant_rate_avg, authorize
+    )
+    return result, (work if result == "ok" else socket)
+
+
+def _dispatch_event(
+    message: dict,
+    socket: PresenceSocket,
+    tracker: PresenceTracker,
+    tenant: TenantLimits,
+    now_ms: int,
+    tenant_rate_avg: float,
+    authorize: Callable[[], tuple[bool | None, bool | None]] | None,
+) -> tuple[str, PresenceSocket]:
     # String.downcase(event, :ascii): ASCII-only — Python's .lower() would
     # also fold unicode (the Kelvin-sign K aliases 'track' under full
     # casefolding, which the reference treats as an unknown event)

@@ -59,6 +59,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from collections.abc import Sequence
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -332,3 +333,93 @@ def compact_search_state(spark: SparkSession, root: str) -> dict:
         "doclen": _maybe_compact(spark, f"{root}/doclen", _fold_plain),
         "stats": _maybe_compact(spark, f"{root}/stats", _fold_stats),
     }
+
+
+# ---------------------------------------------------------------------------
+# scheduled compaction: the run-forever policy
+# ---------------------------------------------------------------------------
+
+# substores each pipeline's compactor folds — the trigger scans the same set
+INGEST_SUBSTORES = ("digests", "lsh", "accepted")
+VECTOR_SUBSTORES = ("ivf", "accepted")
+SEARCH_SUBSTORES = ("postings", "doclen", "stats")
+
+
+def store_epoch_count(store: str) -> int:
+    """Uncompacted ``ingest_epoch=e{N}`` directories currently on disk.
+    After a compaction + GC only epochs above min_epoch remain, so this is
+    the growth since the last fold."""
+    if not os.path.isdir(store):
+        return 0
+    return sum(1 for t in _epoch_dirs(store) if t.startswith("e"))
+
+
+def store_file_count(store: str) -> int:
+    """Data files under one store (the small-file pressure metric)."""
+    n = 0
+    for _, _, files in os.walk(store):
+        n += sum(1 for f in files if not f.startswith((".", "_")))
+    return n
+
+
+def should_compact(
+    root: str,
+    substores: Sequence[str],
+    max_epochs: int = 32,
+    max_files: int | None = None,
+) -> bool:
+    """Threshold trigger for the scheduled policy: fire when any substore
+    has accumulated ``max_epochs`` uncompacted epoch directories, or (if
+    set) when any substore's data-file count reaches ``max_files``. Both
+    are pure directory listings — no Spark job."""
+    for sub in substores:
+        store = os.path.join(root, sub)
+        if store_epoch_count(store) >= max_epochs:
+            return True
+        if max_files is not None and store_file_count(store) >= max_files:
+            return True
+    return False
+
+
+def run_ingest_cycles(
+    spark: SparkSession,
+    root: str,
+    start_stream: Callable[[], object],
+    compact_fn: Callable[[SparkSession, str], dict],
+    substores: Sequence[str],
+    cycles: int,
+    max_epochs: int = 32,
+    max_files: int | None = None,
+    await_timeout_sec: int = 600,
+) -> list[dict]:
+    """The run-forever ingest loop with compaction as a scheduled janitor,
+    mirroring how the reference schedules its message-partition GC as a
+    periodic job outside the write path
+    (/root/reference/lib/realtime/messages.ex:72-102): each cycle runs ONE
+    availableNow drain of the ingest stream (``start_stream`` re-opens the
+    source and returns the started StreamingQuery — an availableNow query
+    terminates, and the checkpoint carries the offsets), then, with the
+    stream provably stopped (the compaction contract), fires
+    ``compact_fn`` when the threshold trips. Returns per-cycle telemetry:
+    [{cycle, compacted, epochs_before, files_before, files_after}]."""
+    out: list[dict] = []
+    for cycle in range(cycles):
+        q = start_stream()
+        q.awaitTermination(await_timeout_sec)
+        epochs = max((store_epoch_count(os.path.join(root, s)) for s in substores), default=0)
+        files = sum(store_file_count(os.path.join(root, s)) for s in substores)
+        fire = should_compact(root, substores, max_epochs, max_files)
+        if fire:
+            compact_fn(spark, root)
+        out.append(
+            {
+                "cycle": cycle,
+                "compacted": fire,
+                "epochs_before": epochs,
+                "files_before": files,
+                "files_after": sum(
+                    store_file_count(os.path.join(root, s)) for s in substores
+                ),
+            }
+        )
+    return out

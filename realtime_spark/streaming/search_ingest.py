@@ -98,6 +98,20 @@ def process_search_batch(
         .select(F.col("doc").alias(id_col))
     )
     fresh = batch_df.join(seen, id_col, "left_anti")
+    # WITHIN-batch re-delivery: duplicate ids inside one micro-batch pass
+    # the prior-epoch anti-join with every copy — doubled doclen rows fan
+    # out the score join and the summed stat partials skew every BM25
+    # score (the same class as the cross-epoch guard above). Keep one per
+    # id by smallest content hash — a pure function of content, so a
+    # crash-replay rewrites byte-identical output.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.xxhash64(text_col))
+    fresh = (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     _write_epoch(fresh, root, own, id_col, text_col)
 
 

@@ -103,6 +103,20 @@ def process_vector_batch(
     # column-pruned id scan; no broadcast hint — AQE broadcasts whichever
     # side is small (the batch, for increments against a year of index)
     fresh = batch_df.join(seen_ids, id_col, "left_anti")
+    # WITHIN-batch re-delivery (two rows sharing an id in one micro-batch)
+    # passes the prior-epoch anti-join with both copies and would
+    # double-index — same hazard class as the cross-epoch guard above.
+    # Keep one per id, picked by smallest content hash: a pure function of
+    # content, so a crash-replay rewrites byte-identical output (which
+    # dropDuplicates' arbitrary pick would not guarantee).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.xxhash64(vec_col))
+    fresh = (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     assigned = ivf_assign(fresh, cents, id_col, vec_col).localCheckpoint()
 
     if dedup_threshold is not None:

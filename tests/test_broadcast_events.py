@@ -117,16 +117,31 @@ def test_public_channels_send():
 
 @pytest.mark.parametrize("encoding", ["json", "binary"])
 def test_v2_user_broadcast_push(encoding):
-    # broadcast_handler_test.exs:284 (json), :326 (binary) — the push tuple
-    # builds a UserBroadcast carrying the user event and encoding
+    # broadcast_handler_test.exs:284 (json), :326 (binary) — the push
+    # 4-tuple (event, encoding, payload, metadata) builds a UserBroadcast
+    # carrying the user event and encoding; metadata is unused
     s = BroadcastSocket(private=False, ack_broadcast=True)
     sent = []
     body = b"\x01\x02" if encoding == "binary" else '{"x":1}'
-    out, s = _handle(("my-event", encoding, body), s, sent)
+    out, s = _handle(("my-event", encoding, body, {}), s, sent)
     assert out == REPLY_OK
     (m,) = sent
     assert m.is_user_broadcast and m.event == "my-event"
     assert m.payload_encoding == encoding and m.payload == body
+
+
+def test_wrong_arity_tuple_is_a_plain_broadcast():
+    # build_broadcast/2 pattern-matches the 4-tuple exactly; any other
+    # tuple falls to the generic clause and is wrapped as a plain
+    # %Phoenix.Socket.Broadcast{event: "broadcast"} (r7 review find: the
+    # model previously treated EVERY tuple as a push)
+    s = BroadcastSocket(private=False, ack_broadcast=True)
+    sent = []
+    out, s = _handle(("my-event", "json", '{"x":1}'), s, sent)
+    assert out == REPLY_OK
+    (m,) = sent
+    assert not m.is_user_broadcast and m.event == "broadcast"
+    assert m.payload == ("my-event", "json", '{"x":1}')
 
 
 @pytest.mark.parametrize(

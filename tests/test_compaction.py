@@ -337,6 +337,83 @@ def test_compaction_admits_epochs_written_after_it(spark, tmp_path):
     assert _values(spark, store) == sorted(list(range(20)) + list(range(100, 105)))
 
 
+def test_scheduled_compaction_poll_loop(spark, tmp_path):
+    """run_ingest_cycles: availableNow drain cycles with compaction as a
+    threshold janitor between them (the reference's periodic partition-GC
+    shape, messages.ex:72-102). Twin roots run identical arrivals — one
+    through the loop with max_epochs=2, one with plain batch folds and no
+    compaction ever. The loop must auto-compact when the threshold trips,
+    keep absorbing epochs afterwards, and every read surface must stay
+    bit-identical to the never-compacted twin."""
+    from realtime_spark.streaming.compaction import (
+        INGEST_SUBSTORES,
+        compact_ingest_state,
+        run_ingest_cycles,
+        should_compact,
+        store_epoch_count,
+    )
+    from realtime_spark.streaming.ingest import (
+        accepted_docs,
+        process_ingest_batch,
+        run_ingest_stream,
+        seed_ingest_state,
+    )
+
+    b0, b1, b2 = _doc_batches(spark)
+    batches = [b0, b1, b2]
+    loop_root = str(tmp_path / "loop")
+    twin_root = str(tmp_path / "twin")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    seed_ingest_state(_corpus(spark), loop_root)
+    seed_ingest_state(_corpus(spark), twin_root)
+    for i, b in enumerate(batches):
+        process_ingest_batch(b, i, twin_root)
+
+    # one new source file lands before each cycle — each drain is one epoch
+    arrivals = iter(batches)
+
+    def start_stream():
+        next(arrivals).coalesce(1).write.parquet(f"{src}/f{os.listdir(src).__len__()}")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        return run_ingest_stream(stream, loop_root, ckpt)
+
+    telemetry = run_ingest_cycles(
+        spark,
+        loop_root,
+        start_stream,
+        compact_ingest_state,
+        INGEST_SUBSTORES,
+        cycles=3,
+        max_epochs=2,
+    )
+    # epochs 0,1 accumulate; the cycle-1 threshold fires; cycle 2 ingests
+    # into the compacted store and stays below threshold
+    assert [t["compacted"] for t in telemetry] == [False, True, False]
+    assert telemetry[1]["files_after"] < telemetry[1]["files_before"]
+    assert store_epoch_count(f"{loop_root}/accepted") == 1  # only e2
+    assert not should_compact(loop_root, INGEST_SUBSTORES, max_epochs=2)
+
+    def snap(root):
+        acc = sorted(
+            (r["doc_id"], r["text"]) for r in accepted_docs(spark, root).collect()
+        )
+        dig = sorted(
+            r["digest"]
+            for r in read_store(spark, f"{root}/digests").select("digest").collect()
+        )
+        return acc, dig
+
+    assert snap(loop_root) == snap(twin_root)
+    assert snap(loop_root)[0], "fixture must accept documents"
+
+
 def test_compaction_random_interleavings(spark, tmp_path):
     """Randomized protocol interleavings against a pure-Python visibility
     model: epoch writes, compactions, simulated crash leftovers of every

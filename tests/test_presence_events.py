@@ -251,6 +251,53 @@ def test_client_window_rate_limit():
     assert out == "ok"
 
 
+def test_errored_events_do_not_consume_client_rate_budget():
+    # r7 review find: the reference's error tuples carry no socket and the
+    # channel's else-clauses keep the PRE-handle socket
+    # (realtime_channel.ex:476-500) — an errored event must not persist the
+    # client-window counter increment
+    s = _sock(private=False, presence_key="k",
+              client_rate_limit=ClientRateLimit(max_calls=3, window_ms=1000))
+    t = PresenceTracker()
+    out, s = _handle({"event": "track", "payload": {"i": 0}}, s, t, now=100)
+    assert out == "ok" and s.client_rate_limit.counter == 1
+    # unknown events error -> increment discarded, budget intact
+    for _ in range(10):
+        out, s = _handle({"event": "nope"}, s, t, now=150)
+        assert out == UNKNOWN_PRESENCE_EVENT
+    assert s.client_rate_limit.counter == 1
+    # ...so two more OK tracks still fit in the window
+    out, s = _handle({"event": "track", "payload": {"i": 1}}, s, t, now=200)
+    assert out == "ok"
+    out, s = _handle({"event": "track", "payload": {"i": 2}}, s, t, now=250)
+    assert out == "ok" and s.client_rate_limit.counter == 3
+    # a no-op same-payload track returns ok -> its increment DOES persist
+    out, s = _handle({"event": "track", "payload": {"i": 2}}, s, t, now=260)
+    assert out == CLIENT_RATE_LIMIT_EXCEEDED
+
+
+def test_unauthorized_track_does_not_cache_policies():
+    # r7 review find: on {:error, :unauthorized} the reference channel keeps
+    # the pre-handle socket, so the just-evaluated write=false policy is NOT
+    # cached — every subsequent track re-authorizes (handler_test.exs's
+    # "only checks write policies once" covers only the SUCCESS path)
+    calls = []
+
+    def authorize():
+        calls.append(1)
+        return True, False  # read ok, write denied
+
+    s = _sock(private=True, presence_key="k", policies=PresencePolicies())
+    t = PresenceTracker()
+    for i in range(3):
+        out, s = _handle(
+            {"event": "track", "payload": {"i": i}}, s, t, authorize=authorize
+        )
+        assert out == UNAUTHORIZED and t.state == {}
+        assert s.policies.write is None and s.policies.read is None
+    assert len(calls) == 3
+
+
 # -- sync/1 -------------------------------------------------------------------
 
 

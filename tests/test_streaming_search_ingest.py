@@ -180,3 +180,37 @@ def test_search_ingest_redelivered_ids_not_double_counted(spark, tmp_path):
     process_search_batch(corpus.unionByName(b0), 1, root)
     assert spark.read.parquet(f"{root}/doclen").count() == n_doclen
     assert _rows(bm25_topk_from_live_index(spark, root, TERMS, k=20)) == want
+
+
+def test_search_ingest_within_batch_duplicate_ids(spark, tmp_path):
+    """r7 review find: duplicate doc ids INSIDE one micro-batch passed the
+    prior-epoch anti-join with every copy — doubled doclen rows fanned out
+    the score join and the stat partials counted the doc twice. One row
+    per id survives, picked deterministically (content hash) so a
+    crash-replay rewrites identical bytes."""
+    from pyspark.sql import functions as F
+
+    from realtime_spark.streaming.search_ingest import process_search_batch
+
+    root = str(tmp_path / "idx")
+    corpus, b0, _ = _parts(spark)
+    seed_search_state(corpus, root)
+    # every b0 id twice: verbatim + a mutated revision in the same batch
+    batch = b0.unionByName(
+        b0.select("doc_id", F.concat("text", F.lit(" extra tail")).alias("text"))
+    )
+    process_search_batch(batch, 0, root)
+
+    doclen = spark.read.parquet(f"{root}/doclen")
+    assert doclen.groupBy("doc").count().filter("count > 1").count() == 0
+    n_docs = (
+        spark.read.parquet(f"{root}/stats")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n_docs == corpus.count() + b0.count()
+
+    want = _rows(bm25_topk_from_live_index(spark, root, TERMS, k=20))
+    # crash-replay: the deterministic winner set rewrites identical state
+    process_search_batch(batch, 0, root)
+    assert _rows(bm25_topk_from_live_index(spark, root, TERMS, k=20)) == want

@@ -157,6 +157,47 @@ def test_vector_ingest_redelivered_id_not_duplicated(spark, tmp_path):
         assert accepted == b0_ids
 
 
+def test_vector_ingest_within_batch_duplicate_ids(spark, tmp_path):
+    """r7 review find: duplicate vec_ids INSIDE one micro-batch passed the
+    prior-epoch anti-join with every copy and double-indexed. One row per
+    id survives, picked deterministically (content hash) so a crash-replay
+    rewrites identical bytes."""
+    corpus, cents, b0, _ = _parts(spark)
+    # same ids twice: once verbatim, once with a shifted embedding — a
+    # genuinely ambiguous duplicate the pick must resolve deterministically
+    batch = b0.unionByName(
+        b0.select("vec_id", F.transform("embedding", lambda x: x + 1).alias("embedding"))
+    )
+    b0_ids = {r["vec_id"] for r in b0.select("vec_id").collect()}
+
+    for thresh in (0.999999, None):
+        root = str(tmp_path / f"vstore_{thresh}")
+        seed_vector_state(corpus, cents, root)
+        process_vector_batch(batch, 0, root, dedup_threshold=thresh)
+        idx = spark.read.parquet(f"{root}/ivf")
+        assert idx.groupBy("vec_id").count().filter("count > 1").count() == 0
+        accepted = {
+            r["vec_id"] for r in spark.read.parquet(f"{root}/accepted").collect()
+        }
+        assert accepted == b0_ids
+        picked = sorted(
+            (r["vec_id"], tuple(r["embedding"]))
+            for r in idx.filter(F.col("ingest_epoch") == "e0")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        # crash-replay of the same epoch: byte-identical winner set
+        process_vector_batch(batch, 0, root, dedup_threshold=thresh)
+        again = sorted(
+            (r["vec_id"], tuple(r["embedding"]))
+            for r in spark.read.parquet(f"{root}/ivf")
+            .filter(F.col("ingest_epoch") == "e0")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        assert again == picked
+
+
 def test_vector_ingest_no_dedup(spark, tmp_path):
     """threshold=None: pure index maintenance, everything indexed."""
     root = str(tmp_path / "vstore")
