@@ -188,6 +188,87 @@ UNION ALL SELECT doc_id, digest FROM acc2
 """
 
 
+def q_stream_compaction_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 scheduled-compaction policy under the driver gate: the
+    SAME three-epoch arrival sequence as q_stream_ingest_accepted, but
+    driven through ``run_ingest_cycles`` — real availableNow drain cycles
+    off a file source with compaction as a threshold janitor BETWEEN
+    cycles (max_epochs=2: the trigger fires after the second drain, so
+    epoch 2 lands in the auto-compacted store). The accepted set must
+    equal the manually-sequenced twin's, i.e. the identical oracle."""
+    import tempfile
+
+    from realtime_spark.operators.dedup import tokens_expr
+    from realtime_spark.streaming.compaction import (
+        INGEST_SUBSTORES,
+        compact_ingest_state,
+        run_ingest_cycles,
+    )
+    from realtime_spark.streaming.ingest import (
+        accepted_docs,
+        run_ingest_stream,
+        seed_ingest_state,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter("doc_id % 3 = 0")
+    e0 = d.filter("doc_id % 3 = 1").unionByName(
+        d.filter("doc_id % 9 = 0").select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    e1 = (
+        d.filter("doc_id % 3 = 2")
+        .unionByName(
+            d.filter("doc_id % 3 = 1 AND doc_id % 7 = 0").select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter("doc_id % 9 = 3").select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat("text", F.lit(NEAR_DUP_TAIL)).alias("text"),
+            )
+        )
+    )
+    e2 = d.filter("doc_id % 3 = 1 AND doc_id % 5 = 0").select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat("text", F.lit(NEAR_DUP_TAIL)).alias("text"),
+    ).unionByName(
+        d.filter("doc_id % 9 = 6").select(
+            (F.col("doc_id") + 5000000).alias("doc_id"),
+            F.array_join(F.reverse(tokens_expr(F.col("text"))), " ").alias("text"),
+        )
+    )
+
+    root = _fresh_root(sf_dir, "loop")
+    seed_ingest_state(corpus, root)
+    src = tempfile.mkdtemp(prefix="rs_loop_src_")
+    ckpt = f"{root}/_ckpt"
+    arrivals = iter([e0, e1, e2])
+
+    def start_stream():
+        batch = next(arrivals)
+        batch.coalesce(1).write.parquet(f"{src}/f{len(os.listdir(src))}")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        return run_ingest_stream(stream, root, ckpt)
+
+    telemetry = run_ingest_cycles(
+        spark, root, start_stream, compact_ingest_state,
+        INGEST_SUBSTORES, cycles=3, max_epochs=2,
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    if [t["compacted"] for t in telemetry] != [False, True, False]:
+        raise AssertionError(f"compaction trigger misfired: {telemetry}")
+    return accepted_docs(spark, root).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+
+
 # ---------------------------------------------------------------------------
 # vector ingest: live-store IVF search == batch answer over the union
 # ---------------------------------------------------------------------------
@@ -258,6 +339,7 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stores_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stream_ingest_accepted": q_stream_ingest_accepted,
+        "stream_compaction_loop": q_stream_compaction_loop,
         "stream_ivf_topk": q_stream_ivf_topk,
         "stream_bm25_topk": q_stream_bm25_topk,
     }
@@ -266,6 +348,9 @@ def stream_stores_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
 def stream_stores_oracles() -> dict[str, str]:
     return {
         "stream_ingest_accepted": ORACLE_STREAM_INGEST_ACCEPTED,
+        # the loop runs the identical arrival sequence through the
+        # scheduled-compaction poll loop — the accepted set is the same
+        "stream_compaction_loop": ORACLE_STREAM_INGEST_ACCEPTED,
         "stream_ivf_topk": ORACLE_ANN_IVF_TOPK,
         "stream_bm25_topk": ORACLE_SEARCH_BM25,
     }
