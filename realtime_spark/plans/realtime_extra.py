@@ -1446,6 +1446,116 @@ WHERE action <> 'DELETE' AND (change_id % 13 = 0 OR change_id % 17 = 0)
 """
 
 
+def q_subscription_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 as a relational query: INSERT .. ON CONFLICT DO UPDATE on the
+    subscription dimension (operators/cdc.upsert_subscriptions; reference
+    unique index on (subscription_id, entity, filters, action,
+    coalesce(selected_columns,'{}')) — subscriptions.ex:60-137). Existing
+    subs come from one customer slice; incoming rows collide on the unique
+    key for half (incoming wins — claims_role flips), differ ONLY in
+    selected_columns for a quarter (distinct key -> BOTH kept, exercising
+    the coalesce key component), and are genuinely new for another slice.
+    Scale shape: the upsert is one key-hash anti-join + union — a MERGE on
+    a real lakehouse table, no driver loop."""
+    from realtime_spark.operators.cdc import upsert_subscriptions
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def subs(df: DataFrame, role: str, sel: bool) -> DataFrame:
+        return df.select(
+            F.col("c_custkey").cast("bigint").alias("id"),
+            F.concat(F.lit("sub-"), F.col("c_custkey")).alias("subscription_id"),
+            F.lit("public").alias("schema_name"),
+            F.lit("orders").alias("table_name"),
+            F.lit(None).cast(
+                "array<struct<column_name:string,op:string,value:string,"
+                "values:array<string>,negate:boolean,fam:string>>"
+            ).alias("filters"),
+            F.lit(role).alias("claims_role"),
+            F.lit("*").alias("action_filter"),
+            (
+                F.array(F.lit("o_orderkey"))
+                if sel
+                else F.lit(None).cast("array<string>")
+            ).alias("selected_columns"),
+            F.create_map().cast("map<string,string>").alias("claims"),
+        )
+
+    existing = subs(c.filter("c_custkey % 3 = 0"), "authenticated", False)
+    incoming = (
+        subs(c.filter("c_custkey % 6 = 0"), "service", False)
+        .unionByName(subs(c.filter("c_custkey % 12 = 0"), "service", True))
+        .unionByName(subs(c.filter("c_custkey % 3 = 1"), "service", False))
+    )
+    return upsert_subscriptions(existing, incoming).select(
+        "subscription_id",
+        "table_name",
+        "claims_role",
+        F.coalesce(F.concat_ws(",", "selected_columns"), F.lit("")).alias("sel_cols"),
+    )
+
+
+ORACLE_SUBSCRIPTION_UPSERT = """
+WITH ex AS (
+  SELECT 'sub-' || c_custkey AS subscription_id, 'orders' AS table_name,
+         'authenticated' AS claims_role, '' AS sel_cols
+  FROM customer WHERE c_custkey % 3 = 0
+),
+inc(subscription_id, table_name, claims_role, sel_cols) AS (
+  SELECT 'sub-' || c_custkey, 'orders', 'service', '' FROM customer WHERE c_custkey % 6 = 0
+  UNION ALL
+  SELECT 'sub-' || c_custkey, 'orders', 'service', 'o_orderkey' FROM customer WHERE c_custkey % 12 = 0
+  UNION ALL
+  SELECT 'sub-' || c_custkey, 'orders', 'service', '' FROM customer WHERE c_custkey % 3 = 1
+)
+SELECT subscription_id, table_name, claims_role, sel_cols FROM ex
+WHERE NOT EXISTS (SELECT 1 FROM inc
+  WHERE inc.subscription_id = ex.subscription_id AND inc.sel_cols = ex.sel_cols)
+UNION ALL
+SELECT * FROM inc
+"""
+
+
+def q_lsn_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 as a relational query: synthesize a 64-bit LSN per event (file =
+    user_id low bits, offset = a Knuth multiplicative hash of event_id),
+    render pg's canonical FILE/OFFSET hex form (functions/scalar.lsn_format
+    — decoder.ex:315-316), decode it back (lsn_decode), and return both;
+    the oracle reproduces the arithmetic and the hex rendering exactly.
+    Map-only, no shuffle."""
+    from realtime_spark.functions.scalar import lsn_decode, lsn_format
+
+    e = load_table(spark, sf_dir, "events").filter("event_id % 37 = 0")
+    lsn = (
+        (F.col("user_id").cast("bigint") % 4096)
+        * F.lit(4294967296).cast("bigint")
+        + (F.col("event_id").cast("bigint") * 2654435761) % 4294967296
+    )
+    return e.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        lsn.alias("lsn"),
+        lsn_format(lsn).alias("lsn_text"),
+        lsn_decode(lsn)["file"].alias("lsn_file"),
+        lsn_decode(lsn)["offset"].alias("lsn_offset"),
+    )
+
+
+ORACLE_LSN_ROUNDTRIP = """
+WITH src AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         (CAST(user_id AS BIGINT) % 4096) * 4294967296
+           + (CAST(event_id AS BIGINT) * 2654435761) % 4294967296 AS lsn
+  FROM events WHERE event_id % 37 = 0
+)
+SELECT event_id, lsn,
+       upper(format('{:x}', lsn // 4294967296)) || '/' ||
+       upper(format('{:x}', lsn % 4294967296)) AS lsn_text,
+       CAST(lsn // 4294967296 AS BIGINT) AS lsn_file,
+       CAST(lsn % 4294967296 AS BIGINT) AS lsn_offset
+FROM src
+"""
+
+
 def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "jwt_claims": q_jwt_claims,
@@ -1482,6 +1592,8 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "cdc_compact": q_cdc_compact,
         "cdc_gap_audit": q_cdc_gap_audit,
         "cdc_schema_drift": q_cdc_schema_drift,
+        "subscription_upsert": q_subscription_upsert,
+        "lsn_roundtrip": q_lsn_roundtrip,
     }
 
 
@@ -1521,6 +1633,8 @@ def realtime_extra_oracles() -> dict[str, str]:
         "cdc_compact": _oracle_compact(),
         "cdc_gap_audit": _oracle_gap_audit(),
         "cdc_schema_drift": _oracle_schema_drift(),
+        "subscription_upsert": ORACLE_SUBSCRIPTION_UPSERT,
+        "lsn_roundtrip": ORACLE_LSN_ROUNDTRIP,
     }
 
 
