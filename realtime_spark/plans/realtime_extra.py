@@ -1556,6 +1556,35 @@ FROM src
 """
 
 
+def q_uuid_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 as a relational query: 16-byte binary uuids (synthesized
+    deterministically as md5 digests of the event id — both engines build
+    the identical BLOB via unhex(md5(..))) rendered to the canonical
+    dashed lowercase form by functions/scalar.uuid_from_bytes
+    (decoder.ex:276's binary-uuid text rendering). Map-only, no shuffle."""
+    from realtime_spark.functions.scalar import uuid_from_bytes
+
+    e = load_table(spark, sf_dir, "events").filter("event_id % 53 = 0")
+    raw = F.unhex(F.md5(F.col("event_id").cast("string")))
+    return e.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        uuid_from_bytes(raw).alias("uuid_text"),
+    )
+
+
+ORACLE_UUID_FORMAT = """
+WITH src AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         lower(md5(CAST(event_id AS VARCHAR))) AS h
+  FROM events WHERE event_id % 53 = 0
+)
+SELECT event_id,
+       substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4)
+         || '-' || substr(h,17,4) || '-' || substr(h,21,12) AS uuid_text
+FROM src
+"""
+
+
 def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "jwt_claims": q_jwt_claims,
@@ -1594,6 +1623,7 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "cdc_schema_drift": q_cdc_schema_drift,
         "subscription_upsert": q_subscription_upsert,
         "lsn_roundtrip": q_lsn_roundtrip,
+        "uuid_format": q_uuid_format,
     }
 
 
@@ -1635,6 +1665,7 @@ def realtime_extra_oracles() -> dict[str, str]:
         "cdc_schema_drift": _oracle_schema_drift(),
         "subscription_upsert": ORACLE_SUBSCRIPTION_UPSERT,
         "lsn_roundtrip": ORACLE_LSN_ROUNDTRIP,
+        "uuid_format": ORACLE_UUID_FORMAT,
     }
 
 
