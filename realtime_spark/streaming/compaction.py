@@ -405,7 +405,16 @@ def run_ingest_cycles(
     out: list[dict] = []
     for cycle in range(cycles):
         q = start_stream()
-        q.awaitTermination(await_timeout_sec)
+        # the compaction contract requires the stream STOPPED: a timed-out
+        # drain must abort the cycle, not compact under a live writer
+        # (a concurrently-written epoch would be half-captured by the fold)
+        if not q.awaitTermination(await_timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"ingest cycle {cycle} did not drain within "
+                f"{await_timeout_sec}s — compaction skipped (stream-stopped "
+                "contract)"
+            )
         epochs = max((store_epoch_count(os.path.join(root, s)) for s in substores), default=0)
         files = sum(store_file_count(os.path.join(root, s)) for s in substores)
         fire = should_compact(root, substores, max_epochs, max_files)
