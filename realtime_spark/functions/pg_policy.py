@@ -489,7 +489,18 @@ class _Parser:
                     # the comparison-type cast (see _as_pg_text)
                     out = self._as_pg_text(out)
                 else:
-                    out = f"CAST({out} AS {spark_t})"
+                    raw = self._record_casts.get(out)
+                    out_new = f"CAST({out} AS {spark_t})"
+                    if raw is not None and out.endswith(f" AS {spark_t})"):
+                        # an explicit re-cast to the column's OWN comparison
+                        # type (o_totalprice::numeric) is a value identity;
+                        # pg's subsequent ::text still renders the stored
+                        # text, so the raw mapping carries forward. A cast
+                        # to a DIFFERENT type is a genuine conversion whose
+                        # text form pg derives from the converted value —
+                        # that one keeps the typed round-trip.
+                        self._record_casts[out_new] = raw
+                    out = out_new
             elif self._peek() and self._peek().kind == "op" and self._peek().text in ("->", "->>"):
                 op = self._next().text
                 key = self._next()

@@ -257,6 +257,20 @@ def test_string_context_keeps_claims_cast_round_trip():
     )
 
 
+def test_identity_recast_keeps_raw_record_text():
+    """An explicit re-cast to the column's own comparison type
+    (o_totalprice::numeric) is a value identity — pg's subsequent ::text
+    renders the stored text, so the unwrap carries through (r7 refinement;
+    previously '2.5' re-rendered as '2.500000000' through this idiom)."""
+    out = translate_pg_policy("o_totalprice::numeric::text = '2.5'", TM)
+    assert "DECIMAL" not in out and "CAST" not in out
+    out2 = translate_pg_policy("o_custkey::int8::text = '5'", TM)
+    assert "BIGINT" not in out2 and "CAST" not in out2
+    # a cast to a DIFFERENT type is a genuine conversion: round-trip kept
+    out3 = translate_pg_policy("o_orderstatus::int::text = '5'", TM)
+    assert "AS BIGINT) as string)" in out3
+
+
 def test_eval_claims_cast_string_context(spark):
     """End-to-end: claims lvl='+05' under ::int::text must normalize to '5'
     exactly as pg's typed round-trip does — the raw-unwrap bug made this
