@@ -60,6 +60,51 @@ def sign_jwt(claims: Mapping, secret: str) -> str:
     return f"{header}.{body}.{sig}"
 
 
+def clean_token(token: str) -> str:
+    """channels_authorization.ex:40 ``clean_token/1``: percent-decode the
+    token (URI.decode) and strip ALL whitespace including newlines, so a
+    token that arrived URL-encoded or pasted with line breaks still
+    verifies. Applied before every verification path, like the
+    reference's ``authorize/3``."""
+    import re as _re
+    from urllib.parse import unquote
+
+    return _re.sub(r"\s", "", unquote(token))
+
+
+def authorize_conn(
+    token,
+    jwt_secret: str | None = None,
+    jwks: Mapping | None = None,
+    now_epoch: int | None = None,
+) -> tuple[str, dict | None, str | None]:
+    """``authorize_conn/3`` (channels_authorization.ex:19-37): clean the
+    token, verify it through the full signer-resolution path, and shape
+    the three outcomes — ('ok', claims, None), ('expired_token', None,
+    'Token has expired N seconds ago'), or ('error', None, reason). A
+    non-binary token is ('error', None, 'invalid_token'); missing
+    role/exp claims are ('error', None, 'missing_claims')."""
+    if not isinstance(token, str):
+        return ("error", None, "invalid_token")
+    cleaned = clean_token(token)
+    # expiry is reported separately from signature failure, so decode the
+    # claims once the signature itself verifies (exp check deferred)
+    claims = verify_jwt_jwks(
+        cleaned, jwt_secret, jwks, now_epoch=None, require_claims=False
+    )
+    if claims is None:
+        return ("error", None, "invalid_token")
+    if "role" not in claims or "exp" not in claims:
+        return ("error", None, "missing_claims")
+    if now_epoch is not None and int(claims["exp"]) <= now_epoch:
+        return (
+            "expired_token",
+            None,
+            f"Token has expired {now_epoch - int(claims['exp'])} seconds ago",
+        )
+    return ("ok", claims, None)
+
+
 def verify_jwt(token: str, secret: str, now_epoch: int | None = None) -> dict | None:
     """Returns the claims dict when the token verifies, else None.
 
@@ -365,6 +410,7 @@ def verify_jwt_jwks(
     jwt_secret: str | None = None,
     jwks: Mapping | None = None,
     now_epoch: int | None = None,
+    require_claims: bool = True,
 ) -> dict | None:
     """Full signer-resolution verify path (jwt_verification.ex:49-150):
 
@@ -462,9 +508,9 @@ def verify_jwt_jwks(
         for key in ("exp", "iat"):  # decimal exp/iat rounded like the reference
             if isinstance(claims.get(key), float):
                 claims[key] = round(claims[key])
-        if "role" not in claims or "exp" not in claims:
+        if require_claims and ("role" not in claims or "exp" not in claims):
             return None
-        if now_epoch is not None and int(claims["exp"]) <= now_epoch:
+        if now_epoch is not None and int(claims.get("exp", 0)) <= now_epoch:
             return None
         return claims
     except Exception:

@@ -45,6 +45,47 @@ class TestJwt:
         assert verify_jwt("", SECRET) is None
 
 
+class TestAuthorizeConn:
+    """channels_authorization.ex authorize/3 + authorize_conn/3 (r7):
+    clean_token percent-decodes and strips whitespace; the three outcome
+    shapes (ok / expired with message / error reason) are pinned."""
+
+    def test_clean_token_strips_and_decodes(self):
+        from realtime_spark.operators.auth import authorize_conn, clean_token, sign_jwt
+
+        claims = {"role": "authenticated", "exp": 2000000000, "sub": "u1"}
+        tok = sign_jwt(claims, SECRET)
+        # pasted with line breaks, spaces, and percent-encoded dots
+        mangled = tok.replace(".", "%2E")[:20] + "\n " + tok.replace(".", "%2E")[20:]
+        assert clean_token(mangled) == tok
+        out, got, err = authorize_conn(mangled, SECRET, now_epoch=1999999999)
+        assert out == "ok" and got == claims and err is None
+
+    def test_expired_message_shape(self):
+        from realtime_spark.operators.auth import authorize_conn, sign_jwt
+
+        tok = sign_jwt({"role": "anon", "exp": 100}, SECRET)
+        out, claims, msg = authorize_conn(tok, SECRET, now_epoch=130)
+        assert out == "expired_token" and claims is None
+        assert msg == "Token has expired 30 seconds ago"
+
+    def test_missing_claims_distinct_from_bad_signature(self):
+        from realtime_spark.operators.auth import authorize_conn, sign_jwt
+
+        no_exp = sign_jwt({"role": "anon"}, SECRET)
+        assert authorize_conn(no_exp, SECRET) == ("error", None, "missing_claims")
+        no_role = sign_jwt({"exp": 2000000000}, SECRET)
+        assert authorize_conn(no_role, SECRET) == ("error", None, "missing_claims")
+        bad_sig = sign_jwt({"role": "anon", "exp": 2000000000}, SECRET)[:-2] + "xx"
+        assert authorize_conn(bad_sig, SECRET) == ("error", None, "invalid_token")
+
+    def test_non_string_token(self):
+        from realtime_spark.operators.auth import authorize_conn
+
+        assert authorize_conn(None, SECRET) == ("error", None, "invalid_token")
+        assert authorize_conn(123, SECRET) == ("error", None, "invalid_token")
+
+
 class TestFilterValidation:
     def test_in_cap_100(self):
         vals = ",".join(str(i) for i in range(101))
