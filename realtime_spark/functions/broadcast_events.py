@@ -22,8 +22,10 @@ Semantics ported, not the framework:
   - ack_broadcast -> {:reply, :ok}; otherwise :noreply, sent or not.
   - self_broadcast decides pubsub_broadcast (sender included — no from
     socket) vs pubsub_broadcast_from (sender excluded); the V2
-    UserBroadcastPush tuple (user_event, encoding, user_payload) builds a
-    UserBroadcast, a plain map builds event='broadcast'.
+    UserBroadcastPush tuple — exact 4-tuple arity
+    (user_event, encoding, user_payload, metadata), matching the
+    reference build_broadcast/2 clause head — builds a UserBroadcast,
+    a plain map builds event='broadcast'.
 
 `sent_messages_df` bridges the admitted sends into the frame
 `operators/dispatch.fastlane_pairs` consumes, making this the front door

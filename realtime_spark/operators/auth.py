@@ -25,6 +25,7 @@ import base64
 import hashlib
 import hmac
 import json
+import math
 from typing import Iterable, Mapping, Sequence
 
 import pandas as pd
@@ -62,14 +63,17 @@ def sign_jwt(claims: Mapping, secret: str) -> str:
 
 def clean_token(token: str) -> str:
     """channels_authorization.ex:40 ``clean_token/1``: percent-decode the
-    token (URI.decode) and strip ALL whitespace including newlines, so a
+    token (URI.decode) and strip whitespace including newlines, so a
     token that arrived URL-encoded or pasted with line breaks still
     verifies. Applied before every verification path, like the
-    reference's ``authorize/3``."""
+    reference's ``authorize/3``. The reference regex ``~r/\\s|\\n/`` is
+    PCRE without the unicode flag, i.e. ASCII ``[ \\t\\n\\v\\f\\r]`` only —
+    Unicode whitespace (U+00A0, U+2028, ...) is NOT stripped there, so a
+    token containing it must fail verification here too."""
     import re as _re
     from urllib.parse import unquote
 
-    return _re.sub(r"\s", "", unquote(token))
+    return _re.sub(r"[ \t\n\v\f\r]", "", unquote(token))
 
 
 def authorize_conn(
@@ -83,7 +87,16 @@ def authorize_conn(
     the three outcomes — ('ok', claims, None), ('expired_token', None,
     'Token has expired N seconds ago'), or ('error', None, reason). A
     non-binary token is ('error', None, 'invalid_token'); missing
-    role/exp claims are ('error', None, 'missing_claims')."""
+    role/exp claims are ('error', None, 'missing_claims').
+
+    Ordering matches the reference: Joken's exp validator
+    (jwt_verification.ex:23-26, ``is_number(&1) and &1 > current_time``)
+    runs inside verify — i.e. BEFORE authorize_conn's required-claims
+    check — but, like any Joken claim validator, only when the claim is
+    present. So an expired token that also lacks 'role' reports
+    'expired_token', and a present-but-non-numeric exp is a validation
+    error (the reference's expired branch pattern-matches is_integer on
+    claim_val and falls through to the generic {:error, reason})."""
     if not isinstance(token, str):
         return ("error", None, "invalid_token")
     cleaned = clean_token(token)
@@ -94,14 +107,21 @@ def authorize_conn(
     )
     if claims is None:
         return ("error", None, "invalid_token")
+    if "exp" in claims:
+        exp = claims["exp"]
+        # JSON true/false are is_number=false in Erlang; bool is an int
+        # subclass in Python, so exclude it explicitly.
+        if isinstance(exp, bool) or not isinstance(exp, (int, float)):
+            return ("error", None, "invalid_token")
+        exp = int(exp)  # decimals already rounded by verify_jwt_jwks
+        if now_epoch is not None and exp <= now_epoch:
+            return (
+                "expired_token",
+                None,
+                f"Token has expired {now_epoch - exp} seconds ago",
+            )
     if "role" not in claims or "exp" not in claims:
         return ("error", None, "missing_claims")
-    if now_epoch is not None and int(claims["exp"]) <= now_epoch:
-        return (
-            "expired_token",
-            None,
-            f"Token has expired {now_epoch - int(claims['exp'])} seconds ago",
-        )
     return ("ok", claims, None)
 
 
@@ -507,11 +527,20 @@ def verify_jwt_jwks(
         claims = json.loads(_b64url_decode(body_b64))
         for key in ("exp", "iat"):  # decimal exp/iat rounded like the reference
             if isinstance(claims.get(key), float):
-                claims[key] = round(claims[key])
+                # Elixir round/1 is half-away-from-zero; Python round() is
+                # banker's (exp=100.5 would diverge: 101 vs 100)
+                v = claims[key]
+                claims[key] = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
         if require_claims and ("role" not in claims or "exp" not in claims):
             return None
-        if now_epoch is not None and int(claims.get("exp", 0)) <= now_epoch:
-            return None
+        if now_epoch is not None and "exp" in claims:
+            exp = claims["exp"]
+            # Joken's exp validator requires is_number — a string exp like
+            # "123" must fail, not be int()-coerced into a live token
+            if isinstance(exp, bool) or not isinstance(exp, (int, float)):
+                return None
+            if int(exp) <= now_epoch:
+                return None
         return claims
     except Exception:
         return None

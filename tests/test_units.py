@@ -85,6 +85,63 @@ class TestAuthorizeConn:
         assert authorize_conn(None, SECRET) == ("error", None, "invalid_token")
         assert authorize_conn(123, SECRET) == ("error", None, "invalid_token")
 
+    def test_non_numeric_exp_is_error_not_crash(self):
+        """Joken's exp validator requires is_number — a signature-valid
+        token with exp='abc'/None/[]/true must yield an error tuple, not
+        raise, and not return ok even when now_epoch is None (r8 ADVICE)."""
+        from realtime_spark.operators.auth import authorize_conn, sign_jwt
+
+        for bad in ("abc", None, [], {}, True, "123"):
+            tok = sign_jwt({"role": "anon", "exp": bad}, SECRET)
+            for now in (None, 130):
+                out = authorize_conn(tok, SECRET, now_epoch=now)
+                assert out == ("error", None, "invalid_token"), (bad, now, out)
+
+    def test_expired_wins_over_missing_role(self):
+        """Reference validates exp inside Joken verify BEFORE the
+        required-claims check: expired + missing 'role' -> expired_token."""
+        from realtime_spark.operators.auth import authorize_conn, sign_jwt
+
+        tok = sign_jwt({"exp": 100}, SECRET)  # no role
+        out, claims, msg = authorize_conn(tok, SECRET, now_epoch=130)
+        assert out == "expired_token" and claims is None
+        assert msg == "Token has expired 30 seconds ago"
+        # but a MISSING exp never enters the expiry comparison
+        no_exp = sign_jwt({"sub": "u"}, SECRET)
+        assert authorize_conn(no_exp, SECRET, now_epoch=130) == (
+            "error",
+            None,
+            "missing_claims",
+        )
+
+    def test_clean_token_ascii_whitespace_only(self):
+        """~r/\\s|\\n/ without the unicode flag is ASCII-only: NBSP and
+        LINE SEPARATOR survive cleaning (and so fail verification), while
+        all six ASCII whitespace chars are stripped."""
+        from realtime_spark.operators.auth import authorize_conn, clean_token, sign_jwt
+
+        tok = sign_jwt({"role": "anon", "exp": 2000000000}, SECRET)
+        mangled = " \t" + tok[:10] + "\v\f\r\n" + tok[10:] + " "
+        assert clean_token(mangled) == tok
+        for uws in (" ", " ", "　"):
+            assert clean_token(tok + uws) == tok + uws
+            assert authorize_conn(tok + uws, SECRET, now_epoch=100) == (
+                "error",
+                None,
+                "invalid_token",
+            )
+
+    def test_decimal_exp_rounds_half_away_from_zero(self):
+        """Elixir round/1 on exp=100.5 -> 101 (NOT banker's 100): a token
+        with exp=100.5 at now=100 is still live by one second."""
+        from realtime_spark.operators.auth import authorize_conn, sign_jwt
+
+        tok = sign_jwt({"role": "anon", "exp": 100.5}, SECRET)
+        out, claims, _ = authorize_conn(tok, SECRET, now_epoch=100)
+        assert out == "ok" and claims["exp"] == 101
+        out2, _, msg2 = authorize_conn(tok, SECRET, now_epoch=101)
+        assert out2 == "expired_token" and msg2 == "Token has expired 0 seconds ago"
+
 
 class TestFilterValidation:
     def test_in_cap_100(self):
