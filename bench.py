@@ -635,6 +635,11 @@ def main() -> None:
         # memory/GC pressure never leaks into the next measurement
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
+    # third probe ADJACENT to the streaming block (r8 ask #4): the r7
+    # driver's streaming deltas normalized outside the first/last-probe
+    # band because those two bracket a ~10-minute run and cannot see
+    # mid-run load; streaming-block R = calibration_streaming / prior round
+    calibration_streaming = calibration_probe(spark)
     streaming = {}
     # best-of-3 per stage: single-run streaming throughput swings +/-25% on a
     # shared box (r3 driver read 14.7k ch/s where the same commit measured
@@ -684,6 +689,7 @@ def main() -> None:
                 # constant-work host probes: compare across rounds to
                 # normalize for driver-box load before grading regressions
                 "calibration_first": calibration_first,
+                "calibration_streaming": calibration_streaming,
                 "calibration_last": calibration_last,
             }
         )

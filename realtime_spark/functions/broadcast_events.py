@@ -77,6 +77,7 @@ def handle_broadcast_event(
     sent: list[SentMessage],
     max_payload_size_bytes: int = 3_000_000,
     authorize: Callable[[], bool] | None = None,
+    inclusive_push_size: bool = False,
 ) -> tuple[str, BroadcastSocket]:
     """handle/3. Appends admitted sends to `sent`; returns (reply, socket).
     `authorize` evaluates broadcast.write (the RLS probe — injected like
@@ -98,7 +99,7 @@ def handle_broadcast_event(
     if socket.write_policy is not False:
         socket.rate_count += 1
 
-    if _payload_bytes(_size_view(payload)) > max_payload_size_bytes:
+    if push_size_bytes(payload, inclusive_push_size) > max_payload_size_bytes:
         if socket.ack_broadcast:
             return REPLY_PAYLOAD_SIZE_EXCEEDED, socket
         return NOREPLY, socket  # oversized AND ack-less: dropped silently
@@ -131,10 +132,39 @@ def _size_view(payload: Any) -> Any:
     # bytes straddle the limit can be admitted here and rejected there.
     # The divergence is bounded by len(event) + len(metadata) + framing
     # constants; tenants set the limit in megabytes, so verdicts only
-    # differ within that sliver.
+    # differ within that sliver. `push_size_bytes(..., inclusive=True)`
+    # measures the reference-scoped view, and
+    # tests/test_broadcast_events.py asserts the bound numerically.
     if _is_push(payload):
         return payload[2]
     return payload
+
+
+# stand-in for the ETF tuple framing :erlang.external_size charges on a
+# 4-tuple push (version byte + SMALL_TUPLE_EXT header + 4 term tags); the
+# JSON-octet analog is the list brackets + 3 separators. A fixed constant
+# keeps the bound assertable: inclusive - exclusive ==
+# json(event) + json(encoding) + json(metadata) + _PUSH_FRAMING_BYTES.
+_PUSH_FRAMING_BYTES = 5
+
+
+def push_size_bytes(payload: Any, inclusive: bool = False) -> int:
+    """Measured size of one broadcast payload under either scope:
+    exclusive (this engine's default — the inner user payload only, the
+    declared divergence above) or inclusive (the reference's
+    whole-push-tuple scope: event + encoding + payload + metadata +
+    framing, broadcast_handler.ex's :erlang.external_size check), still in
+    the JSON-octet byte convention."""
+    if inclusive and _is_push(payload):
+        event, encoding, user_payload, metadata = payload
+        return (
+            _payload_bytes(event)
+            + _payload_bytes(encoding)
+            + _payload_bytes(user_payload)
+            + _payload_bytes(metadata)
+            + _PUSH_FRAMING_BYTES
+        )
+    return _payload_bytes(_size_view(payload))
 
 
 def _build_broadcast(socket: BroadcastSocket, payload: Any) -> SentMessage:

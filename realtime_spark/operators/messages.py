@@ -46,6 +46,84 @@ def shape_messages(raw: DataFrame, max_payload_kb: int = 3000) -> DataFrame:
     return sized.withColumn("day", F.to_date("inserted_at"))
 
 
+def uuid_from_hash(col) -> "F.Column":
+    """Deterministic stand-in for ``gen_random_uuid()`` in oracle-graded
+    paths: md5 of the input rendered in canonical 8-4-4-4-12 lowercase.
+    Production callers pass F.uuid() instead — the shape functions take the
+    generator as a column so tests/oracles can pin it."""
+    h = F.md5(col.cast("string"))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+def realtime_send(
+    df: DataFrame,
+    payload_col: str = "payload",
+    event_col: str = "event",
+    topic_col: str = "topic",
+    private_col: str = "private",
+    gen_id=None,
+) -> DataFrame:
+    """``realtime.send(payload jsonb, event, topic, private)`` — the
+    payload-id auto-gen shape (F11), migration
+    20251103001201_broadcast_send_include_payload_id.ex:8-40:
+
+      - ``generated_id := gen_random_uuid()`` ALWAYS becomes the row id,
+        even when the payload carries its own 'id' key
+      - the payload gains ``{id: generated_id}`` ONLY when it has no 'id'
+        key (``IF payload ? 'id' THEN final_payload := payload``)
+      - extension is 'broadcast'
+
+    Row-level projection only — pipelined into the scan, no shuffle."""
+    gen = F.uuid() if gen_id is None else gen_id
+    p = F.col(payload_col)
+    final_payload = F.when(
+        F.map_contains_key(p, F.lit("id")), p
+    ).otherwise(F.map_concat(p, F.create_map(F.lit("id"), gen)))
+    return df.select(
+        gen.alias("id"),
+        final_payload.alias("payload"),
+        F.col(event_col).alias("event"),
+        F.col(topic_col).alias("topic"),
+        F.col(private_col).alias("private"),
+        F.lit("broadcast").alias("extension"),
+    )
+
+
+def realtime_send_binary(
+    df: DataFrame,
+    payload_col: str = "binary_payload",
+    event_col: str = "event",
+    topic_col: str = "topic",
+    private_col: str = "private",
+    gen_id=None,
+) -> DataFrame:
+    """``realtime.send_binary(payload bytea, event, topic, private)`` —
+    the S6 binary variant, migration
+    20260603120000_add_send_binary_function.ex:9-31: the row id is a fresh
+    uuid, the bytea lands in ``binary_payload``, and — unlike the jsonb
+    ``realtime.send`` — NO id is injected anywhere in the payload (the
+    function never touches it; ``payload`` stays NULL on the inserted
+    row). Downstream, db_broadcast_from_changes tags these rows
+    encoding='binary' with binary_payload winning over payload (F12)."""
+    gen = F.uuid() if gen_id is None else gen_id
+    return df.select(
+        gen.alias("id"),
+        F.lit(None).cast("map<string,string>").alias("payload"),
+        F.col(payload_col).cast("binary").alias("binary_payload"),
+        F.col(event_col).alias("event"),
+        F.col(topic_col).alias("topic"),
+        F.col(private_col).alias("private"),
+        F.lit("broadcast").alias("extension"),
+    )
+
+
 def write_messages(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).partitionBy("day").parquet(path)
 

@@ -371,12 +371,25 @@ def should_compact(
     """Threshold trigger for the scheduled policy: fire when any substore
     has accumulated ``max_epochs`` uncompacted epoch directories, or (if
     set) when any substore's data-file count reaches ``max_files``. Both
-    are pure directory listings — no Spark job."""
+    are pure directory listings — no Spark job.
+
+    The file-count trigger only fires while there is at least one
+    uncompacted epoch to fold: ``store_file_count`` includes the compacted
+    base's own files, so once the base alone exceeds ``max_files`` an
+    ungated trigger would rewrite the whole base every cycle forever with
+    zero new epochs — a full-store rewrite per drain at scale (r8 ADVICE).
+    Compacting with zero epochs can never shrink the count below the
+    threshold, so the gate loses nothing."""
     for sub in substores:
         store = os.path.join(root, sub)
-        if store_epoch_count(store) >= max_epochs:
+        epochs = store_epoch_count(store)
+        if epochs >= max_epochs:
             return True
-        if max_files is not None and store_file_count(store) >= max_files:
+        if (
+            max_files is not None
+            and epochs > 0
+            and store_file_count(store) >= max_files
+        ):
             return True
     return False
 

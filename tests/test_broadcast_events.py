@@ -179,6 +179,51 @@ def test_payload_size_exceeded_with_ack_replies_error(private):
     assert out == REPLY_PAYLOAD_SIZE_EXCEEDED and sent == []
 
 
+def test_push_size_scope_divergence_is_bounded():
+    """r8 ask #7: the declared exclusive-vs-inclusive scope divergence on
+    V2 pushes is asserted numerically, not just in prose. The inclusive
+    view (event + encoding + payload + metadata + framing, the reference's
+    whole-tuple :erlang.external_size scope) exceeds the exclusive view by
+    EXACTLY json(event)+json(encoding)+json(metadata)+framing — and a push
+    straddling the limit flips the verdict only inside that sliver."""
+    from realtime_spark.functions.broadcast_events import (
+        _PUSH_FRAMING_BYTES,
+        _payload_bytes,
+        push_size_bytes,
+    )
+
+    event, enc, meta = "my-event", "json", {"trace": "abc123"}
+    for payload in ({"k": "v" * 100}, {"k": 1}, [1, 2, 3], "raw"):
+        push = (event, enc, payload, meta)
+        sliver = (
+            _payload_bytes(event)
+            + _payload_bytes(enc)
+            + _payload_bytes(meta)
+            + _PUSH_FRAMING_BYTES
+        )
+        assert push_size_bytes(push, True) - push_size_bytes(push, False) == sliver
+
+    # boundary: inner payload exactly at the limit — admitted exclusive,
+    # rejected inclusive; shrink past the sliver and both admit
+    limit = 200
+    inner = {"content": "x" * (limit - _payload_bytes({"content": ""}))}
+    assert push_size_bytes((event, enc, inner, meta), False) == limit
+    push = (event, enc, inner, meta)
+
+    def verdict(inclusive):
+        s = BroadcastSocket(private=False, ack_broadcast=True)
+        sent = []
+        out, _ = handle_broadcast_event(
+            push, s, sent, limit, inclusive_push_size=inclusive
+        )
+        return out
+
+    assert verdict(False) == REPLY_OK
+    assert verdict(True) == REPLY_PAYLOAD_SIZE_EXCEEDED
+    # non-push payloads measure identically under both scopes
+    assert push_size_bytes({"a": 1}, True) == push_size_bytes({"a": 1}, False)
+
+
 def test_rate_counter_increments_on_admitted_paths():
     # increment_rate_counter/1: bumps for sends AND oversized attempts,
     # skips only an explicit write=False policy

@@ -414,6 +414,229 @@ def test_scheduled_compaction_poll_loop(spark, tmp_path):
     assert snap(loop_root)[0], "fixture must accept documents"
 
 
+def test_file_count_trigger_gated_on_new_epochs(spark, tmp_path):
+    """r8 thrash guard: `store_file_count` includes the compacted base's
+    own files, so once the base alone exceeds max_files an ungated trigger
+    would rewrite the whole base every cycle forever with zero new epochs.
+    The file-count trigger must fire only while there is at least one
+    uncompacted epoch to fold — exactly ONE compaction across the loop."""
+    from realtime_spark.streaming.compaction import (
+        INGEST_SUBSTORES,
+        compact_ingest_state,
+        run_ingest_cycles,
+        should_compact,
+        store_epoch_count,
+        store_file_count,
+    )
+    from realtime_spark.streaming.ingest import run_ingest_stream, seed_ingest_state
+
+    # direct unit shape first: a compacted store whose base alone is over
+    # the threshold, zero epochs -> no fire; one new epoch -> fire
+    store = _mini_store(spark, tmp_path, n_epochs=2)
+    root, sub = str(tmp_path), os.path.basename(store)
+    compact_store(spark, store, lambda df, p: df.write.parquet(p))
+    assert store_epoch_count(store) == 0 and store_file_count(store) >= 1
+    assert not should_compact(root, [sub], max_epochs=99, max_files=1)
+    spark.range(0, 3).toDF("v").write.parquet(f"{store}/ingest_epoch=e99")
+    assert should_compact(root, [sub], max_epochs=99, max_files=1)
+
+    # loop shape: one arrival in cycle 0, then two idle drains — with
+    # max_files=1 the base always exceeds the threshold, but only the
+    # cycle that actually produced an epoch may compact
+    b0, _, _ = _doc_batches(spark)
+    loop_root = str(tmp_path / "loop")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    seed_ingest_state(_corpus(spark), loop_root)
+    arrivals = iter([b0])
+
+    def start_stream():
+        nxt = next(arrivals, None)
+        if nxt is not None:
+            nxt.coalesce(1).write.parquet(f"{src}/f{len(os.listdir(src))}")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        return run_ingest_stream(stream, loop_root, ckpt)
+
+    telemetry = run_ingest_cycles(
+        spark,
+        loop_root,
+        start_stream,
+        compact_ingest_state,
+        INGEST_SUBSTORES,
+        cycles=3,
+        max_epochs=99,
+        max_files=1,
+    )
+    assert [t["compacted"] for t in telemetry] == [True, False, False]
+
+
+def test_scheduled_loop_vector_store_with_drift_rebuild(spark, tmp_path):
+    """r8 ask: drive the scheduled loop with compact_vector_state, with a
+    centroid rebuild BETWEEN loop calls (the interesting window — the
+    rebuild advances min_epoch through compact_store, and the resumed loop
+    must keep its checkpointed epoch ids admissible). Accepted set and
+    index membership must match a never-compacted never-rebuilt twin."""
+    from realtime_spark.streaming.compaction import (
+        VECTOR_SUBSTORES,
+        compact_vector_state,
+        run_ingest_cycles,
+    )
+    from realtime_spark.streaming.vector_ingest import (
+        process_vector_batch,
+        rebuild_vector_index,
+        run_vector_ingest_stream,
+        searchable_index,
+        seed_vector_state,
+    )
+
+    e = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") % 2 == 0)
+    cents = e.filter(F.col("vec_id") % 50 == 0)
+    b0 = e.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 100))
+    b1 = e.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") >= 100))
+    # post-rebuild batch: novel directions plus re-keyed copies the dedup
+    # must reject against the compacted+rebuilt index
+    b2 = corpus.select(
+        (F.col("vec_id") + 30000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    ).unionByName(
+        b0.select((F.col("vec_id") + 40000).alias("vec_id"), "embedding")
+    )
+    batches = [b0, b1, b2]
+
+    loop_root = str(tmp_path / "loop")
+    twin_root = str(tmp_path / "twin")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    seed_vector_state(corpus, cents, loop_root)
+    seed_vector_state(corpus, cents, twin_root)
+    for i, b in enumerate(batches):
+        process_vector_batch(b, i, twin_root, dedup_threshold=0.999999)
+
+    arrivals = iter(batches)
+
+    def start_stream():
+        next(arrivals).coalesce(1).write.parquet(f"{src}/f{len(os.listdir(src))}")
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        return run_vector_ingest_stream(
+            stream, loop_root, ckpt, dedup_threshold=0.999999
+        )
+
+    t1 = run_ingest_cycles(
+        spark, loop_root, start_stream, compact_vector_state,
+        VECTOR_SUBSTORES, cycles=2, max_epochs=2,
+    )
+    assert [t["compacted"] for t in t1] == [False, True]
+
+    # rebuild between loop calls (deterministic: call it directly — the
+    # drift trigger path is maintain_vector_index, tested elsewhere)
+    manifest = rebuild_vector_index(spark, loop_root)
+    assert manifest["centroids"].startswith("centroids_v")
+
+    # the resumed loop's checkpoint continues at epoch 2; the rebuild's
+    # compact_store left min_epoch at 2, so the write must be admissible
+    t2 = run_ingest_cycles(
+        spark, loop_root, start_stream, compact_vector_state,
+        VECTOR_SUBSTORES, cycles=1, max_epochs=2,
+    )
+    assert [t["compacted"] for t in t2] == [False]
+
+    def ids(root, store):
+        return sorted(
+            r["vec_id"]
+            for r in read_store(spark, f"{root}/{store}").select("vec_id").collect()
+        )
+
+    assert ids(loop_root, "accepted") == ids(twin_root, "accepted")
+    # index membership identical too (centroid assignment differs, rows not)
+    loop_idx = sorted(
+        r["vec_id"] for r in searchable_index(spark, loop_root).collect()
+    )
+    twin_idx = sorted(
+        r["vec_id"] for r in searchable_index(spark, twin_root).collect()
+    )
+    assert loop_idx == twin_idx and loop_idx
+    acc = set(ids(loop_root, "accepted"))
+    assert not any(40000 <= v < 50000 for v in acc), (
+        "re-keyed copies must be rejected against the compacted+rebuilt index"
+    )
+
+
+def test_scheduled_loop_search_store(spark, tmp_path):
+    """r8 ask: drive the scheduled loop with compact_search_state — the
+    stat-partial SUM fold runs under the janitor and BM25 off the looped
+    store must stay bit-identical to the never-compacted twin."""
+    from realtime_spark.streaming.compaction import (
+        SEARCH_SUBSTORES,
+        compact_search_state,
+        run_ingest_cycles,
+    )
+    from realtime_spark.streaming.search_ingest import (
+        bm25_topk_from_live_index,
+        process_search_batch,
+        run_search_ingest_stream,
+        seed_search_state,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 40)
+    batches = [
+        docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80)),
+        docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 120)),
+        docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 160)),
+    ]
+
+    loop_root = str(tmp_path / "loop")
+    twin_root = str(tmp_path / "twin")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    seed_search_state(corpus, loop_root)
+    seed_search_state(corpus, twin_root)
+    for i, b in enumerate(batches):
+        process_search_batch(b, i, twin_root)
+
+    arrivals = iter(batches)
+
+    def start_stream():
+        next(arrivals).coalesce(1).write.parquet(f"{src}/f{len(os.listdir(src))}")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        return run_search_ingest_stream(stream, loop_root, ckpt)
+
+    telemetry = run_ingest_cycles(
+        spark, loop_root, start_stream, compact_search_state,
+        SEARCH_SUBSTORES, cycles=3, max_epochs=2,
+    )
+    assert [t["compacted"] for t in telemetry] == [False, True, False]
+    # stat partials: one folded base row plus the post-compaction epoch row
+    assert spark.read.parquet(f"{loop_root}/stats/ingest_epoch=c0").count() == 1
+
+    terms = ["data", "model", "the"]
+
+    def snap(root):
+        return sorted(
+            (r["doc"], r["score"], r["rank"])
+            for r in bm25_topk_from_live_index(spark, root, terms, k=25).collect()
+        )
+
+    a_snap, b_snap = snap(loop_root), snap(twin_root)
+    assert a_snap == b_snap and a_snap
+
+
 def test_compaction_random_interleavings(spark, tmp_path):
     """Randomized protocol interleavings against a pure-Python visibility
     model: epoch writes, compactions, simulated crash leftovers of every
