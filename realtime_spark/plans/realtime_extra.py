@@ -1057,6 +1057,112 @@ WHERE event_id % 11 <> 0
 """
 
 
+def q_send_payload_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 oracle conversion (r8 ask #6): the `realtime.send` payload-id
+    auto-gen shape (migrations/20251103001201:16-24). Every third event's
+    payload already carries an 'id' key — the row id is STILL the
+    generated uuid, but the payload keeps its own id; all other payloads
+    gain {id: generated_id}. gen_random_uuid is pinned to a
+    deterministic md5-derived uuid so DuckDB can replay it."""
+    from realtime_spark.operators.messages import realtime_send, uuid_from_hash
+
+    e = load_table(spark, sf_dir, "events")
+    has_own = F.col("event_id") % 3 == 0
+    payload = F.when(
+        has_own,
+        F.create_map(
+            F.lit("body"), F.col("props"),
+            F.lit("id"), F.concat(F.lit("prior-"), F.col("event_id").cast("string")),
+        ),
+    ).otherwise(F.create_map(F.lit("body"), F.col("props")))
+    src = e.select(
+        payload.alias("payload"),
+        F.lit("broadcast-event").alias("event"),
+        F.col("event_type").alias("topic"),
+        (F.col("user_id") % 2 == 0).alias("private"),
+        F.concat(F.lit("send:"), F.col("event_id").cast("string")).alias("_g"),
+    )
+    out = realtime_send(src, gen_id=uuid_from_hash(F.col("_g")))
+    return out.select(
+        "id",
+        F.element_at("payload", "id").alias("payload_id"),
+        (F.element_at("payload", "id") == F.col("id")).alias("id_injected"),
+        "event",
+        "topic",
+        "private",
+        "extension",
+    )
+
+
+ORACLE_SEND_PAYLOAD_ID = """
+WITH g AS (
+  SELECT md5('send:' || CAST(event_id AS VARCHAR)) AS h, *
+  FROM events
+), u AS (
+  SELECT substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'||
+         substr(h,17,4)||'-'||substr(h,21,12) AS gen, * FROM g
+)
+SELECT gen AS id,
+       CASE WHEN event_id % 3 = 0
+            THEN 'prior-' || CAST(event_id AS VARCHAR) ELSE gen END AS payload_id,
+       (event_id % 3 <> 0) AS id_injected,
+       'broadcast-event' AS event, event_type AS topic,
+       (user_id % 2 = 0) AS private, 'broadcast' AS extension
+FROM u
+"""
+
+
+def q_send_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 binary-variant oracle conversion (r8 ask #6): the
+    `realtime.send_binary` shape (migrations/20260603120000:9-31) — the
+    bytea lands in binary_payload, the row id is the generated uuid, and
+    unlike the jsonb send NO id is injected anywhere (payload stays
+    NULL). Binary content is pinned by md5 + octet length so the hash
+    compare grades the bytes without shipping blobs through the
+    column-sorted value hash."""
+    from realtime_spark.operators.messages import (
+        realtime_send_binary,
+        uuid_from_hash,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("text").cast("binary").alias("binary_payload"),
+        F.lit("doc-upload").alias("event"),
+        F.concat(F.lit("room:"), (F.col("doc_id") % 7).cast("string")).alias("topic"),
+        (F.col("doc_id") % 2 == 0).alias("private"),
+        F.concat(F.lit("sendb:"), F.col("doc_id").cast("string")).alias("_g"),
+    )
+    out = realtime_send_binary(src, gen_id=uuid_from_hash(F.col("_g")))
+    return out.select(
+        "id",
+        F.col("payload").isNull().alias("payload_is_null"),
+        F.md5("binary_payload").alias("payload_md5"),
+        F.octet_length("binary_payload").alias("payload_bytes"),
+        "event",
+        "topic",
+        "private",
+        "extension",
+    )
+
+
+ORACLE_SEND_BINARY = """
+WITH g AS (
+  SELECT md5('sendb:' || CAST(doc_id AS VARCHAR)) AS h, *
+  FROM documents
+)
+SELECT substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'||
+       substr(h,17,4)||'-'||substr(h,21,12) AS id,
+       TRUE AS payload_is_null,
+       md5(text) AS payload_md5,
+       strlen(text) AS payload_bytes,
+       'doc-upload' AS event,
+       'room:' || CAST(doc_id % 7 AS VARCHAR) AS topic,
+       (doc_id % 2 = 0) AS private, 'broadcast' AS extension
+FROM g
+"""
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_spark.operators.funnel import retention_cohorts
 
@@ -1614,6 +1720,8 @@ def realtime_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFram
         "funnel_counts": q_funnel_counts,
         "retention_cohorts": q_retention_cohorts,
         "db_broadcast_parse": q_db_broadcast_parse,
+        "send_payload_id": q_send_payload_id,
+        "send_binary": q_send_binary,
         "funnel_latency": q_funnel_latency,
         "traffic_accounting": q_traffic_accounting,
         "channel_limits": q_channel_limits,
@@ -1656,6 +1764,8 @@ def realtime_extra_oracles() -> dict[str, str]:
         "funnel_counts": ORACLE_FUNNEL_COUNTS,
         "retention_cohorts": ORACLE_RETENTION_COHORTS,
         "db_broadcast_parse": ORACLE_DB_BROADCAST_PARSE,
+        "send_payload_id": ORACLE_SEND_PAYLOAD_ID,
+        "send_binary": ORACLE_SEND_BINARY,
         "funnel_latency": ORACLE_FUNNEL_LATENCY,
         "traffic_accounting": ORACLE_TRAFFIC_ACCOUNTING,
         "channel_limits": ORACLE_CHANNEL_LIMITS,
