@@ -506,7 +506,10 @@ def bench_streaming_ingest(spark, sf_dir: str, micro_batches: int = 5) -> dict:
         )
         t0 = time.perf_counter()
         q = run_ingest_stream(stream, root, ckpt)
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("ingest drain did not finish in 600s — a "
+                               "partial drain would silently misreport docs/s")
         wall = time.perf_counter() - t0
         accepted = spark.read.parquet(f"{root}/accepted").count()
         # post-drain epoch compaction: the store-lifecycle maintenance cost

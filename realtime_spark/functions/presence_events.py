@@ -144,9 +144,18 @@ def handle_presence_event(
     paths that return 'ok', so they need no rollback."""
     if not isinstance(message, dict) or "event" not in message:
         return "ok", socket  # handle(_, _, socket) -> {:ok, socket}
-    import copy
+    from dataclasses import replace
 
-    work = copy.deepcopy(socket)
+    # keep-pre-handle-socket without a full deep copy: the dispatch only
+    # mutates the two flat nested dataclasses in place (rate-limit counter,
+    # cached policies) and REBINDS presence_enabled/presence_track_payload
+    # — so shallow replaces of exactly those two isolate the original,
+    # while the (arbitrarily large) track payload is never copied.
+    work = replace(
+        socket,
+        policies=replace(socket.policies),
+        client_rate_limit=replace(socket.client_rate_limit),
+    )
     result, work = _dispatch_event(
         message, work, tracker, tenant, now_ms, tenant_rate_avg, authorize
     )

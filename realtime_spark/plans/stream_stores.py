@@ -309,6 +309,64 @@ def q_stream_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_vector_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: the scheduled-compaction poll loop driving the VECTOR store
+    under the driver gate — the q_stream_ivf_topk arrival sequence (three
+    covering epochs plus a full re-delivery every id of which the
+    anti-join must reject) as real availableNow drain cycles off a file
+    source, with compact_vector_state as the threshold janitor
+    (max_epochs=2: fires after the second drain, epochs 2-3 land in the
+    auto-compacted store). Search off the live store must equal the batch
+    IVF answer over all embeddings — the identical oracle."""
+    import tempfile
+
+    from realtime_spark.operators.similarity import ivf_topk_from_index
+    from realtime_spark.streaming.compaction import (
+        VECTOR_SUBSTORES,
+        compact_vector_state,
+        run_ingest_cycles,
+    )
+    from realtime_spark.streaming.vector_ingest import (
+        run_vector_ingest_stream,
+        searchable_index,
+        seed_vector_state,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.expr(_IVF_CENT_PRED))
+    corpus = e.filter("vec_id % 4 = 0")
+    parts = [e.filter(f"vec_id % 4 = {i}") for i in (1, 2, 3)]
+
+    root = _fresh_root(sf_dir, "vecloop")
+    seed_vector_state(corpus, cents, root)
+    src = tempfile.mkdtemp(prefix="rs_vecloop_src_")
+    ckpt = f"{root}/_ckpt"
+    arrivals = iter([parts[0], parts[1], parts[2], parts[0]])
+
+    def start_stream():
+        batch = next(arrivals)
+        batch.coalesce(1).write.parquet(f"{src}/f{len(os.listdir(src))}")
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        return run_vector_ingest_stream(stream, root, ckpt)
+
+    telemetry = run_ingest_cycles(
+        spark, root, start_stream, compact_vector_state,
+        VECTOR_SUBSTORES, cycles=4, max_epochs=2,
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    if [t["compacted"] for t in telemetry] != [False, True, False, True]:
+        raise AssertionError(f"compaction trigger misfired: {telemetry}")
+
+    queries = e.filter(F.expr(_ANN_QUERY_PRED))
+    return ivf_topk_from_index(
+        searchable_index(spark, root), queries, cents, k=_ANN_K, nprobe=_IVF_NPROBE
+    )
+
+
 # ---------------------------------------------------------------------------
 # search ingest: folded-partial BM25 == batch answer over the union
 # ---------------------------------------------------------------------------
@@ -341,6 +399,7 @@ def stream_stores_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
         "stream_ingest_accepted": q_stream_ingest_accepted,
         "stream_compaction_loop": q_stream_compaction_loop,
         "stream_ivf_topk": q_stream_ivf_topk,
+        "stream_vector_loop": q_stream_vector_loop,
         "stream_bm25_topk": q_stream_bm25_topk,
     }
 
@@ -352,5 +411,8 @@ def stream_stores_oracles() -> dict[str, str]:
         # scheduled-compaction poll loop — the accepted set is the same
         "stream_compaction_loop": ORACLE_STREAM_INGEST_ACCEPTED,
         "stream_ivf_topk": ORACLE_ANN_IVF_TOPK,
+        # the loop runs the identical arrival sequence (epochs + full
+        # re-delivery) through the poll loop — same batch IVF answer
+        "stream_vector_loop": ORACLE_ANN_IVF_TOPK,
         "stream_bm25_topk": ORACLE_SEARCH_BM25,
     }

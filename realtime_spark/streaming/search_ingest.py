@@ -14,6 +14,12 @@ via search_bm25 / search_bm25_index).
 
 Exactly-once follows the ingest.py protocol — each epoch overwrites its own
 ``ingest_epoch=e{N}`` directories and a replay rewrites identical bytes.
+The three per-epoch writes (postings, doclen, stats) are not mutually
+atomic: a crash between them leaves a TORN epoch (e.g. doclen written but
+its stats partial missing), visible to a concurrent reader as slightly
+skewed avgdl/N until the checkpoint replay rewrites the epoch. Bounded to
+the crash-recovery window and self-healing — the same transient the
+corpus ingest's digest/lsh/accepted trio accepts by design.
 The only store read while processing is a column-pruned doclen id scan
 that rejects re-delivered doc ids (which would otherwise fan out the score
 join and skew the summed stat partials); it excludes the batch's own epoch
