@@ -175,7 +175,10 @@ def bench_streaming_cdc(spark, sf_dir: str, micro_batches: int | None = None) ->
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream drain timed out — a partial drain "
+                               "would silently misreport throughput")
         wall = time.perf_counter() - t0
 
         # native mode: the same stateless pipeline as ONE continuous streaming
@@ -197,7 +200,10 @@ def bench_streaming_cdc(spark, sf_dir: str, micro_batches: int | None = None) ->
             .trigger(availableNow=True)
             .start()
         )
-        q2.awaitTermination(600)
+        if not q2.awaitTermination(600):
+            q2.stop()
+            raise TimeoutError("stream drain timed out — a partial drain "
+                               "would silently misreport throughput")
         wall2 = time.perf_counter() - t1
         native_rows = sum(
             p["observedMetrics"]["m"]["rows"]
@@ -298,7 +304,10 @@ def bench_streaming_pgoutput(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream drain timed out — a partial drain "
+                               "would silently misreport throughput")
         wall = time.perf_counter() - t0
     key = "pgoutput_wire_changes_per_sec" if wire else "pgoutput_changes_per_sec"
     return {
@@ -356,7 +365,10 @@ def bench_streaming_presence(spark, sf_dir: str, micro_batches: int | None = Non
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream drain timed out — a partial drain "
+                               "would silently misreport throughput")
         wall = time.perf_counter() - t0
     return {
         "presence_events_per_sec": round(n_events / wall, 1),
@@ -411,7 +423,10 @@ def bench_streaming_fanout(spark, sf_dir: str, micro_batches: int = 10) -> dict:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream drain timed out — a partial drain "
+                               "would silently misreport throughput")
         wall = time.perf_counter() - t0
     return {
         "fanout_msgs_per_sec": round(n_msgs / wall, 1),
@@ -449,7 +464,10 @@ def bench_streaming_mv(spark, sf_dir: str, micro_batches: int = 10) -> dict:
         )
         t0 = time.perf_counter()
         q = run_materialize_stream(stream, store, ckpt)
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream drain timed out — a partial drain "
+                               "would silently misreport throughput")
         wall = time.perf_counter() - t0
         snap = serve_snapshot(spark, store)
         rows = snap.count() if snap is not None else 0
