@@ -80,14 +80,26 @@ def realtime_send(
         key (``IF payload ? 'id' THEN final_payload := payload``)
       - extension is 'broadcast'
 
-    Row-level projection only — pipelined into the scan, no shuffle."""
+    Row-level projection only — pipelined into the scan, no shuffle.
+
+    The generator is staged through its own Project before being
+    referenced twice (row id + payload injection). Inlining it at both
+    sites desynchronizes ``F.uuid()``: the two plan occurrences share a
+    seed and advance in lockstep ONLY while every row evaluates both —
+    the injection site lives in the CASE's ELSE branch, so the first
+    has-id row skips it and every later injected id lags one row behind
+    the row id. The reference evaluates gen_random_uuid() once into
+    generated_id; Catalyst keeps the staging Project because collapsing
+    it would duplicate a non-deterministic expression."""
     gen = F.uuid() if gen_id is None else gen_id
+    staged = df.select(F.col("*"), gen.alias("_rs_gen_id"))
+    g = F.col("_rs_gen_id")
     p = F.col(payload_col)
     final_payload = F.when(
         F.map_contains_key(p, F.lit("id")), p
-    ).otherwise(F.map_concat(p, F.create_map(F.lit("id"), gen)))
-    return df.select(
-        gen.alias("id"),
+    ).otherwise(F.map_concat(p, F.create_map(F.lit("id"), g)))
+    return staged.select(
+        g.alias("id"),
         final_payload.alias("payload"),
         F.col(event_col).alias("event"),
         F.col(topic_col).alias("topic"),

@@ -138,3 +138,41 @@ class TestCompaction:
             assert nb > 1 and na == 1, (day, nb, na)
         after_rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
         assert after_rows == before_rows
+
+
+class TestRealtimeSend:
+    def test_generated_id_consistent_with_live_uuid(self, spark):
+        """Regression (r8 review): with the production F.uuid() generator,
+        the row id and the injected payload id must be THE SAME uuid per
+        row (the reference's generated_id variable,
+        migrations/20251103001201:16-24). Inlining the generator at both
+        sites desynchronizes the two seeded uuid streams as soon as one
+        row's payload already carries an 'id' key (the ELSE-branch
+        occurrence skips its advance), lagging every later injected id by
+        one row — so this fixture interleaves has-id rows."""
+        from realtime_spark.operators.messages import realtime_send
+
+        rows = []
+        for i in range(90):
+            p = {"k": str(i)}
+            if i % 3 == 0:
+                p["id"] = "client-supplied"
+            rows.append((p, "ev", f"room:{i % 4}", False))
+        df = spark.createDataFrame(
+            rows,
+            "payload map<string,string>, event string, topic string, private boolean",
+        )
+        out = realtime_send(df).select(
+            "id", F.element_at("payload", "id").alias("pid")
+        )
+        got = out.collect()
+        assert len(got) == 90
+        kept = [r for r in got if r["pid"] == "client-supplied"]
+        assert len(kept) == 30  # client id always wins inside the payload
+        for r in got:
+            if r["pid"] != "client-supplied":
+                assert r["pid"] == r["id"], (r["pid"], r["id"])
+        # the row ids themselves are fresh uuids, all distinct
+        assert len({r["id"] for r in got}) == 90
+        # staging column never leaks into the output schema
+        assert "_rs_gen_id" not in realtime_send(df).columns
