@@ -98,6 +98,7 @@ def _bench_queries():
         "dq_audit",
         "ann_recall_sweep",
         "chunk_dedup",
+        "pack_layout",
         "cdc_pk_change",
         "record_linkage",
         "k_anonymity",

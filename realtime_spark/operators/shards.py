@@ -72,3 +72,125 @@ def shard_manifest(spark: SparkSession, path: str, key_col: str) -> DataFrame:
             F.xxhash64(F.col(key_col).cast("string")).cast("decimal(38,0)")
         ).alias("key_digest"),
     )
+
+
+def pack_token_windows(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seq_len: int,
+    tokens: F.Column | None = None,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing LAYOUT: lay the corpus out as a
+    token stream in the deterministic training order and cut it into
+    fixed `seq_len` windows — the standard LM pretraining layout, where a
+    document may straddle window boundaries and a window holds fragments
+    of several documents. (Whole-document greedy binning — no straddling,
+    each doc in exactly one pack — is the sibling
+    `text.pack_by_token_budget`; this operator models the token-level
+    placement that binning cannot: offsets, spans, continuations.) Returns one row per document with its placement:
+
+        (key, shard, position, n_tokens, start_tok,
+         first_window, last_window, window_offset, n_windows)
+
+    `start_tok` is the exclusive per-shard prefix sum of token counts;
+    windows are shard-local (window w = tokens [w*L, (w+1)*L) of that
+    shard's stream). Zero-token documents contribute nothing to the
+    stream and are dropped.
+
+    Scale shape (100 TB): packing is shard-confined — the prefix sum is a
+    window over (shard, position), the SAME partitioning `training_order`
+    already produced, so the whole operator is ONE hash exchange on the
+    shard id plus per-shard sorts; a corpus-global prefix sum (one giant
+    ordered window) never appears. n_shards is chosen so one shard's rows
+    fit an executor sort spill budget, exactly like write_training_shards.
+    `tokens` defaults to the whitespace token count every pipeline
+    reports; pass a BPE/token-counting column to pack on real tokens.
+
+    The permutation is re-derived here (same hash spec as
+    `training_order`, positions identical) rather than layered on top of
+    it: windowing by an expression makes Spark stage it as a fresh
+    internal attribute, and the prefix-sum window then cannot prove it is
+    already partitioned by the same key — a second full shuffle. Deriving
+    shard/order as named attributes first lets both windows share one
+    exchange + one sort (asserted by tests)."""
+    from pyspark.sql import Window
+
+    from realtime_spark.operators.sampling import hash_bucket
+    from realtime_spark.operators.text import whitespace_token_count
+
+    n_tok = (
+        whitespace_token_count(F.col("text")) if tokens is None else tokens
+    ).cast("bigint")
+    key = F.col(key_col)
+    base = df.select(
+        key,
+        n_tok.alias("n_tokens"),
+        hash_bucket(key, n_shards).alias("shard"),
+        hash_bucket(key, 2**60).alias("_ord"),
+    )
+    # both windows share (shard, (_ord, key)) — position numbers the FULL
+    # permutation (matching training_order / the materialized shards), the
+    # prefix sum runs over the surviving token stream
+    w_pos = Window.partitionBy("shard").orderBy("_ord", key_col)
+    w_sum = w_pos.rowsBetween(Window.unboundedPreceding, -1)
+    placed = (
+        base.withColumn("position", F.row_number().over(w_pos))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "start_tok", F.coalesce(F.sum("n_tokens").over(w_sum), F.lit(0))
+        )
+        .withColumn("first_window", F.expr(f"start_tok div {seq_len}"))
+        .withColumn(
+            "last_window",
+            F.expr(f"(start_tok + n_tokens - 1) div {seq_len}"),
+        )
+    )
+    return placed.select(
+        key_col,
+        "shard",
+        "position",
+        "n_tokens",
+        "start_tok",
+        "first_window",
+        "last_window",
+        (F.col("start_tok") % seq_len).alias("window_offset"),
+        (F.col("last_window") - F.col("first_window") + 1).alias("n_windows"),
+    )
+
+
+def packed_window_stats(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Per-(shard, window) fill accounting over a `pack_token_windows` layout:
+    how many documents touch the window, how many tokens of it are
+    occupied (== seq_len everywhere except each shard's final window),
+    and how many of its documents are continuations that started in an
+    earlier window — the fragmentation statistic packing-aware loaders
+    and attention-mask builders need.
+
+    The explode is bounded: a document spanning W windows emits W rows,
+    and sum(W) <= total_tokens/seq_len + n_docs, so the fan-out is linear
+    in the corpus, shard-confined, and aggregated by the same shard key —
+    one exchange."""
+    spans = packed.select(
+        "shard",
+        "start_tok",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.col("first_window"), F.col("last_window"))
+        ).alias("window"),
+    )
+    lo = F.col("window") * seq_len
+    hi = (F.col("window") + 1) * seq_len
+    occupied = F.least(F.col("start_tok") + F.col("n_tokens"), hi) - F.greatest(
+        F.col("start_tok"), lo
+    )
+    return (
+        spans.groupBy("shard", "window")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(occupied).alias("tokens_filled"),
+            F.sum(
+                (F.col("start_tok") < lo).cast("int")
+            ).alias("n_continuations"),
+        )
+    )

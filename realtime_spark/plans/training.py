@@ -1413,6 +1413,95 @@ FROM h
 
 
 # ---------------------------------------------------------------------------
+# sequence packing: concatenate-and-chunk token windows over the permutation
+# ---------------------------------------------------------------------------
+
+_PACK_SEQ_LEN = 512
+
+
+def q_pack_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-pretraining sequence-packing LAYOUT (operators/shards.py
+    ``pack_token_windows``): the corpus token stream, in training order, cut
+    into fixed 512-token windows; one row per document with its placement
+    (start offset, first/last window, span). One exchange + one sort —
+    both windows ride the shard partitioning."""
+    from realtime_spark.operators.shards import pack_token_windows
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_token_windows(d, "doc_id", _N_SHARDS, _PACK_SEQ_LEN)
+
+
+_PACK_PLACED_CTES = f"""
+h AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hb
+  FROM documents
+), t AS (
+  SELECT doc_id, hb % {_N_SHARDS} AS shard,
+         hb % 1152921504606846976 AS ord,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(row_number() OVER (PARTITION BY hb % {_N_SHARDS}
+              ORDER BY hb % 1152921504606846976, doc_id) AS INT) AS position
+  FROM h
+), p AS (
+  SELECT doc_id, shard, position, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+              ORDER BY ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS start_tok
+  FROM t WHERE n_tokens > 0
+)"""
+
+ORACLE_PACK_LAYOUT = f"""
+WITH {_PACK_PLACED_CTES.strip()}
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, position, n_tokens, start_tok,
+       start_tok // {_PACK_SEQ_LEN} AS first_window,
+       (start_tok + n_tokens - 1) // {_PACK_SEQ_LEN} AS last_window,
+       start_tok % {_PACK_SEQ_LEN} AS window_offset,
+       (start_tok + n_tokens - 1) // {_PACK_SEQ_LEN}
+         - start_tok // {_PACK_SEQ_LEN} + 1 AS n_windows
+FROM p
+"""
+
+
+def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(shard, window) fill accounting over the packed layout
+    (operators/shards.py ``packed_window_stats``): documents touching the
+    window, occupied tokens (seq_len everywhere but each shard's tail),
+    and continuation fragments — the attention-mask/fragmentation stat."""
+    from realtime_spark.operators.shards import (
+        pack_token_windows,
+        packed_window_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return packed_window_stats(
+        pack_token_windows(d, "doc_id", _N_SHARDS, _PACK_SEQ_LEN), _PACK_SEQ_LEN
+    )
+
+
+ORACLE_PACK_WINDOWS = f"""
+WITH {_PACK_PLACED_CTES.strip()},
+spans AS (
+  SELECT shard, start_tok, n_tokens,
+         unnest(generate_series(start_tok // {_PACK_SEQ_LEN},
+                (start_tok + n_tokens - 1) // {_PACK_SEQ_LEN})) AS "window"
+  FROM p
+)
+SELECT CAST(shard AS BIGINT) AS shard, "window",
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEAST(start_tok + n_tokens, ("window" + 1) * {_PACK_SEQ_LEN})
+              - GREATEST(start_tok, "window" * {_PACK_SEQ_LEN}))
+            AS BIGINT) AS tokens_filled,
+       CAST(SUM(CASE WHEN start_tok < "window" * {_PACK_SEQ_LEN}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_continuations
+FROM spans
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (train/eval n-gram overlap)
 # ---------------------------------------------------------------------------
 
@@ -1985,6 +2074,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "domain_mix": q_domain_mix,
         "training_order": q_training_order,
+        "pack_layout": q_pack_layout,
+        "pack_windows": q_pack_windows,
         "decontaminate": q_decontaminate,
         "emb_srp_buckets": q_emb_srp_buckets,
         "emb_srp_pairs": q_emb_srp_pairs,
@@ -2058,6 +2149,8 @@ def training_oracles() -> dict[str, str]:
         "sample_per_group": ORACLE_SAMPLE_PER_GROUP,
         "domain_mix": ORACLE_DOMAIN_MIX,
         "training_order": ORACLE_TRAINING_ORDER,
+        "pack_layout": ORACLE_PACK_LAYOUT,
+        "pack_windows": ORACLE_PACK_WINDOWS,
         "decontaminate": ORACLE_DECONTAMINATE,
         "emb_srp_buckets": _oracle_srp_buckets(),
         "emb_srp_pairs": _oracle_srp_pairs(),

@@ -350,3 +350,103 @@ class TestWordsExprOracleParity:
             ),
         )
         compare(mix, con, _oracle_lang_mix(), "apostrophe:lang_mix")
+
+
+class TestPackTokenWindows:
+    """pack_token_windows: concatenate-and-chunk layout over the training
+    permutation — invariants a loader relies on, plus the one-exchange
+    plan contract."""
+
+    def test_layout_invariants_and_plan_shape(self, spark, sf_dir):
+        import re
+
+        from pyspark.sql import functions as F
+
+        from realtime_spark.operators.sampling import training_order
+        from realtime_spark.operators.shards import (
+            pack_token_windows,
+            packed_window_stats,
+        )
+        from realtime_spark.sources.testdata import load_table
+
+        L = 512
+        d = load_table(spark, sf_dir, "documents")
+        packed = pack_token_windows(d, "doc_id", 8, L).cache()
+        try:
+            # positions match training_order exactly (the materialized-shard
+            # permutation IS the packing order)
+            to = training_order(d, "doc_id", 8).select(
+                "doc_id",
+                F.col("shard").alias("e_shard"),
+                F.col("position").alias("e_pos"),
+            )
+            j = packed.join(to, "doc_id")
+            assert (
+                j.filter("shard <> e_shard OR position <> e_pos").count() == 0
+            )
+            # per-shard stream is gapless: total tokens == max end offset
+            gaps = (
+                packed.groupBy("shard")
+                .agg(
+                    F.sum("n_tokens").alias("tot"),
+                    F.max(F.col("start_tok") + F.col("n_tokens")).alias("end"),
+                )
+                .filter("tot <> end")
+            )
+            assert gaps.count() == 0
+            # window arithmetic: offset in [0, L), spans consistent
+            assert (
+                packed.filter(
+                    (F.col("window_offset") < 0)
+                    | (F.col("window_offset") >= L)
+                    | (
+                        F.col("n_windows")
+                        != F.col("last_window") - F.col("first_window") + 1
+                    )
+                ).count()
+                == 0
+            )
+            # every non-final window of every shard is exactly full
+            stats = packed_window_stats(packed, L)
+            tails = packed.groupBy("shard").agg(
+                F.max("last_window").alias("lastw")
+            )
+            underfull = stats.join(tails, "shard").filter(
+                f"window < lastw AND tokens_filled <> {L}"
+            )
+            assert underfull.count() == 0
+        finally:
+            packed.unpersist()
+
+        # plan contract: both windows ride ONE exchange (the shard hash);
+        # a second shuffle means the prefix sum lost the partitioning
+        plan = (
+            pack_token_windows(d, "doc_id", 8, L)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+    def test_straddle_and_zero_token_docs(self, spark):
+        from pyspark.sql import functions as F
+
+        from realtime_spark.operators.shards import pack_token_windows
+
+        # one shard (n_shards=1) so the stream is deterministic end-to-end;
+        # a 5-token doc over L=4 must straddle, empty docs must vanish
+        df = spark.createDataFrame(
+            [(i, "tok " * c) for i, c in enumerate([3, 5, 0, 2, 4])],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in pack_token_windows(df, "doc_id", 1, 4).collect()
+        }
+        assert 2 not in out  # zero-token doc dropped
+        assert sum(r["n_tokens"] for r in out.values()) == 14
+        straddlers = [r for r in out.values() if r["n_windows"] > 1]
+        assert straddlers, "a 5-token doc cannot fit one 4-token window"
+        for r in out.values():
+            assert r["first_window"] == r["start_tok"] // 4
+            assert r["last_window"] == (r["start_tok"] + r["n_tokens"] - 1) // 4
