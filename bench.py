@@ -99,6 +99,7 @@ def _bench_queries():
         "ann_recall_sweep",
         "chunk_dedup",
         "pack_layout",
+        "batch_padding",
         "cdc_pk_change",
         "record_linkage",
         "k_anonymity",

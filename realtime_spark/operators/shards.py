@@ -194,3 +194,86 @@ def packed_window_stats(packed: DataFrame, seq_len: int) -> DataFrame:
             ).alias("n_continuations"),
         )
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    batch_size: int,
+    boundaries: list[int],
+    tokens: F.Column | None = None,
+) -> DataFrame:
+    """Length-bucketed batching: group documents of similar token length
+    into fixed-size batches so per-batch padding (to the batch max) stays
+    small — the standard finetuning/eval loader layout, where batching by
+    arrival order wastes most of the batch on pad tokens.
+
+    `boundaries` are ascending upper-exclusive bucket edges: with
+    [64, 128] a 63-token doc is bucket 0, 64..127 bucket 1, >=128 bucket
+    2. Within each (bucket, shard) the deterministic permutation order
+    (same hash spec as `training_order`) numbers rows into batches of
+    `batch_size`; the final batch of each (bucket, shard) may be short.
+    Zero-token documents are dropped (nothing to batch). Returns
+
+        (key, n_tokens, bucket, shard, batch_id, pos_in_batch)
+
+    Scale shape (100 TB): bucketing alone would shuffle the corpus into
+    len(boundaries)+1 partitions — a skew wall; sub-sharding by the same
+    hash as `training_order` keeps (bucket, shard) cells executor-sized
+    while preserving loader semantics (batches are simply spread across
+    shards). One exchange, per-cell sorts."""
+    from pyspark.sql import Window
+
+    from realtime_spark.operators.sampling import hash_bucket
+    from realtime_spark.operators.text import whitespace_token_count
+
+    n_tok = (
+        whitespace_token_count(F.col("text")) if tokens is None else tokens
+    ).cast("bigint")
+    bucket = F.lit(len(boundaries))
+    for i, edge in reversed(list(enumerate(boundaries))):
+        bucket = F.when(F.col("n_tokens") < edge, i).otherwise(bucket)
+    key = F.col(key_col)
+    base = df.select(
+        key,
+        n_tok.alias("n_tokens"),
+        hash_bucket(key, n_shards).alias("shard"),
+        hash_bucket(key, 2**60).alias("_ord"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("bucket", "shard").orderBy("_ord", key_col)
+    return (
+        base.withColumn("bucket", bucket.cast("int"))
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .select(
+            key_col,
+            "n_tokens",
+            "bucket",
+            "shard",
+            F.expr(f"_rn div {batch_size}").alias("batch_id"),
+            (F.col("_rn") % batch_size).alias("pos_in_batch"),
+        )
+    )
+
+
+def batch_padding_stats(batched: DataFrame) -> DataFrame:
+    """Padding-waste accounting over a `length_bucket_batches` layout,
+    aggregated per bucket: batches, docs, real tokens, and the pad tokens
+    a to-the-batch-max collator would add. All-integer outputs so the
+    numbers fold exactly at any scale (ratios are the reader's division).
+    Two-level aggregation — per-batch max first, then per-bucket sums —
+    both on the (bucket, shard) key already in hand: one partial-agg
+    shuffle each, no wide rows."""
+    per_batch = batched.groupBy("bucket", "shard", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("batch_max"),
+        F.sum("n_tokens").alias("batch_tokens"),
+    )
+    return per_batch.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("batch_tokens").cast("bigint").alias("real_tokens"),
+        F.sum(
+            F.col("batch_max") * F.col("n_docs") - F.col("batch_tokens")
+        ).cast("bigint").alias("pad_tokens"),
+    )

@@ -1465,6 +1465,89 @@ FROM p
 """
 
 
+_LB_EDGES = [32, 64, 128, 256]
+_LB_BATCH = 16
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching layout (operators/shards.py
+    ``length_bucket_batches``): documents of similar token length grouped
+    into fixed-size batches within (bucket, shard) cells — the
+    finetuning/eval loader shape that keeps to-the-batch-max padding
+    small. Sub-sharding by the permutation hash keeps cells
+    executor-sized (bucketing alone is a 5-partition skew wall)."""
+    from realtime_spark.operators.shards import length_bucket_batches
+
+    d = load_table(spark, sf_dir, "documents")
+    return length_bucket_batches(d, "doc_id", _N_SHARDS, _LB_BATCH, _LB_EDGES)
+
+
+def _lb_bucket_case() -> str:
+    whens = " ".join(
+        f"WHEN n_tokens < {e} THEN {i}" for i, e in enumerate(_LB_EDGES)
+    )
+    return f"CASE {whens} ELSE {len(_LB_EDGES)} END"
+
+
+_LB_CTES = f"""
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hb,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), t AS (
+  SELECT doc_id, n_tokens, hb % {_N_SHARDS} AS shard,
+         hb % 1152921504606846976 AS ord,
+         CAST({_lb_bucket_case()} AS INT) AS bucket
+  FROM h WHERE n_tokens > 0
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket, shard
+            ORDER BY ord, doc_id) - 1 AS rn
+  FROM t
+)"""
+
+ORACLE_LENGTH_BUCKETS = f"""
+WITH {_LB_CTES.strip()}
+SELECT doc_id, n_tokens, bucket, CAST(shard AS BIGINT) AS shard,
+       CAST(rn // {_LB_BATCH} AS INT) AS batch_id,
+       CAST(rn % {_LB_BATCH} AS INT) AS pos_in_batch
+FROM r
+"""
+
+
+def q_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting per length bucket (operators/shards.py
+    ``batch_padding_stats``): batches, docs, real tokens, and the pad
+    tokens a to-the-batch-max collator would add — all-integer so the
+    partials fold exactly at any scale."""
+    from realtime_spark.operators.shards import (
+        batch_padding_stats,
+        length_bucket_batches,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return batch_padding_stats(
+        length_bucket_batches(d, "doc_id", _N_SHARDS, _LB_BATCH, _LB_EDGES)
+    )
+
+
+ORACLE_BATCH_PADDING = f"""
+WITH {_LB_CTES.strip()},
+b AS (
+  SELECT bucket, shard, rn // {_LB_BATCH} AS batch_id,
+         COUNT(*) AS n_docs, MAX(n_tokens) AS batch_max,
+         SUM(n_tokens) AS batch_tokens
+  FROM r GROUP BY 1, 2, 3
+)
+SELECT bucket, COUNT(*) AS n_batches,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(batch_tokens) AS BIGINT) AS real_tokens,
+       CAST(SUM(batch_max * n_docs - batch_tokens) AS BIGINT) AS pad_tokens
+FROM b GROUP BY 1
+"""
+
+
 def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(shard, window) fill accounting over the packed layout
     (operators/shards.py ``packed_window_stats``): documents touching the
@@ -2076,6 +2159,8 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,
         "pack_layout": q_pack_layout,
         "pack_windows": q_pack_windows,
+        "length_buckets": q_length_buckets,
+        "batch_padding": q_batch_padding,
         "decontaminate": q_decontaminate,
         "emb_srp_buckets": q_emb_srp_buckets,
         "emb_srp_pairs": q_emb_srp_pairs,
@@ -2151,6 +2236,8 @@ def training_oracles() -> dict[str, str]:
         "training_order": ORACLE_TRAINING_ORDER,
         "pack_layout": ORACLE_PACK_LAYOUT,
         "pack_windows": ORACLE_PACK_WINDOWS,
+        "length_buckets": ORACLE_LENGTH_BUCKETS,
+        "batch_padding": ORACLE_BATCH_PADDING,
         "decontaminate": ORACLE_DECONTAMINATE,
         "emb_srp_buckets": _oracle_srp_buckets(),
         "emb_srp_pairs": _oracle_srp_pairs(),

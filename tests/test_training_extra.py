@@ -450,3 +450,78 @@ class TestPackTokenWindows:
         for r in out.values():
             assert r["first_window"] == r["start_tok"] // 4
             assert r["last_window"] == (r["start_tok"] + r["n_tokens"] - 1) // 4
+
+
+class TestLengthBucketBatches:
+    """length_bucket_batches: finetuning-loader batching — bucket edges,
+    full batches except per-cell tails, exact padding arithmetic."""
+
+    def test_batching_invariants(self, spark, sf_dir):
+        import re
+
+        from pyspark.sql import functions as F
+
+        from realtime_spark.operators.shards import (
+            batch_padding_stats,
+            length_bucket_batches,
+        )
+        from realtime_spark.sources.testdata import load_table
+
+        edges, bs = [32, 64, 128, 256], 16
+        d = load_table(spark, sf_dir, "documents")
+        out = length_bucket_batches(d, "doc_id", 8, bs, edges).cache()
+        try:
+            # bucket edges honored (upper-exclusive)
+            lim = {0: (1, 31), 1: (32, 63), 2: (64, 127), 3: (128, 255)}
+            for b, (lo, hi) in lim.items():
+                bad = out.filter(
+                    (F.col("bucket") == b)
+                    & ((F.col("n_tokens") < lo) | (F.col("n_tokens") > hi))
+                )
+                assert bad.count() == 0, b
+            assert out.filter("bucket = 4 AND n_tokens < 256").count() == 0
+            # every batch except each cell's last is exactly full, and
+            # pos_in_batch is a permutation of 0..n-1 within each batch
+            sizes = out.groupBy("bucket", "shard", "batch_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("pos_in_batch").alias("lo"),
+                F.max("pos_in_batch").alias("hi"),
+                F.countDistinct("pos_in_batch").alias("uniq"),
+            )
+            tails = out.groupBy("bucket", "shard").agg(
+                F.max("batch_id").alias("last_b")
+            )
+            assert (
+                sizes.join(tails, ["bucket", "shard"])
+                .filter(f"batch_id < last_b AND n <> {bs}")
+                .count()
+                == 0
+            )
+            assert (
+                sizes.filter("lo <> 0 OR hi <> n - 1 OR uniq <> n").count()
+                == 0
+            )
+            # padding identity: real + pad == sum over batches of max*size
+            stats = batch_padding_stats(out)
+            cap = out.groupBy("bucket", "shard", "batch_id").agg(
+                F.max("n_tokens").alias("m"), F.count(F.lit(1)).alias("n")
+            )
+            expect = (
+                cap.groupBy("bucket")
+                .agg(F.sum(F.col("m") * F.col("n")).alias("capacity"))
+            )
+            bad = (
+                stats.join(expect, "bucket")
+                .filter("real_tokens + pad_tokens <> capacity")
+            )
+            assert bad.count() == 0
+        finally:
+            out.unpersist()
+
+        plan = (
+            length_bucket_batches(d, "doc_id", 8, bs, edges)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
