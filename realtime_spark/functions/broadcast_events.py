@@ -142,9 +142,11 @@ def _size_view(payload: Any) -> Any:
 
 # stand-in for the ETF tuple framing :erlang.external_size charges on a
 # 4-tuple push (version byte + SMALL_TUPLE_EXT header + 4 term tags); the
-# JSON-octet analog is the list brackets + 3 separators. A fixed constant
-# keeps the bound assertable: inclusive - exclusive ==
-# json(event) + json(encoding) + json(metadata) + _PUSH_FRAMING_BYTES.
+# JSON-octet analog is the list brackets + 3 separators, so measuring the
+# push as json([event, encoding, payload, metadata]) charges exactly
+# sum(json(element)) + _PUSH_FRAMING_BYTES — the constant exists so the
+# bound (inclusive - exclusive == json(event) + json(encoding) +
+# json(metadata) + framing) stays assertable in tests.
 _PUSH_FRAMING_BYTES = 5
 
 
@@ -156,14 +158,7 @@ def push_size_bytes(payload: Any, inclusive: bool = False) -> int:
     framing, broadcast_handler.ex's :erlang.external_size check), still in
     the JSON-octet byte convention."""
     if inclusive and _is_push(payload):
-        event, encoding, user_payload, metadata = payload
-        return (
-            _payload_bytes(event)
-            + _payload_bytes(encoding)
-            + _payload_bytes(user_payload)
-            + _payload_bytes(metadata)
-            + _PUSH_FRAMING_BYTES
-        )
+        return _payload_bytes(list(payload))
     return _payload_bytes(_size_view(payload))
 
 

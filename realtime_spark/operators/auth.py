@@ -141,9 +141,20 @@ def verify_jwt(token: str, secret: str, now_epoch: int | None = None) -> dict | 
         if not hmac.compare_digest(expected, _b64url_decode(sig_b64)):
             return None
         claims = json.loads(_b64url_decode(body_b64))
+        for key in ("exp", "iat"):  # decimal exp/iat rounded like the reference
+            if isinstance(claims.get(key), float):
+                # Elixir round/1 is half-away-from-zero, not banker's
+                v = claims[key]
+                claims[key] = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
         if "role" not in claims or "exp" not in claims:
             return None
-        if now_epoch is not None and int(claims["exp"]) <= now_epoch:
+        exp = claims["exp"]
+        # Joken's exp validator requires is_number — a string exp like
+        # "123" must fail, not be int()-coerced into a live token; bool is
+        # an int subclass in Python, excluded like verify_jwt_jwks does.
+        if isinstance(exp, bool) or not isinstance(exp, (int, float)):
+            return None
+        if now_epoch is not None and int(exp) <= now_epoch:
             return None
         return claims
     except Exception:

@@ -48,18 +48,13 @@ def shape_messages(raw: DataFrame, max_payload_kb: int = 3000) -> DataFrame:
 
 def uuid_from_hash(col) -> "F.Column":
     """Deterministic stand-in for ``gen_random_uuid()`` in oracle-graded
-    paths: md5 of the input rendered in canonical 8-4-4-4-12 lowercase.
-    Production callers pass F.uuid() instead — the shape functions take the
-    generator as a column so tests/oracles can pin it."""
-    h = F.md5(col.cast("string"))
-    return F.concat_ws(
-        "-",
-        F.substring(h, 1, 8),
-        F.substring(h, 9, 4),
-        F.substring(h, 13, 4),
-        F.substring(h, 17, 4),
-        F.substring(h, 21, 12),
-    )
+    paths: md5 of the input rendered in canonical 8-4-4-4-12 lowercase via
+    the F6 renderer (functions/scalar.py::uuid_from_bytes). Production
+    callers pass F.uuid() instead — the shape functions take the generator
+    as a column so tests/oracles can pin it."""
+    from realtime_spark.functions.scalar import uuid_from_bytes
+
+    return uuid_from_bytes(F.unhex(F.md5(col.cast("string"))))
 
 
 def realtime_send(

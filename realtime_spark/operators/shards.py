@@ -74,6 +74,33 @@ def shard_manifest(spark: SparkSession, path: str, key_col: str) -> DataFrame:
     )
 
 
+def _permuted_tokens(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    tokens: F.Column | None,
+) -> DataFrame:
+    """Shared base projection of the token-layout operators: (key,
+    n_tokens, shard, _ord) under the SAME permutation spec as
+    `training_order` (sampling.hash_bucket on the key for both the shard
+    and the order tie-break) — the single place that contract lives, so
+    pack_token_windows and length_bucket_batches cannot drift apart.
+    `tokens` defaults to the whitespace count every pipeline reports."""
+    from realtime_spark.operators.sampling import hash_bucket
+    from realtime_spark.operators.text import whitespace_token_count
+
+    n_tok = (
+        whitespace_token_count(F.col("text")) if tokens is None else tokens
+    ).cast("bigint")
+    key = F.col(key_col)
+    return df.select(
+        key,
+        n_tok.alias("n_tokens"),
+        hash_bucket(key, n_shards).alias("shard"),
+        hash_bucket(key, 2**60).alias("_ord"),
+    )
+
+
 def pack_token_windows(
     df: DataFrame,
     key_col: str,
@@ -116,19 +143,7 @@ def pack_token_windows(
     exchange + one sort (asserted by tests)."""
     from pyspark.sql import Window
 
-    from realtime_spark.operators.sampling import hash_bucket
-    from realtime_spark.operators.text import whitespace_token_count
-
-    n_tok = (
-        whitespace_token_count(F.col("text")) if tokens is None else tokens
-    ).cast("bigint")
-    key = F.col(key_col)
-    base = df.select(
-        key,
-        n_tok.alias("n_tokens"),
-        hash_bucket(key, n_shards).alias("shard"),
-        hash_bucket(key, 2**60).alias("_ord"),
-    )
+    base = _permuted_tokens(df, key_col, n_shards, tokens)
     # both windows share (shard, (_ord, key)) — position numbers the FULL
     # permutation (matching training_order / the materialized shards), the
     # prefix sum runs over the surviving token stream
@@ -225,22 +240,12 @@ def length_bucket_batches(
     shards). One exchange, per-cell sorts."""
     from pyspark.sql import Window
 
-    from realtime_spark.operators.sampling import hash_bucket
-    from realtime_spark.operators.text import whitespace_token_count
-
-    n_tok = (
-        whitespace_token_count(F.col("text")) if tokens is None else tokens
-    ).cast("bigint")
     bucket = F.lit(len(boundaries))
     for i, edge in reversed(list(enumerate(boundaries))):
         bucket = F.when(F.col("n_tokens") < edge, i).otherwise(bucket)
-    key = F.col(key_col)
-    base = df.select(
-        key,
-        n_tok.alias("n_tokens"),
-        hash_bucket(key, n_shards).alias("shard"),
-        hash_bucket(key, 2**60).alias("_ord"),
-    ).filter(F.col("n_tokens") > 0)
+    base = _permuted_tokens(df, key_col, n_shards, tokens).filter(
+        F.col("n_tokens") > 0
+    )
     w = Window.partitionBy("bucket", "shard").orderBy("_ord", key_col)
     return (
         base.withColumn("bucket", bucket.cast("int"))

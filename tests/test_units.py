@@ -44,6 +44,24 @@ class TestJwt:
         assert verify_jwt("not.a.jwt", SECRET) is None
         assert verify_jwt("", SECRET) is None
 
+    def test_non_numeric_exp_rejected(self):
+        # Joken's exp validator requires is_number: a string "9999999999"
+        # must NOT be int()-coerced into a live token (r8 parity fix —
+        # verify_jwt now matches verify_jwt_jwks/authorize_conn).
+        for bad in ("9999999999", [2000000000], {"t": 1}, True, None):
+            tok = sign_jwt({"role": "anon", "exp": bad}, SECRET)
+            assert verify_jwt(tok, SECRET, now_epoch=100) is None, bad
+            # even with no clock supplied the claim shape is invalid
+            assert verify_jwt(tok, SECRET) is None, bad
+
+    def test_float_exp_rounds_half_away_from_zero(self):
+        # exp=100.5 at now=100: Elixir round/1 -> 101, token still live;
+        # int() truncation would have expired it.
+        tok = sign_jwt({"role": "anon", "exp": 100.5}, SECRET)
+        claims = verify_jwt(tok, SECRET, now_epoch=100)
+        assert claims is not None and claims["exp"] == 101
+        assert verify_jwt(tok, SECRET, now_epoch=101) is None
+
 
 class TestAuthorizeConn:
     """channels_authorization.ex authorize/3 + authorize_conn/3 (r7):
