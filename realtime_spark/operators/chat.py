@@ -1,0 +1,149 @@
+"""SFT/chat-data preparation: assemble event streams into conversation
+threads, validate role alternation, and trim threads to a context budget.
+
+Instruction-tuning pipelines consume MULTI-TURN data, not documents: a
+thread is an ordered list of (role, text) turns, and the standard prep
+stages are (1) thread assembly from raw interaction logs, (2) structural
+validation — threads must start with a user turn and strictly alternate
+user/assistant (template renderers reject anything else), and (3)
+context-window fitting — when a thread exceeds the model's token budget the
+OLDEST turns are dropped (left truncation), never the newest.
+
+This module maps those stages onto the engine's event log: a conversation
+is a gap session of one user's events (operators/sessions.py semantics), a
+turn's role derives from the event type (request-like types are 'user',
+response-like 'assistant'), and the per-turn token cost comes from the
+event payload.
+
+Scale shape (100 TB): everything below is ONE hash exchange on `user_id`.
+The sessionize window partitions by user_id; the thread-local windows
+partition by (user_id, session_id) — a SUPERSET clustering that
+hashpartitioning(user_id) already satisfies (Spark's subset rule), so
+Catalyst inserts sorts but no second exchange; the closing per-thread
+groupBy partial-aggregates on the same key. Pinned by
+tests/test_chat.py::test_single_exchange_plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from realtime_spark.operators.sessions import sessionize
+
+# request-like event types become 'user' turns; the rest ('error',
+# 'purchase' — system responses in this log's vocabulary) 'assistant'
+USER_EVENT_TYPES = ("click", "view", "signup")
+
+
+def turn_tokens(props: Column) -> Column:
+    """Per-turn token cost from the event payload: the JSON `k` field folded
+    into 1..64 — a deterministic stand-in for tokenizer output (the real
+    pipeline would plug a token-count column in here, e.g.
+    text.whitespace_token_count or a BPE segmenter count)."""
+    # integer-literal gate before the cast: hostile payloads carry
+    # non-integer k ('3.5', '+5', text) and the two engines' string->int
+    # casts disagree on them (Spark NULLs '3.5' but accepts '+5'; DuckDB
+    # ROUNDS '3.5') — an explicit ^-?[0-9]+$ grammar costs such turns the
+    # floor of 1 token identically everywhere
+    raw = F.get_json_object(props, "$.k")
+    k = F.when(raw.rlike("^-?[0-9]+$"), raw.try_cast("int"))
+    return (F.pmod(F.coalesce(k, F.lit(0)), F.lit(64)) + 1).cast("bigint")
+
+
+def chat_turns(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_types: tuple[str, ...] = USER_EVENT_TYPES,
+) -> DataFrame:
+    """Thread assembly: one row per turn with its conversation key
+    (user_id, session_id), 1-based turn index, role, and token cost.
+
+    Ordering inside a thread is (ts, event_id) — the same total order every
+    other event window in the repo uses, so ties are deterministic."""
+    s = sessionize(events, ["user_id"], "ts", gap_seconds)
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    role = F.when(
+        F.col("event_type").isin(*user_types), F.lit("user")
+    ).otherwise(F.lit("assistant"))
+    return s.select(
+        "user_id",
+        "session_id",
+        "event_id",
+        "ts",
+        role.alias("role"),
+        turn_tokens(F.col("props")).alias("n_tokens"),
+    ).withColumn("turn_idx", F.row_number().over(w))
+
+
+def thread_stats(turns: DataFrame) -> DataFrame:
+    """Structural validation per thread: turn/role counts, whether the
+    thread starts with a user turn and ends with an assistant turn, the
+    number of alternation breaks (adjacent same-role turns), total tokens,
+    and the template-validity verdict (starts user, ends assistant, >= 2
+    turns, zero breaks) a chat-template renderer would enforce."""
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    prev_role = F.lag("role").over(w)
+    t = turns.withColumn(
+        "is_break", (prev_role.isNotNull() & (prev_role == F.col("role"))).cast("int")
+    )
+    first_role = F.min(F.struct("turn_idx", "role"))["role"]
+    last_role = F.max(F.struct("turn_idx", "role"))["role"]
+    agg = t.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("int")).alias("n_user_turns"),
+        F.sum((F.col("role") == "assistant").cast("int")).alias("n_asst_turns"),
+        first_role.alias("first_role"),
+        last_role.alias("last_role"),
+        F.sum("is_break").cast("bigint").alias("alternation_breaks"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return agg.select(
+        "user_id",
+        "session_id",
+        "n_turns",
+        F.col("n_user_turns").cast("bigint").alias("n_user_turns"),
+        F.col("n_asst_turns").cast("bigint").alias("n_asst_turns"),
+        "first_role",
+        "last_role",
+        "alternation_breaks",
+        "total_tokens",
+        (
+            (F.col("first_role") == "user")
+            & (F.col("last_role") == "assistant")
+            & (F.col("n_turns") >= 2)
+            & (F.col("alternation_breaks") == 0)
+        ).alias("valid"),
+    )
+
+
+def fit_context_budget(turns: DataFrame, budget: int) -> DataFrame:
+    """Context-window fitting: per thread, keep the maximal SUFFIX of turns
+    whose token total fits `budget` (left truncation — the newest turns
+    always survive, like a chat template trimming history). A single turn
+    larger than the budget is itself dropped, leaving an empty thread
+    (kept_turns = 0), which downstream filters discard.
+
+    Returns per-thread accounting: kept/dropped turn counts, kept tokens,
+    and the role of the first kept turn — threads whose kept window starts
+    with an assistant turn need a further leading-turn drop before
+    rendering, so the count of those is the interesting data-quality
+    number."""
+    w_rev = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = turns.withColumn("rev_cum", F.sum("n_tokens").over(w_rev)).withColumn(
+        "kept", (F.col("rev_cum") <= budget).cast("int")
+    )
+    kept_first = F.min(
+        F.when(F.col("kept") == 1, F.struct("turn_idx", "role"))
+    )
+    return t.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("kept").cast("bigint").alias("kept_turns"),
+        (F.count(F.lit(1)) - F.sum("kept")).cast("bigint").alias("dropped_turns"),
+        F.sum(F.col("n_tokens") * F.col("kept")).alias("kept_tokens"),
+        kept_first["role"].alias("first_kept_role"),
+    )

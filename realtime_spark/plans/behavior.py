@@ -450,6 +450,8 @@ def behavior_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pcm_stats": q_audio_pcm_stats,
         "ngram_novelty": q_ngram_novelty,
         "attribution_touch": q_attribution_touch,
+        "chat_threads": q_chat_threads,
+        "chat_context_fit": q_chat_context_fit,
     })
     return qs
 
@@ -472,6 +474,8 @@ def behavior_oracles() -> dict[str, str]:
         "audio_pcm_stats": ORACLE_AUDIO_PCM,
         "ngram_novelty": ORACLE_NGRAM_NOVELTY,
         "attribution_touch": ORACLE_ATTRIBUTION,
+        "chat_threads": ORACLE_CHAT_THREADS,
+        "chat_context_fit": ORACLE_CHAT_CONTEXT_FIT,
     }
 
 
@@ -2320,3 +2324,112 @@ FROM fieldnames fn CROSS JOIN fin
 
 _WAVE3_QUERIES["linkage_em"] = q_linkage_em
 _WAVE3_ORACLES["linkage_em"] = _oracle_linkage_em()
+
+
+# ---------------------------------------------------------------------------
+# SFT/chat-data prep: thread assembly + alternation validation + context fit
+# (operators/chat.py; conversation = gap session, roles from event types)
+
+_CHAT_BUDGET = 256  # context budget in turn tokens for chat_context_fit
+_CHAT_GAP = 86400  # day-scale gap: threads average ~8 turns on this log, so
+# both the multi-turn validation states and the budget truncation actually
+# occur (the 1800 s analytics gap yields ~1-turn threads — degenerate here)
+
+# shared oracle CTEs: sessionize (same lag/sum pattern as
+# ORACLE_SESSION_TRANSITIONS), then one row per turn with role/tokens/index
+_CHAT_TURNS_CTE = f"""
+o AS (
+  SELECT user_id, event_id, event_type, ts, props,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+s AS (
+  SELECT *, SUM(CASE WHEN prev IS NULL
+                       OR epoch(ts) - epoch(prev) >= {_CHAT_GAP}
+                THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+            AS session_id
+  FROM o
+),
+turns AS (
+  SELECT user_id, session_id, event_id, ts,
+         CASE WHEN event_type IN ('click', 'view', 'signup')
+              THEN 'user' ELSE 'assistant' END AS role,
+         ((COALESCE(TRY_CAST(CASE WHEN json_valid(props)
+                                    AND regexp_matches(
+                                      COALESCE(props ->> '$.k', ''),
+                                      '^-?[0-9]+$')
+                                  THEN props ->> '$.k' END AS INT), 0)
+           % 64) + 64) % 64 + 1 AS n_tokens,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS turn_idx
+  FROM s
+)
+"""
+
+
+def q_chat_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thread assembly + template validation (operators/chat.py docstring
+    has the 100 TB single-exchange argument)."""
+    from realtime_spark.operators.chat import chat_turns, thread_stats
+
+    e = load_table(spark, sf_dir, "events")
+    return thread_stats(chat_turns(e, gap_seconds=_CHAT_GAP))
+
+
+ORACLE_CHAT_THREADS = f"""
+WITH {_CHAT_TURNS_CTE},
+b AS (
+  SELECT *, CASE WHEN lag(role) OVER (PARTITION BY user_id, session_id
+                                      ORDER BY ts, event_id) = role
+            THEN 1 ELSE 0 END AS is_break
+  FROM turns
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user_turns,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_asst_turns,
+       arg_min(role, turn_idx) AS first_role,
+       arg_max(role, turn_idx) AS last_role,
+       CAST(SUM(is_break) AS BIGINT) AS alternation_breaks,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       (arg_min(role, turn_idx) = 'user'
+        AND arg_max(role, turn_idx) = 'assistant'
+        AND COUNT(*) >= 2
+        AND SUM(is_break) = 0) AS valid
+FROM b
+GROUP BY user_id, session_id
+"""
+
+
+def q_chat_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-truncation accounting against the context budget."""
+    from realtime_spark.operators.chat import chat_turns, fit_context_budget
+
+    e = load_table(spark, sf_dir, "events")
+    return fit_context_budget(chat_turns(e, gap_seconds=_CHAT_GAP), _CHAT_BUDGET)
+
+
+ORACLE_CHAT_CONTEXT_FIT = f"""
+WITH {_CHAT_TURNS_CTE},
+r AS (
+  SELECT *, CASE WHEN SUM(n_tokens)
+                      OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts DESC, event_id DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      <= {_CHAT_BUDGET}
+            THEN 1 ELSE 0 END AS kept
+  FROM turns
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(kept) AS BIGINT) AS kept_turns,
+       CAST(COUNT(*) - SUM(kept) AS BIGINT) AS dropped_turns,
+       CAST(SUM(n_tokens * kept) AS BIGINT) AS kept_tokens,
+       arg_min(role, CASE WHEN kept = 1 THEN turn_idx END) AS first_kept_role
+FROM r
+GROUP BY user_id, session_id
+"""
