@@ -100,6 +100,8 @@ def _bench_queries():
         "chunk_dedup",
         "pack_layout",
         "batch_padding",
+        "chat_threads",
+        "chat_context_fit",
         "cdc_pk_change",
         "record_linkage",
         "k_anonymity",
