@@ -147,3 +147,86 @@ def fit_context_budget(turns: DataFrame, budget: int) -> DataFrame:
         F.sum(F.col("n_tokens") * F.col("kept")).alias("kept_tokens"),
         kept_first["role"].alias("first_kept_role"),
     )
+
+
+def streaming_chat_threads(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 minutes",
+    user_types: tuple[str, ...] = USER_EVENT_TYPES,
+) -> DataFrame:
+    """Streaming lift of chat_turns -> thread_stats: native session_window
+    aggregation with watermarking, so threads finalize (append mode) once
+    the watermark passes their gap — the same semantics over an unbounded
+    stream, keyed by (user_id, session start/end) instead of the batch
+    session index.
+
+    The order-dependent fields (first/last role, alternation breaks) are
+    not commutative folds, so the aggregate collects the session's
+    (ts, event_id, role) triples — bounded by the session length, which the
+    gap bounds in any real log — and computes them JVM-side on the sorted
+    array with higher-order functions; no Python UDF, no second shuffle.
+    Late events beyond the watermark are dropped rather than reopening a
+    finalized thread (the documented ST2-class deviation, same as
+    streaming_sessions)."""
+    role = F.when(
+        F.col("event_type").isin(*user_types), F.lit("user")
+    ).otherwise(F.lit("assistant"))
+    t = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        role.alias("role"),
+        turn_tokens(F.col("props")).alias("n_tokens"),
+    )
+    agg = (
+        t.withWatermark("ts", watermark)
+        .groupBy(
+            "user_id", F.session_window(F.col("ts"), f"{gap_seconds} seconds")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((F.col("role") == "user").cast("int"))
+            .cast("bigint")
+            .alias("n_user_turns"),
+            F.sum((F.col("role") == "assistant").cast("int"))
+            .cast("bigint")
+            .alias("n_asst_turns"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "role"))
+            ).alias("_turns"),
+        )
+    )
+    roles = F.transform(F.col("_turns"), lambda x: x["role"])
+    n = F.size(roles)
+    breaks = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(roles, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(roles, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: a == b,
+            ),
+            lambda x: x,
+        )
+    ).cast("bigint")
+    first_role = F.element_at(roles, 1)
+    last_role = F.element_at(roles, -1)
+    return agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_turns",
+        "n_user_turns",
+        "n_asst_turns",
+        first_role.alias("first_role"),
+        last_role.alias("last_role"),
+        breaks.alias("alternation_breaks"),
+        "total_tokens",
+        (
+            (first_role == "user")
+            & (last_role == "assistant")
+            & (F.col("n_turns") >= 2)
+            & (breaks == F.lit(0))
+        ).alias("valid"),
+    )

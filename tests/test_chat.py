@@ -109,3 +109,69 @@ def test_single_exchange_plan(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_exchanges = plan.count("Exchange hashpartitioning")
         assert n_exchanges == 1, plan
+
+
+def test_streaming_chat_threads_match_batch_up_to_watermark(spark):
+    """Streaming lift parity (same harness as test_sessions): every thread
+    the stream finalizes must carry EXACTLY the batch stats — including the
+    order-dependent first/last role and alternation breaks computed on the
+    collected array — and anything missing is a user's final (unfinalized)
+    thread."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from realtime_spark.operators.chat import (
+        chat_turns,
+        streaming_chat_threads,
+        thread_stats,
+    )
+    from realtime_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    gap = 86400
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "props"
+    )
+    turns = chat_turns(ev, gap_seconds=gap)
+    starts = turns.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start")
+    )
+    batch_df = thread_stats(turns).join(starts, ["user_id", "session_id"])
+
+    def _key(r):
+        return (
+            r["user_id"], str(r["session_start"]), r["n_turns"],
+            r["n_user_turns"], r["n_asst_turns"], r["first_role"],
+            r["last_role"], r["alternation_breaks"], r["total_tokens"],
+            r["valid"],
+        )
+
+    batch = {_key(r) for r in batch_df.collect()}
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        ev.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = streaming_chat_threads(stream, gap_seconds=gap, watermark="0 seconds")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("chat_threads_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {_key(r) for r in spark.sql("SELECT * FROM chat_threads_test").collect()}
+
+    assert got <= batch, f"streaming emitted threads batch never saw: {list(got - batch)[:3]}"
+    last_per_user: dict = {}
+    for row in batch:
+        last_per_user[row[0]] = max(last_per_user.get(row[0], ""), row[1])
+    for row in batch - got:
+        assert row[1] == last_per_user[row[0]], (
+            f"non-final thread missing from stream: user={row[0]} start={row[1]}"
+        )
+    assert len(got) > 0
