@@ -452,6 +452,7 @@ def behavior_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_touch": q_attribution_touch,
         "chat_threads": q_chat_threads,
         "chat_context_fit": q_chat_context_fit,
+        "stream_chat_threads": q_stream_chat_threads,
     })
     return qs
 
@@ -476,6 +477,7 @@ def behavior_oracles() -> dict[str, str]:
         "attribution_touch": ORACLE_ATTRIBUTION,
         "chat_threads": ORACLE_CHAT_THREADS,
         "chat_context_fit": ORACLE_CHAT_CONTEXT_FIT,
+        "stream_chat_threads": ORACLE_STREAM_CHAT_THREADS,
     }
 
 
@@ -2432,4 +2434,101 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        arg_min(role, CASE WHEN kept = 1 THEN turn_idx END) AS first_kept_role
 FROM r
 GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming chat-thread assembly under the driver gate: the session_window
+# lift run as a REAL stream (file source, availableNow, append mode), its
+# emitted set reproduced exactly by the oracle's watermark rule
+
+_STREAM_CHAT_SEQ = 0
+
+
+def q_stream_chat_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_chat_threads driven end-to-end: the events table replayed
+    through a file-source stream into the session_window aggregate with a
+    0-second watermark. Append mode finalizes exactly the threads whose
+    session end (last ts + gap) <= the final watermark (= the corpus max
+    ts; emission at equality pinned empirically) — a rule the oracle
+    states in SQL, so the STREAM's emitted set is value-graded, not just
+    row-counted. Timestamps leave as epoch micros so the compare is
+    integer-exact."""
+    import os
+    import shutil
+
+    from realtime_spark.functions.timeutil import epoch_micros
+    from realtime_spark.operators.chat import streaming_chat_threads
+
+    global _STREAM_CHAT_SEQ
+    _STREAM_CHAT_SEQ += 1
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/realtime_spark_stream_chat_{sf_tag}_{os.getpid()}_{_STREAM_CHAT_SEQ}"
+    shutil.rmtree(root, ignore_errors=True)
+    src, ckpt = f"{root}/src", f"{root}/ckpt"
+    name = f"stream_chat_{sf_tag}_{os.getpid()}_{_STREAM_CHAT_SEQ}".replace(".", "_")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "props"
+    )
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = streaming_chat_threads(
+        stream, gap_seconds=_CHAT_GAP, watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table(name)
+    return emitted.select(
+        "user_id",
+        epoch_micros("session_start").alias("start_us"),
+        epoch_micros("session_end").alias("end_us"),
+        "n_turns",
+        "n_user_turns",
+        "n_asst_turns",
+        "first_role",
+        "last_role",
+        "alternation_breaks",
+        "total_tokens",
+        "valid",
+    )
+
+
+ORACLE_STREAM_CHAT_THREADS = f"""
+WITH {_CHAT_TURNS_CTE},
+b AS (
+  SELECT *, CASE WHEN lag(role) OVER (PARTITION BY user_id, session_id
+                                      ORDER BY ts, event_id) = role
+            THEN 1 ELSE 0 END AS is_break
+  FROM turns
+),
+t AS (
+  SELECT user_id,
+         epoch_us(MIN(ts)) AS start_us,
+         epoch_us(MAX(ts) + INTERVAL {_CHAT_GAP} SECOND) AS end_us,
+         COUNT(*) AS n_turns,
+         CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_user_turns,
+         CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_asst_turns,
+         arg_min(role, turn_idx) AS first_role,
+         arg_max(role, turn_idx) AS last_role,
+         CAST(SUM(is_break) AS BIGINT) AS alternation_breaks,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         (arg_min(role, turn_idx) = 'user'
+          AND arg_max(role, turn_idx) = 'assistant'
+          AND COUNT(*) >= 2
+          AND SUM(is_break) = 0) AS valid
+  FROM b
+  GROUP BY user_id, session_id
+)
+SELECT * FROM t
+WHERE end_us <= (SELECT epoch_us(MAX(ts)) FROM events)
 """
