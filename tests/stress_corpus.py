@@ -139,6 +139,11 @@ def build_stress_dir(out_dir: str, base_sf: str = BASE_SF) -> str:
         '{"k": 999999999999}',
         '{"k": "string"}',
         '{"k": 3.5}',
+        # string->int cast-grammar divergences: Spark's try_cast accepts
+        # '+5' (DuckDB's regexp gate must too reject it via the shared
+        # ^-?[0-9]+$ grammar) and both engines' casts trim ' 7 '
+        '{"k": "+5"}',
+        '{"k": " 7 "}',
     ]
     for i, p in enumerate(edge_props):
         e.loc[e.index[i * 13 % len(e)], "props"] = p
