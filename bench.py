@@ -128,6 +128,8 @@ def _bench_queries():
         "stream_ingest_accepted",
         "stream_ivf_topk",
         "stream_bm25_topk",
+        # streaming chat lift: real file-source stream + session_window
+        "stream_chat_threads",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

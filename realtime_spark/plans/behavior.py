@@ -2484,7 +2484,12 @@ def q_stream_chat_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_chat_threads drain timed out — a partial emitted set "
+            "must fail loudly, not hash-mismatch confusingly"
+        )
     emitted = spark.table(name)
     return emitted.select(
         "user_id",
