@@ -61,6 +61,25 @@ def sign_jwt(claims: Mapping, secret: str) -> str:
     return f"{header}.{body}.{sig}"
 
 
+def _round_claims_half_away(claims: dict) -> None:
+    """In-place exp/iat decimal rounding, shared by every verification
+    path. Elixir round/1 is half-away-from-zero; Python round() is
+    banker's (exp=100.5 would diverge: 101 vs 100).
+    Reference: jwt_verification.ex decimal-claims handling."""
+    for key in ("exp", "iat"):
+        if isinstance(claims.get(key), float):
+            v = claims[key]
+            claims[key] = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+
+def _exp_is_number(exp) -> bool:
+    """Joken's exp validator requires is_number — a string exp like "123"
+    must fail, not be int()-coerced into a live token. JSON true/false are
+    is_number=false in Erlang; bool is an int subclass in Python, so it is
+    excluded explicitly. Shared by every verification path."""
+    return not isinstance(exp, bool) and isinstance(exp, (int, float))
+
+
 def clean_token(token: str) -> str:
     """channels_authorization.ex:40 ``clean_token/1``: percent-decode the
     token (URI.decode) and strip whitespace including newlines, so a
@@ -109,9 +128,7 @@ def authorize_conn(
         return ("error", None, "invalid_token")
     if "exp" in claims:
         exp = claims["exp"]
-        # JSON true/false are is_number=false in Erlang; bool is an int
-        # subclass in Python, so exclude it explicitly.
-        if isinstance(exp, bool) or not isinstance(exp, (int, float)):
+        if not _exp_is_number(exp):
             return ("error", None, "invalid_token")
         exp = int(exp)  # decimals already rounded by verify_jwt_jwks
         if now_epoch is not None and exp <= now_epoch:
@@ -141,20 +158,12 @@ def verify_jwt(token: str, secret: str, now_epoch: int | None = None) -> dict | 
         if not hmac.compare_digest(expected, _b64url_decode(sig_b64)):
             return None
         claims = json.loads(_b64url_decode(body_b64))
-        for key in ("exp", "iat"):  # decimal exp/iat rounded like the reference
-            if isinstance(claims.get(key), float):
-                # Elixir round/1 is half-away-from-zero, not banker's
-                v = claims[key]
-                claims[key] = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+        _round_claims_half_away(claims)
         if "role" not in claims or "exp" not in claims:
             return None
-        exp = claims["exp"]
-        # Joken's exp validator requires is_number — a string exp like
-        # "123" must fail, not be int()-coerced into a live token; bool is
-        # an int subclass in Python, excluded like verify_jwt_jwks does.
-        if isinstance(exp, bool) or not isinstance(exp, (int, float)):
+        if not _exp_is_number(claims["exp"]):
             return None
-        if now_epoch is not None and int(exp) <= now_epoch:
+        if now_epoch is not None and int(claims["exp"]) <= now_epoch:
             return None
         return claims
     except Exception:
@@ -536,19 +545,12 @@ def verify_jwt_jwks(
             return None  # unknown alg
 
         claims = json.loads(_b64url_decode(body_b64))
-        for key in ("exp", "iat"):  # decimal exp/iat rounded like the reference
-            if isinstance(claims.get(key), float):
-                # Elixir round/1 is half-away-from-zero; Python round() is
-                # banker's (exp=100.5 would diverge: 101 vs 100)
-                v = claims[key]
-                claims[key] = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+        _round_claims_half_away(claims)
         if require_claims and ("role" not in claims or "exp" not in claims):
             return None
         if now_epoch is not None and "exp" in claims:
             exp = claims["exp"]
-            # Joken's exp validator requires is_number — a string exp like
-            # "123" must fail, not be int()-coerced into a live token
-            if isinstance(exp, bool) or not isinstance(exp, (int, float)):
+            if not _exp_is_number(exp):
                 return None
             if int(exp) <= now_epoch:
                 return None

@@ -44,11 +44,31 @@ def turn_tokens(props: Column) -> Column:
     # integer-literal gate before the cast: hostile payloads carry
     # non-integer k ('3.5', '+5', text) and the two engines' string->int
     # casts disagree on them (Spark NULLs '3.5' but accepts '+5'; DuckDB
-    # ROUNDS '3.5') — an explicit ^-?[0-9]+$ grammar costs such turns the
-    # floor of 1 token identically everywhere
+    # ROUNDS '3.5') — an explicit integer grammar costs such turns the
+    # floor of 1 token identically everywhere. Anchors are \A..\z, NOT
+    # ^..$: Java's $ (Spark rlike) matches before a trailing newline while
+    # RE2's (DuckDB) is end-of-text only, so '7\n' would cast here but not
+    # in the oracle; \A/\z mean end-of-text in BOTH engines (verified
+    # empirically, and the stress corpus plants the '7\n' shape).
     raw = F.get_json_object(props, "$.k")
-    k = F.when(raw.rlike("^-?[0-9]+$"), raw.try_cast("int"))
+    k = F.when(raw.rlike(r"\A-?[0-9]+\z"), raw.try_cast("int"))
     return (F.pmod(F.coalesce(k, F.lit(0)), F.lit(64)) + 1).cast("bigint")
+
+
+def _turn_cols(user_types: tuple[str, ...]) -> list[Column]:
+    """The shared event->turn projection (role from the event type, token
+    cost from the payload) — the single place that contract lives, so the
+    batch assembly and the streaming lift cannot drift apart."""
+    role = F.when(
+        F.col("event_type").isin(*user_types), F.lit("user")
+    ).otherwise(F.lit("assistant"))
+    return [
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        role.alias("role"),
+        turn_tokens(F.col("props")).alias("n_tokens"),
+    ]
 
 
 def chat_turns(
@@ -63,16 +83,8 @@ def chat_turns(
     other event window in the repo uses, so ties are deterministic."""
     s = sessionize(events, ["user_id"], "ts", gap_seconds)
     w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
-    role = F.when(
-        F.col("event_type").isin(*user_types), F.lit("user")
-    ).otherwise(F.lit("assistant"))
     return s.select(
-        "user_id",
-        "session_id",
-        "event_id",
-        "ts",
-        role.alias("role"),
-        turn_tokens(F.col("props")).alias("n_tokens"),
+        F.col("session_id"), *_turn_cols(user_types)
     ).withColumn("turn_idx", F.row_number().over(w))
 
 
@@ -169,16 +181,7 @@ def streaming_chat_threads(
     Late events beyond the watermark are dropped rather than reopening a
     finalized thread (the documented ST2-class deviation, same as
     streaming_sessions)."""
-    role = F.when(
-        F.col("event_type").isin(*user_types), F.lit("user")
-    ).otherwise(F.lit("assistant"))
-    t = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        role.alias("role"),
-        turn_tokens(F.col("props")).alias("n_tokens"),
-    )
+    t = events.select(*_turn_cols(user_types))
     agg = (
         t.withWatermark("ts", watermark)
         .groupBy(

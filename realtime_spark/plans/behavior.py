@@ -2361,7 +2361,7 @@ turns AS (
          ((COALESCE(TRY_CAST(CASE WHEN json_valid(props)
                                     AND regexp_matches(
                                       COALESCE(props ->> '$.k', ''),
-                                      '^-?[0-9]+$')
+                                      '\\A-?[0-9]+\\z')
                                   THEN props ->> '$.k' END AS INT), 0)
            % 64) + 64) % 64 + 1 AS n_tokens,
          row_number() OVER (PARTITION BY user_id, session_id

@@ -141,9 +141,12 @@ def build_stress_dir(out_dir: str, base_sf: str = BASE_SF) -> str:
         '{"k": 3.5}',
         # string->int cast-grammar divergences: Spark's try_cast accepts
         # '+5' (DuckDB's regexp gate must too reject it via the shared
-        # ^-?[0-9]+$ grammar) and both engines' casts trim ' 7 '
+        # integer grammar), both engines' casts trim ' 7 ', and '7\n'
+        # splits the ANCHORS themselves (Java $ matches before a trailing
+        # newline, RE2 $ is end-of-text — the grammar must use \A..\z)
         '{"k": "+5"}',
         '{"k": " 7 "}',
+        '{"k": "7\\n"}',
     ]
     for i, p in enumerate(edge_props):
         e.loc[e.index[i * 13 % len(e)], "props"] = p

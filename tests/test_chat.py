@@ -163,7 +163,12 @@ def test_streaming_chat_threads_match_batch_up_to_watermark(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming chat drain timed out — fail loudly, not as a "
+                "confusing parity mismatch"
+            )
         got = {_key(r) for r in spark.sql("SELECT * FROM chat_threads_test").collect()}
 
     assert got <= batch, f"streaming emitted threads batch never saw: {list(got - batch)[:3]}"
