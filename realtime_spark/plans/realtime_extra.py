@@ -1046,14 +1046,19 @@ def q_db_broadcast_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "topic", "private", "encoding", "payload")
 
 
+# encode(), NOT props::BLOB: DuckDB's varchar->blob CAST processes backslash
+# escapes (a literal '\n' in the text raises 'invalid hex escape code',
+# surfaced by the stress corpus's '{"k": "7\n"}' plant), while Spark's
+# cast("binary") takes the UTF-8 bytes verbatim — encode() is the verbatim
+# UTF-8 conversion on the DuckDB side.
 ORACLE_DB_BROADCAST_PARSE = """
 SELECT CAST(event_id AS VARCHAR) AS id, event_type AS topic,
        (user_id % 2 = 0) AS private,
        CASE WHEN event_id % 4 = 0 THEN 'binary' ELSE 'json' END AS encoding,
-       CASE WHEN event_id % 4 = 0 THEN upper(hex(props::BLOB)) ELSE props END AS payload
+       CASE WHEN event_id % 4 = 0 THEN upper(hex(encode(props))) ELSE props END AS payload
 FROM events
 WHERE event_id % 11 <> 0
-  AND strlen(CASE WHEN event_id % 4 = 0 THEN upper(hex(props::BLOB)) ELSE props END) <= 1000
+  AND strlen(CASE WHEN event_id % 4 = 0 THEN upper(hex(encode(props))) ELSE props END) <= 1000
 """
 
 
