@@ -96,15 +96,55 @@ def test_gap_splits_threads(spark):
     assert got == {(0, 2), (1, 1)}
 
 
+def test_render_and_loss_mask(spark):
+    """render_chat_template / chat_loss_spans semantic pins: ChatML shape in
+    thread order, loss tokens = assistant tokens, span counting collapses
+    ADJACENT assistant turns into one maximal run, and the per-turn token
+    ranges tile the thread's token stream exactly."""
+    from realtime_spark.operators.chat import chat_loss_spans, render_chat_template
+
+    # u1: user(click,k=10), assistant(error), assistant(purchase), user(view)
+    # -> ONE loss span covering turns 2-3 despite two assistant turns
+    rows = [(1, 0, "click", 10), (1, 1, "error", 2),
+            (1, 2, "purchase", 4), (1, 3, "view", 10)]
+    turns = chat_turns(_events(spark, rows), gap_seconds=1800)
+    r = render_chat_template(turns).collect()[0]
+    assert r["n_turns"] == 4
+    assert r["total_tokens"] == 11 + 3 + 5 + 11
+    assert r["loss_tokens"] == 3 + 5
+    assert r["n_loss_spans"] == 1  # adjacent assistant turns: one maximal run
+    expected_render = (
+        "<|im_start|>user\nclick#0<|im_end|>\n"
+        "<|im_start|>assistant\nerror#1<|im_end|>\n"
+        "<|im_start|>assistant\npurchase#2<|im_end|>\n"
+        "<|im_start|>user\nview#3<|im_end|>\n"
+    )
+    assert r["rendered"] == expected_render
+    assert r["n_chars"] == len(expected_render)
+
+    spans = sorted(
+        (s["turn_idx"], s["tok_start"], s["tok_end"], s["loss"])
+        for s in chat_loss_spans(turns).collect()
+    )
+    assert spans == [
+        (1, 0, 11, False), (2, 11, 14, True), (3, 14, 19, True),
+        (4, 19, 30, False),
+    ]
+
+
 def test_single_exchange_plan(spark):
     """The whole prep pipeline — sessionize window (user_id), thread windows
     (user_id, session_id), closing per-thread agg — rides ONE hash exchange:
     hashpartitioning(user_id) satisfies the finer clusterings (subset rule),
     so Catalyst adds sorts, never a second shuffle."""
+    from realtime_spark.operators.chat import chat_loss_spans, render_chat_template
+
     e = _events(spark, [(1, 0, "click", 10), (1, 1, "error", 10)])
     for df in (
         thread_stats(chat_turns(e, gap_seconds=1800)),
         fit_context_budget(chat_turns(e, gap_seconds=1800), budget=100),
+        render_chat_template(chat_turns(e, gap_seconds=1800)),
+        chat_loss_spans(chat_turns(e, gap_seconds=1800)),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_exchanges = plan.count("Exchange hashpartitioning")
@@ -180,3 +220,163 @@ def test_streaming_chat_threads_match_batch_up_to_watermark(spark):
             f"non-final thread missing from stream: user={row[0]} start={row[1]}"
         )
     assert len(got) > 0
+
+
+def _drain_chat_stream(spark, src, ckpt, sink_rows, gap):
+    """One availableNow drain cycle of streaming_chat_threads off `src`,
+    appending emitted rows to `sink_rows` (foreachBatch — the memory sink
+    cannot recover from a checkpoint, and the shared checkpoint is the
+    point: the watermark persists across cycles, exactly the multi-cycle
+    shape of the stream_* gate queries)."""
+    from realtime_spark.operators.chat import streaming_chat_threads
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = streaming_chat_threads(stream, gap_seconds=gap, watermark="0 seconds")
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, _eid: sink_rows.extend(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("chat stream drain timed out")
+
+
+def _write_chat_file(spark, src, tag, rows):
+    """rows: (event_id, ts_str, user_id, event_type, k_json)."""
+    import os
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "props string"
+    )
+    data = [
+        (eid, dt.datetime.fromisoformat(ts), u, et, json.dumps({"k": 10}))
+        for eid, ts, u, et in rows
+    ]
+    spark.createDataFrame(data, schema).coalesce(1).write.parquet(
+        os.path.join(src, tag)
+    )
+
+
+def test_watermark_equality_boundary_emits(spark):
+    """The ORACLE_STREAM_CHAT_THREADS emission rule is `end_us <= max ts`
+    (watermark EQUALITY emits) — pinned empirically when the oracle was
+    written; this fixture makes the boundary itself a named assertion, so
+    a Spark upgrade flipping the eviction boundary to strict < fails HERE,
+    not as a generic oracle hash mismatch (r8 ADVICE).
+
+    u1's session end (last ts + gap) lands EXACTLY on the corpus max ts
+    (u2's lone event): u1 must be emitted, u2 (end past the watermark)
+    must not."""
+    import os
+    import tempfile
+
+    gap = 600
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        _write_chat_file(
+            spark, src, "f0",
+            [
+                (1, "2026-01-01T12:00:00", 1, "click"),
+                (2, "2026-01-01T12:05:00", 1, "error"),
+                # max ts == u1's session end: 12:05 + 600 s = 12:15 exactly
+                (3, "2026-01-01T12:15:00", 2, "click"),
+            ],
+        )
+        rows = []
+        _drain_chat_stream(spark, src, ckpt, rows, gap)
+    emitted = {(r["user_id"], r["n_turns"]) for r in rows}
+    assert emitted == {(1, 2)}, (
+        f"expected exactly u1's 2-turn thread at watermark equality, got {rows}"
+    )
+    (r,) = rows
+    assert str(r["session_end"]) == "2026-01-01 12:15:00"
+    assert r["valid"] and r["first_role"] == "user" and r["last_role"] == "assistant"
+
+
+def test_streaming_chat_out_of_order_arrivals(spark):
+    """r8 verdict ask #3: the gate query drains ONE file, so events arrive
+    in written order and the watermark rule is only exercised trivially.
+    Here the corpus arrives as 3 files across SEPARATE drain cycles
+    (shared checkpoint carries the watermark), sessions interleaved across
+    files, with a late event planted beyond the watermark: finalized
+    threads must match the batch stats computed WITHOUT the late event,
+    and the late event is dropped — it neither re-opens the finalized
+    thread nor founds a session of its own (the documented ST2-class
+    deviation)."""
+    import os
+    import tempfile
+
+    gap = 600
+    sink_rows: list = []
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        # cycle 1: u1's 2-turn session (end 12:11), u2's 1-turn session
+        # (end 12:10), and a pusher at 12:30 — after this drain the
+        # watermark is 12:30, so both sessions finalize
+        _write_chat_file(
+            spark, src, "f0",
+            [
+                (1, "2026-01-01T12:00:00", 1, "click"),
+                (2, "2026-01-01T12:01:00", 1, "error"),
+                (3, "2026-01-01T12:00:30", 2, "view"),
+                (4, "2026-01-01T12:30:00", 3, "click"),
+            ],
+        )
+        _drain_chat_stream(spark, src, ckpt, sink_rows, gap)
+        after_c1 = {(r["user_id"], str(r["session_start"])[11:19], r["n_turns"])
+                    for r in sink_rows}
+        # cycle 2: a LATE u1 event at 12:05 (candidate window end 12:15 <=
+        # watermark 12:30 -> dropped), u1's NEW session at 12:50, u3's
+        # continuation... u3's 12:30 session is still open (end 12:40 >
+        # 12:30); extend it at 12:35 (not late: > watermark is irrelevant,
+        # merging an OPEN session is allowed), plus a pusher at 13:30
+        _write_chat_file(
+            spark, src, "f1",
+            [
+                (5, "2026-01-01T12:05:00", 1, "view"),   # LATE: dropped
+                (6, "2026-01-01T12:50:00", 1, "click"),
+                (7, "2026-01-01T12:35:00", 3, "error"),
+                (8, "2026-01-01T13:30:00", 4, "click"),
+            ],
+        )
+        _drain_chat_stream(spark, src, ckpt, sink_rows, gap)
+        # cycle 3: nothing new for the finalized users; a final pusher so
+        # u4's session (end 13:40) finalizes too
+        _write_chat_file(
+            spark, src, "f2",
+            [(9, "2026-01-01T14:00:00", 5, "click")],
+        )
+        _drain_chat_stream(spark, src, ckpt, sink_rows, gap)
+        final = {
+            (r["user_id"], str(r["session_start"])[11:19], r["n_turns"],
+             r["first_role"], r["last_role"], r["valid"])
+            for r in sink_rows
+        }
+
+    # u1's first thread finalized after cycle 1 with exactly its 2
+    # in-order turns
+    assert (1, "12:00:00", 2) in after_c1, after_c1
+    expected = {
+        (1, "12:00:00", 2, "user", "assistant", True),     # late event NOT added
+        (2, "12:00:30", 1, "user", "user", False),
+        (3, "12:30:00", 2, "user", "assistant", True),     # open-session merge OK
+        (1, "12:50:00", 1, "user", "user", False),
+        (4, "13:30:00", 1, "user", "user", False),
+    }
+    assert final == expected, f"\ngot: {sorted(final)}\nexp: {sorted(expected)}"
+    # the late event founded no session: no thread starts at 12:05
+    assert not any(s == "12:05:00" for (_, s, *_rest) in final)

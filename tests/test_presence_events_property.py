@@ -113,6 +113,72 @@ def _sequences(draw):
 
 @settings(max_examples=120, deadline=None)
 @given(_sequences())
+def test_error_paths_leave_original_socket_structurally_unchanged(seq):
+    """r8 verdict ask #4: the shallow-copy boundary in handle_presence_event
+    (replace only policies + client_rate_limit) is correct ONLY while
+    dispatch mutates nothing else in place. Enforce that structurally: after
+    every non-'ok' dispatch the ORIGINAL socket must deep-equal its pre-call
+    snapshot — any future dispatch path mutating a third (uncopied) nested
+    field fails here, not as a silent caller-visible leak. The sibling
+    test below proves the property has teeth."""
+    import copy
+
+    sock = PresenceSocket(
+        private=False,
+        presence_key="k",
+        policies=PresencePolicies(read=True, write=True),
+        client_rate_limit=ClientRateLimit(max_calls=MAX_CALLS, window_ms=WINDOW_MS),
+    )
+    tracker = PresenceTracker()
+    tenant = TenantLimits()
+
+    for msg, now in seq:
+        snap = copy.deepcopy(sock)
+        got, out = handle_presence_event(msg, sock, tracker, tenant, now)
+        if got != "ok":
+            assert out is sock, "error tuples must return the pre-handle socket"
+            assert sock == snap, (
+                f"dispatch leaked an in-place mutation through the shallow-copy "
+                f"boundary on {got!r}: {sock} != {snap}"
+            )
+        sock = out
+
+
+def test_boundary_property_catches_third_field_mutation(monkeypatch):
+    """Teeth check for the structural property above: a dispatch path that
+    mutates a nested structure OUTSIDE the two replace()-isolated ones (here
+    the tracked-payload dict, which the shallow copy deliberately shares)
+    must be visible on the original socket — exactly the violation the
+    property asserts never happens with the real dispatch."""
+    import copy
+
+    import realtime_spark.functions.presence_events as pe
+
+    def evil_dispatch(message, socket, tracker, tenant, now_ms,
+                      tenant_rate_avg, authorize):
+        # in-place mutation of an uncopied nested field
+        socket.presence_track_payload["evil"] = True
+        return UNKNOWN_PRESENCE_EVENT, socket
+
+    monkeypatch.setattr(pe, "_dispatch_event", evil_dispatch)
+    sock = PresenceSocket(
+        presence_key="k",
+        presence_track_payload={"v": 1},
+        policies=PresencePolicies(read=True, write=True),
+        client_rate_limit=ClientRateLimit(max_calls=MAX_CALLS, window_ms=WINDOW_MS),
+    )
+    snap = copy.deepcopy(sock)
+    got, out = pe.handle_presence_event(
+        {"event": "track", "payload": {"v": 2}}, sock, PresenceTracker(),
+        TenantLimits(), 0,
+    )
+    assert got == UNKNOWN_PRESENCE_EVENT and out is sock
+    # the violation IS caught by the structural compare the property runs
+    assert sock != snap and sock.presence_track_payload == {"v": 1, "evil": True}
+
+
+@settings(max_examples=120, deadline=None)
+@given(_sequences())
 def test_rate_window_and_error_discard_match_reference_model(seq):
     sock = PresenceSocket(
         private=False,
