@@ -130,8 +130,91 @@ def _bench_queries():
         "stream_bm25_topk",
         # streaming chat lift: real file-source stream + session_window
         "stream_chat_threads",
+        # r9: rendered SFT samples + per-turn loss-mask ranges
+        "chat_render",
+        "chat_loss_mask",
     ]
     return {k: qs[k] for k in headline if k in qs}
+
+
+_BASELINE_KEYS_SKIP = {"metric", "value", "n", "rc", "cpus", "sf", "rows"}
+
+
+def _baseline_path(sf) -> str:
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(here, f"BENCH_BASELINE_sf{sf}.json")
+
+
+def _timings_from_driver_artifact(path: str, sf) -> dict:
+    """Recover per-query walls from a driver BENCH_r{N}.json. The driver
+    stores only a 2000-char stdout TAIL, which truncates the queries dict
+    from the front — but the recoverable suffix is exactly the tail of the
+    headline list: the dispatch/push queries and the store-lifecycle
+    queries, i.e. the ones the r8 outliers hit. Parse complete
+    "name": number pairs from the segment before the queries dict closes."""
+    import re
+
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    if str(d.get("sf")) != str(sf):
+        return {}
+    q = d.get("queries") or (d.get("parsed") or {}).get("queries")
+    if isinstance(q, dict):
+        return {k: v for k, v in q.items() if isinstance(v, (int, float))}
+    tail = d.get("tail")
+    if not isinstance(tail, str) or '}, "sf":' not in tail:
+        return {}
+    seg = tail.split('}, "sf":', 1)[0]
+    if '"queries": {' in seg:
+        seg = seg.split('"queries": {', 1)[1]
+    out = {}
+    for m in re.finditer(r'"([A-Za-z0-9_]+)": ([0-9]+(?:\.[0-9]+)?)(?=[,}]|$)', seg):
+        if m.group(1) not in _BASELINE_KEYS_SKIP:
+            out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def _prior_round_timings(sf) -> tuple[dict, str | None]:
+    """Baseline for the 3x outlier retry (r8 verdict ask #2): per-query
+    walls from the most recent same-SF measurement. Two sources, merged —
+    the latest driver-recorded BENCH_r{N}.json (partial: only its stored
+    stdout tail is recoverable) overlaid by this script's own full
+    BENCH_BASELINE_sf{sf}.json written at the end of every run. Empty when
+    no same-SF prior exists (first round, or a local run at a new SF)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior: dict = {}
+    src = []
+    best_n, best_path = -1, None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), p
+    if best_path is not None:
+        got = _timings_from_driver_artifact(best_path, sf)
+        if got:
+            prior.update(got)
+            src.append(os.path.basename(best_path))
+    try:
+        with open(_baseline_path(sf)) as f:
+            base = json.load(f)
+        q = base.get("queries", {})
+        got = {k: v for k, v in q.items() if isinstance(v, (int, float))}
+        if got:
+            # per-key MIN across sources: the baseline convention is the
+            # FLOOR (a retry against a floor is cheap; a noisy baseline
+            # that suppresses retries is what allowed the r8 outliers)
+            for k, v in got.items():
+                prior[k] = min(v, prior[k]) if k in prior else v
+            src.append(os.path.basename(_baseline_path(sf)))
+    except (OSError, json.JSONDecodeError):
+        pass
+    return prior, "+".join(src) or None
 
 
 def bench_streaming_cdc(spark, sf_dir: str, micro_batches: int | None = None) -> dict:
@@ -603,6 +686,22 @@ def bench_streaming_ingest(spark, sf_dir: str, micro_batches: int = 5) -> dict:
     }
 
 
+def _probe_once(spark) -> float:
+    """One SINGLE-SHOT run of the constant probe workload — time-local host
+    state right now, deliberately NOT min-of-3 (the minimum hides the
+    transient contention an adjacent probe exists to witness)."""
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 2_000_000, 1, 16)
+        .withColumn("k", (F.col("id") * F.lit(2654435761)) % 4096)
+        .withColumn("v", F.md5(F.col("id").cast("string")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("v").alias("mx"))
+        .count()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
 def calibration_probe(spark) -> float:
     """Fixed synthetic workload, independent of SF and of the repo's data:
     a deterministic generate -> hash -> shuffle -> aggregate job whose wall
@@ -610,20 +709,7 @@ def calibration_probe(spark) -> float:
     can separate box drift from code regressions numerically — the r5 driver
     tail showed a +15-45% block on untouched code that needed code-diff
     archaeology to attribute to environment."""
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        (
-            spark.range(0, 2_000_000, 1, 16)
-            .withColumn("k", (F.col("id") * F.lit(2654435761)) % 4096)
-            .withColumn("v", F.md5(F.col("id").cast("string")))
-            .groupBy("k")
-            .agg(F.count(F.lit(1)).alias("n"), F.max("v").alias("mx"))
-            .count()
-        )
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 3)
+    return round(min(_probe_once(spark) for _ in range(3)), 3)
 
 
 def main() -> None:
@@ -636,16 +722,35 @@ def main() -> None:
     for t in ("orders", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
+    prior, prior_src = _prior_round_timings(sf_val)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    retries: dict[str, dict] = {}
+    probes_adjacent: dict[str, float] = {}
     total_rows = 0
     t_all = time.perf_counter()
     calibration_first = calibration_probe(spark)
     # end-to-end store-lifecycle jobs: one run is the honest number (the
-    # work IS the pipeline, not a plan whose compile noise min-of-3 drops)
-    single_run = {"stream_ingest_accepted", "stream_ivf_topk", "stream_bm25_topk"}
+    # work IS the pipeline, not a plan whose compile noise min-of-3 drops).
+    # They are also the most contention-sensitive queries in the list
+    # (multi-job drain cycles degrade super-linearly under host load), so
+    # each gets a SINGLE-SHOT probe immediately before it (r8 ask #2b):
+    # single-shot on purpose — min-of-3 would hide exactly the transient
+    # contention the adjacent probe exists to witness.
+    single_run = {
+        "stream_ingest_accepted",
+        "stream_ivf_topk",
+        "stream_bm25_topk",
+        "stream_chat_threads",
+    }
     for name, fn in _bench_queries().items():
+        if name in single_run:
+            probes_adjacent[name] = _probe_once(spark)
         best = None
+        samples: list[float] = []
         n = 0
         try:
             reps_q = 1 if name in single_run else 3
@@ -653,7 +758,31 @@ def main() -> None:
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
+                samples.append(round(dt, 3))
                 best = dt if best is None else min(best, dt)
+            # 3x-outlier auto-retry against the recorded prior round (r8 ask
+            # #2a): a wall >3x last round's on this SF is either a real
+            # regression (retries reproduce it) or a host-load burst (a
+            # retry lands back at the floor). Keep min-of-all, record every
+            # sample, and let the artifact decide.
+            p = prior.get(name)
+            if p is not None and p > 0 and best > 3.0 * p:
+                first_best = best
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    n = fn(spark, sf_dir).count()
+                    dt = time.perf_counter() - t0
+                    samples.append(round(dt, 3))
+                    best = min(best, dt)
+                    spark.catalog.clearCache()
+                    if best <= 3.0 * p:
+                        break
+                retries[name] = {
+                    "prior_round_sec": p,
+                    "first_best": round(first_best, 3),
+                    "samples": samples,
+                    "reproduced": best > 3.0 * p,
+                }
             timings[name] = round(best, 3)
             total_rows += n
         except Exception as e:  # one broken query must not void the run
@@ -673,8 +802,10 @@ def main() -> None:
     # 18.6k locally), which turns host noise into phantom round-over-round
     # regressions. Keep the run with the highest primary throughput and record
     # every sample so the spread itself is visible in the artifact.
+    # 0 skips the streaming block entirely (fast local iteration + the
+    # self-diagnosis unit tests drive main() headline-only)
     reps = int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "3"))
-    for key, bench_fn in (
+    for key, bench_fn in () if reps <= 0 else (
         ("cdc", bench_streaming_cdc),
         ("presence", bench_streaming_presence),
         ("mv", bench_streaming_mv),
@@ -700,7 +831,29 @@ def main() -> None:
     calibration_last = calibration_probe(spark)
     wall = round(time.perf_counter() - t_all, 3)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # persist this run as the next run's full baseline (per-key min with
+    # the existing one, so the recorded floor only ever tightens)
+    try:
+        merged = dict(timings)
+        try:
+            with open(_baseline_path(sf_val)) as f:
+                for k, v in json.load(f).get("queries", {}).items():
+                    if isinstance(v, (int, float)):
+                        merged[k] = min(v, merged[k]) if k in merged else v
+        except (OSError, json.JSONDecodeError):
+            pass
+        # a REPRODUCED 3x outlier is the query's new reality (regression or
+        # deliberately heavier workload): adopt it as the baseline so every
+        # later run doesn't burn retries re-flagging it — the retry record
+        # in this run's artifact is the flag
+        for k, r in retries.items():
+            if r["reproduced"] and k in timings:
+                merged[k] = timings[k]
+        with open(_baseline_path(sf_val), "w") as f:
+            json.dump({"sf": sf_val, "queries": merged}, f, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the driver-tail source still works
+
     print(
         json.dumps(
             {
@@ -708,7 +861,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "rows": total_rows,
                 "streaming": streaming,
                 "errors": errors,
@@ -718,6 +871,15 @@ def main() -> None:
                 "calibration_first": calibration_first,
                 "calibration_streaming": calibration_streaming,
                 "calibration_last": calibration_last,
+                # single-shot probe IMMEDIATELY before each store-lifecycle
+                # query: those multi-job drain cycles are the most
+                # contention-sensitive queries here, and the three r8
+                # driver outliers sat between probes ~10 min apart
+                "probes_adjacent": probes_adjacent,
+                # 3x-vs-prior-round outlier retries (empty = no outliers):
+                # reproduced=true is a real regression, false was host load
+                "retries": retries,
+                "prior_round_source": prior_src,
             }
         )
     )

@@ -394,6 +394,71 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_from_live_index(spark, root, list(_BM25_TERMS), k=_BM25_K)
 
 
+def q_stream_search_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: the scheduled-compaction poll loop driving the SEARCH store —
+    the last store whose loop was pytest-only, and the one with the
+    documented torn-epoch window (streaming/search_ingest.py:17-26: the
+    three per-epoch writes — postings, doclen, stats — are not mutually
+    atomic), so the janitor firing BETWEEN drain cycles against those
+    tri-part epochs is its most interesting window (r8 verdict ask #6).
+
+    The q_stream_bm25_topk arrival sequence (three quarters that jointly
+    index the whole documents table) plus a FULL RE-DELIVERY of the first
+    quarter — every id of which the doclen anti-join must reject, or the
+    duplicated doclen rows fan out the score join and the summed stat
+    partials skew every BM25 score — as real availableNow drain cycles off
+    a file source, with compact_search_state as the threshold janitor
+    (max_epochs=2: fires after the second and fourth drains, so epochs 2-3
+    land in a compacted store whose stat partials were already folded into
+    one base row). BM25 off the live store must hash-match the batch
+    ORACLE_SEARCH_BM25 over all documents — the identical oracle."""
+    import tempfile
+
+    from realtime_spark.streaming.compaction import (
+        SEARCH_SUBSTORES,
+        compact_search_state,
+        run_ingest_cycles,
+    )
+    from realtime_spark.streaming.search_ingest import (
+        bm25_topk_from_live_index,
+        run_search_ingest_stream,
+        seed_search_state,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _fresh_root(sf_dir, "searchloop")
+    seed_search_state(d.filter("doc_id % 4 = 0"), root)
+    src = tempfile.mkdtemp(prefix="rs_searchloop_src_")
+    ckpt = f"{root}/_ckpt"
+    arrivals = iter([
+        d.filter("doc_id % 4 = 1"),
+        d.filter("doc_id % 4 = 2"),
+        d.filter("doc_id % 4 = 3"),
+        d.filter("doc_id % 4 = 1"),  # full re-delivery under original ids
+    ])
+
+    def start_stream():
+        batch = next(arrivals)
+        batch.coalesce(1).write.parquet(f"{src}/f{len(os.listdir(src))}")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        return run_search_ingest_stream(stream, root, ckpt)
+
+    try:
+        telemetry = run_ingest_cycles(
+            spark, root, start_stream, compact_search_state,
+            SEARCH_SUBSTORES, cycles=4, max_epochs=2,
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    if [t["compacted"] for t in telemetry] != [False, True, False, True]:
+        raise AssertionError(f"compaction trigger misfired: {telemetry}")
+    return bm25_topk_from_live_index(spark, root, list(_BM25_TERMS), k=_BM25_K)
+
+
 def stream_stores_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stream_ingest_accepted": q_stream_ingest_accepted,
@@ -401,6 +466,7 @@ def stream_stores_queries() -> dict[str, Callable[[SparkSession, str], DataFrame
         "stream_ivf_topk": q_stream_ivf_topk,
         "stream_vector_loop": q_stream_vector_loop,
         "stream_bm25_topk": q_stream_bm25_topk,
+        "stream_search_loop": q_stream_search_loop,
     }
 
 
@@ -415,4 +481,7 @@ def stream_stores_oracles() -> dict[str, str]:
         # re-delivery) through the poll loop — same batch IVF answer
         "stream_vector_loop": ORACLE_ANN_IVF_TOPK,
         "stream_bm25_topk": ORACLE_SEARCH_BM25,
+        # the loop runs the bm25 arrival sequence (quarters + full
+        # re-delivery) through the poll loop — same batch BM25 answer
+        "stream_search_loop": ORACLE_SEARCH_BM25,
     }
