@@ -257,11 +257,13 @@ def q_stream_compaction_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return run_ingest_stream(stream, root, ckpt)
 
-    telemetry = run_ingest_cycles(
-        spark, root, start_stream, compact_ingest_state,
-        INGEST_SUBSTORES, cycles=3, max_epochs=2,
-    )
-    shutil.rmtree(src, ignore_errors=True)
+    try:
+        telemetry = run_ingest_cycles(
+            spark, root, start_stream, compact_ingest_state,
+            INGEST_SUBSTORES, cycles=3, max_epochs=2,
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
     if [t["compacted"] for t in telemetry] != [False, True, False]:
         raise AssertionError(f"compaction trigger misfired: {telemetry}")
     return accepted_docs(spark, root).select(
@@ -353,11 +355,13 @@ def q_stream_vector_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return run_vector_ingest_stream(stream, root, ckpt)
 
-    telemetry = run_ingest_cycles(
-        spark, root, start_stream, compact_vector_state,
-        VECTOR_SUBSTORES, cycles=4, max_epochs=2,
-    )
-    shutil.rmtree(src, ignore_errors=True)
+    try:
+        telemetry = run_ingest_cycles(
+            spark, root, start_stream, compact_vector_state,
+            VECTOR_SUBSTORES, cycles=4, max_epochs=2,
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
     if [t["compacted"] for t in telemetry] != [False, True, False, True]:
         raise AssertionError(f"compaction trigger misfired: {telemetry}")
 
