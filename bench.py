@@ -130,9 +130,10 @@ def _bench_queries():
         "stream_bm25_topk",
         # streaming chat lift: real file-source stream + session_window
         "stream_chat_threads",
-        # r9: rendered SFT samples + per-turn loss-mask ranges
+        # r9: rendered SFT samples + per-turn loss-mask ranges + packing
         "chat_render",
         "chat_loss_mask",
+        "chat_pack",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

@@ -247,11 +247,44 @@ def chat_loss_spans(turns: DataFrame) -> DataFrame:
     )
 
 
+def pack_chat_threads(
+    threads: DataFrame,
+    budget: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """SFT sample packing: lay VALIDATED threads (thread_stats rows with
+    valid = true) out in the deterministic hash order and greedily chunk
+    them into ~`budget`-token training bins — the standard "packing SFT
+    samples" layout where several short conversations share one context
+    window behind a cross-sample attention mask. Thread identity is the
+    composite key rendered as 'user_id:session_id'.
+
+    Scale shape (100 TB): packing runs per hash shard
+    (text.pack_by_token_budget with partition_col — one exchange on the
+    shard id, never a corpus-global total order), the same sub-sharding
+    rule as pack_token_windows; bins simply spread across shards.
+
+    Output: (thread_key, total_tokens, shard, pack_id, pack_pos)."""
+    from realtime_spark.operators.sampling import hash_bucket
+    from realtime_spark.operators.text import pack_by_token_budget
+
+    key = F.concat_ws(":", F.col("user_id"), F.col("session_id"))
+    units = threads.filter(F.col("valid")).select(
+        key.alias("thread_key"),
+        F.col("total_tokens"),
+        hash_bucket(key, n_shards).cast("int").alias("shard"),
+    )
+    return pack_by_token_budget(
+        units, "thread_key", "total_tokens", budget, partition_col="shard"
+    )
+
+
 def streaming_chat_threads(
     events: DataFrame,
     gap_seconds: int = 1800,
     watermark: str = "2 minutes",
     user_types: tuple[str, ...] = USER_EVENT_TYPES,
+    render: bool = False,
 ) -> DataFrame:
     """Streaming lift of chat_turns -> thread_stats: native session_window
     aggregation with watermarking, so threads finalize (append mode) once
@@ -266,7 +299,14 @@ def streaming_chat_threads(
     array with higher-order functions; no Python UDF, no second shuffle.
     Late events beyond the watermark are dropped rather than reopening a
     finalized thread (the documented ST2-class deviation, same as
-    streaming_sessions)."""
+    streaming_sessions).
+
+    With ``render=True`` the finalized thread additionally carries its
+    ChatML-rendered string (same template as render_chat_template),
+    computed JVM-side from the SAME sorted collected array the
+    order-dependent stats already use — the streaming path emits the
+    finished SFT sample, not just its stats, at zero extra shuffle/state
+    beyond the turn text riding in the collected struct."""
     t = events.select(*_turn_cols(user_types))
     agg = (
         t.withWatermark("ts", watermark)
@@ -283,7 +323,14 @@ def streaming_chat_threads(
             .alias("n_asst_turns"),
             F.sum("n_tokens").alias("total_tokens"),
             F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "role"))
+                F.collect_list(
+                    # text rides in the collected struct ONLY when the
+                    # render is requested — the stats-only stream keeps
+                    # its original (smaller) state rows
+                    F.struct("ts", "event_id", "role", "text")
+                    if render
+                    else F.struct("ts", "event_id", "role")
+                )
             ).alias("_turns"),
         )
     )
@@ -301,21 +348,35 @@ def streaming_chat_threads(
     ).cast("bigint")
     first_role = F.element_at(roles, 1)
     last_role = F.element_at(roles, -1)
-    return agg.select(
-        "user_id",
+    cols = [
+        F.col("user_id"),
         F.col("session_window.start").alias("session_start"),
         F.col("session_window.end").alias("session_end"),
-        "n_turns",
-        "n_user_turns",
-        "n_asst_turns",
+        F.col("n_turns"),
+        F.col("n_user_turns"),
+        F.col("n_asst_turns"),
         first_role.alias("first_role"),
         last_role.alias("last_role"),
         breaks.alias("alternation_breaks"),
-        "total_tokens",
+        F.col("total_tokens"),
         (
             (first_role == "user")
             & (last_role == "assistant")
             & (F.col("n_turns") >= 2)
             & (breaks == F.lit(0))
         ).alias("valid"),
-    )
+    ]
+    if render:
+        cols.append(
+            F.array_join(
+                F.transform(
+                    F.col("_turns"),
+                    lambda x: F.concat(
+                        F.lit("<|im_start|>"), x["role"], F.lit("\n"),
+                        x["text"], F.lit("<|im_end|>"), F.lit("\n"),
+                    ),
+                ),
+                "",
+            ).alias("rendered")
+        )
+    return agg.select(*cols)

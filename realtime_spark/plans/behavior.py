@@ -454,7 +454,9 @@ def behavior_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_context_fit": q_chat_context_fit,
         "chat_render": q_chat_render,
         "chat_loss_mask": q_chat_loss_mask,
+        "chat_pack": q_chat_pack,
         "stream_chat_threads": q_stream_chat_threads,
+        "stream_chat_render": q_stream_chat_render,
     })
     return qs
 
@@ -481,7 +483,9 @@ def behavior_oracles() -> dict[str, str]:
         "chat_context_fit": ORACLE_CHAT_CONTEXT_FIT,
         "chat_render": ORACLE_CHAT_RENDER,
         "chat_loss_mask": ORACLE_CHAT_LOSS_MASK,
+        "chat_pack": ORACLE_CHAT_PACK,
         "stream_chat_threads": ORACLE_STREAM_CHAT_THREADS,
+        "stream_chat_render": ORACLE_STREAM_CHAT_RENDER,
     }
 
 
@@ -2512,37 +2516,91 @@ FROM turns
 """
 
 
+_CHAT_PACK_BUDGET = 1024
+_CHAT_PACK_SHARDS = 8
+
+
+def q_chat_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT sample packing (operators/chat.py ``pack_chat_threads``):
+    validated threads greedily binned into ~1024-token training bins in
+    the deterministic hash order, per hash shard (one exchange; the
+    corpus-global total order never appears) — several short
+    conversations share one context window behind a cross-sample mask."""
+    from realtime_spark.operators.chat import chat_turns, pack_chat_threads, thread_stats
+
+    e = load_table(spark, sf_dir, "events")
+    t = thread_stats(chat_turns(e, gap_seconds=_CHAT_GAP))
+    return pack_chat_threads(t, _CHAT_PACK_BUDGET, _CHAT_PACK_SHARDS)
+
+
+ORACLE_CHAT_PACK = f"""
+WITH {_CHAT_TURNS_CTE},
+b AS (
+  SELECT *, CASE WHEN lag(role) OVER (PARTITION BY user_id, session_id
+                                      ORDER BY ts, event_id) = role
+            THEN 1 ELSE 0 END AS is_break
+  FROM turns
+),
+v AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || CAST(session_id AS VARCHAR)
+           AS thread_key,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM b
+  GROUP BY user_id, session_id
+  HAVING arg_min(role, turn_idx) = 'user'
+     AND arg_max(role, turn_idx) = 'assistant'
+     AND COUNT(*) >= 2 AND SUM(is_break) = 0
+),
+h AS (
+  SELECT *, ('0x' || substr(md5(thread_key), 1, 15))::BIGINT AS hb FROM v
+),
+p AS (
+  SELECT thread_key, total_tokens,
+         CAST(hb % {_CHAT_PACK_SHARDS} AS INT) AS shard,
+         hb % 1152921504606846976 AS ord,
+         COALESCE(SUM(total_tokens)
+           OVER (PARTITION BY hb % {_CHAT_PACK_SHARDS}
+                 ORDER BY hb % 1152921504606846976, thread_key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS cum_excl
+  FROM h
+)
+SELECT thread_key, total_tokens, shard,
+       CAST(floor(cum_excl / {_CHAT_PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(row_number()
+         OVER (PARTITION BY shard, floor(cum_excl / {_CHAT_PACK_BUDGET})
+               ORDER BY ord, thread_key) AS BIGINT) AS pack_pos
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # streaming chat-thread assembly under the driver gate: the session_window
 # lift run as a REAL stream (file source, availableNow, append mode), its
 # emitted set reproduced exactly by the oracle's watermark rule
 
-def q_stream_chat_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """streaming_chat_threads driven end-to-end: the events table replayed
-    through a file-source stream into the session_window aggregate with a
-    0-second watermark. Append mode finalizes exactly the threads whose
-    session end (last ts + gap) <= the final watermark (= the corpus max
-    ts; emission at equality pinned by
-    tests/test_chat.py::test_watermark_equality_boundary_emits) — a rule
-    the oracle states in SQL, so the STREAM's emitted set is value-graded,
-    not just row-counted. Timestamps leave as epoch micros so the compare
-    is integer-exact.
+def _drain_chat_gate_stream(
+    spark: SparkSession, sf_dir: str, tag: str, render: bool
+) -> DataFrame:
+    """Shared drain harness for the streaming chat gate queries: replay the
+    events table through a file-source stream into the session_window
+    aggregate (availableNow, append mode, 0-second watermark) and return
+    the memory-sink view of the emitted set.
 
     Scratch layout follows plans/stream_stores.py::_fresh_root: a FIXED
-    per-(corpus, pid) name wiped at entry, so repeated invocations in one
-    process reuse (not accumulate) the directory, and the memory-sink temp
-    view is likewise replaced, not duplicated (r8 ADVICE)."""
+    per-(tag, corpus, pid) name wiped at entry, so repeated invocations in
+    one process reuse (not accumulate) the directory, and the memory-sink
+    temp view is likewise replaced, not duplicated (r8 ADVICE)."""
     import os
     import shutil
 
-    from realtime_spark.functions.timeutil import epoch_micros
     from realtime_spark.operators.chat import streaming_chat_threads
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/realtime_spark_stream_chat_{sf_tag}_{os.getpid()}"
+    root = f"/tmp/realtime_spark_stream_{tag}_{sf_tag}_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     src, ckpt = f"{root}/src", f"{root}/ckpt"
-    name = f"stream_chat_{sf_tag}_{os.getpid()}".replace(".", "_")
+    name = f"stream_{tag}_{sf_tag}_{os.getpid()}".replace(".", "_")
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "props"
@@ -2550,7 +2608,7 @@ def q_stream_chat_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.coalesce(1).write.parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     out = streaming_chat_threads(
-        stream, gap_seconds=_CHAT_GAP, watermark="0 seconds"
+        stream, gap_seconds=_CHAT_GAP, watermark="0 seconds", render=render
     )
     q = (
         out.writeStream.format("memory")
@@ -2563,22 +2621,63 @@ def q_stream_chat_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError(
-            "stream_chat_threads drain timed out — a partial emitted set "
+            f"stream_{tag} drain timed out — a partial emitted set "
             "must fail loudly, not hash-mismatch confusingly"
         )
-    emitted = spark.table(name)
+    return spark.table(name)
+
+
+_STREAM_CHAT_COLS = [
+    "user_id",
+    "n_turns",
+    "n_user_turns",
+    "n_asst_turns",
+    "first_role",
+    "last_role",
+    "alternation_breaks",
+    "total_tokens",
+    "valid",
+]
+
+
+def q_stream_chat_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_chat_threads driven end-to-end: the events table replayed
+    through a file-source stream into the session_window aggregate with a
+    0-second watermark. Append mode finalizes exactly the threads whose
+    session end (last ts + gap) <= the final watermark (= the corpus max
+    ts; emission at equality pinned by
+    tests/test_chat.py::test_watermark_equality_boundary_emits) — a rule
+    the oracle states in SQL, so the STREAM's emitted set is value-graded,
+    not just row-counted. Timestamps leave as epoch micros so the compare
+    is integer-exact."""
+    from realtime_spark.functions.timeutil import epoch_micros
+
+    emitted = _drain_chat_gate_stream(spark, sf_dir, "chat", render=False)
     return emitted.select(
         "user_id",
         epoch_micros("session_start").alias("start_us"),
         epoch_micros("session_end").alias("end_us"),
-        "n_turns",
-        "n_user_turns",
-        "n_asst_turns",
-        "first_role",
-        "last_role",
-        "alternation_breaks",
-        "total_tokens",
-        "valid",
+        *_STREAM_CHAT_COLS[1:],
+    )
+
+
+def q_stream_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: the streaming path emits the FINISHED SFT sample — the same
+    session_window lift with the ChatML render computed on the collected
+    turn array inside the streaming aggregate (render=True), so the
+    rendered string itself is value-graded through a real stream under
+    the same watermark rule. The stats columns ride along, proving the
+    render variant changes nothing else."""
+    from realtime_spark.functions.timeutil import epoch_micros
+
+    emitted = _drain_chat_gate_stream(spark, sf_dir, "chatr", render=True)
+    return emitted.select(
+        "user_id",
+        epoch_micros("session_start").alias("start_us"),
+        epoch_micros("session_end").alias("end_us"),
+        *_STREAM_CHAT_COLS[1:],
+        F.col("rendered"),
+        F.length("rendered").cast("bigint").alias("n_chars"),
     )
 
 
@@ -2611,5 +2710,41 @@ t AS (
   GROUP BY user_id, session_id
 )
 SELECT * FROM t
+WHERE end_us <= (SELECT epoch_us(MAX(ts)) FROM events)
+"""
+
+
+ORACLE_STREAM_CHAT_RENDER = f"""
+WITH {_CHAT_TURNS_CTE},
+b AS (
+  SELECT *, CASE WHEN lag(role) OVER (PARTITION BY user_id, session_id
+                                      ORDER BY ts, event_id) = role
+            THEN 1 ELSE 0 END AS is_break
+  FROM turns
+),
+t AS (
+  SELECT user_id,
+         epoch_us(MIN(ts)) AS start_us,
+         epoch_us(MAX(ts) + INTERVAL {_CHAT_GAP} SECOND) AS end_us,
+         COUNT(*) AS n_turns,
+         CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_user_turns,
+         CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_asst_turns,
+         arg_min(role, turn_idx) AS first_role,
+         arg_max(role, turn_idx) AS last_role,
+         CAST(SUM(is_break) AS BIGINT) AS alternation_breaks,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         (arg_min(role, turn_idx) = 'user'
+          AND arg_max(role, turn_idx) = 'assistant'
+          AND COUNT(*) >= 2
+          AND SUM(is_break) = 0) AS valid,
+         string_agg('<|im_start|>' || role || chr(10) || turn_text
+                    || '<|im_end|>' || chr(10), '' ORDER BY ts, event_id)
+           AS rendered
+  FROM b
+  GROUP BY user_id, session_id
+)
+SELECT *, CAST(length(rendered) AS BIGINT) AS n_chars FROM t
 WHERE end_us <= (SELECT epoch_us(MAX(ts)) FROM events)
 """

@@ -132,6 +132,80 @@ def test_render_and_loss_mask(spark):
     ]
 
 
+def test_pack_chat_threads_invariants(spark):
+    """pack_chat_threads: only VALID threads are packed, bins are
+    shard-local with contiguous 1-based positions, every bin except a
+    shard's last stops only once the budget is reached (greedy rule:
+    a pack ends when its running total reaches the budget, so it can
+    overflow by at most one thread)."""
+    from realtime_spark.operators.chat import pack_chat_threads
+
+    rows = []
+    # 6 valid 2-turn threads (22 tokens each) + 1 invalid (single turn)
+    for u in range(1, 7):
+        rows += [(u, 0, "click", 10), (u, 1, "error", 10)]
+    rows.append((7, 0, "click", 10))
+    t = thread_stats(chat_turns(_events(spark, rows), gap_seconds=1800))
+    packed = pack_chat_threads(t, budget=40, n_shards=2).collect()
+    assert len(packed) == 6  # the invalid thread is excluded
+    assert {r["thread_key"] for r in packed} == {f"{u}:0" for u in range(1, 7)}
+    by_bin: dict = {}
+    for r in packed:
+        by_bin.setdefault((r["shard"], r["pack_id"]), []).append(r)
+    for (shard, pack_id), members in by_bin.items():
+        assert sorted(m["pack_pos"] for m in members) == list(
+            range(1, len(members) + 1)
+        )
+        total = sum(m["total_tokens"] for m in members)
+        last_bin = pack_id == max(p for s, p in by_bin if s == shard)
+        if not last_bin:
+            assert total >= 40  # greedy: a non-final bin reached the budget
+        # 22-token threads with budget 40: exactly 2 per full bin
+        assert len(members) <= 2
+
+
+def test_streaming_render_matches_batch_render(spark):
+    """The render=True streaming lift must emit, for every finalized
+    thread, EXACTLY the batch render_chat_template string."""
+    import os
+    import tempfile
+
+    from realtime_spark.operators.chat import (
+        render_chat_template,
+        streaming_chat_threads,
+    )
+
+    rows = [(1, 0, "click", 9), (1, 5, "error", 63), (2, 1, "view", 3),
+            (2, 2, "purchase", 4), (3, 2000, "click", 1)]
+    e = _events(spark, rows)
+    batch = {
+        r["rendered"]
+        for r in render_chat_template(chat_turns(e, gap_seconds=1800)).collect()
+    }
+    got = []
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        e.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(e.schema).parquet(src)
+        out = streaming_chat_threads(
+            stream, gap_seconds=1800, watermark="0 seconds", render=True
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _eid: got.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    assert len(got) >= 2  # u1 and u2 finalize behind u3's watermark push
+    for r in got:
+        assert r["rendered"] in batch
+        assert r["rendered"].startswith("<|im_start|>")
+
+
 def test_single_exchange_plan(spark):
     """The whole prep pipeline — sessionize window (user_id), thread windows
     (user_id, session_id), closing per-thread agg — rides ONE hash exchange:
