@@ -134,6 +134,8 @@ def _bench_queries():
         "chat_render",
         "chat_loss_mask",
         "chat_pack",
+        # r9: embedding-space eval-leakage flagging (IVF-confined)
+        "sem_decontaminate",
     ]
     return {k: qs[k] for k in headline if k in qs}
 

@@ -544,6 +544,58 @@ def append_to_ivf_index(
     write_ivf_index(new_vectors, centroids, path, id_col, vec_col, mode="append")
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_digits: int = 4,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination: flag training vectors whose
+    embedding is near-identical (cosine >= threshold) to ANY eval-set
+    vector — the embedding-space sibling of the n-gram `contaminated_docs`
+    (paraphrased eval leakage that shares no 8-gram still lands next to
+    its source in embedding space; cf. the SemDeDup observation, arXiv:
+    2303.09540 §5).
+
+    Scale shape: both sides are IVF-assigned (shuffle-free scans), and the
+    train x eval cosine search is confined to shared clusters — the join
+    shuffles only on centroid_id, so cost is sum over clusters of
+    |train_c| x |eval_c|, never corpus x eval. Output per training vector:
+    (id, centroid_id, max_eval_cos, contaminated); max_eval_cos is NULL
+    when the vector's cluster holds no eval vectors (or only zero-norm
+    cosines), which flags as NOT contaminated."""
+    asg_t = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "centroid_id"
+    )
+    asg_e = ivf_assign(eval_df, centroids, id_col, vec_col).select(
+        F.col("centroid_id"), F.col(vec_col).alias("evec")
+    )
+    best = (
+        asg_t.join(asg_e, ["centroid_id"])
+        .groupBy("vid", "centroid_id")
+        .agg(
+            F.max(
+                F.round(cosine_expr(F.col("vec"), F.col("evec")), round_digits)
+            ).alias("max_eval_cos")
+        )
+    )
+    return (
+        asg_t.select("vid", "centroid_id")
+        .join(best, ["vid", "centroid_id"], "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "centroid_id",
+            "max_eval_cos",
+            F.coalesce(
+                F.col("max_eval_cos") >= threshold, F.lit(False)
+            ).alias("contaminated"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: DataFrame,

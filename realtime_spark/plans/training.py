@@ -2114,6 +2114,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_lsh_index": q_dedup_lsh_index,
         "semdedup": q_semdedup,
+        "sem_decontaminate": q_sem_decontaminate,
         "span_dup_stats": q_span_dup_stats,
         "span_top_repeats": q_span_top_repeats,
         "dsir_weights": q_dsir_weights,
@@ -2191,6 +2192,7 @@ def training_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
         "dedup_lsh_index": ORACLE_DEDUP_LSH_INDEX,
         "semdedup": ORACLE_SEMDEDUP,
+        "sem_decontaminate": ORACLE_SEM_DECONTAMINATE,
         "span_dup_stats": ORACLE_SPAN_DUP_STATS,
         "span_top_repeats": ORACLE_SPAN_TOP_REPEATS,
         "dsir_weights": ORACLE_DSIR_WEIGHTS,
@@ -2293,6 +2295,60 @@ droppers AS (
 SELECT a.vec_id, a.centroid_id,
        (a.vec_id IN (SELECT drop_id FROM droppers)) AS dropped
 FROM asg a
+"""
+
+
+_SEMDECON_EVAL_PRED = "vec_id % 50 = 3"
+
+
+def q_sem_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination (operators/similarity.py
+    ``semantic_decontaminate``): training vectors flagged when cosine-near
+    an eval-set vector INSIDE their IVF cluster — the embedding-space
+    sibling of the n-gram `decontaminate`; train x eval search confined to
+    shared clusters, join shuffles only on centroid_id."""
+    from realtime_spark.operators.similarity import semantic_decontaminate
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.expr(_IVF_CENT_PRED))
+    eval_df = e.filter(F.expr(_SEMDECON_EVAL_PRED))
+    corpus = e.filter(~F.expr(_SEMDECON_EVAL_PRED))
+    return semantic_decontaminate(corpus, eval_df, cents, threshold=_SEMDEDUP_T)
+
+
+def _semdecon_asg_cte(name: str, src_pred: str) -> str:
+    """The ORACLE_SEMDEDUP nearest-centroid assignment (c_cos at r=6,
+    smallest-centroid tie-break) over a filtered slice of embeddings."""
+    return f"""
+{name}0 AS (
+  SELECT e.vec_id, e.embedding AS vec, c.centroid_id,
+         {_SQL_VEC_COS.format(a='e.embedding', b='c.embedding', r=6)} AS c_cos
+  FROM embeddings e CROSS JOIN cents c
+  WHERE {src_pred}
+),
+{name} AS (
+  SELECT vec_id, vec, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY c_cos DESC, centroid_id) AS rn
+    FROM {name}0
+  ) WHERE rn = 1
+)"""
+
+
+ORACLE_SEM_DECONTAMINATE = f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE {_IVF_CENT_PRED}),
+{_semdecon_asg_cte('asgt', f'NOT ({_SEMDECON_EVAL_PRED})').strip()},
+{_semdecon_asg_cte('asge', _SEMDECON_EVAL_PRED).strip()},
+best AS (
+  SELECT t.vec_id, t.centroid_id,
+         MAX({_SQL_VEC_COS.format(a='t.vec', b='e.vec', r=4)}) AS max_eval_cos
+  FROM asgt t JOIN asge e USING (centroid_id)
+  GROUP BY 1, 2
+)
+SELECT t.vec_id, t.centroid_id, b.max_eval_cos,
+       COALESCE(b.max_eval_cos >= {_SEMDEDUP_T}, FALSE) AS contaminated
+FROM asgt t LEFT JOIN best b
+  ON t.vec_id = b.vec_id AND t.centroid_id = b.centroid_id
 """
 
 

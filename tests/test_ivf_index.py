@@ -228,3 +228,40 @@ def test_query_collect_cap_raises_cleanly(spark, monkeypatch):
     # within the cap passes through unchanged
     ok = sim._collect_bounded(big.limit(3).select("vec_id", "embedding"), "t")
     assert len(ok) == 3
+
+
+def test_semantic_decontaminate_flags_near_eval_vectors(spark):
+    """semantic_decontaminate semantic pin: a training vector cosine-near an
+    eval vector IN ITS CLUSTER is flagged; a near-identical pair split
+    across clusters is NOT (the documented IVF confinement trade-off); a
+    cluster without eval vectors yields NULL max_eval_cos and no flag."""
+    from pyspark.sql import functions as F
+
+    from realtime_spark.operators.similarity import semantic_decontaminate
+
+    # two well-separated clusters on axes x and y
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [0.99, 0.02, 0.0]),   # cluster x, near eval 50 -> flagged
+            (2, [0.90, 0.40, 0.0]),   # cluster x, far from eval 50 -> clean
+            (3, [0.02, 0.98, 0.0]),   # cluster y, NO eval there -> NULL/clean
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    eval_df = spark.createDataFrame(
+        [(50, [0.995, 0.01, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            train, eval_df, cents, threshold=0.99
+        ).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["max_eval_cos"] >= 0.99
+    assert not out[2]["contaminated"] and out[2]["max_eval_cos"] is not None
+    assert not out[3]["contaminated"] and out[3]["max_eval_cos"] is None
+    assert {r["centroid_id"] for r in out.values()} == {100, 200}
