@@ -167,6 +167,23 @@ def fit_context_budget(turns: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def _rendered_expr(arr: Column, bos: str, eos: str) -> Column:
+    """ChatML render of a sorted (ts, event_id, role, text) struct array:
+    ``bos + role + \\n + text + eos + \\n`` per turn, concatenated. The ONE
+    place the template lives — the batch render and the streaming lift both
+    call this, so custom bos/eos markers cannot silently diverge between
+    the two paths (r9 ADVICE, chat.py:375)."""
+    return F.array_join(
+        F.transform(
+            arr,
+            lambda x: F.concat(
+                F.lit(bos), x["role"], F.lit("\n"), x["text"], F.lit(eos), F.lit("\n")
+            ),
+        ),
+        "",
+    )
+
+
 def render_chat_template(
     turns: DataFrame,
     bos: str = "<|im_start|>",
@@ -197,15 +214,7 @@ def render_chat_template(
         ).cast("int"),
     )
     arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "role", "text")))
-    rendered = F.array_join(
-        F.transform(
-            arr,
-            lambda x: F.concat(
-                F.lit(bos), x["role"], F.lit("\n"), x["text"], F.lit(eos), F.lit("\n")
-            ),
-        ),
-        "",
-    )
+    rendered = _rendered_expr(arr, bos, eos)
     agg = t.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -285,6 +294,8 @@ def streaming_chat_threads(
     watermark: str = "2 minutes",
     user_types: tuple[str, ...] = USER_EVENT_TYPES,
     render: bool = False,
+    bos: str = "<|im_start|>",
+    eos: str = "<|im_end|>",
 ) -> DataFrame:
     """Streaming lift of chat_turns -> thread_stats: native session_window
     aggregation with watermarking, so threads finalize (append mode) once
@@ -302,7 +313,9 @@ def streaming_chat_threads(
     streaming_sessions).
 
     With ``render=True`` the finalized thread additionally carries its
-    ChatML-rendered string (same template as render_chat_template),
+    ChatML-rendered string (the SAME shared template expression as
+    render_chat_template, including the bos/eos markers — _rendered_expr
+    is the single source of truth for both paths),
     computed JVM-side from the SAME sorted collected array the
     order-dependent stats already use — the streaming path emits the
     finished SFT sample, not just its stats, at zero extra shuffle/state
@@ -367,16 +380,5 @@ def streaming_chat_threads(
         ).alias("valid"),
     ]
     if render:
-        cols.append(
-            F.array_join(
-                F.transform(
-                    F.col("_turns"),
-                    lambda x: F.concat(
-                        F.lit("<|im_start|>"), x["role"], F.lit("\n"),
-                        x["text"], F.lit("<|im_end|>"), F.lit("\n"),
-                    ),
-                ),
-                "",
-            ).alias("rendered")
-        )
+        cols.append(_rendered_expr(F.col("_turns"), bos, eos).alias("rendered"))
     return agg.select(*cols)

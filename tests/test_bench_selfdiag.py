@@ -134,3 +134,96 @@ def test_no_retry_inside_band_and_probes_adjacent(
     # floor only tightens: the absurd seed was replaced by the measured min
     new_base = json.loads(base.read_text())
     assert new_base["queries"]["replay_topk"] == result["queries"]["replay_topk"]
+
+
+# ---------------------------------------------------------------------------
+# r9 ADVICE hardening: retry-failure keeps the measured wall; adopted
+# regression floors stay visible; tail recovery only admits headline names
+# ---------------------------------------------------------------------------
+
+
+def test_retry_failure_keeps_pre_retry_wall(spark, monkeypatch, tmp_path, capsys):
+    """An exception during a RETRY re-run (plausible for the stream_* store-
+    lifecycle queries that rebuild /tmp state) must not discard the already-
+    successfully-measured wall: the query keeps its min-of-3 timing, records
+    the retry error in the retries block, and stays out of errors."""
+    import __spark_entry__ as entry_mod
+
+    real = entry_mod.queries()["replay_topk"]
+    calls = {"n": 0}
+
+    def flaky(s, d):
+        calls["n"] += 1
+        if calls["n"] > 3:  # the 3 initial samples succeed; retries blow up
+            raise RuntimeError("store state torn mid-retry")
+        return real(s, d)
+
+    monkeypatch.setattr(bench, "_bench_queries", lambda: {"replay_topk": flaky})
+    base = tmp_path / "BENCH_BASELINE_sfx.json"
+    base.write_text(json.dumps({"sf": 0.001, "queries": {"replay_topk": 1e-4}}))
+    monkeypatch.setattr(bench, "_baseline_path", lambda sf: str(base))
+    monkeypatch.setattr(bench, "_timings_from_driver_artifact", lambda p, sf: {})
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_REPS", "0")
+    bench.main()
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "replay_topk" not in result["errors"]
+    assert result["queries"]["replay_topk"] > 0  # the pre-retry best survived
+    r = result["retries"]["replay_topk"]
+    assert "RuntimeError" in r["retry_error"]
+    assert len(r["samples"]) == 3  # only the successful initial samples
+    assert r["reproduced"] is True  # still >3x the absurd floor
+
+
+def test_adopted_floor_stays_visible_then_heals(spark, monkeypatch, tmp_path, capsys):
+    """A reproduced 3x regression is adopted as the working floor but the
+    displaced floor is recorded under "adopted" (r9 ADVICE: adoption must
+    not mask the regression). A later run back inside 3x of the old floor
+    heals the record: old floor re-enters the min-merge, record dropped."""
+    result, base = _run_main_headline_only(
+        monkeypatch, tmp_path, capsys,
+        queries=["replay_topk"], seed={"replay_topk": 1e-4},
+    )
+    b1 = json.loads(base.read_text())
+    assert b1["adopted"]["replay_topk"]["old_floor"] == 1e-4
+    assert b1["adopted"]["replay_topk"]["adopted"] == result["queries"]["replay_topk"]
+    assert b1["queries"]["replay_topk"] == result["queries"]["replay_topk"]
+
+    # second run: same query, floor is now the adopted (realistic) wall, so
+    # no retry fires — but the standing adopted record must SURVIVE because
+    # the measured wall is still >3x the displaced 1e-4 floor
+    result2, base = _run_main_headline_only(
+        monkeypatch, tmp_path, capsys, queries=["replay_topk"], seed=None
+    )
+    b2 = json.loads(base.read_text())
+    assert result2["retries"] == {}
+    assert b2["adopted"]["replay_topk"]["old_floor"] == 1e-4
+
+    # heal: rewrite the record as if the displaced floor were generous —
+    # the next run lands inside 3x of it, so the floor reverts and the
+    # record disappears
+    b2["adopted"]["replay_topk"]["old_floor"] = 1e6
+    base.write_text(json.dumps(b2))
+    result3, base = _run_main_headline_only(
+        monkeypatch, tmp_path, capsys, queries=["replay_topk"], seed=None
+    )
+    b3 = json.loads(base.read_text())
+    assert "adopted" not in b3
+    assert b3["queries"]["replay_topk"] <= result3["queries"]["replay_topk"]
+
+
+def test_tail_recovery_rejects_non_headline_names():
+    """Names parsed from a truncated driver tail are intersected with the
+    static headline list (r9 ADVICE): a truncated suffix that spells a
+    non-headline name can never enter the retry floor."""
+    import tempfile
+
+    tail = ('{"metric": "x", "queries": {"eam_bm25_topk": 186.475, '
+            '"replay_topk": 1.5}, "sf": 0.1}')
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump({"sf": 0.1, "tail": tail}, f)
+        path = f.name
+    got = bench._timings_from_driver_artifact(path, 0.1)
+    os.unlink(path)
+    assert got == {"replay_topk": 1.5}

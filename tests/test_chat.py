@@ -454,3 +454,52 @@ def test_streaming_chat_out_of_order_arrivals(spark):
     assert final == expected, f"\ngot: {sorted(final)}\nexp: {sorted(expected)}"
     # the late event founded no session: no thread starts at 12:05
     assert not any(s == "12:05:00" for (_, s, *_rest) in final)
+
+
+def test_custom_markers_shared_between_batch_and_stream(spark):
+    """bos/eos are parameters of BOTH render paths and flow through the one
+    shared _rendered_expr (r9 ADVICE, chat.py:375): a caller using custom
+    template markers must get byte-identical batch and streaming renders."""
+    import os
+    import tempfile
+
+    from realtime_spark.operators.chat import (
+        render_chat_template,
+        streaming_chat_threads,
+    )
+
+    bos, eos = "<s>", "</s>"
+    rows = [(1, 0, "click", 9), (1, 5, "error", 63), (2, 1, "view", 3),
+            (2, 2, "purchase", 4), (3, 2000, "click", 1)]
+    e = _events(spark, rows)
+    batch = {
+        r["rendered"]
+        for r in render_chat_template(
+            chat_turns(e, gap_seconds=1800), bos=bos, eos=eos
+        ).collect()
+    }
+    got = []
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        e.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(e.schema).parquet(src)
+        out = streaming_chat_threads(
+            stream, gap_seconds=1800, watermark="0 seconds",
+            render=True, bos=bos, eos=eos,
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _eid: got.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    assert len(got) >= 2
+    for r in got:
+        assert r["rendered"] in batch
+        assert r["rendered"].startswith("<s>user\n")
+        assert r["rendered"].endswith("</s>\n")
+        assert "<|im_start|>" not in r["rendered"]
