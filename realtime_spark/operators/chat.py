@@ -172,7 +172,12 @@ def _rendered_expr(arr: Column, bos: str, eos: str) -> Column:
     ``bos + role + \\n + text + eos + \\n`` per turn, concatenated. The ONE
     place the template lives — the batch render and the streaming lift both
     call this, so custom bos/eos markers cannot silently diverge between
-    the two paths (r9 ADVICE, chat.py:375)."""
+    the two paths (r9 ADVICE, chat.py:375).
+
+    Contract: turn text is carried VERBATIM — a text that itself contains
+    the eos/bos marker is not escaped (ChatML renderers don't escape
+    either; collators must split token-aware, not by substring search).
+    Pinned by tests/test_chat_tranche.py."""
     return F.array_join(
         F.transform(
             arr,
