@@ -129,6 +129,9 @@ HEADLINE_QUERIES = [
         "stream_bm25_topk",
         # streaming chat lift: real file-source stream + session_window
         "stream_chat_threads",
+        # r10: the bounded-state chat lift (applyInPandasWithState, capped
+        # per-key buffer — the hot-key-safe variant)
+        "stream_chat_bounded",
         # r9: rendered SFT samples + per-turn loss-mask ranges + packing
         "chat_render",
         "chat_loss_mask",
@@ -761,6 +764,7 @@ def main() -> None:
         "stream_ivf_topk",
         "stream_bm25_topk",
         "stream_chat_threads",
+        "stream_chat_bounded",
     }
     for name, fn in _bench_queries().items():
         if name in single_run:

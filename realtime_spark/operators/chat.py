@@ -26,6 +26,10 @@ tests/test_chat.py::test_single_exchange_plan.
 
 from __future__ import annotations
 
+import json
+from collections.abc import Iterable
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -310,9 +314,17 @@ def streaming_chat_threads(
 
     The order-dependent fields (first/last role, alternation breaks) are
     not commutative folds, so the aggregate collects the session's
-    (ts, event_id, role) triples — bounded by the session length, which the
-    gap bounds in any real log — and computes them JVM-side on the sorted
+    (ts, event_id, role) triples and computes them JVM-side on the sorted
     array with higher-order functions; no Python UDF, no second shuffle.
+
+    STATE BOUND CAVEAT (r9 verdict): the collect_list state grows with the
+    session length, and a key that NEVER goes idle for `gap_seconds` (a bot
+    firing every second for days — a hot-key shape a 100 TB log does
+    contain) never finalizes, so its state row grows without bound (worse
+    with render=True, which adds turn text). This declarative form cannot
+    cap its own aggregate state; for logs that may contain such keys use
+    ``streaming_chat_threads_bounded`` below, which hard-splits oversized
+    open sessions at `max_turns` and keeps per-key state strictly bounded.
     Late events beyond the watermark are dropped rather than reopening a
     finalized thread (the documented ST2-class deviation, same as
     streaming_sessions).
@@ -387,3 +399,197 @@ def streaming_chat_threads(
     if render:
         cols.append(_rendered_expr(F.col("_turns"), bos, eos).alias("rendered"))
     return agg.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# bounded-state streaming lift (r9 verdict ask #2)
+
+BOUNDED_THREADS_DDL = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_turns bigint, n_user_turns bigint, n_asst_turns bigint, "
+    "first_role string, last_role string, alternation_breaks bigint, "
+    "total_tokens bigint, valid boolean, truncated boolean"
+)
+_BOUNDED_STATE_DDL = "sessions string"
+_OUT_COLS = [
+    "user_id", "session_start", "session_end", "n_turns", "n_user_turns",
+    "n_asst_turns", "first_role", "last_role", "alternation_breaks",
+    "total_tokens", "valid", "truncated",
+]
+
+
+def _segment_row(user_id, turns, gap_us: int, trunc: bool) -> tuple:
+    """Finalize one session segment from its sorted turn list
+    [(ts_us, event_id, role, n_tokens), ...]: the same stats contract as
+    thread_stats / streaming_chat_threads, plus the truncation flag."""
+    roles = [t[2] for t in turns]
+    n = len(turns)
+    n_user = sum(1 for r in roles if r == "user")
+    breaks = sum(1 for a, b in zip(roles, roles[1:]) if a == b)
+    start_us, last_us = turns[0][0], turns[-1][0]
+    valid = (
+        roles[0] == "user" and roles[-1] == "assistant" and n >= 2 and breaks == 0
+    )
+    return (
+        user_id,
+        pd.Timestamp(start_us, unit="us"),
+        pd.Timestamp(last_us + gap_us, unit="us"),
+        n,
+        n_user,
+        n - n_user,
+        roles[0],
+        roles[-1],
+        breaks,
+        sum(t[3] for t in turns),
+        valid,
+        trunc,
+    )
+
+
+def streaming_chat_threads_bounded(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 minutes",
+    user_types: tuple[str, ...] = USER_EVENT_TYPES,
+    max_turns: int = 512,
+) -> DataFrame:
+    """Bounded-state streaming lift of chat_turns -> thread_stats:
+    user_id-keyed applyInPandasWithState with an event-time timeout, where
+    every OPEN session's in-state turn buffer is hard-capped at
+    `max_turns`. A session reaching the cap is emitted immediately as a
+    split segment (truncated=true) and its state resets to an empty
+    continuation anchored at the segment's last event time — so a key that
+    never goes idle for `gap_seconds` (the adversarial hot key the
+    declarative session_window variant cannot bound) emits one segment per
+    `max_turns` turns and holds at most `max_turns` turns of state,
+    forever. Sessions that never hit the cap emit EXACTLY the
+    streaming_chat_threads row (truncated=false): same session_window
+    [start, last + gap) bounds, same stats, same emit-when-watermark-
+    reaches-session-end rule INCLUDING emission at equality (the timeout
+    is set to end-1 ms and the handler re-checks end <= watermark, because
+    GroupStateTimeout fires only strictly beyond the set timestamp).
+
+    Documented deviations, both confined to truncated chains: (1) segment
+    stats are exact per segment, not per logical session — consumers
+    filter or re-fold on `truncated`; (2) an event arriving out of order
+    into the already-emitted span of a split session joins the
+    continuation when within `gap_seconds` of its anchor (staying
+    truncated) or founds its own session when older than that — mirroring
+    the ST2-class drop rule rather than reopening emitted output. Late
+    events beyond the watermark are dropped, as in every streaming lift
+    here. Reference behavior analog: the reference's presence tracker
+    bounds per-key state the same way
+    (lib/realtime_web/channels/realtime_channel/presence_handler.ex).
+
+    Scale shape (100 TB): one shuffle on user_id; per-key state is <=
+    max_turns * ~40 bytes per open session, with open sessions bounded by
+    (watermark delay / gap) + 1 — no state row can outgrow an executor no
+    matter how hot the key.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def _load(state) -> list[dict]:
+        if not state.exists:
+            return []
+        sessions = json.loads(state.get[0])
+        for s in sessions:  # JSON round-trips tuples as lists; re-tuple so
+            s["turns"] = [tuple(t) for t in s["turns"]]  # sorts stay typed
+        return sessions
+
+    def _finalize_due(user_id, sessions: list[dict], wm_ms: int, rows: list):
+        keep = []
+        for s in sessions:
+            anchor_us = s["turns"][-1][0] if s["turns"] else s["anchor_us"]
+            if (anchor_us + gap_us) // 1000 <= wm_ms:
+                if s["turns"]:
+                    rows.append(
+                        _segment_row(user_id, s["turns"], gap_us, s["trunc"])
+                    )
+                # else: empty continuation past its window — drop silently
+            else:
+                keep.append(s)
+        return keep
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        wm_ms = state.getCurrentWatermarkMs()
+        sessions = _load(state)
+        rows: list[tuple] = []
+
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            merged = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            merged = merged.sort_values(["ts", "event_id"], kind="mergesort")
+            ts_us = (merged["ts"].astype("int64") // 1000).to_numpy()
+            eids = merged["event_id"].to_numpy()
+            rls = merged["role"].to_numpy()
+            ntoks = merged["n_tokens"].to_numpy()
+            for t_us, eid, role, ntok in zip(ts_us, eids, rls, ntoks):
+                if t_us // 1000 < wm_ms:
+                    continue  # late beyond watermark: dropped (ST2-class)
+                turn = (int(t_us), int(eid), str(role), int(ntok))
+                # distance of the event to each open session's span
+                hits = []
+                for i, s in enumerate(sessions):
+                    if s["turns"]:
+                        lo, hi = s["turns"][0][0], s["turns"][-1][0]
+                    else:
+                        lo = hi = s["anchor_us"]
+                    if lo - gap_us < t_us < hi + gap_us:
+                        hits.append(i)
+                if not hits:
+                    sessions.append(
+                        {"turns": [turn], "trunc": False, "anchor_us": None}
+                    )
+                else:
+                    tgt = sessions[hits[0]]
+                    tgt["turns"].append(turn)
+                    tgt["turns"].sort()
+                    # the event may bridge two sessions -> merge the rest in
+                    for i in sorted(hits[1:], reverse=True):
+                        other = sessions.pop(i)
+                        tgt["turns"] = sorted(tgt["turns"] + other["turns"])
+                        tgt["trunc"] = tgt["trunc"] or other["trunc"]
+                    if len(tgt["turns"]) >= max_turns:
+                        # hard split: emit the capped segment now, keep an
+                        # empty continuation anchored at its last event
+                        rows.append(
+                            _segment_row(user_id, tgt["turns"], gap_us, True)
+                        )
+                        tgt["anchor_us"] = tgt["turns"][-1][0]
+                        tgt["turns"] = []
+                        tgt["trunc"] = True
+
+        sessions = _finalize_due(user_id, sessions, wm_ms, rows)
+
+        if sessions:
+            state.update((json.dumps(sessions),))
+            next_end_ms = min(
+                ((s["turns"][-1][0] if s["turns"] else s["anchor_us"]) + gap_us)
+                // 1000
+                for s in sessions
+            )
+            # fire when wm >= end (timeout is strictly-beyond): end-1, but
+            # never at/below the current watermark
+            state.setTimeoutTimestamp(max(next_end_ms - 1, wm_ms + 1))
+        else:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(rows, columns=_OUT_COLS)
+
+    t = events.select(*_turn_cols(user_types)).select(
+        "user_id", "ts", "event_id", "role", "n_tokens"
+    )
+    return (
+        t.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=BOUNDED_THREADS_DDL,
+            stateStructType=_BOUNDED_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

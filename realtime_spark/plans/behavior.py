@@ -457,6 +457,7 @@ def behavior_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_pack": q_chat_pack,
         "stream_chat_threads": q_stream_chat_threads,
         "stream_chat_render": q_stream_chat_render,
+        "stream_chat_bounded": q_stream_chat_bounded,
     })
     return qs
 
@@ -486,6 +487,7 @@ def behavior_oracles() -> dict[str, str]:
         "chat_pack": ORACLE_CHAT_PACK,
         "stream_chat_threads": ORACLE_STREAM_CHAT_THREADS,
         "stream_chat_render": ORACLE_STREAM_CHAT_RENDER,
+        "stream_chat_bounded": ORACLE_STREAM_CHAT_BOUNDED,
     }
 
 
@@ -2580,7 +2582,8 @@ FROM p
 # emitted set reproduced exactly by the oracle's watermark rule
 
 def _drain_chat_gate_stream(
-    spark: SparkSession, sf_dir: str, tag: str, render: bool
+    spark: SparkSession, sf_dir: str, tag: str, render: bool,
+    bounded_max_turns: int | None = None,
 ) -> DataFrame:
     """Shared drain harness for the streaming chat gate queries: replay the
     events table through a file-source stream into the session_window
@@ -2594,7 +2597,10 @@ def _drain_chat_gate_stream(
     import os
     import shutil
 
-    from realtime_spark.operators.chat import streaming_chat_threads
+    from realtime_spark.operators.chat import (
+        streaming_chat_threads,
+        streaming_chat_threads_bounded,
+    )
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     root = f"/tmp/realtime_spark_stream_{tag}_{sf_tag}_{os.getpid()}"
@@ -2607,9 +2613,15 @@ def _drain_chat_gate_stream(
     )
     ev.coalesce(1).write.parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
-    out = streaming_chat_threads(
-        stream, gap_seconds=_CHAT_GAP, watermark="0 seconds", render=render
-    )
+    if bounded_max_turns is not None:
+        out = streaming_chat_threads_bounded(
+            stream, gap_seconds=_CHAT_GAP, watermark="0 seconds",
+            max_turns=bounded_max_turns,
+        )
+    else:
+        out = streaming_chat_threads(
+            stream, gap_seconds=_CHAT_GAP, watermark="0 seconds", render=render
+        )
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -2681,6 +2693,32 @@ def q_stream_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_chat_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: the BOUNDED-STATE streaming lift (operators/chat.py
+    ``streaming_chat_threads_bounded``, r9 verdict ask #2) under the same
+    driver gate as the session_window variant: user_id-keyed
+    applyInPandasWithState with an event-time timeout, per-key state
+    hard-capped at max_turns. With the cap far above any session in the
+    corpora (100k vs a measured max of 68 turns at sf0.1) no split fires,
+    so the emitted set must be value-identical to the session_window
+    lift's — same watermark rule INCLUDING emission at equality — with
+    truncated=false everywhere. The hot-key split path is pinned by
+    tests/test_chat_bounded.py, which plants a never-idle key the
+    declarative variant cannot bound."""
+    from realtime_spark.functions.timeutil import epoch_micros
+
+    emitted = _drain_chat_gate_stream(
+        spark, sf_dir, "chatb", render=False, bounded_max_turns=100_000
+    )
+    return emitted.select(
+        "user_id",
+        epoch_micros("session_start").alias("start_us"),
+        epoch_micros("session_end").alias("end_us"),
+        *_STREAM_CHAT_COLS[1:],
+        F.col("truncated"),
+    )
+
+
 ORACLE_STREAM_CHAT_THREADS = f"""
 WITH {_CHAT_TURNS_CTE},
 b AS (
@@ -2712,6 +2750,14 @@ t AS (
 SELECT * FROM t
 WHERE end_us <= (SELECT epoch_us(MAX(ts)) FROM events)
 """
+
+
+# the bounded lift must reproduce the session_window lift exactly when the
+# cap never fires; truncated is constitutively false on the real corpora
+ORACLE_STREAM_CHAT_BOUNDED = (
+    "WITH base AS (" + ORACLE_STREAM_CHAT_THREADS + ")\n"
+    "SELECT *, FALSE AS truncated FROM base"
+)
 
 
 ORACLE_STREAM_CHAT_RENDER = f"""
