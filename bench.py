@@ -101,6 +101,8 @@ HEADLINE_QUERIES = [
         "batch_padding",
         "chat_threads",
         "chat_context_fit",
+        # r10: BPE-costed chat context fitting (tokenizer x SFT pipeline)
+        "chat_bpe_cost",
         "cdc_pk_change",
         "record_linkage",
         "k_anonymity",

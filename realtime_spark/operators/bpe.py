@@ -220,6 +220,47 @@ def segment_with_merges(
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
+def with_bpe_token_count(
+    df: DataFrame,
+    merges: Sequence[tuple[int, str, str, int]],
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Append the BPE segment count of `text_col` to EVERY input column —
+    the inline-costing form of segment_with_merges (r9 verdict ask #5:
+    plug the real tokenizer into the chat pipeline). Map-only: the merge
+    table rides into the workers as a closure constant (vocab-sized — the
+    broadcast-dim contract) and no join is needed to get the cost next to
+    the rest of the row, so a downstream window/aggregate still pays only
+    its own single exchange."""
+    rank_of = {(l, r): k for (k, l, r, _) in merges}
+    import re
+
+    tok_re = re.compile(TOKEN_RE)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            counts = []
+            for text in pdf[text_col].astype(str):
+                n = 0
+                for w in tok_re.split(text.lower()):
+                    if not w:
+                        continue
+                    got = memo.get(w)
+                    if got is None:
+                        got = len(_segment_word(w, rank_of))
+                        memo[w] = got
+                    n += got
+                counts.append(n)
+            yield pdf.assign(**{out_col: counts})
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def bpe_vocab(df: DataFrame, merges, text_col: str = "text") -> DataFrame:
     """Final learned vocabulary: (symbol, freq) after applying every merge
     to the word-type table — the tokenizer's unit inventory."""

@@ -458,6 +458,7 @@ def behavior_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_chat_threads": q_stream_chat_threads,
         "stream_chat_render": q_stream_chat_render,
         "stream_chat_bounded": q_stream_chat_bounded,
+        "chat_bpe_cost": q_chat_bpe_cost,
     })
     return qs
 
@@ -488,6 +489,7 @@ def behavior_oracles() -> dict[str, str]:
         "stream_chat_threads": ORACLE_STREAM_CHAT_THREADS,
         "stream_chat_render": ORACLE_STREAM_CHAT_RENDER,
         "stream_chat_bounded": ORACLE_STREAM_CHAT_BOUNDED,
+        "chat_bpe_cost": _oracle_chat_bpe_cost(),
     }
 
 
@@ -2444,6 +2446,102 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(SUM(n_tokens * kept) AS BIGINT) AS kept_tokens,
        arg_min(role, CASE WHEN kept = 1 THEN turn_idx END) AS first_kept_role
 FROM r
+GROUP BY user_id, session_id
+"""
+
+
+from realtime_spark.plans.tokenizer_plan import _N_MERGES as _TOKENIZER_N_MERGES
+
+_CHAT_BPE_BUDGET = 128  # median thread ~61 BPE tokens, p90 ~203 at sf0.01 —
+# this budget makes the left-truncation genuinely fire on the long tail
+# while most threads fit whole
+
+
+def q_chat_bpe_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 (r9 verdict ask #5): the BPE segmenter integrated as the chat
+    token coster — train BPE on the documents corpus (the same 12-merge
+    chain as the tokenizer queries), cost every turn by the REAL segment
+    count of its text (bpe.with_bpe_token_count — map-only, merge table as
+    a broadcast-dim closure constant, applied BEFORE the sessionize
+    exchange so the pipeline still pays ONE user_id shuffle), and drive
+    fit_context_budget off the real costs. The first cross-operator
+    integration of the trained tokenizer with the SFT pipeline."""
+    from realtime_spark.operators.bpe import train_bpe
+    from realtime_spark.operators.chat import chat_turns_bpe, fit_context_budget
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "events")
+    merges = train_bpe(d, num_merges=_TOKENIZER_N_MERGES)
+    return fit_context_budget(
+        chat_turns_bpe(e, merges, gap_seconds=_CHAT_GAP), _CHAT_BPE_BUDGET
+    )
+
+
+def _oracle_chat_bpe_cost() -> str:
+    """The 12-round training chain + recursive segmenter CTEs are imported
+    from tokenizer_plan (shared text, so the two oracles cannot drift);
+    the word-type set is the turn texts' — event types plus event-id
+    digit strings (turn text = event_type || '#' || event_id, and '#'
+    splits under the shared [^a-z0-9]+ tokenizer)."""
+    from realtime_spark.plans.tokenizer_plan import _bpe_chain_ctes, _bpe_seg_ctes
+
+    # no top-level UNION here: inside a WITH RECURSIVE list DuckDB treats a
+    # CTE body of the form `anchor UNION step` as a recursive iteration
+    # even without a self-reference, which exploded dwords with duplicates
+    # (empirically: 210 copies of 'click' at sf0.001) — dedup in a subquery
+    dwords = (
+        "SELECT DISTINCT word FROM ("
+        "SELECT event_type AS word FROM events "
+        "UNION ALL SELECT CAST(event_id AS VARCHAR) FROM events)"
+    )
+    return f"""
+WITH RECURSIVE {_bpe_chain_ctes()},
+{_bpe_seg_ctes(dwords)},
+costs AS (
+  SELECT e.event_id AS eid, fa.n + fb.n AS bpe_tokens
+  FROM events e
+  JOIN final fa ON fa.word = e.event_type
+  JOIN final fb ON fb.word = CAST(e.event_id AS VARCHAR)
+),
+co AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+cs AS (
+  SELECT *, SUM(CASE WHEN prev IS NULL
+                       OR epoch(ts) - epoch(prev) >= {_CHAT_GAP}
+                THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+            AS session_id
+  FROM co
+),
+bturns AS (
+  SELECT cs.user_id, cs.session_id, cs.event_id, cs.ts,
+         CASE WHEN cs.event_type IN ('click', 'view', 'signup')
+              THEN 'user' ELSE 'assistant' END AS role,
+         c.bpe_tokens AS n_tokens,
+         row_number() OVER (PARTITION BY cs.user_id, cs.session_id
+                            ORDER BY cs.ts, cs.event_id) AS turn_idx
+  FROM cs JOIN costs c ON c.eid = cs.event_id
+),
+br AS (
+  SELECT *, CASE WHEN SUM(n_tokens)
+                      OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts DESC, event_id DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      <= {_CHAT_BPE_BUDGET}
+            THEN 1 ELSE 0 END AS kept
+  FROM bturns
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(kept) AS BIGINT) AS kept_turns,
+       CAST(COUNT(*) - SUM(kept) AS BIGINT) AS dropped_turns,
+       CAST(SUM(n_tokens * kept) AS BIGINT) AS kept_tokens,
+       arg_min(role, CASE WHEN kept = 1 THEN turn_idx END) AS first_kept_role
+FROM br
 GROUP BY user_id, session_id
 """
 

@@ -154,15 +154,18 @@ FROM gated WHERE chain_min > 1 ORDER BY rank
 """
 
 
-def _oracle_bpe_segment() -> str:
-    return f"""
-WITH RECURSIVE {_bpe_chain_ctes()},
-mm AS MATERIALIZED (
+def _bpe_seg_ctes(dwords_body: str) -> str:
+    """mm/dwords/seg/final CTE chain: the rank-greedy segmenter replayed
+    as a recursive CTE over the DISTINCT words of `dwords_body` (exactly
+    the Spark memo cache's word-type set). Shared by the documents
+    segmenter oracle below and the chat BPE-costing oracle
+    (plans/behavior.py ORACLE_CHAT_BPE_COST), so the two cannot drift."""
+    return f"""mm AS MATERIALIZED (
   SELECT map_from_entries(list(struct_pack(k := l || chr(1) || r,
                                            v := rank))) AS m
   FROM gated WHERE chain_min > 1
 ),
-dwords AS (SELECT DISTINCT word FROM toksd),
+dwords AS ({dwords_body}),
 seg AS (
   SELECT word,
          list_append([substr(word, CAST(i AS INT), 1)
@@ -188,7 +191,13 @@ final AS (
   WHERE len(list_filter(range(1, len(s.syms)), i ->
           map_extract(mm.m, s.syms[CAST(i AS INT)] || chr(1)
                       || s.syms[CAST(i AS INT) + 1])[1] IS NOT NULL)) = 0
-)
+)"""
+
+
+def _oracle_bpe_segment() -> str:
+    return f"""
+WITH RECURSIVE {_bpe_chain_ctes()},
+{_bpe_seg_ctes("SELECT DISTINCT word FROM toksd")}
 SELECT d.doc_id, CAST(COALESCE(SUM(f.n), 0) AS INT) AS n_bpe_tokens
 FROM documents d
 LEFT JOIN toksd t ON t.doc_id = d.doc_id

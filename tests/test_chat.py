@@ -503,3 +503,35 @@ def test_custom_markers_shared_between_batch_and_stream(spark):
         assert r["rendered"].startswith("<s>user\n")
         assert r["rendered"].endswith("</s>\n")
         assert "<|im_start|>" not in r["rendered"]
+
+
+def test_chat_turns_bpe_one_exchange_and_costing_parity(spark):
+    """r9 verdict ask #5: the BPE coster runs map-only BEFORE the
+    sessionize exchange, so the whole BPE-costed fit pipeline still pays
+    ONE hash exchange; and the inline with_bpe_token_count agrees with
+    segment_with_merges' n_bpe_tokens on the same texts."""
+    from realtime_spark.operators.bpe import (
+        segment_with_merges,
+        train_bpe,
+        with_bpe_token_count,
+    )
+    from realtime_spark.operators.chat import chat_turns_bpe, fit_context_budget
+    from realtime_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents").limit(200)
+    merges = train_bpe(d, num_merges=6)
+
+    # parity: the inline coster vs the segmenter's count, same merge table
+    seg = segment_with_merges(d, merges).select("doc_id", "n_bpe_tokens")
+    inline = with_bpe_token_count(
+        d.select("doc_id", "text"), merges, out_col="n"
+    ).select("doc_id", "n")
+    joined = seg.join(inline, "doc_id")
+    assert joined.filter("n_bpe_tokens <> n").count() == 0
+
+    # plan shape: one exchange through sessionize + windows + closing agg
+    e = load_table(spark, SF_DIR, "events")
+    fit = fit_context_budget(chat_turns_bpe(e, merges, gap_seconds=86400), 128)
+    plan = fit._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
