@@ -840,7 +840,15 @@ FROM s GROUP BY user_id, session_id
 def q_broadcast_fanout_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-sender fan-out: every ~97th event becomes a broadcast from its
     user; subscribers are everyone seen on the topic; echo only when the
-    self flag (event_id parity) is set."""
+    self flag (event_id parity) is set.
+
+    Graded as PER-MESSAGE delivery accounting, not raw delivery pairs
+    (r10, found by the sf1 gate): the raw pair set is |msgs| x
+    |subscribers per topic| — BOTH proportional to SF, so emitting pairs
+    is quadratic in corpus size (~154M rows at sf1) and grading it means
+    materializing the transport's output, which no accounting layer does
+    (same convention as fastlane_summary). The fan-out operator still
+    runs in full — the rollup groups its output."""
     from realtime_spark.operators.routing import fanout_subscribers
 
     e = load_table(spark, sf_dir, "events")
@@ -855,7 +863,10 @@ def q_broadcast_fanout_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("subscriber_id"),
     ).distinct()
     out = fanout_subscribers(msgs, subs)
-    return out.select("id", "subscriber_id", "is_self")
+    return out.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_delivered"),
+        F.sum(F.col("is_self").cast("int")).cast("bigint").alias("n_echo"),
+    )
 
 
 ORACLE_BROADCAST_FANOUT_SELF = """
@@ -865,10 +876,12 @@ WITH m AS (
   FROM events WHERE event_id % 97 = 0
 ),
 s AS (SELECT DISTINCT event_type AS topic, user_id AS subscriber FROM events)
-SELECT m.id, s.subscriber AS subscriber_id,
-       (s.subscriber = m.sender) AS is_self
+SELECT m.id, COUNT(*) AS n_delivered,
+       CAST(SUM(CASE WHEN s.subscriber = m.sender THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_echo
 FROM m JOIN s USING (topic)
 WHERE m.self_b OR s.subscriber <> m.sender
+GROUP BY m.id
 """
 
 

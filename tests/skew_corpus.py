@@ -103,7 +103,12 @@ def build_skew_dir(out_dir: str, base_sf: str = BASE_SF) -> str:
     ne = len(em)
     anchor = np.asarray(em["embedding"].iloc[3], dtype=np.float32)
     dim = len(anchor)
-    take = [i for i in range(ne) if (i * 3571) % 10 < 5]
+    # centroid-lattice rows (vec_id % 50 == 0 covers the %100 predicate the
+    # IVF queries use too) keep their ORIGINAL vectors: if centroids
+    # themselves landed inside the ball, the near-identical centroids would
+    # split the hot cluster back into balanced shards and defeat the skew
+    vid = em["vec_id"].to_numpy()
+    take = [i for i in range(ne) if (i * 3571) % 10 < 5 and vid[i] % 50 != 0]
     noise = rng.normal(0.0, 1e-3, size=(len(take), dim)).astype(np.float32)
     for j, i in enumerate(take):
         em.at[em.index[i], "embedding"] = (anchor + noise[j]).astype(np.float32)

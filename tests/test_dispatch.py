@@ -374,3 +374,33 @@ def test_fastlane_null_sender_skips_nobody(spark):
     ]
     pairs = _fl(spark, msgs, subs)
     assert {r["socket_id"] for r in pairs.collect()} == {"s1", "s2"}
+
+
+def test_fanout_subscribers_pair_level_rules(spark):
+    """Pair-level pin for fanout_subscribers (r10: the broadcast_fanout_self
+    gate query now grades the per-message ROLLUP — linear in SF — so the
+    raw-pair skip-sender/echo semantics are pinned here instead): the
+    sender's own connection is skipped unless self_broadcast, and echo
+    deliveries carry is_self=true."""
+    from pyspark.sql import functions as F
+
+    from realtime_spark.operators.routing import fanout_subscribers
+
+    msgs = spark.createDataFrame(
+        [(1, "t1", 10, False), (2, "t1", 10, True), (3, "t2", 20, False)],
+        "id long, topic string, sender_id long, self_broadcast boolean",
+    )
+    subs = spark.createDataFrame(
+        [("t1", 10), ("t1", 11), ("t2", 20)],
+        "topic string, subscriber_id long",
+    )
+    got = {
+        (r["id"], r["subscriber_id"], r["is_self"])
+        for r in fanout_subscribers(msgs, subs).collect()
+    }
+    assert got == {
+        (1, 11, False),        # sender 10 skipped (no self flag)
+        (2, 10, True),         # self flag -> echo delivery, marked
+        (2, 11, False),
+        # msg 3: only subscriber IS the sender and no self flag -> nothing
+    }

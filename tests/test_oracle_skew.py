@@ -111,3 +111,35 @@ def test_query_matches_oracle_on_skew_curated(spark, con, skew_dir, name):
 def test_curated_names_still_registered():
     missing = [q for q in CURATED if q not in QUERIES]
     assert not missing, f"curated skew subset names drifted: {missing}"
+
+
+def test_skew_stats_detects_the_planted_hot_keys(spark, skew_dir):
+    """The skew diagnostics (operators/skew.py::skew_stats) must actually
+    flag this corpus's planted distribution: the hot user (~30% of events)
+    yields a skew factor well above balanced and a salt suggestion > 1 —
+    the probe a 100 TB pipeline runs BEFORE choosing salted_join vs AQE."""
+    from realtime_spark.operators.skew import skew_stats
+    from realtime_spark.sources.testdata import load_table
+
+    e = load_table(spark, skew_dir, "events")
+    r = skew_stats(e, ["user_id"]).first()
+    n = e.count()
+    assert r["max_cnt"] >= 0.25 * n  # the planted ~30% hot user
+    # factor = max*n_keys/n_rows: ~0.3 * n_keys — bounded by the base
+    # fixture's ~15 users at this SF, so >= 4 is already 4x a balanced
+    # reducer; the salt suggestion must fire regardless
+    assert r["skew_factor_floor"] >= 4
+    assert r["suggested_salt"] > 1
+
+    em = load_table(spark, skew_dir, "embeddings")
+    # half the corpus in one IVF cluster: assign to the vec_id%50 lattice
+    # and probe the centroid_id key the similarity joins shuffle on
+    from pyspark.sql import functions as F
+
+    from realtime_spark.operators.similarity import ivf_assign
+
+    cents = em.filter(F.col("vec_id") % 50 == 0)
+    asg = ivf_assign(em, cents, "vec_id", "embedding")
+    c = skew_stats(asg, ["centroid_id"]).first()
+    assert c["max_cnt"] >= 0.4 * em.count()  # the planted half-corpus ball
+    assert c["suggested_salt"] > 1
