@@ -171,6 +171,69 @@ def fit_context_budget(turns: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def preference_pairs(turns: DataFrame) -> DataFrame:
+    """DPO/RLHF preference-pair assembly: a REGENERATION RUN is a maximal
+    run of consecutive assistant turns answering the same user prompt (the
+    user asked once, the system produced several candidate responses —
+    the retry/regenerate shape every interaction log contains). Every run
+    with >= 2 candidates yields one training pair: chosen = the candidate
+    with the most tokens (tie -> earliest turn), rejected = the fewest
+    (tie -> latest turn) — a deterministic stand-in for a reward-model
+    score (the real pipeline plugs a score column in here, exactly like
+    turn_tokens stands in for a tokenizer), with the tie-break
+    guaranteeing chosen != rejected whenever a run has >= 2 candidates.
+
+    Output: one row per preference pair with the prompt's turn index and
+    token cost, the candidate count, both sides' (turn_idx, n_tokens) and
+    the token margin.
+
+    Scale shape (100 TB): the run id is a prefix sum of user-turn markers
+    over the same (user_id, session_id)/(ts, event_id) ordering every
+    other thread window uses, and the closing groupBy keys on
+    (user_id, session_id, prompt_no) — all satisfied by the ONE user_id
+    hash exchange chat_turns already paid (subset-clustering rule; pinned
+    with the other chat plans in tests/test_chat.py)."""
+    w = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = turns.withColumn(
+        "prompt_no", F.sum((F.col("role") == "user").cast("int")).over(w)
+    ).filter(F.col("prompt_no") >= 1)  # assistants before any user turn have no prompt
+    is_asst = F.col("role") == "assistant"
+    # struct orderings: max picks (most tokens, then -turn_idx max = earliest);
+    # min picks (fewest tokens, then -turn_idx min = latest). An all-tied run
+    # still splits into (earliest, latest), so the pair is never degenerate.
+    cand = F.when(
+        is_asst,
+        F.struct(
+            F.col("n_tokens"),
+            (-F.col("turn_idx")).alias("neg_idx"),
+            F.col("turn_idx").alias("idx"),
+        ),
+    )
+    agg = g.groupBy("user_id", "session_id", "prompt_no").agg(
+        F.max(F.when(~is_asst, F.col("turn_idx"))).alias("prompt_idx"),
+        F.max(F.when(~is_asst, F.col("n_tokens"))).cast("bigint").alias("prompt_tokens"),
+        F.sum(is_asst.cast("int")).cast("bigint").alias("n_candidates"),
+        F.max(cand).alias("ch"),
+        F.min(cand).alias("rj"),
+    )
+    return agg.filter(F.col("n_candidates") >= 2).select(
+        "user_id",
+        "session_id",
+        "prompt_idx",
+        "prompt_tokens",
+        "n_candidates",
+        F.col("ch.idx").alias("chosen_idx"),
+        F.col("ch.n_tokens").cast("bigint").alias("chosen_tokens"),
+        F.col("rj.idx").alias("rejected_idx"),
+        F.col("rj.n_tokens").cast("bigint").alias("rejected_tokens"),
+        (F.col("ch.n_tokens") - F.col("rj.n_tokens")).cast("bigint").alias("margin"),
+    )
+
+
 def _rendered_expr(arr: Column, bos: str, eos: str) -> Column:
     """ChatML render of a sorted (ts, event_id, role, text) struct array:
     ``bos + role + \\n + text + eos + \\n`` per turn, concatenated. The ONE

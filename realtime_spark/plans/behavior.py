@@ -459,6 +459,7 @@ def behavior_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_chat_render": q_stream_chat_render,
         "stream_chat_bounded": q_stream_chat_bounded,
         "chat_bpe_cost": q_chat_bpe_cost,
+        "dpo_pairs": q_dpo_pairs,
     })
     return qs
 
@@ -490,6 +491,7 @@ def behavior_oracles() -> dict[str, str]:
         "stream_chat_render": ORACLE_STREAM_CHAT_RENDER,
         "stream_chat_bounded": ORACLE_STREAM_CHAT_BOUNDED,
         "chat_bpe_cost": _oracle_chat_bpe_cost(),
+        "dpo_pairs": ORACLE_DPO_PAIRS,
     }
 
 
@@ -2447,6 +2449,65 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        arg_min(role, CASE WHEN kept = 1 THEN turn_idx END) AS first_kept_role
 FROM r
 GROUP BY user_id, session_id
+"""
+
+
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair assembly from regeneration runs (operators/
+    chat.py ``preference_pairs`` docstring has the single-exchange
+    argument): consecutive assistant turns answering one user prompt form
+    a candidate run; runs of >= 2 yield one (chosen, rejected) pair by
+    token count with deterministic tie-breaks."""
+    from realtime_spark.operators.chat import chat_turns, preference_pairs
+
+    e = load_table(spark, sf_dir, "events")
+    return preference_pairs(chat_turns(e, gap_seconds=_CHAT_GAP))
+
+
+# DuckDB mirrors the prefix-sum run id, then picks chosen/rejected with two
+# opposite-ordered row_number ranks over the assistant rows of each run and
+# joins the rank-1 rows back together (the Spark side's max/min over a
+# (n_tokens, -turn_idx) struct — same total order, same tie-breaks).
+ORACLE_DPO_PAIRS = f"""
+WITH {_CHAT_TURNS_CTE},
+g AS (
+  SELECT *, SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS prompt_no
+  FROM turns
+),
+a AS (
+  SELECT user_id, session_id, prompt_no, turn_idx, n_tokens,
+         row_number() OVER (PARTITION BY user_id, session_id, prompt_no
+                            ORDER BY n_tokens DESC, turn_idx ASC) AS rk_c,
+         row_number() OVER (PARTITION BY user_id, session_id, prompt_no
+                            ORDER BY n_tokens ASC, turn_idx DESC) AS rk_r,
+         COUNT(*) OVER (PARTITION BY user_id, session_id, prompt_no)
+           AS n_cand
+  FROM g WHERE role = 'assistant' AND prompt_no >= 1
+),
+p AS (
+  SELECT user_id, session_id, prompt_no,
+         MAX(CASE WHEN role = 'user' THEN turn_idx END) AS prompt_idx,
+         MAX(CASE WHEN role = 'user' THEN n_tokens END) AS prompt_tokens
+  FROM g GROUP BY 1, 2, 3
+)
+SELECT c.user_id, CAST(c.session_id AS BIGINT) AS session_id,
+       CAST(p.prompt_idx AS INT) AS prompt_idx,
+       CAST(p.prompt_tokens AS BIGINT) AS prompt_tokens,
+       CAST(c.n_cand AS BIGINT) AS n_candidates,
+       CAST(c.turn_idx AS INT) AS chosen_idx,
+       CAST(c.n_tokens AS BIGINT) AS chosen_tokens,
+       CAST(r.turn_idx AS INT) AS rejected_idx,
+       CAST(r.n_tokens AS BIGINT) AS rejected_tokens,
+       CAST(c.n_tokens - r.n_tokens AS BIGINT) AS margin
+FROM a c
+JOIN a r ON r.user_id = c.user_id AND r.session_id = c.session_id
+        AND r.prompt_no = c.prompt_no AND r.rk_r = 1
+JOIN p ON p.user_id = c.user_id AND p.session_id = c.session_id
+      AND p.prompt_no = c.prompt_no
+WHERE c.rk_c = 1 AND c.n_cand >= 2
 """
 
 

@@ -214,15 +214,52 @@ def test_single_exchange_plan(spark):
     from realtime_spark.operators.chat import chat_loss_spans, render_chat_template
 
     e = _events(spark, [(1, 0, "click", 10), (1, 1, "error", 10)])
+    from realtime_spark.operators.chat import preference_pairs
+
     for df in (
         thread_stats(chat_turns(e, gap_seconds=1800)),
         fit_context_budget(chat_turns(e, gap_seconds=1800), budget=100),
         render_chat_template(chat_turns(e, gap_seconds=1800)),
         chat_loss_spans(chat_turns(e, gap_seconds=1800)),
+        preference_pairs(chat_turns(e, gap_seconds=1800)),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_exchanges = plan.count("Exchange hashpartitioning")
         assert n_exchanges == 1, plan
+
+
+def test_preference_pairs_semantics(spark):
+    """DPO pair assembly pins: a >= 2 candidate regeneration run yields one
+    pair (chosen = most tokens tie-earliest, rejected = fewest tie-latest);
+    single-candidate runs, user-only prompts, and leading assistants (no
+    prompt) yield nothing; an all-tied run still splits earliest/latest."""
+    from realtime_spark.operators.chat import preference_pairs
+
+    rows = [
+        # u1: prompt (idx1), then 3 candidates: 20, 40, 10 tokens ->
+        #   chosen idx3 (40), rejected idx4 (10)
+        (1, 0, "click", 19), (1, 1, "error", 19), (1, 2, "purchase", 39),
+        (1, 3, "error", 9),
+        # u1 second prompt (idx5) with ONE candidate -> no pair
+        (1, 4, "view", 10), (1, 5, "purchase", 10),
+        # u2: leading assistants before any user turn -> no prompt, no pair;
+        #   then prompt (idx3) + 2 all-tied candidates -> chosen = earliest
+        #   (idx4), rejected = latest (idx5), margin 0
+        (2, 0, "error", 10), (2, 1, "purchase", 10),
+        (2, 2, "click", 10), (2, 3, "error", 30), (2, 4, "purchase", 30),
+    ]
+    out = preference_pairs(chat_turns(_events(spark, rows), gap_seconds=1800))
+    got = {
+        (r["user_id"], r["prompt_idx"]): (
+            r["n_candidates"], r["chosen_idx"], r["chosen_tokens"],
+            r["rejected_idx"], r["rejected_tokens"], r["margin"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): (3, 3, 40, 4, 10, 30),
+        (2, 3): (2, 4, 31, 5, 31, 0),
+    }
 
 
 def test_streaming_chat_threads_match_batch_up_to_watermark(spark):
