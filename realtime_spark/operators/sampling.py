@@ -93,6 +93,43 @@ def split_assign(
     return df.withColumn(out_col, out)
 
 
+def cluster_split(
+    df: DataFrame,
+    key_col: str,
+    clusters: DataFrame,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.98), ("val", 0.01), ("test", 0.01),
+    ),
+    buckets: int = _BUCKETS,
+    out_col: str = "split",
+) -> DataFrame:
+    """LEAKAGE-FREE split: every member of a near-dup cluster lands in the
+    same split, so no eval example has a near-duplicate in train (the
+    contamination a naive per-doc hash split guarantees at 100 TB dup
+    rates). The split key is the cluster REPRESENTATIVE — cluster_id for
+    clustered docs (dedup.duplicate_clusters output), the doc's own key
+    otherwise — hashed through the same cumulative-bucket ranges as
+    split_assign, so unclustered docs split identically to split_assign.
+
+    `clusters` is (doc_id, cluster_id) over PAIR MEMBERS ONLY (docs in no
+    near-dup pair never appear), which is tiny next to the corpus — the
+    join is a broadcast, and the whole operator stays map-only."""
+    c = clusters.select(
+        F.col("doc_id").alias(key_col), F.col("cluster_id").alias("__rep")
+    )
+    joined = df.join(F.broadcast(c), key_col, "left")
+    b = hash_bucket(F.coalesce(F.col("__rep"), F.col(key_col)), buckets)
+    expr: Column | None = None
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        cond = b < int(round(cum * buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = splits[-1][0]
+    out = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return joined.withColumn(out_col, out).drop("__rep")
+
+
 def sample_n_per_group(
     df: DataFrame, group_col: str, key_col: str, n: int
 ) -> DataFrame:

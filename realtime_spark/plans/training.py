@@ -238,6 +238,120 @@ WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster_id)
 """
 
 
+_LEAK_SPLITS = (("train", 0.8), ("eval", 0.2))
+_LEAK_TRAIN_BUCKET = 8000  # 0.8 * _BUCKETS — the oracle inlines this
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split leakage audit: the same corpus split two ways —
+    `cluster` (sampling.cluster_split: the split key is the near-dup
+    cluster representative, so whole clusters move together) vs `naive`
+    (split_assign on the raw doc_id) — with, per strategy, the side counts
+    and the number of scored near-dup pairs STRADDLING the split. The
+    cluster strategy's leaked_pairs is zero BY CONSTRUCTION (both endpoints
+    of every pair share a cluster, hence a side); the naive strategy leaks
+    ~2*p*(1-p) of all pairs — eval contamination that inflates every
+    benchmark score trained on the train side.
+
+    Scale shape: clusters/pair-sides are broadcast (pair members only);
+    the corpus pass is map-only + one global agg; the leak audit joins the
+    (tiny) pair list against the broadcast sides — no corpus shuffle
+    anywhere."""
+    from realtime_spark.operators.dedup import duplicate_clusters
+    from realtime_spark.operators.sampling import cluster_split, split_assign
+
+    d = docs_with_dups(spark, sf_dir).localCheckpoint()
+    pairs = jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    clusters = duplicate_clusters(pairs)
+
+    both = split_assign(
+        cluster_split(d, "doc_id", clusters, splits=_LEAK_SPLITS, out_col="s_c"),
+        "doc_id", splits=_LEAK_SPLITS, out_col="s_n",
+    )
+    counts = both.agg(
+        F.sum((F.col("s_c") == "train").cast("int")).cast("bigint").alias("c_tr"),
+        F.sum((F.col("s_c") == "eval").cast("int")).cast("bigint").alias("c_ev"),
+        F.sum((F.col("s_n") == "train").cast("int")).cast("bigint").alias("n_tr"),
+        F.sum((F.col("s_n") == "eval").cast("int")).cast("bigint").alias("n_ev"),
+    )
+    # every pair endpoint is a cluster member, so the per-endpoint sides
+    # come from the broadcast member list, never the corpus
+    members = d.join(clusters, "doc_id").select("doc_id", "text", "cluster_id")
+    msides = split_assign(
+        cluster_split(members, "doc_id", clusters, splits=_LEAK_SPLITS, out_col="s_c"),
+        "doc_id", splits=_LEAK_SPLITS, out_col="s_n",
+    ).select("doc_id", "s_c", "s_n")
+    leaks = (
+        pairs.join(
+            F.broadcast(msides.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("s_c").alias("ca"), F.col("s_n").alias("na"),
+            )), "doc_a")
+        .join(
+            F.broadcast(msides.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("s_c").alias("cb"), F.col("s_n").alias("nb"),
+            )), "doc_b")
+        .agg(
+            F.coalesce(F.sum((F.col("ca") != F.col("cb")).cast("int")), F.lit(0))
+            .cast("bigint").alias("l_c"),
+            F.coalesce(F.sum((F.col("na") != F.col("nb")).cast("int")), F.lit(0))
+            .cast("bigint").alias("l_n"),
+        )
+    )
+    return counts.crossJoin(leaks).selectExpr(
+        "stack(2, 'cluster', c_tr, c_ev, l_c, 'naive', n_tr, n_ev, l_n)"
+        " AS (strategy, n_train, n_eval, leaked_pairs)"
+    )
+
+
+def _oracle_split_leakage() -> str:
+    # lazy: _SQL_HB is defined further down the module
+    return f"""
+WITH RECURSIVE {_JACCARD_CTES.strip()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION
+  SELECT doc_b, doc_a FROM jpairs
+),
+reach AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.label < e.dst
+),
+clusters AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+sides AS (
+  SELECT d.doc_id,
+         {_SQL_HB.format(k='COALESCE(c.cluster_id, d.doc_id)')} < 8000 AS tc,
+         {_SQL_HB.format(k='d.doc_id')} < 8000 AS tn
+  FROM _docs_dup d LEFT JOIN clusters c ON c.node = d.doc_id
+),
+counts AS (
+  SELECT SUM(CASE WHEN tc THEN 1 ELSE 0 END) AS c_tr,
+         SUM(CASE WHEN tc THEN 0 ELSE 1 END) AS c_ev,
+         SUM(CASE WHEN tn THEN 1 ELSE 0 END) AS n_tr,
+         SUM(CASE WHEN tn THEN 0 ELSE 1 END) AS n_ev
+  FROM sides
+),
+leaks AS (
+  SELECT COALESCE(SUM(CASE WHEN sa.tc <> sb.tc THEN 1 ELSE 0 END), 0) AS l_c,
+         COALESCE(SUM(CASE WHEN sa.tn <> sb.tn THEN 1 ELSE 0 END), 0) AS l_n
+  FROM jpairs j
+  JOIN sides sa ON sa.doc_id = j.doc_a
+  JOIN sides sb ON sb.doc_id = j.doc_b
+)
+SELECT 'cluster' AS strategy, CAST(c_tr AS BIGINT) AS n_train,
+       CAST(c_ev AS BIGINT) AS n_eval, CAST(l_c AS BIGINT) AS leaked_pairs
+FROM counts, leaks
+UNION ALL
+SELECT 'naive', CAST(n_tr AS BIGINT), CAST(n_ev AS BIGINT),
+       CAST(l_n AS BIGINT)
+FROM counts, leaks
+"""  # noqa: E501 — closes _oracle_split_leakage
+
+
 def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-priority canonical selection: instead of min-id, each
     near-dup cluster keeps its LONGEST member (ties -> min doc_id) — the
@@ -2101,6 +2215,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_keep": q_dedup_clusters_keep,
+        "split_leakage": q_split_leakage,
         "dedup_keep_longest": q_dedup_keep_longest,
         "search_bm25": q_search_bm25,
         "search_term_stats": q_search_term_stats,
@@ -2179,6 +2294,7 @@ def training_oracles() -> dict[str, str]:
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "dedup_clusters_keep": ORACLE_DEDUP_CLUSTERS_KEEP,
+        "split_leakage": _oracle_split_leakage(),
         "dedup_keep_longest": ORACLE_DEDUP_KEEP_LONGEST,
         "search_bm25": ORACLE_SEARCH_BM25,
         "search_term_stats": ORACLE_SEARCH_TERM_STATS,

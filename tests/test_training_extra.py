@@ -37,6 +37,40 @@ class TestSampling:
         }
         assert a == b
 
+    def test_cluster_split_moves_whole_clusters(self, spark):
+        """Leakage-free invariant: every member of a cluster lands on the
+        cluster REPRESENTATIVE's side (identical to split_assign on the
+        rep key), and unclustered docs split exactly like split_assign on
+        their own key — plus teeth: the clusters here are built so that a
+        naive per-doc split WOULD separate at least one of them."""
+        from realtime_spark.operators.sampling import cluster_split
+
+        d = _docs(spark)
+        # clusters: {0,1,2} rep 0, {10,11} rep 10, {100,150,199} rep 100
+        members = {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 100: 100, 150: 100, 199: 100}
+        clusters = spark.createDataFrame(
+            [(k, v) for k, v in members.items()], "doc_id long, cluster_id long"
+        )
+        splits = (("train", 0.5), ("eval", 0.5))
+        got = {
+            r["doc_id"]: r["split"]
+            for r in cluster_split(d, "doc_id", clusters, splits=splits).collect()
+        }
+        assert len(got) == 200
+        naive = {
+            r["doc_id"]: r["split"]
+            for r in split_assign(d, "doc_id", splits=splits).collect()
+        }
+        for doc, rep in members.items():
+            assert got[doc] == naive[rep], (doc, rep)
+        for doc in set(got) - set(members):
+            assert got[doc] == naive[doc], doc
+        # teeth: naive DOES split at least one planted cluster
+        assert any(
+            len({naive[m] for m, r in members.items() if r == rep}) > 1
+            for rep in {0, 10, 100}
+        )
+
     def test_hash_sample_is_subset_and_stable(self, spark):
         d = _docs(spark)
         s1 = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.3).collect()}
