@@ -206,11 +206,83 @@ GROUP BY d.doc_id
 """
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer health per language: FERTILITY = BPE tokens per word (the
+    metric multilingual tokenizer reports lead with — a language whose
+    fertility is far above the corpus mean is being shredded into
+    characters and will train poorly). Words are the trainer's own
+    tokenization, so the ratio is internally consistent; the language
+    label is the n-gram lang-id detector.
+
+    Scale shape: the BPE cost is the map-only inline coster (merge table
+    as a closure-constant broadcast dim, per-batch word memo), lang-id and
+    word counts are per-row expressions, and the only exchange is the
+    final tiny per-language aggregate."""
+    from realtime_spark.operators.bpe import TOKEN_RE, with_bpe_token_count
+    from realtime_spark.operators.text import detect_lang
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(d, num_merges=_N_MERGES)
+    costed = with_bpe_token_count(d, merges)
+    per_doc = costed.select(
+        detect_lang(F.col("text")).alias("lang"),
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), TOKEN_RE), lambda t: t != "")
+        ).alias("n_words"),
+        F.col("n_bpe_tokens"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "total_bpe_tokens",
+        F.when(
+            F.col("total_words") > 0,
+            F.round(F.col("total_bpe_tokens") / F.col("total_words"), 6),
+        ).alias("fertility"),
+    )
+
+
+def _oracle_bpe_fertility() -> str:
+    # lazy import: plans.training also imports this module's _N_MERGES
+    from realtime_spark.plans.training import _oracle_lang_id
+
+    return f"""
+WITH RECURSIVE {_bpe_chain_ctes()},
+{_bpe_seg_ctes("SELECT DISTINCT word FROM toksd")},
+doctok AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(f.n), 0) AS BIGINT) AS n_bpe,
+         CAST(COUNT(t.word) AS BIGINT) AS n_words
+  FROM documents d
+  LEFT JOIN toksd t ON t.doc_id = d.doc_id
+  LEFT JOIN final f ON f.word = t.word
+  GROUP BY d.doc_id
+),
+lang AS ({_oracle_lang_id()})
+SELECT l.detected_lang AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(dt.n_words) AS BIGINT) AS total_words,
+       CAST(SUM(dt.n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CASE WHEN SUM(dt.n_words) > 0
+            THEN round(CAST(SUM(dt.n_bpe) AS DOUBLE) / SUM(dt.n_words), 6)
+       END AS fertility
+FROM doctok dt JOIN lang l ON l.doc_id = dt.doc_id
+GROUP BY 1
+"""
+
+
 def tokenizer_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
+        "bpe_fertility": q_bpe_fertility,
     }
 
 
@@ -219,4 +291,5 @@ def tokenizer_oracles() -> dict[str, str]:
         "bpe_pair_counts": ORACLE_BPE_PAIR_COUNTS,
         "bpe_merges": _oracle_bpe_merges(),
         "bpe_segment": _oracle_bpe_segment(),
+        "bpe_fertility": _oracle_bpe_fertility(),
     }
