@@ -1042,6 +1042,22 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_stats(cdc_chunks(d))
 
 
+def _sql_gear_window_sum(m64: int) -> str:
+    """The 64-term windowed gear sum h_i = sum_k g_{i-k} * 2^k (mod 2^64)
+    as 64 lag() terms over ONE per-doc sort — the naive 64-way positional
+    self-join is O(64n) with a join-build constant that blows up at sf1
+    (~2.5e9 HUGEINT join rows on a 40 MB corpus; the lag form is a single
+    window pass). Each term reduces mod 2^64 before summing: term < 2^64,
+    64 terms < 2^70, comfortably inside HUGEINT; per-term product
+    g * 2^63 < 2^127 also fits. Doc-start rows COALESCE the missing lags
+    to 0 — the same truncation the positional join produced."""
+    terms = " + ".join(
+        f"(COALESCE(lag(g, {k}) OVER w, 0::HUGEINT) * {1 << k}::HUGEINT) % {m64}"
+        for k in range(64)
+    )
+    return terms
+
+
 def _oracle_chunk_dedup() -> str:
     """DuckDB replay of the gear-hash content-defined chunker.
 
@@ -1069,15 +1085,14 @@ bytes AS (
          ascii(substr(text, CAST(u.i AS INT), 1)) AS byte
   FROM _docs_dup, unnest(range(1, strlen(text) + 1)) u(i)
 ),
-gb AS (SELECT doc, pos, g FROM bytes JOIN gear ON gear.b = bytes.byte),
+gb AS (SELECT doc, pos, COALESCE(g, 0::HUGEINT) AS g,
+              (g IS NOT NULL) AS matched
+       FROM bytes LEFT JOIN gear ON gear.b = bytes.byte),
 h AS (
-  SELECT a.doc, a.pos,
-         SUM((w.g * (1::HUGEINT << CAST(a.pos - w.pos AS INT))) % {m64})
-           % {m64} AS hv
-  FROM gb a JOIN gb w ON w.doc = a.doc AND w.pos BETWEEN a.pos - 63 AND a.pos
-  GROUP BY a.doc, a.pos
+  SELECT doc, pos, matched, ({_sql_gear_window_sum(m64)}) % {m64} AS hv
+  FROM gb WINDOW w AS (PARTITION BY doc ORDER BY pos)
 ),
-cands AS (SELECT doc, pos FROM h WHERE (hv % 256) = 0),
+cands AS (SELECT doc, pos FROM h WHERE matched AND (hv % 256) = 0),
 cand_arr AS (SELECT doc, list(pos ORDER BY pos) AS cs FROM cands GROUP BY doc),
 lens AS (SELECT doc_id AS doc, CAST(strlen(text) AS BIGINT) AS n FROM _docs_dup),
 rec AS (
