@@ -49,9 +49,11 @@ CURATED = [
     "chat_bpe_cost",
     "stream_chat_threads",
     "stream_chat_bounded",
+    "dpo_pairs",
     # giant duplicate component / overfull LSH bucket
     "dedup_exact_groups",
     "dedup_clusters",
+    "split_leakage",
     "dedup_minhash_lsh",
     "dedup_jaccard",
     # half-corpus IVF cluster
