@@ -261,7 +261,10 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_spark.operators.sampling import cluster_split, split_assign
 
     d = docs_with_dups(spark, sf_dir).localCheckpoint()
-    pairs = jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    # pairs feeds TWO consumers (the cluster propagation, which unpersists
+    # its internal copy, and the leak join) — cut the lineage once so the
+    # shingle self-join doesn't run twice
+    pairs = jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5).localCheckpoint()
     clusters = duplicate_clusters(pairs)
 
     both = split_assign(

@@ -262,6 +262,37 @@ def test_preference_pairs_semantics(spark):
     }
 
 
+def test_preference_pairs_session_and_prompt_boundaries(spark):
+    """Tranche probes: (a) the prompt-run counter RESETS per session — a
+    regeneration run must never straddle a gap-session boundary even for
+    the same user; (b) consecutive user turns each found their own run
+    (the first, candidate-less run yields nothing)."""
+    from realtime_spark.operators.chat import preference_pairs
+
+    rows = [
+        # session 0: u,u,a,a -> run 1 = {u1} (no candidates), run 2 =
+        #   {u2, a, a} -> one pair with prompt_idx 2
+        (1, 0, "click", 10), (1, 1, "view", 20), (1, 2, "error", 5),
+        (1, 3, "purchase", 40),
+        # > 30 min gap -> session 1: a,a then u,a,a — the leading
+        #   assistants belong to NO prompt (not to session 0's run 2!),
+        #   the pair comes from the new prompt at turn_idx 3
+        (1, 40, "error", 7), (1, 41, "purchase", 8),
+        (1, 42, "click", 9), (1, 43, "error", 30), (1, 44, "purchase", 50),
+    ]
+    out = preference_pairs(chat_turns(_events(spark, rows), gap_seconds=1800))
+    got = {
+        (r["session_id"], r["prompt_idx"]): (
+            r["n_candidates"], r["chosen_tokens"], r["rejected_tokens"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (0, 2): (2, 41, 6),   # k=40 -> 41 tokens, k=5 -> 6 tokens
+        (1, 3): (2, 51, 31),  # session-1 pair; the leading a,a made no run
+    }
+
+
 def test_streaming_chat_threads_match_batch_up_to_watermark(spark):
     """Streaming lift parity (same harness as test_sessions): every thread
     the stream finalizes must carry EXACTLY the batch stats — including the

@@ -71,6 +71,26 @@ class TestSampling:
             for rep in {0, 10, 100}
         )
 
+    def test_bpe_fertility_zero_word_group(self, spark, tmp_path):
+        """Tranche probe: a language group whose docs have ZERO trainer
+        words (empty / punctuation-only text -> 'und') must report NULL
+        fertility, not crash or divide by zero."""
+        import pandas as pd
+
+        docs = pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["?!...", "", "the of and to a in"]}
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        docs.to_parquet(sf / "documents.parquet")
+        from realtime_spark.plans.tokenizer_plan import q_bpe_fertility
+
+        rows = {r["lang"]: r for r in q_bpe_fertility(spark, str(sf)).collect()}
+        assert rows["und"]["total_words"] == 0
+        assert rows["und"]["fertility"] is None
+        assert rows["und"]["n_docs"] == 2
+        assert rows["en"]["total_words"] == 6 and rows["en"]["fertility"] > 0
+
     def test_hash_sample_is_subset_and_stable(self, spark):
         d = _docs(spark)
         s1 = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.3).collect()}
