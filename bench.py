@@ -140,6 +140,10 @@ HEADLINE_QUERIES = [
         "chat_pack",
         # r9: embedding-space eval-leakage flagging (IVF-confined)
     "sem_decontaminate",
+    # r10: DPO pair assembly, leakage-free split audit, tokenizer fertility
+    "dpo_pairs",
+    "split_leakage",
+    "bpe_fertility",
 ]
 
 
