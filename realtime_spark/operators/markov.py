@@ -73,61 +73,43 @@ def stationary_distribution(
     in exact integer micro-units.
 
     x_0(s) = MICRO for every state;
-    x_{i+1}(t) = Σ_s floor(x_i(s) * cnt(s,t) / out(s))
-    — all bigint floor division, so each round is exactly reproducible and
+    x_{i+1}(t) = \u03a3_s floor(x_i(s) * cnt(s,t) / out(s))
+    \u2014 all integer floor division, so each round is exactly reproducible and
     an unrolled-CTE SQL oracle can replay it. States with no outgoing
     transitions keep their mass (identity row). Output: (state, mass_micro).
+
+    The matrix is |event-type|^2 cells \u2014 an enum-sized dim \u2014 so the
+    iteration runs DRIVER-SIDE on one bounded collect (the same bounded
+    contract as the BPE merge scalars and IVF centroids): the distributed
+    form paid 6 rounds of join+agg+checkpoint stage latency on a
+    ~dozen-row frame (~3.3 s of pure scheduling at any SF). The heavy,
+    SF-scaling part \u2014 the transitions() aggregation over the event log \u2014
+    stays fully distributed; Python ints are arbitrary-precision, so the
+    driver loop reproduces the DECIMAL(38,0) path bit-for-bit.
     """
-    t = trans.select(
-        F.col("from_type").alias("s"), F.col("to_type").alias("t"), "cnt"
-    ).persist()
-    out = t.groupBy("s").agg(F.sum("cnt").alias("outc"))
-    tm = t.join(out, "s").persist()
-    states = (
-        t.select(F.col("s").alias("state"))
-        .unionByName(t.select(F.col("t").alias("state")))
-        .distinct()
-        .persist()
-    )
-    x = states.withColumn("mass", F.lit(MICRO).cast("bigint"))
-    sinks = states.join(
-        tm.select(F.col("s").alias("state")).distinct(), "state", "left_anti"
-    )
+    spark = trans.sparkSession
+    edges = [
+        (r["s"], r["t"], int(r["cnt"]))
+        for r in trans.select(
+            F.col("from_type").alias("s"), F.col("to_type").alias("t"), "cnt"
+        ).collect()
+    ]
+    outc: dict = {}
+    states: set = set()
+    for s, t, cnt in edges:
+        outc[s] = outc.get(s, 0) + cnt
+        states.add(s)
+        states.add(t)
+    sinks = states - set(outc)
+    x = {st: MICRO for st in states}
     for _ in range(iterations):
-        flows = (
-            tm.join(x, tm["s"] == x["state"])
-            .select(
-                F.col("t").alias("state"),
-                # DECIMAL(38,0) intermediate: mass*cnt exceeds int64 once
-                # per-edge counts reach corpus scale (ANSI would throw,
-                # non-ANSI silently wraps negative)
-                F.expr(
-                    "CAST((CAST(mass AS DECIMAL(38,0)) * cnt) DIV outc AS BIGINT)"
-                ).alias("m"),
-            )
-            .groupBy("state")
-            .agg(F.sum("m").alias("mass"))
-        )
-        kept = sinks.join(x, "state").select("state", "mass")
-        contrib = (
-            flows.unionByName(kept)
-            .groupBy("state")
-            .agg(F.sum("mass").cast("bigint").alias("mass"))
-        )
-        # left join back to the full state set: a state receiving no mass
-        # this round stays at 0 instead of disappearing from the frame
-        x = (
-            states.join(contrib, "state", "left")
-            .select(
-                "state",
-                F.coalesce(F.col("mass"), F.lit(0)).cast("bigint").alias("mass"),
-            )
-            # eager: materializes the round (so the tm/states caches are
-            # actually populated and reused) and truncates lineage
-            .localCheckpoint()
-        )
-    out = x.select("state", F.col("mass").alias("mass_micro"))
-    t.unpersist()
-    tm.unpersist()
-    states.unpersist()
-    return out
+        nxt = dict.fromkeys(states, 0)
+        for s, t, cnt in edges:
+            nxt[t] += (x[s] * cnt) // outc[s]
+        for st in sinks:  # no outgoing edges: mass carries over
+            nxt[st] += x[st]
+        x = nxt
+    return spark.createDataFrame(
+        [(st, int(m)) for st, m in sorted(x.items())],
+        "state string, mass_micro bigint",
+    )
