@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 import traceback
@@ -46,7 +47,9 @@ def main() -> None:
 
     import __spark_entry__ as em
 
-    spark = get_spark("oracle_all", cpus=16)
+    spark = get_spark(
+        "oracle_all", cpus=int(os.environ.get("SPARK_GRAFT_ORACLE_CPUS", "16"))
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -59,6 +62,19 @@ def main() -> None:
     missing_oracles = sorted(set(qs) - set(oracles))
     if missing_oracles:
         print(f"NOTE: rows-only queries (no oracle): {missing_oracles}", flush=True)
+    # optional N-way sharding for big one-time gates (e.g. sf1): set
+    # SPARK_GRAFT_SHARD=k/N to run only the queries whose index in the
+    # SORTED name list is congruent to k mod N, and bound this process's
+    # DuckDB threads so N shards share the box
+    shard = os.environ.get("SPARK_GRAFT_SHARD", "")
+    if shard:
+        k, n = (int(p) for p in shard.split("/"))
+        names = sorted(qs)
+        keep = {nm for i, nm in enumerate(names) if i % n == k}
+        qs = {nm: qs[nm] for nm in qs if nm in keep}
+        con.execute(f"SET threads = {max(4, 32 // n)}")
+        print(f"shard {k}/{n}: {len(qs)} queries", flush=True)
+
     results: dict[str, dict] = {}
     t_all = time.time()
     for name, fn in qs.items():
