@@ -41,6 +41,41 @@ def _norm(v):
     return v
 
 
+def _canon_frame(df):
+    """Vectorized canonicalization mirroring _norm: per-dtype string
+    encoding (floats round-9 with an 'f:' tag and negative-zero folded,
+    ints/bools/datetimes via astype(str), everything else through the
+    row-wise _norm) then a whole-frame sort. Two frames are value-equal
+    iff their canon frames are equal — used as a FAST-ACCEPT only: any
+    disagreement re-checks with the exact row-wise path, so a
+    canonicalization corner (e.g. Decimal scale) can never fail a query
+    that the exact compare would pass."""
+    import numpy as np
+    import pandas as pd
+
+    cols = {}
+    for c in sorted(df.columns):
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            r = s.round(9) + 0.0  # fold -0.0
+            cols[c] = pd.Series(
+                np.where(s.isna(), "nan", "f:" + r.astype(str)), index=s.index
+            )
+        elif pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
+            cols[c] = s.astype(str)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            cols[c] = s.astype(str)
+        else:
+            cols[c] = s.map(lambda v: repr(_norm(v)))
+    out = pd.DataFrame(cols)
+    return out.sort_values(
+        by=list(out.columns), kind="mergesort", ignore_index=True
+    )
+
+
+_FAST_COMPARE_MIN_ROWS = 50_000
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
@@ -107,6 +142,23 @@ def main() -> None:
         s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
         rec["schema_match"] = s_cols == o_cols
         hash_match = False
+        if (
+            rec["rows_match"]
+            and rec["schema_match"]
+            and len(sdf) >= _FAST_COMPARE_MIN_ROWS
+        ):
+            # vectorized fast-accept; fall through to the exact row-wise
+            # compare only when the canon frames disagree
+            hash_match = _canon_frame(sdf[s_cols]).equals(_canon_frame(odf[o_cols]))
+            if hash_match:
+                rec["hash_match"] = True
+                results[name] = rec
+                print(
+                    f"ok {name} rows={len(sdf)}/{len(odf)} "
+                    f"cols={rec['schema_match']} {time.time()-t0:.1f}s (fast)",
+                    flush=True,
+                )
+                continue
         if rec["rows_match"] and rec["schema_match"]:
             s_rows = sorted(
                 (tuple(_norm(v) for v in r) for r in sdf[s_cols].itertuples(index=False)),
