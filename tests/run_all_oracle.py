@@ -109,6 +109,24 @@ def main() -> None:
         qs = {nm: qs[nm] for nm in qs if nm in keep}
         con.execute(f"SET threads = {max(4, 32 // n)}")
         print(f"shard {k}/{n}: {len(qs)} queries", flush=True)
+    # resume support for the big one-time gates: SPARK_GRAFT_SKIP_OK_LOGS is
+    # a colon-separated list of PRIOR runner logs; any query already printed
+    # green there ("ok <name> rows=" / "ok(rows-only) <name>") is skipped, so
+    # an interrupted multi-hour shard restarts from where it died
+    skip_logs = os.environ.get("SPARK_GRAFT_SKIP_OK_LOGS", "")
+    if skip_logs:
+        import re
+
+        done: set[str] = set()
+        for p in skip_logs.split(":"):
+            try:
+                text = open(p, errors="replace").read()
+            except OSError:
+                continue
+            done.update(re.findall(r"ok(?:\(rows-only\))? (\w+) rows=", text))
+        n_before = len(qs)
+        qs = {nm: f for nm, f in qs.items() if nm not in done}
+        print(f"resume: skipping {n_before - len(qs)} already-green queries", flush=True)
 
     results: dict[str, dict] = {}
     t_all = time.time()
