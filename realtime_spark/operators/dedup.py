@@ -167,6 +167,59 @@ def jaccard_pairs(
     return out.select("doc_a", "doc_b", "jaccard")
 
 
+def shingle_shared_frac(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Symmetric cross-document n-gram share / memorization-risk score: per
+    document, its distinct word-k-shingle count and how many of those
+    shingles occur in at least one OTHER document, with shared_frac =
+    shared / total (NULL for shingle-free short texts, which stay in the
+    output). ORDER-INDEPENDENT, unlike shingle_novelty below (which
+    attributes each shingle to its first-occurrence doc and so scores an
+    ingest batch incrementally): here every copy of a duplicated phrase is
+    flagged, which is the right shape for memorization-risk audits — a doc
+    whose shingles are mostly corpus-shared is boilerplate even when no
+    single PAIR clears a Jaccard threshold, complementary to jaccard_pairs
+    (pairwise) and span dedup (exact substrings).
+
+    Scale shape (100 TB): shingles explode once; per-shingle document
+    frequency is ONE map-side-combining agg on the 60-bit digest; the join
+    back is 1:1 per (doc, shingle) row — no candidate fan-out, so no
+    stop-shingle cap is needed (a corpus-wide hot shingle concentrates rows
+    on one reducer of the freq agg only, which AQE's skew split handles);
+    the closing agg keys on the doc id. Every exchange is linear in shingle
+    volume.
+    """
+    sh = spread_by(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.explode(shingles_expr(F.col(text_col), k)).alias("shingle"),
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("sx"),
+    )
+    # shingles_expr is per-doc DISTINCT, so count(*) per sx == document freq
+    freq = sh.groupBy("sx").agg(F.count(F.lit(1)).alias("df_docs"))
+    per = (
+        sh.join(freq, "sx")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df_docs") >= 2).cast("int")).alias("n_shared"),
+        )
+    )
+    return df.select(id_col).join(per, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        F.when(
+            F.col("n_shingles") > 0,
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6),
+        ).alias("shared_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

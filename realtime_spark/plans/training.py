@@ -20,6 +20,7 @@ from realtime_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
+    shingle_shared_frac,
     simhash_buckets,
 )
 from realtime_spark.operators.multimodal import (
@@ -165,6 +166,40 @@ jpairs AS (
 ORACLE_DEDUP_JACCARD = f"""
 WITH {_JACCARD_CTES.strip()}
 SELECT doc_a, doc_b, jaccard FROM jpairs
+"""
+
+
+def q_ngram_shared_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric cross-document n-gram share (operators/dedup.py
+    shingle_shared_frac docstring has the linear-exchange argument): per doc,
+    distinct-shingle count, corpus-shared-shingle count, and the shared
+    fraction — the memorization-risk signal pairwise Jaccard misses when
+    boilerplate is spread across MANY docs with no single pair above
+    threshold, and that the order-dependent ngram_novelty (first-occurrence
+    attribution, plans/behavior.py) misses on the FIRST copy."""
+    d = docs_with_dups(spark, sf_dir)
+    return shingle_shared_frac(d, "doc_id", "text", k=3)
+
+
+# same shingle derivation as _JACCARD_CTES but WITHOUT the stop-shingle cap:
+# novelty must count hot shingles (they are exactly the shared ones)
+ORACLE_NGRAM_SHARED = f"""
+WITH {DOCS_DUP_CTE.strip()},
+t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM _docs_dup),
+sh0 AS (SELECT doc_id AS doc, unnest({_sql_shingles(3)}) AS shingle FROM t),
+sh AS (SELECT doc, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sx FROM sh0),
+freq AS (SELECT sx, COUNT(*) AS df_docs FROM sh GROUP BY 1),
+per AS (
+  SELECT doc, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END) AS n_shared
+  FROM sh JOIN freq USING (sx) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(per.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN per.n_shingles > 0
+            THEN round(per.n_shared / per.n_shingles, 6) END AS shared_frac
+FROM _docs_dup d LEFT JOIN per ON per.doc = d.doc_id
 """
 
 
@@ -2216,6 +2251,7 @@ def training_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_jaccard": q_dedup_jaccard,
+        "ngram_shared_frac": q_ngram_shared_frac,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_keep": q_dedup_clusters_keep,
         "split_leakage": q_split_leakage,
@@ -2295,6 +2331,7 @@ def training_oracles() -> dict[str, str]:
         "dedup_exact_groups": ORACLE_DEDUP_EXACT_GROUPS,
         "dedup_exact_keep": ORACLE_DEDUP_EXACT_KEEP,
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+        "ngram_shared_frac": ORACLE_NGRAM_SHARED,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "dedup_clusters_keep": ORACLE_DEDUP_CLUSTERS_KEEP,
         "split_leakage": _oracle_split_leakage(),

@@ -56,6 +56,9 @@ CURATED = [
     "split_leakage",
     "dedup_minhash_lsh",
     "dedup_jaccard",
+    # hot shared text -> corpus-hot shingles on the per-shingle freq aggs
+    "ngram_novelty",
+    "ngram_shared_frac",
     # half-corpus IVF cluster
     "semdedup",
     "sem_decontaminate",

@@ -157,6 +157,57 @@ class TestDecontaminate:
         assert [r["doc_id"] for r in out.collect()] == [1]
 
 
+class TestShingleSharedFrac:
+    def test_shared_means_present_in_another_doc(self, spark):
+        from realtime_spark.operators.dedup import shingle_shared_frac
+
+        d = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "a cat saw the quick brown fox jumps high"),
+                (3, "completely unrelated text with different words entirely here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               shingle_shared_frac(d, "doc_id", "text", k=3).collect()}
+        # doc 1 <-> doc 2 share 'the quick brown', 'quick brown fox',
+        # 'brown fox jumps'; doc 3 shares nothing
+        assert out[1]["n_shingles"] == 7 and out[1]["n_shared"] == 3
+        assert out[2]["n_shingles"] == 7 and out[2]["n_shared"] == 3
+        assert out[3]["n_shared"] == 0 and out[3]["shared_frac"] == 0.0
+        assert abs(out[1]["shared_frac"] - 3 / 7) < 1e-6
+
+    def test_shingle_free_short_text_kept_with_null_frac(self, spark):
+        from realtime_spark.operators.dedup import shingle_shared_frac
+
+        d = spark.createDataFrame(
+            [(1, "two words"), (2, "the quick brown fox runs"),
+             (3, "the quick brown fox walks")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               shingle_shared_frac(d, "doc_id", "text", k=3).collect()}
+        assert set(out) == {1, 2, 3}  # short doc stays in the output
+        assert out[1]["n_shingles"] == 0 and out[1]["shared_frac"] is None
+        # 'the quick brown' + 'quick brown fox' shared; last shingle differs
+        assert out[2]["n_shared"] == 2 and out[3]["n_shared"] == 2
+
+    def test_within_doc_repeat_not_counted_as_shared(self, spark):
+        from realtime_spark.operators.dedup import shingle_shared_frac
+
+        # the k-shingle set is per-doc DISTINCT, so a doc repeating its own
+        # phrase gains no shared shingles from itself
+        d = spark.createDataFrame(
+            [(1, "alpha beta gamma alpha beta gamma"),
+             (2, "totally disjoint vocabulary set here")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               shingle_shared_frac(d, "doc_id", "text", k=3).collect()}
+        assert out[1]["n_shared"] == 0
+
+
 class TestSrp:
     def test_planes_deterministic_and_bounded(self):
         p1 = srp_planes(4, 16)
