@@ -86,6 +86,20 @@ def main() -> None:
         "oracle_all", cpus=int(os.environ.get("SPARK_GRAFT_ORACLE_CPUS", "16"))
     )
     con = duckdb.connect()
+    # Bound this process's DuckDB so one spill-heavy oracle (e.g. a recursive
+    # closure over a pair graph at sf1) fails ALONE instead of filling the
+    # disk and killing every concurrent shard's Spark JVM — the failure mode
+    # of the first sharded sf1 attempt. Both knobs env-overridable.
+    con.execute(
+        "SET memory_limit = "
+        f"'{os.environ.get('SPARK_GRAFT_DUCKDB_MEM', '24GiB')}'"
+    )
+    tmp = f"/tmp/duckdb_spill_{os.getpid()}"
+    con.execute(f"SET temp_directory = '{tmp}'")
+    con.execute(
+        "SET max_temp_directory_size = "
+        f"'{os.environ.get('SPARK_GRAFT_DUCKDB_SPILL_CAP', '24GiB')}'"
+    )
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
