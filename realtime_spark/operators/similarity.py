@@ -577,8 +577,15 @@ def semantic_decontaminate(
         asg_t.join(asg_e, ["centroid_id"])
         .groupBy("vid", "centroid_id")
         .agg(
-            F.max(
-                F.round(cosine_expr(F.col("vec"), F.col("evec")), round_digits)
+            # + 0.0 folds a -0.0 max (tiny negative cosine rounded to zero)
+            # to +0.0 so both engines render the zero identically at any SF
+            (
+                F.max(
+                    F.round(
+                        cosine_expr(F.col("vec"), F.col("evec")), round_digits
+                    )
+                )
+                + F.lit(0.0)
             ).alias("max_eval_cos")
         )
     )

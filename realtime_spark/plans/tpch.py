@@ -298,10 +298,20 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
+    # Per-row profit is EXACTLY a 4-decimal value (2dp price x 2dp discount
+    # = 4dp; 0.5 x 2dp retailprice x integer quantity = 3dp), so floor-
+    # quantizing each row to integer 1e-4 units recovers the exact decimal
+    # the double approximates — identically on both engines — and the SUM
+    # becomes exact integer arithmetic, immune to summation-order noise.
+    # (At sf1 the double-sum path flipped a cent boundary: ~34k terms per
+    # group accumulate ~1e-3 of order-dependent noise, and quantize(,2)
+    # amplifies any straddle into a value mismatch.) DECIMAL(38,0) gives
+    # the sum overflow headroom past the BIGINT range at cluster scale.
     profit = (
         F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
         - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     )
+    profit_i = F.floor(profit * 10000.0 + F.lit(0.5)).cast("decimal(38,0)")
     j = (
         l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
@@ -310,12 +320,16 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
-    ).agg(quantize(F.sum(profit), 2).alias("sum_profit"))
+    ).agg(
+        quantize(F.sum(profit_i).cast("double") / F.lit(10000.0), 2).alias(
+            "sum_profit"
+        )
+    )
 
 
 ORACLE_TPCH_Q9 = f"""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-  {_SQL_Q2.format(expr="SUM(l_extendedprice * (1.0 - l_discount) - 0.5 * p_retailprice * l_quantity)")} AS sum_profit
+  {_SQL_Q2.format(expr="SUM(CAST(floor((l_extendedprice * (1.0 - l_discount) - 0.5 * p_retailprice * l_quantity) * 10000.0 + 0.5) AS HUGEINT)) / 10000.0")} AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey

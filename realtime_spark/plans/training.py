@@ -163,6 +163,23 @@ jpairs AS (
 )
 """
 
+# The recursive-closure oracles below scan `edges` (and through it the
+# whole jaccard chain) on EVERY recursion iteration; DuckDB 1.0 does not
+# materialize CTEs referenced from inside a recursive query, so at sf1 the
+# 3-minute jpairs pipeline re-evaluated per iteration and spilled past any
+# temp cap. AS MATERIALIZED pins jpairs/edges to one evaluation (63 s at
+# sf1 under a 12 GiB cap; value-identical output on all corpora).
+_JACCARD_CTES_MAT = _JACCARD_CTES.replace(
+    "jpairs AS (", "jpairs AS MATERIALIZED ("
+)
+
+_EDGES_MAT_CTE = """
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION
+  SELECT doc_b, doc_a FROM jpairs
+)"""
+
 ORACLE_DEDUP_JACCARD = f"""
 WITH {_JACCARD_CTES.strip()}
 SELECT doc_a, doc_b, jaccard FROM jpairs
@@ -222,12 +239,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min per node is the cluster id. Labels >= the hop's destination are pruned
 # (they can never become a min — the cluster min is below every member).
 ORACLE_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE {_JACCARD_CTES.strip()},
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM jpairs
-  UNION
-  SELECT doc_b, doc_a FROM jpairs
-),
+WITH RECURSIVE {_JACCARD_CTES_MAT.strip()},
+{_EDGES_MAT_CTE.strip()},
 reach AS (
   SELECT src AS node, src AS label FROM edges
   UNION
@@ -254,12 +267,8 @@ def q_dedup_clusters_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_CLUSTERS_KEEP = f"""
-WITH RECURSIVE {_JACCARD_CTES.strip()},
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM jpairs
-  UNION
-  SELECT doc_b, doc_a FROM jpairs
-),
+WITH RECURSIVE {_JACCARD_CTES_MAT.strip()},
+{_EDGES_MAT_CTE.strip()},
 reach AS (
   SELECT src AS node, src AS label FROM edges
   UNION
@@ -346,12 +355,8 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_split_leakage() -> str:
     # lazy: _SQL_HB is defined further down the module
     return f"""
-WITH RECURSIVE {_JACCARD_CTES.strip()},
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM jpairs
-  UNION
-  SELECT doc_b, doc_a FROM jpairs
-),
+WITH RECURSIVE {_JACCARD_CTES_MAT.strip()},
+{_EDGES_MAT_CTE.strip()},
 reach AS (
   SELECT src AS node, src AS label FROM edges
   UNION
@@ -359,8 +364,8 @@ reach AS (
   FROM reach r JOIN edges e ON e.src = r.node
   WHERE r.label < e.dst
 ),
-clusters AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
-sides AS (
+clusters AS MATERIALIZED (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+sides AS MATERIALIZED (
   SELECT d.doc_id,
          {_SQL_HB.format(k='COALESCE(c.cluster_id, d.doc_id)')} < 8000 AS tc,
          {_SQL_HB.format(k='d.doc_id')} < 8000 AS tn
@@ -431,12 +436,8 @@ def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_KEEP_LONGEST = f"""
-WITH RECURSIVE {_JACCARD_CTES.strip()},
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM jpairs
-  UNION
-  SELECT doc_b, doc_a FROM jpairs
-),
+WITH RECURSIVE {_JACCARD_CTES_MAT.strip()},
+{_EDGES_MAT_CTE.strip()},
 reach AS (
   SELECT src AS node, src AS label FROM edges
   UNION
@@ -2497,7 +2498,7 @@ WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE {_I
 {_semdecon_asg_cte('asge', _SEMDECON_EVAL_PRED).strip()},
 best AS (
   SELECT t.vec_id, t.centroid_id,
-         MAX({_SQL_VEC_COS.format(a='t.vec', b='e.vec', r=4)}) AS max_eval_cos
+         MAX({_SQL_VEC_COS.format(a='t.vec', b='e.vec', r=4)}) + 0.0 AS max_eval_cos
   FROM asgt t JOIN asge e USING (centroid_id)
   GROUP BY 1, 2
 )

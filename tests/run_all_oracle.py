@@ -31,7 +31,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return ("f", round(v, 9))
+        # + 0.0 folds -0.0: engines may disagree on the SIGN of a zero
+        # (summation-order noise rounded to zero), which is equal under ==
+        # but sorts/reprs differently and would misalign the row zip
+        return ("f", round(v, 9) + 0.0)
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     if hasattr(v, "isoformat"):
