@@ -735,9 +735,15 @@ sh0 AS (
 sh AS (
   SELECT doc, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sx FROM sh0
 ),
-sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 freq_ok AS (SELECT sx FROM sh GROUP BY 1 HAVING COUNT(*) <= 1000),
 shf AS (SELECT sh.* FROM sh JOIN freq_ok USING (sx)),
+-- sizes MUST count the FILTERED shingle set (mirroring jaccard_pairs:
+-- mixing an unfiltered |A| with a filtered |A-intersect-B| deflates the
+-- metric). Latent until sf1: no shingle tops the 1000-doc cap at the
+-- gate SFs, so the unfiltered form agreed for nine rounds, then the
+-- third-decade corpus pushed template shingles past the cap and 1,018
+-- pairs lost ~0.01 of jaccard in the oracle only.
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shf GROUP BY 1),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
   FROM shf a JOIN shf b ON a.sx = b.sx AND a.doc < b.doc

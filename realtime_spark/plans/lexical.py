@@ -34,8 +34,14 @@ FROM p
 
 
 def q_tfidf_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_df=200 exercises the operator's own scale lever: a term in d
+    docs contributes d^2 postings-join rows, and the UNcapped registered
+    form filled an 80 GB disk with shuffle spill at sf1 (the sf1 gate's
+    concrete proof that the cap is load-bearing, not optional). Weights
+    keep full-corpus df; norms are recomputed over surviving terms —
+    the oracle mirrors both."""
     d = load_table(spark, sf_dir, "documents")
-    return tfidf_nearest_neighbor(d, "doc_id", "text")
+    return tfidf_nearest_neighbor(d, "doc_id", "text", max_df=200)
 
 
 ORACLE_TFIDF_NN = f"""
@@ -45,8 +51,11 @@ post AS (SELECT term, doc, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
 nd AS (SELECT COUNT(*) AS n_docs FROM documents),
 dfreq AS (SELECT term, COUNT(*) AS df_t FROM post GROUP BY 1),
 w AS (
+  -- df cap mirrors max_df=200: weights keep full-corpus df_t; dropped
+  -- stop-terms leave the vector space and the norms below
   SELECT doc, term, tf * ln(1.0 + n_docs / df_t) AS w
   FROM post JOIN dfreq USING (term) CROSS JOIN nd
+  WHERE df_t <= 200
 ),
 norms AS (SELECT doc, sqrt(SUM(w * w)) AS norm FROM w GROUP BY doc),
 dots AS (

@@ -130,6 +130,20 @@ def main() -> None:
     # a colon-separated list of PRIOR runner logs; any query already printed
     # green there ("ok <name> rows=" / "ok(rows-only) <name>") is skipped, so
     # an interrupted multi-hour shard restarts from where it died
+    # explicit exclusions for one-time gates: the documented-quadratic
+    # baselines (all-pairs semantics with no linear form) are sf0.1-bounded
+    # by design; their bucketed scale-path variants still run everywhere
+    excl = {
+        nm
+        for nm in os.environ.get("SPARK_GRAFT_EXCLUDE", "").replace(
+            ":", ","
+        ).split(",")
+        if nm
+    }
+    if excl:
+        hit = sorted(excl & set(qs))
+        qs = {nm: f for nm, f in qs.items() if nm not in excl}
+        print(f"excluded by SPARK_GRAFT_EXCLUDE: {hit}", flush=True)
     skip_logs = os.environ.get("SPARK_GRAFT_SKIP_OK_LOGS", "")
     if skip_logs:
         import re
