@@ -118,6 +118,7 @@ def train_bpe(
     text_col: str = "text",
     num_merges: int = 16,
     checkpoint_every: int = 4,
+    driver_max_types: int = 262_144,
 ) -> list[tuple[int, str, str, int]]:
     """Learn `num_merges` BPE merges; returns
     [(rank, left, right, pair_count), ...] in learned order.
@@ -125,8 +126,58 @@ def train_bpe(
     Driver work per round is ONE scalar-sized collect (the argmax pair) —
     the same contract as Lloyd's iterations (SCALE.md §5); word-type state
     stays distributed throughout.
+
+    Small-vocabulary fast path (r10, guide section 1.2: fix the
+    distributed algorithm before per-task work): below `driver_max_types`
+    word TYPES the iterated state is a dim-sized table (a few MB of
+    (word, freq) pairs — the same bounded-collect contract as centroids /
+    the union-find fast path in duplicate_clusters), and the distributed
+    loop is pure job-scheduling overhead: num_merges rounds of
+    explode+agg+argmax jobs cost ~0.3-1 s each at ANY corpus size to
+    relabel a table Python folds in microseconds. The corpus-wide
+    word_freqs pass stays distributed; only the merge iteration moves
+    driver-side, and it replays the exact pair-count/tie-break/stop
+    semantics (pinned against the distributed path by
+    tests/test_bpe.py::test_merges_match_reference both ways). Real
+    web-scale vocabularies exceed the threshold and take the distributed
+    loop unchanged.
     """
-    cur = symbolize(word_freqs(df, text_col)).select("freq", "syms")
+    wf = word_freqs(df, text_col)
+    n_types = wf.count()
+    if n_types <= driver_max_types:
+        from collections import Counter
+
+        state = [
+            (list(r["word"]) + [END_MARK], int(r["freq"]))
+            for r in wf.collect()
+        ]
+        merges: list[tuple[int, str, str, int]] = []
+        for rank in range(1, num_merges + 1):
+            pc: Counter = Counter()
+            for syms, f in state:
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += f
+            if not pc:
+                break
+            (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if cnt <= 1:
+                break
+            merges.append((rank, left, right, int(cnt)))
+            def _merge(syms: list[str]) -> list[str]:
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                return out
+
+            state = [(_merge(s), f) for s, f in state]
+        return merges
+    cur = symbolize(wf).select("freq", "syms")
     cur = cur.localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):
@@ -225,6 +276,7 @@ def with_bpe_token_count(
     merges: Sequence[tuple[int, str, str, int]],
     text_col: str = "text",
     out_col: str = "n_bpe_tokens",
+    out_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Append the BPE segment count of `text_col` to EVERY input column —
     the inline-costing form of segment_with_merges (r9 verdict ask #5:
@@ -232,14 +284,26 @@ def with_bpe_token_count(
     table rides into the workers as a closure constant (vocab-sized — the
     broadcast-dim contract) and no join is needed to get the cost next to
     the rest of the row, so a downstream window/aggregate still pays only
-    its own single exchange."""
+    its own single exchange.
+
+    `out_cols` limits which input columns the Python worker RETURNS (the
+    count is always appended). mapInPandas is opaque to Catalyst, so a
+    downstream .select cannot prune what crosses the boundary — a caller
+    that only needs the count plus a few small columns names them here and
+    the document text crosses into Python once and never back out."""
     rank_of = {(l, r): k for (k, l, r, _) in merges}
     import re
 
     tok_re = re.compile(TOKEN_RE)
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
-    )
+    if out_cols is not None:
+        keep = list(out_cols)
+        # text must still ride INTO the worker; prune everything else
+        df = df.select(*dict.fromkeys([*keep, text_col]))
+        fields = [df.schema[c] for c in keep]
+    else:
+        keep = None
+        fields = list(df.schema.fields)
+    out_schema = T.StructType(fields + [T.StructField(out_col, T.LongType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, int] = {}
@@ -256,7 +320,8 @@ def with_bpe_token_count(
                         memo[w] = got
                     n += got
                 counts.append(n)
-            yield pdf.assign(**{out_col: counts})
+            out = pdf if keep is None else pdf[keep]
+            yield out.assign(**{out_col: counts})
 
     return df.mapInPandas(run, schema=out_schema)
 

@@ -181,6 +181,49 @@ def lang_quality_cols(
     return out.drop("__rs_lq_toks", "__rs_lq_scores", "__rs_lq_max")
 
 
+def with_detected_lang(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_out: str = "detected_lang",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Staged projection form of `detect_lang` (bit-identical values): the
+    expression form re-evaluates `words_expr` per reference — interpreted
+    higher-order lambdas get no CSE, so one detect_lang call tokenizes the
+    text ~3x per language (measured ~4 ms/row at fixture text lengths, the
+    whole wall of a lang-keyed aggregate). Here the token array, the
+    per-language score array, and the max score are real projection steps
+    (CollapseProject keeps multiply-referenced non-cheap aliases staged),
+    so each is computed once per row — the lang-id half of
+    `lang_quality_cols` without the quality columns.
+    """
+    text = F.col(text_col)
+    toks = F.col("__rs_dl_toks")
+    n = F.size(toks)
+    out = df.withColumn("__rs_dl_toks", words_expr(text))
+    scored = []
+    for lang, stops in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(s) for s in stops])
+        hits = F.size(F.filter(toks, _contains_fn(arr)))
+        score = F.round(
+            F.when(n > 0, hits / n).otherwise(F.lit(0.0)), round_digits
+        )
+        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    out = out.withColumn("__rs_dl_scores", F.array(*scored))
+    out = out.withColumn(
+        "__rs_dl_max", F.array_max(F.col("__rs_dl_scores")).getField("score")
+    )
+    winners = F.filter(
+        F.col("__rs_dl_scores"),
+        lambda s: s.getField("score") == F.col("__rs_dl_max"),
+    )
+    first = F.array_min(winners).getField("lang")
+    out = out.withColumn(
+        lang_out, F.when(F.col("__rs_dl_max") > 0, first).otherwise(F.lit("und"))
+    )
+    return out.drop("__rs_dl_toks", "__rs_dl_scores", "__rs_dl_max")
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are neither alphanumeric nor whitespace."""
     stripped = F.regexp_replace(text, "[A-Za-z0-9\\s]", "")

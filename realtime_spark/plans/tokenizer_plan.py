@@ -217,19 +217,29 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the BPE cost is the map-only inline coster (merge table
     as a closure-constant broadcast dim, per-batch word memo), lang-id and
     word counts are per-row expressions, and the only exchange is the
-    final tiny per-language aggregate."""
+    final tiny per-language aggregate.
+
+    r10 optimization (guide section 4): lang-id rides the STAGED projection
+    (`with_detected_lang` — the expression form re-tokenized the text ~3x
+    per language through interpreted HOF lambdas, ~20 s of the query's
+    28 s wall at sf0.1), it is computed BEFORE the Python coster together
+    with n_words, and the coster returns only (lang, n_words, count) — the
+    document text crosses the Arrow boundary once inbound and never back
+    out (out_cols pruning; mapInPandas is opaque to Catalyst's own column
+    pruning)."""
     from realtime_spark.operators.bpe import TOKEN_RE, with_bpe_token_count
-    from realtime_spark.operators.text import detect_lang
+    from realtime_spark.operators.text import with_detected_lang
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     merges = train_bpe(d, num_merges=_N_MERGES)
-    costed = with_bpe_token_count(d, merges)
-    per_doc = costed.select(
-        detect_lang(F.col("text")).alias("lang"),
+    pre = with_detected_lang(d, "text", "lang").withColumn(
+        "n_words",
         F.size(
             F.filter(F.split(F.lower(F.col("text")), TOKEN_RE), lambda t: t != "")
-        ).alias("n_words"),
-        F.col("n_bpe_tokens"),
+        ),
+    )
+    per_doc = with_bpe_token_count(
+        pre, merges, out_cols=["lang", "n_words"]
     )
     agg = per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -1960,8 +1960,14 @@ def _sql_lang_score(lang: str, stops: tuple[str, ...]) -> str:
 
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # staged projection (r10, guide section 4): the expression form of
+    # detect_lang re-tokenizes per reference through interpreted HOFs
+    from realtime_spark.operators.text import with_detected_lang
+
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", detect_lang(F.col("text")).alias("detected_lang"))
+    return with_detected_lang(d, "text", "detected_lang").select(
+        "doc_id", "detected_lang"
+    )
 
 
 def _oracle_lang_id() -> str:

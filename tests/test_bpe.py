@@ -99,6 +99,14 @@ class TestTrain:
         want = ref_train(TEXTS, 10)
         assert got == want
 
+    def test_distributed_path_matches_fast_path(self, docs, spark):
+        # r10: train_bpe folds small vocabularies driver-side; force the
+        # distributed loop (driver_max_types=0) and pin both paths to the
+        # same merge list so the fast path can never drift
+        dist = train_bpe(docs, num_merges=10, driver_max_types=0)
+        fast = train_bpe(docs, num_merges=10)
+        assert dist == fast == ref_train(TEXTS, 10)
+
     def test_merge_expr_leftmost_nonoverlapping(self, spark):
         df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
         out = df.select(merge_pair_expr(F.col("syms"), "a", "a").alias("m")).head()
