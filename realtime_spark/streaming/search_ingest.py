@@ -62,8 +62,13 @@ def _write_epoch(
     lengths = doc_lengths(df, id_col, text_col)
     lengths.write.mode("overwrite").parquet(f"{root}/doclen/ingest_epoch={tag}")
     # exact-integer stat partials: the query-time fold sums bigints, so the
-    # recombined avgdl is bit-identical to a batch avg over the union
-    lengths.agg(
+    # recombined avgdl is bit-identical to a batch avg over the union.
+    # Folded from the epoch's OWN just-written doclen files (r10, guide
+    # section 1.2): the lengths plan re-tokenizes the whole batch — a third
+    # scan of the text per epoch for a 1-row aggregate; reading back the
+    # (doc, dl) parquet it just wrote costs a doc-count-sized scan instead
+    # and is byte-identical input, so replays stay deterministic.
+    df.sparkSession.read.parquet(f"{root}/doclen/ingest_epoch={tag}").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{root}/stats/ingest_epoch={tag}")

@@ -63,9 +63,14 @@ def seed_vector_state(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
     ).write.mode("overwrite").parquet(f"{root}/centroids")
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{root}/ivf/ingest_epoch=seed"
-    )
+    # cluster by the partition column before the partitioned write (guide
+    # section 6): without it every scan task opens a file in every centroid
+    # directory — ~tasks x |centroids| tiny files per epoch, paid again by
+    # every later store read; one hash exchange of (id, vec) rows buys one
+    # file per centroid
+    assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(f"{root}/ivf/ingest_epoch=seed")
 
 
 def process_vector_batch(
@@ -117,9 +122,14 @@ def process_vector_batch(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    assigned = ivf_assign(fresh, cents, id_col, vec_col).localCheckpoint()
+    assigned = ivf_assign(fresh, cents, id_col, vec_col)
 
     if dedup_threshold is not None:
+        # two consumers below (the broadcast probe and the keep anti-join):
+        # materialize once; the no-dedup path has a single consumer and the
+        # kept checkpoint below already covers it (a second materialization
+        # here was one full extra job per epoch)
+        assigned = assigned.localCheckpoint()
         index = read_store(spark, f"{root}/ivf").filter(
             F.col("ingest_epoch") != own
         )
@@ -144,9 +154,10 @@ def process_vector_batch(
         kept = assigned
     kept = kept.localCheckpoint()
 
-    kept.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{root}/ivf/ingest_epoch=e{epoch_id}"
-    )
+    # same small-files guard as the seed write: cluster by centroid first
+    kept.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(f"{root}/ivf/ingest_epoch=e{epoch_id}")
     kept.select(id_col).write.mode("overwrite").parquet(
         f"{root}/accepted/ingest_epoch=e{epoch_id}"
     )
