@@ -2791,7 +2791,13 @@ def _drain_chat_gate_stream(
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "props"
     )
-    ev.coalesce(1).write.parquet(src)
+    # parallel write (r10, guide section 2.4): availableNow drains every
+    # file in ONE micro-batch regardless of file count, but a coalesce(1)
+    # source made the scan a single partition and serialized the whole map
+    # side of the session_window pipeline onto one core (measured 6.6 s ->
+    # 2.8 s drain at sf0.1; emitted set identical — the aggregate is
+    # order-independent and the watermark rule sees the same max ts)
+    ev.write.parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     if bounded_max_turns is not None:
         out = streaming_chat_threads_bounded(

@@ -249,7 +249,11 @@ def q_stream_compaction_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def start_stream():
         batch = next(arrivals)
-        batch.coalesce(1).write.parquet(f"{src}/f{len(os.listdir(src))}")
+        # parallel write (r10): one drain cycle = ALL new files in one
+        # availableNow batch, so multi-file epochs batch identically while
+        # the scan map side keeps cluster parallelism (a coalesce(1)
+        # source serialized every epoch's tokenize/probe onto one core)
+        batch.write.parquet(f"{src}/f{len(os.listdir(src))}")
         stream = (
             spark.readStream.schema("doc_id bigint, text string")
             .option("recursiveFileLookup", "true")
@@ -347,7 +351,8 @@ def q_stream_vector_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def start_stream():
         batch = next(arrivals)
-        batch.coalesce(1).write.parquet(f"{src}/f{len(os.listdir(src))}")
+        # parallel write (r10): see the ingest loop note above
+        batch.write.parquet(f"{src}/f{len(os.listdir(src))}")
         stream = (
             spark.readStream.schema("vec_id bigint, embedding array<float>")
             .option("recursiveFileLookup", "true")
@@ -443,7 +448,8 @@ def q_stream_search_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def start_stream():
         batch = next(arrivals)
-        batch.coalesce(1).write.parquet(f"{src}/f{len(os.listdir(src))}")
+        # parallel write (r10): see the ingest loop note above
+        batch.write.parquet(f"{src}/f{len(os.listdir(src))}")
         stream = (
             spark.readStream.schema("doc_id bigint, text string")
             .option("recursiveFileLookup", "true")
