@@ -224,6 +224,47 @@ def with_detected_lang(
     return out.drop("__rs_dl_toks", "__rs_dl_scores", "__rs_dl_max")
 
 
+def with_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    q_out: str = "quality",
+    stop_lang: str = "en",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Staged projection form of `quality_score` (bit-identical values) —
+    the quality half of `lang_quality_cols`: the expression form
+    re-tokenizes per reference (n, stopword_ratio, mean_word_len each
+    re-derive the token array through interpreted HOF lambdas); here the
+    token array is staged once and every component reads it."""
+    text = F.col(text_col)
+    toks = F.col("__rs_q_toks")
+    n = F.size(toks)
+    out = df.withColumn("__rs_q_toks", words_expr(text))
+    stops_en = F.array(*[F.lit(s) for s in STOPWORDS[stop_lang]])
+    en_hits = F.size(F.filter(toks, _contains_fn(stops_en)))
+    stop_ratio = F.when(n > 0, en_hits / n).otherwise(F.lit(0.0))
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wl = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+    len_score = F.least(n.cast("double"), F.lit(100.0)) / 100.0
+    stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
+    wl_score = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), 1.0 - F.abs(wl - 5.0) / 10.0)
+    )
+    raw = (
+        0.3 * len_score
+        + 0.3 * (1.0 - punct_ratio(text))
+        + 0.2 * stop_score
+        + 0.2 * wl_score
+    )
+    scale = float(10**round_digits)
+    out = out.withColumn(q_out, F.floor(raw * scale + F.lit(0.5)) / F.lit(scale))
+    return out.drop("__rs_q_toks")
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are neither alphanumeric nor whitespace."""
     stripped = F.regexp_replace(text, "[A-Za-z0-9\\s]", "")

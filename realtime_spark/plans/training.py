@@ -1988,8 +1988,12 @@ FROM m
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # staged projection (r10, guide section 4): the expression form of
+    # quality_score re-tokenizes per reference through interpreted HOFs
+    from realtime_spark.operators.text import with_quality_score
+
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return with_quality_score(d, "text", "quality").select("doc_id", "quality")
 
 
 def _oracle_quality() -> str:

@@ -101,10 +101,13 @@ def process_ingest_batch(
     )
     if gate is not None:
         batch_df = gate(batch_df)
-    # admission log boundary (and the measured plan-explosion cut: pushdown
-    # would otherwise re-inline gate expressions into every downstream
-    # predicate — see q_daily_ingest_keep)
-    batch_df = batch_df.localCheckpoint()
+        # admission log boundary (and the measured plan-explosion cut:
+        # pushdown would otherwise re-inline gate expressions into every
+        # downstream predicate — see q_daily_ingest_keep). Gate-free
+        # pipelines skip it (r10): with no staged gate expressions there is
+        # nothing for pushdown to explode, and the materialization was one
+        # full extra job per epoch
+        batch_df = batch_df.localCheckpoint()
 
     # exclude this epoch's OWN partitions from the store reads: a crash
     # between the three writes below leaves a partial `ingest_epoch=e{N}`
