@@ -212,7 +212,14 @@ def ivf_assign(
             }
         )
 
-    return corpus.withColumn("_best", _assign(F.col(vec_col))).select(
+    # asNondeterministic (r10, guide section 4.4): a downstream filter on
+    # centroid_id gets pushed below the Project and DUPLICATES the UDF —
+    # two ArrowEvalPython nodes scoring the full corpus against the
+    # centroid matrix twice (seen in the ann_ivf_pq_topk plan). The values
+    # are untouched (pure per-row function); the marking only forbids the
+    # optimizer from re-evaluating it around pushed predicates.
+    _assign_nd = _assign.asNondeterministic()
+    return corpus.withColumn("_best", _assign_nd(F.col(vec_col))).select(
         corpus["*"],
         F.col("_best")["cid"].alias("centroid_id"),
         F.col("_best")["cos"].alias("c_cos"),
@@ -825,8 +832,11 @@ def pq_encode(
             out.append(codes)
         return pd.Series(out)
 
+    # same §4.4 duplication guard as ivf_assign: a pushed filter on the
+    # codes column would otherwise evaluate the encoder twice per row
+    _encode_nd = _encode.asNondeterministic()
     return corpus.select(
-        F.col(id_col).alias("vec_id"), _encode(F.col(vec_col)).alias("codes")
+        F.col(id_col).alias("vec_id"), _encode_nd(F.col(vec_col)).alias("codes")
     )
 
 
