@@ -746,6 +746,7 @@ def lsh_candidates_against_index(
     num_hashes: int = 12,
     bands: int = 4,
     k: int = 3,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates of a new batch against the persisted corpus index:
     sign ONLY the batch, join its (band, key) rows against the index, and
@@ -757,8 +758,18 @@ def lsh_candidates_against_index(
     the batch are even hashed. Batch docs already present in the index are
     excluded by id inequality (re-ingest protection). Score survivors with
     jaccard_for_pairs, then cluster with duplicate_clusters.
+
+    ``banded``: the batch's precomputed ``minhash_bands`` rows, when the
+    caller also needs them for another consumer (the streaming ingest signs
+    once and reuses the rows for its index write) — must be the exact
+    (doc, band, key) output of ``minhash_bands(new_docs, ...)`` with the
+    same parameters.
     """
-    probe = minhash_bands(new_docs, id_col, text_col, num_hashes, bands, k)
+    probe = (
+        minhash_bands(new_docs, id_col, text_col, num_hashes, bands, k)
+        if banded is None
+        else banded
+    )
     hits = index.join(
         F.broadcast(probe.withColumnRenamed("doc", "new_doc")),
         ["band", "key"],

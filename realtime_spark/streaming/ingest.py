@@ -123,24 +123,48 @@ def process_ingest_batch(
     fresh = dedup_incremental(batch_df, digests, id_col, text_col)
     fresh = fresh.localCheckpoint()
 
+    # band the batch ONCE (r10, guide section 1.2): the banded rows feed the
+    # index probe below AND the survivors' index write — re-deriving them
+    # from text for the write doubled the heaviest per-epoch computation
+    # (shingle md5 + 12 min-aggregations) at every scale. The checkpointed
+    # rows are 4 per doc of (doc, band, key) — increment-sized, never corpus.
+    banded_fresh = minhash_bands(
+        fresh, id_col, text_col, num_hashes, bands, k
+    ).localCheckpoint()
     index = read_store(spark, f"{root}/lsh").filter(F.col("ingest_epoch") != own)
     near = (
         lsh_candidates_against_index(
-            fresh, index, id_col, text_col, num_hashes, bands, k
+            fresh, index, id_col, text_col, num_hashes, bands, k,
+            banded=banded_fresh,
         )
         .select(F.col("new_doc").alias(id_col))
         .distinct()
     )
-    kept = fresh.join(F.broadcast(near), id_col, "left_anti").localCheckpoint()
+    kept = fresh.join(F.broadcast(near), id_col, "left_anti")
 
-    # epoch-owned overwrites: replaying this epoch rewrites identical bytes
+    # epoch-owned overwrites: replaying this epoch rewrites identical bytes.
+    # The accepted write IS kept's one materialization (r10): the digest and
+    # index writes below fold from the just-written parquet — byte-identical
+    # input on replay — instead of a second localCheckpoint of the same rows
+    # (the search store's stats write uses the same read-back shape).
     kept.write.mode("overwrite").parquet(
         f"{root}/accepted/ingest_epoch=e{epoch_id}"
     )
-    kept.select(_digest(F.col(text_col)).alias("digest")).distinct().write.mode(
-        "overwrite"
-    ).parquet(f"{root}/digests/ingest_epoch=e{epoch_id}")
-    banded = minhash_bands(kept, id_col, text_col, num_hashes, bands, k)
+    # explicit schema: a fully-deduped batch writes an EMPTY directory,
+    # which schema inference cannot read
+    kept_back = spark.read.schema(kept.schema).parquet(
+        f"{root}/accepted/ingest_epoch=e{epoch_id}"
+    )
+    kept_back.select(
+        _digest(F.col(text_col)).alias("digest")
+    ).distinct().write.mode("overwrite").parquet(
+        f"{root}/digests/ingest_epoch=e{epoch_id}"
+    )
+    banded = banded_fresh.join(
+        F.broadcast(kept_back.select(F.col(id_col).alias("doc"))),
+        "doc",
+        "left_semi",
+    )
     banded.repartition("band").sortWithinPartitions("key").write.mode(
         "overwrite"
     ).partitionBy("band").parquet(f"{root}/lsh/ingest_epoch=e{epoch_id}")

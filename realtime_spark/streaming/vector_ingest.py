@@ -126,9 +126,8 @@ def process_vector_batch(
 
     if dedup_threshold is not None:
         # two consumers below (the broadcast probe and the keep anti-join):
-        # materialize once; the no-dedup path has a single consumer and the
-        # kept checkpoint below already covers it (a second materialization
-        # here was one full extra job per epoch)
+        # materialize once; the no-dedup path has a single consumer — the
+        # ivf epoch write — so it needs no materialization at all
         assigned = assigned.localCheckpoint()
         index = read_store(spark, f"{root}/ivf").filter(
             F.col("ingest_epoch") != own
@@ -152,13 +151,20 @@ def process_vector_batch(
         kept = assigned.join(F.broadcast(dup_ids), id_col, "left_anti")
     else:
         kept = assigned
-    kept = kept.localCheckpoint()
 
-    # same small-files guard as the seed write: cluster by centroid first
+    # same small-files guard as the seed write: cluster by centroid first.
+    # The ivf write IS kept's one materialization (r10): the accepted-id
+    # write folds from the just-written epoch directory — byte-identical
+    # input on replay — instead of a localCheckpoint that materialized the
+    # same rows a second time (one full extra job per epoch).
     kept.repartition("centroid_id").write.mode("overwrite").partitionBy(
         "centroid_id"
     ).parquet(f"{root}/ivf/ingest_epoch=e{epoch_id}")
-    kept.select(id_col).write.mode("overwrite").parquet(
+    # explicit schema: a fully-rejected batch (e.g. a re-delivery epoch)
+    # writes an EMPTY directory, which schema inference cannot read
+    spark.read.schema(kept.schema).parquet(
+        f"{root}/ivf/ingest_epoch=e{epoch_id}"
+    ).select(id_col).write.mode("overwrite").parquet(
         f"{root}/accepted/ingest_epoch=e{epoch_id}"
     )
 
