@@ -28,9 +28,12 @@ from pyspark.sql import functions as F
 from realtime_spark.operators.dedup import spread_by, tokens_expr
 
 
-def _gram_hashes(text: Column, k: int) -> Column:
-    """60-bit md5 hash per word k-gram, in position order."""
-    toks = tokens_expr(text)
+def _gram_hashes_of(toks: Column, k: int) -> Column:
+    """60-bit md5 hash per word k-gram of an ALREADY-STAGED token array, in
+    position order. `toks` must be a bound column (or cheap expression): it
+    is referenced inside the transform lambda, and interpreted higher-order
+    lambdas re-evaluate embedded subtrees per ELEMENT — handing a raw
+    `tokens_expr(text)` tree here re-tokenizes the document once per gram."""
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
@@ -43,13 +46,11 @@ def _gram_hashes(text: Column, k: int) -> Column:
     return F.when(n >= k, grams).otherwise(F.array().cast("array<bigint>"))
 
 
-def winnow_expr(text: Column, k: int = 3, w: int = 4) -> Column:
-    """Distinct winnowed fingerprint hashes of `text` (array<bigint>).
-    Documents with at least k tokens but shorter than one full window
-    contribute their single overall minimum (one clamped window); documents
-    with FEWER than k tokens produce no k-grams and therefore no
-    fingerprints at all — they are invisible to winnow_pairs."""
-    grams = _gram_hashes(text, k)
+def _window_mins_of(grams: Column, w: int) -> Column:
+    """Distinct leftmost-min fingerprint per sliding w-window of an
+    ALREADY-STAGED gram-hash array (same per-element re-evaluation hazard
+    as `_gram_hashes_of`: an embedded gram tree would re-hash every gram —
+    and re-tokenize — once per WINDOW, O(n^2 * text) per document)."""
     n = F.size(grams)
     mins = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
@@ -60,13 +61,44 @@ def winnow_expr(text: Column, k: int = 3, w: int = 4) -> Column:
     )
 
 
+def winnow_expr(text: Column, k: int = 3, w: int = 4) -> Column:
+    """Distinct winnowed fingerprint hashes of `text` (array<bigint>).
+    Documents with at least k tokens but shorter than one full window
+    contribute their single overall minimum (one clamped window); documents
+    with FEWER than k tokens produce no k-grams and therefore no
+    fingerprints at all — they are invisible to winnow_pairs.
+
+    PERF: this single-expression form nests the token array inside the gram
+    lambda and the gram array inside the window lambda, so interpreted HOF
+    evaluation re-tokenizes per gram and re-hashes per window (no CSE inside
+    lambdas — measured 27-90 s per fresh compute at sf0.1 vs 4.7 s staged,
+    with a single long-document straggler task owning the tail). Use
+    `winnow_fingerprints`, which stages each step as a real projection
+    column, anywhere the input is a DataFrame; this form exists for
+    expression-position callers and tests only."""
+    return _window_mins_of(_gram_hashes_of(tokens_expr(text), k), w)
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
 ) -> DataFrame:
-    """(doc, fp): distinct winnowed fingerprints per document."""
-    return spread_by(df, id_col).select(
+    """(doc, fp): distinct winnowed fingerprints per document.
+
+    Staged-projection form (bit-identical to exploding `winnow_expr`): the
+    token array and the gram-hash array are real projection steps, so each
+    is computed once per row — CollapseProject keeps multiply-referenced
+    non-cheap aliases staged (the same guarantee `with_detected_lang`
+    leans on). The embedded-expression form re-evaluated `tokens_expr`
+    per gram and the whole gram array per window; at sf0.1 that was a
+    27-90 s fresh compute with one straggler task, vs 4.7 s staged."""
+    staged = (
+        spread_by(df, id_col)
+        .withColumn("__rs_wn_toks", tokens_expr(F.col(text_col)))
+        .withColumn("__rs_wn_grams", _gram_hashes_of(F.col("__rs_wn_toks"), k))
+    )
+    return staged.select(
         F.col(id_col).alias("doc"),
-        F.explode(winnow_expr(F.col(text_col), k, w)).alias("fp"),
+        F.explode(_window_mins_of(F.col("__rs_wn_grams"), w)).alias("fp"),
     )
 
 

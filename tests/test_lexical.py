@@ -31,3 +31,33 @@ def test_compression_ratio_contract(spark, sf_dir):
         F.col("ratio") != F.col("r2")
     )
     assert diff.count() == 0
+
+
+def test_winnow_staged_matches_expression_form(spark, sf_dir):
+    """winnow_fingerprints' staged projections (r10: tokens and gram hashes
+    computed once per row) must be set-identical to exploding the
+    single-expression winnow_expr — the form the DuckDB oracle mirrors.
+    Covers the short-doc edges too: < k tokens (no fingerprints) and
+    >= k but < one full window (single clamped-window minimum)."""
+    from pyspark.sql import functions as F
+
+    from realtime_spark.operators.winnow import winnow_expr, winnow_fingerprints
+    from realtime_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [(9000001, "one two"), (9000002, "a b c"), (9000003, "a b c d e")],
+        "doc_id bigint, text string",
+    )
+    src = d.limit(200).unionByName(edges)
+
+    staged = winnow_fingerprints(src, "doc_id", "text", 3, 4)
+    expr_form = src.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(winnow_expr(F.col("text"), 3, 4)).alias("fp"),
+    )
+    assert staged.exceptAll(expr_form).count() == 0
+    assert expr_form.exceptAll(staged).count() == 0
+    # the < k-token doc must be invisible; the clamped-window doc visible
+    docs = {r["doc"] for r in staged.filter("doc >= 9000000").collect()}
+    assert 9000001 not in docs and 9000002 in docs and 9000003 in docs
