@@ -157,12 +157,19 @@ def _bench_queries():
 _BASELINE_KEYS_SKIP = {"metric", "value", "n", "rc", "cpus", "sf", "rows"}
 
 
-def _baseline_path(sf) -> str:
+def _baseline_path(sf, cpus: int = 32) -> str:
+    """Floor file for (sf, cpus) — r10 verdict ask #6: floors are only
+    comparable at the core count they were measured at (the driver's 8-core
+    scaling run adopted pack_layout's 1.099 s 8-core wall over the 0.247 s
+    32-core floor). The canonical 32-core file keeps its legacy name so the
+    accumulated floor history stays live; any other core count gets its own
+    file and can never displace the 32-core floors."""
     here = os.path.dirname(os.path.abspath(__file__))
-    return os.path.join(here, f"BENCH_BASELINE_sf{sf}.json")
+    suffix = "" if int(cpus) == 32 else f"_c{cpus}"
+    return os.path.join(here, f"BENCH_BASELINE_sf{sf}{suffix}.json")
 
 
-def _timings_from_driver_artifact(path: str, sf) -> dict:
+def _timings_from_driver_artifact(path: str, sf, cpus: int = 32) -> dict:
     """Recover per-query walls from a driver BENCH_r{N}.json. The driver
     stores only a 2000-char stdout TAIL, which truncates the queries dict
     from the front — but the recoverable suffix is exactly the tail of the
@@ -185,6 +192,10 @@ def _timings_from_driver_artifact(path: str, sf) -> dict:
         return {}
     if str(d.get("sf")) != str(sf):
         return {}
+    # same (sf, cpus) keying as the floor file: a driver artifact recorded
+    # at a different core count is not a wall floor for this run
+    if d.get("cpus") is not None and int(d["cpus"]) != int(cpus):
+        return {}
     q = d.get("queries") or (d.get("parsed") or {}).get("queries")
     if isinstance(q, dict):
         return {k: v for k, v in q.items() if isinstance(v, (int, float))}
@@ -202,7 +213,7 @@ def _timings_from_driver_artifact(path: str, sf) -> dict:
     return out
 
 
-def _prior_round_timings(sf) -> tuple[dict, str | None]:
+def _prior_round_timings(sf, cpus: int = 32) -> tuple[dict, str | None]:
     """Baseline for the 3x outlier retry (r8 verdict ask #2): per-query
     walls from the most recent same-SF measurement. Two sources, merged —
     the latest driver-recorded BENCH_r{N}.json (partial: only its stored
@@ -221,12 +232,12 @@ def _prior_round_timings(sf) -> tuple[dict, str | None]:
         if m and int(m.group(1)) > best_n:
             best_n, best_path = int(m.group(1)), p
     if best_path is not None:
-        got = _timings_from_driver_artifact(best_path, sf)
+        got = _timings_from_driver_artifact(best_path, sf, cpus)
         if got:
             prior.update(got)
             src.append(os.path.basename(best_path))
     try:
-        with open(_baseline_path(sf)) as f:
+        with open(_baseline_path(sf, cpus)) as f:
             base = json.load(f)
         q = base.get("queries", {})
         got = {k: v for k, v in q.items() if isinstance(v, (int, float))}
@@ -236,7 +247,7 @@ def _prior_round_timings(sf) -> tuple[dict, str | None]:
             # that suppresses retries is what allowed the r8 outliers)
             for k, v in got.items():
                 prior[k] = min(v, prior[k]) if k in prior else v
-            src.append(os.path.basename(_baseline_path(sf)))
+            src.append(os.path.basename(_baseline_path(sf, cpus)))
     except (OSError, json.JSONDecodeError):
         pass
     return prior, "+".join(src) or None
@@ -749,7 +760,7 @@ def main() -> None:
 
     sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
-    prior, prior_src = _prior_round_timings(sf_val)
+    prior, prior_src = _prior_round_timings(sf_val, cpus)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -876,7 +887,7 @@ def main() -> None:
         merged = dict(timings)
         adopted: dict[str, dict] = {}
         try:
-            with open(_baseline_path(sf_val)) as f:
+            with open(_baseline_path(sf_val, cpus)) as f:
                 prev_base = json.load(f)
         except (OSError, json.JSONDecodeError):
             prev_base = {}
@@ -912,40 +923,49 @@ def main() -> None:
         payload = {"sf": sf_val, "queries": merged}
         if adopted:
             payload["adopted"] = adopted
-        with open(_baseline_path(sf_val), "w") as f:
+        payload["cpus"] = cpus
+        with open(_baseline_path(sf_val, cpus), "w") as f:
             json.dump(payload, f, sort_keys=True)
     except OSError:
         pass  # read-only checkout: the driver-tail source still works
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "rows": total_rows,
-                "streaming": streaming,
-                "errors": errors,
-                "wall_including_warmup": wall,
-                # constant-work host probes: compare across rounds to
-                # normalize for driver-box load before grading regressions
-                "calibration_first": calibration_first,
-                "calibration_streaming": calibration_streaming,
-                "calibration_last": calibration_last,
-                # single-shot probe IMMEDIATELY before each store-lifecycle
-                # query: those multi-job drain cycles are the most
-                # contention-sensitive queries here, and the three r8
-                # driver outliers sat between probes ~10 min apart
-                "probes_adjacent": probes_adjacent,
-                # 3x-vs-prior-round outlier retries (empty = no outliers):
-                # reproduced=true is a real regression, false was host load
-                "retries": retries,
-                "prior_round_source": prior_src,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "rows": total_rows,
+        "streaming": streaming,
+        "errors": errors,
+        "wall_including_warmup": wall,
+        # constant-work host probes: compare across rounds to
+        # normalize for driver-box load before grading regressions
+        "calibration_first": calibration_first,
+        "calibration_streaming": calibration_streaming,
+        "calibration_last": calibration_last,
+        # single-shot probe IMMEDIATELY before each store-lifecycle
+        # query: those multi-job drain cycles are the most
+        # contention-sensitive queries here, and the three r8
+        # driver outliers sat between probes ~10 min apart
+        "probes_adjacent": probes_adjacent,
+        # 3x-vs-prior-round outlier retries (empty = no outliers):
+        # reproduced=true is a real regression, false was host load
+        "retries": retries,
+        "prior_round_source": prior_src,
+        "cpus": cpus,
+    }
+    # sidecar copy of the FULL result (r10 verdict ask #7): the driver's
+    # artifact keeps only a 2000-char stdout tail, which truncated the r09
+    # one-line JSON past recovery and cost that round its entire
+    # round-over-round table — the sidecar file cannot be truncated
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LAST_RUN.json"), "w") as f:
+            json.dump(result, f)
+    except OSError:
+        pass  # read-only checkout: stdout still carries the line
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -143,13 +143,17 @@ def train_bpe(
     loop unchanged.
     """
     wf = word_freqs(df, text_col)
-    n_types = wf.count()
-    if n_types <= driver_max_types:
+    # one pass, not count()+collect() (r10 ADVICE): collect at most
+    # threshold+1 rows — fewer means we hold the complete type table and
+    # take the fast path; one more means large-vocabulary, fall through to
+    # the distributed loop with zero extra corpus passes paid up front
+    probe_rows = wf.limit(driver_max_types + 1).collect()
+    if len(probe_rows) <= driver_max_types:
         from collections import Counter
 
         state = [
             (list(r["word"]) + [END_MARK], int(r["freq"]))
-            for r in wf.collect()
+            for r in probe_rows
         ]
         merges: list[tuple[int, str, str, int]] = []
         for rank in range(1, num_merges + 1):

@@ -147,6 +147,13 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (IVF build).
 
+    The scoring UDF is marked non-deterministic (see the inline note at
+    the asNondeterministic call), which also blocks pushdown of UNRELATED
+    selective predicates below the projection — apply any non-centroid
+    filters to `corpus` BEFORE calling ivf_assign, or filtered-out rows
+    pay centroid scoring they used to skip (r10 ADVICE; every current
+    caller already pre-filters, audited in OPTIMIZATION_r11.md).
+
     The centroid set (tiny by contract: k x dim) is collected and baked
     into an Arrow-batched pandas UDF that scores a whole vector batch
     against the centroid matrix at once — a single corpus scan with ZERO
@@ -811,7 +818,11 @@ def pq_encode(
     subspace j's entries (ties -> smallest centroid id, which is the scan
     order of the sorted codebook). One Arrow-batched scan, ZERO shuffle; the
     output (vec_id, codes array<int>) is the compact index — m*4 bytes per
-    vector instead of d*4, the entire point of PQ at 100 TB."""
+    vector instead of d*4, the entire point of PQ at 100 TB.
+
+    The encoder UDF is non-deterministic-marked like ivf_assign's scorer:
+    pre-filter `corpus` before calling, since unrelated predicates no
+    longer push below the encode projection (r10 ADVICE)."""
     m = len(codebook)
     dsub = codebook[0][0][1].shape[0]
     cids = [np.array([cid for cid, _ in sub]) for sub in codebook]

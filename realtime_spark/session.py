@@ -7,7 +7,9 @@ UTC session timezone so results hash-match the duckdb oracle).
 
 from __future__ import annotations
 
+import math
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -35,6 +37,60 @@ def get_spark(app_name: str = "realtime_spark", cpus: int | None = None) -> Spar
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def scaled_shuffle_partitions(
+    spark: SparkSession,
+    n_bytes: int | None,
+    target_bytes: int = 32 * 1024 * 1024,
+) -> int:
+    """Size-derived shuffle/state partition count for an increment-sized
+    unit of work (a streaming micro-batch, a store epoch): one partition
+    per `target_bytes` of input, clamped to [1, defaultParallelism].
+
+    Scale-neutral by construction (r10 verdict ask #2): a KB-scale
+    micro-batch gets 1-2 partitions instead of paying one state-store
+    commit / shuffle file / scheduled task per core for no parallelism
+    (the 8-core driver run beat 32-core on every streaming drain), while a
+    cluster-scale batch crosses the clamp and keeps every core. The target
+    is on-disk/source bytes; the in-memory expansion factor is absorbed in
+    the target's headroom (32 MiB of parquet ~ 100-150 MB of rows, the
+    guide section 2.2 partition sizing band)."""
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - no active context
+        par = os.cpu_count() or 4
+    if not n_bytes or n_bytes <= 0:
+        return par
+    return max(1, min(par, math.ceil(n_bytes / target_bytes)))
+
+
+def plan_input_size_bytes(df) -> int:
+    """Catalyst's size estimate for a DataFrame (file-source relations
+    report their file bytes). Returns -1 when unavailable — callers treat
+    that as 'unknown, keep full parallelism'."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return -1
+    # Catalyst reports Long.MaxValue-ish sentinels when it has no estimate
+    return size if 0 <= size < (1 << 62) else -1
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Set spark.sql.shuffle.partitions for one unit of work and restore it.
+    The conf is session-global: a concurrently running query in another
+    driver thread would see the scoped value — partition count never
+    changes RESULTS, only file/task counts, so the race is benign, but the
+    window is kept as small as the work it scopes."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def tune_session(spark: SparkSession) -> SparkSession:

@@ -301,26 +301,64 @@ def _maybe_compact(spark, store, fold) -> dict | None:
     return compact_store(spark, store, fold)
 
 
+def _store_bytes(root: str, subs: Sequence[str]) -> int:
+    total = 0
+    for sub in subs:
+        for dirpath, _, files in os.walk(os.path.join(root, sub)):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+    return total
+
+
+def _compact_trio(spark, root: str, items) -> dict:
+    """Run one pipeline's substore compactions CONCURRENTLY (r11, guide
+    section 2.6): each fold is an independent stage-then-swap on its own
+    directory, and at increment scale each is a tiny job that leaves the
+    cluster idle — overlapping them back-fills the tails. Shuffles inside
+    the folds are sized to the visible store bytes (scale-neutral: a
+    corpus-sized store crosses the clamp and keeps every core)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from realtime_spark.session import (
+        scaled_shuffle_partitions,
+        scoped_shuffle_partitions,
+    )
+
+    n = scaled_shuffle_partitions(
+        spark, _store_bytes(root, [sub for _, sub, _ in items])
+    )
+    with scoped_shuffle_partitions(spark, n):
+        with ThreadPoolExecutor(max_workers=len(items)) as pool:
+            futs = [
+                (name, pool.submit(_maybe_compact, spark, f"{root}/{sub}", fold))
+                for name, sub, fold in items
+            ]
+            return {name: f.result() for name, f in futs}
+
+
 def compact_ingest_state(spark: SparkSession, root: str) -> dict:
     """Compact the corpus-ingest trio of stores (streaming/ingest.py):
     digests and accepted fold by plain union (rows are disjoint across
     epochs by construction — each epoch anti-joined against all priors),
     the LSH index refolds band-partitioned and key-sorted."""
-    return {
-        "digests": _maybe_compact(spark, f"{root}/digests", _fold_plain),
-        "lsh": _maybe_compact(spark, f"{root}/lsh", _fold_lsh),
-        "accepted": _maybe_compact(spark, f"{root}/accepted", _fold_plain),
-    }
+    return _compact_trio(spark, root, [
+        ("digests", "digests", _fold_plain),
+        ("lsh", "lsh", _fold_lsh),
+        ("accepted", "accepted", _fold_plain),
+    ])
 
 
 def compact_vector_state(spark: SparkSession, root: str) -> dict:
     """Compact the vector-ingest stores (streaming/vector_ingest.py): the
     IVF index refolds centroid-partitioned (probe pruning unchanged);
     accepted ids fold plain. Centroids are not epochal — untouched."""
-    return {
-        "ivf": _maybe_compact(spark, f"{root}/ivf", _fold_ivf),
-        "accepted": _maybe_compact(spark, f"{root}/accepted", _fold_plain),
-    }
+    return _compact_trio(spark, root, [
+        ("ivf", "ivf", _fold_ivf),
+        ("accepted", "accepted", _fold_plain),
+    ])
 
 
 def compact_search_state(spark: SparkSession, root: str) -> dict:
@@ -328,11 +366,11 @@ def compact_search_state(spark: SparkSession, root: str) -> dict:
     postings refold bucket-partitioned and term-sorted, doc lengths fold
     plain, and the per-epoch stat partials SUM into one base partial —
     exact bigint arithmetic, so folded BM25 scores stay bit-identical."""
-    return {
-        "postings": _maybe_compact(spark, f"{root}/postings", _fold_postings),
-        "doclen": _maybe_compact(spark, f"{root}/doclen", _fold_plain),
-        "stats": _maybe_compact(spark, f"{root}/stats", _fold_stats),
-    }
+    return _compact_trio(spark, root, [
+        ("postings", "postings", _fold_postings),
+        ("doclen", "doclen", _fold_plain),
+        ("stats", "stats", _fold_stats),
+    ])
 
 
 # ---------------------------------------------------------------------------

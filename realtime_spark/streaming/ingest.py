@@ -57,6 +57,11 @@ from realtime_spark.operators.dedup import (
     minhash_bands,
     _digest,
 )
+from realtime_spark.session import (
+    plan_input_size_bytes,
+    scaled_shuffle_partitions,
+    scoped_shuffle_partitions,
+)
 from realtime_spark.streaming.compaction import assert_epoch_admissible, read_store
 
 
@@ -69,14 +74,32 @@ def seed_ingest_state(
     bands: int = 4,
     k: int = 3,
 ) -> None:
-    """Initialize the stores from the standing corpus (run once)."""
-    corpus.select(_digest(F.col(text_col)).alias("digest")).distinct().write.mode(
-        "overwrite"
-    ).parquet(f"{root}/digests/ingest_epoch=seed")
-    banded = minhash_bands(corpus, id_col, text_col, num_hashes, bands, k)
-    banded.repartition("band").sortWithinPartitions("key").write.mode(
-        "overwrite"
-    ).partitionBy("band").parquet(f"{root}/lsh/ingest_epoch=seed")
+    """Initialize the stores from the standing corpus (run once). The two
+    seed writes are independent — overlapped like the per-epoch pair; the
+    shuffles are sized to the corpus (full parallelism past the clamp)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = corpus.sparkSession
+
+    def _write_digests() -> None:
+        corpus.select(
+            _digest(F.col(text_col)).alias("digest")
+        ).distinct().write.mode("overwrite").parquet(
+            f"{root}/digests/ingest_epoch=seed"
+        )
+
+    def _write_lsh() -> None:
+        banded = minhash_bands(corpus, id_col, text_col, num_hashes, bands, k)
+        banded.repartition("band").sortWithinPartitions("key").write.mode(
+            "overwrite"
+        ).partitionBy("band").parquet(f"{root}/lsh/ingest_epoch=seed")
+
+    with scoped_shuffle_partitions(
+        spark, scaled_shuffle_partitions(spark, plan_input_size_bytes(corpus))
+    ):
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(_write_digests), pool.submit(_write_lsh)]:
+                f.result()
 
 
 def process_ingest_batch(
@@ -99,6 +122,34 @@ def process_ingest_batch(
     assert_epoch_admissible(
         epoch_id, f"{root}/digests", f"{root}/lsh", f"{root}/accepted"
     )
+    # size the epoch's shuffles to the BATCH, not the cluster (r11, guide
+    # section 2.6): every exchange below carries increment-sized data, and
+    # cpus-many 100-row tasks + shuffle files per job were the dominant
+    # fixed cost at bench SF (measured -26% per epoch at 4 vs 32
+    # partitions). Deterministic in batch content, so replays re-write
+    # identical file layouts; a cluster-scale batch crosses the clamp and
+    # keeps full parallelism.
+    with scoped_shuffle_partitions(
+        spark, scaled_shuffle_partitions(spark, plan_input_size_bytes(batch_df))
+    ):
+        _process_ingest_batch_inner(
+            batch_df, epoch_id, root, id_col, text_col, gate,
+            num_hashes, bands, k,
+        )
+
+
+def _process_ingest_batch_inner(
+    batch_df: DataFrame,
+    epoch_id: int,
+    root: str,
+    id_col: str,
+    text_col: str,
+    gate: Callable[[DataFrame], DataFrame] | None,
+    num_hashes: int,
+    bands: int,
+    k: int,
+) -> None:
+    spark = batch_df.sparkSession
     if gate is not None:
         batch_df = gate(batch_df)
         # admission log boundary (and the measured plan-explosion cut:
@@ -155,19 +206,35 @@ def process_ingest_batch(
     kept_back = spark.read.schema(kept.schema).parquet(
         f"{root}/accepted/ingest_epoch=e{epoch_id}"
     )
-    kept_back.select(
-        _digest(F.col(text_col)).alias("digest")
-    ).distinct().write.mode("overwrite").parquet(
-        f"{root}/digests/ingest_epoch=e{epoch_id}"
-    )
-    banded = banded_fresh.join(
-        F.broadcast(kept_back.select(F.col(id_col).alias("doc"))),
-        "doc",
-        "left_semi",
-    )
-    banded.repartition("band").sortWithinPartitions("key").write.mode(
-        "overwrite"
-    ).partitionBy("band").parquet(f"{root}/lsh/ingest_epoch=e{epoch_id}")
+
+    # the digest and index writes both fold from the just-written accepted
+    # files and are independent of each other: overlap them (r11, guide
+    # section 2.6 — each is a tiny multi-stage job that leaves the cluster
+    # mostly idle, so the second back-fills the first's tail). Crash
+    # states are unchanged: any subset of the three epoch dirs may exist
+    # mid-epoch, and the replay overwrites them all.
+    def _write_digests() -> None:
+        kept_back.select(
+            _digest(F.col(text_col)).alias("digest")
+        ).distinct().write.mode("overwrite").parquet(
+            f"{root}/digests/ingest_epoch=e{epoch_id}"
+        )
+
+    def _write_lsh() -> None:
+        banded = banded_fresh.join(
+            F.broadcast(kept_back.select(F.col(id_col).alias("doc"))),
+            "doc",
+            "left_semi",
+        )
+        banded.repartition("band").sortWithinPartitions("key").write.mode(
+            "overwrite"
+        ).partitionBy("band").parquet(f"{root}/lsh/ingest_epoch=e{epoch_id}")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_write_digests), pool.submit(_write_lsh)]:
+            f.result()  # re-raise either write's failure
 
 
 def run_ingest_stream(

@@ -53,25 +53,66 @@ from realtime_spark.operators.search import (
 def _write_epoch(
     df: DataFrame, root: str, tag: str, id_col: str, text_col: str
 ) -> None:
-    post = postings(df, id_col, text_col).withColumn(
-        "bucket", _term_bucket_col(F.col("term"))
+    spark = df.sparkSession
+
+    # the postings and doclen writes each tokenize the batch and are
+    # independent of each other: overlap them (r11, guide section 2.6 —
+    # two small multi-stage jobs back-fill each other's idle tails); the
+    # stats partial chains after doclen inside its thread. Crash states
+    # are unchanged — the torn-epoch window (module docstring) already
+    # admits any subset of the three dirs existing mid-epoch.
+    def _write_postings() -> None:
+        post = postings(df, id_col, text_col).withColumn(
+            "bucket", _term_bucket_col(F.col("term"))
+        )
+        post.repartition("bucket").sortWithinPartitions(
+            "bucket", "term"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{root}/postings/ingest_epoch={tag}"
+        )
+
+    def _write_doclen_and_stats() -> None:
+        lengths = doc_lengths(df, id_col, text_col)
+        lengths.write.mode("overwrite").parquet(
+            f"{root}/doclen/ingest_epoch={tag}"
+        )
+        # exact-integer stat partials: the query-time fold sums bigints, so
+        # the recombined avgdl is bit-identical to a batch avg over the
+        # union. Folded from the epoch's OWN just-written doclen files
+        # (r10, guide section 1.2): the lengths plan re-tokenizes the whole
+        # batch — a third scan of the text per epoch for a 1-row aggregate;
+        # reading back the (doc, dl) parquet it just wrote costs a
+        # doc-count-sized scan instead and is byte-identical input, so
+        # replays stay deterministic. Explicit schema (r10 ADVICE): a fully
+        # re-delivered batch leaves `df` empty after the anti-join, and the
+        # empty doclen dir it writes cannot be read by schema inference —
+        # the micro-batch would throw and every checkpoint replay re-throw.
+        spark.read.schema(lengths.schema).parquet(
+            f"{root}/doclen/ingest_epoch={tag}"
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        ).write.mode("overwrite").parquet(f"{root}/stats/ingest_epoch={tag}")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from realtime_spark.session import (
+        plan_input_size_bytes,
+        scaled_shuffle_partitions,
+        scoped_shuffle_partitions,
     )
-    post.repartition("bucket").sortWithinPartitions("bucket", "term").write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(f"{root}/postings/ingest_epoch={tag}")
-    lengths = doc_lengths(df, id_col, text_col)
-    lengths.write.mode("overwrite").parquet(f"{root}/doclen/ingest_epoch={tag}")
-    # exact-integer stat partials: the query-time fold sums bigints, so the
-    # recombined avgdl is bit-identical to a batch avg over the union.
-    # Folded from the epoch's OWN just-written doclen files (r10, guide
-    # section 1.2): the lengths plan re-tokenizes the whole batch — a third
-    # scan of the text per epoch for a 1-row aggregate; reading back the
-    # (doc, dl) parquet it just wrote costs a doc-count-sized scan instead
-    # and is byte-identical input, so replays stay deterministic.
-    df.sparkSession.read.parquet(f"{root}/doclen/ingest_epoch={tag}").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("sum_dl"),
-    ).write.mode("overwrite").parquet(f"{root}/stats/ingest_epoch={tag}")
+
+    # size the epoch's shuffles to the batch, not the cluster (r11, guide
+    # section 2.6) — see streaming/ingest.py for the measured rationale
+    with scoped_shuffle_partitions(
+        spark, scaled_shuffle_partitions(spark, plan_input_size_bytes(df))
+    ):
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [
+                pool.submit(_write_postings),
+                pool.submit(_write_doclen_and_stats),
+            ]:
+                f.result()  # re-raise either thread's failure
 
 
 def seed_search_state(

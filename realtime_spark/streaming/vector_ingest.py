@@ -48,6 +48,11 @@ from realtime_spark.operators.similarity import (
     ivf_assign,
     kmeans_refine,
 )
+from realtime_spark.session import (
+    plan_input_size_bytes,
+    scaled_shuffle_partitions,
+    scoped_shuffle_partitions,
+)
 from realtime_spark.streaming.compaction import assert_epoch_admissible, read_store
 
 
@@ -88,6 +93,27 @@ def process_vector_batch(
     # fresh-checkpoint rewind against a compacted store: fail loudly before
     # writing a partition the manifest would silently hide
     assert_epoch_admissible(epoch_id, f"{root}/ivf", f"{root}/accepted")
+    # size the epoch's shuffles (the within-batch dedup window, the
+    # centroid-clustering repartition) to the BATCH, not the cluster (r11,
+    # guide section 2.6) — see streaming/ingest.py for the measured
+    # rationale; a cluster-scale batch crosses the clamp unchanged
+    with scoped_shuffle_partitions(
+        spark, scaled_shuffle_partitions(spark, plan_input_size_bytes(batch_df))
+    ):
+        _process_vector_batch_inner(
+            batch_df, epoch_id, root, id_col, vec_col, dedup_threshold
+        )
+
+
+def _process_vector_batch_inner(
+    batch_df: DataFrame,
+    epoch_id: int,
+    root: str,
+    id_col: str,
+    vec_col: str,
+    dedup_threshold: float | None,
+) -> None:
+    spark = batch_df.sparkSession
     own = f"e{epoch_id}"
     # the PUBLISHED centroid set — the seed layout, or the version a
     # drift-triggered rebuild committed (named by the ivf manifest)

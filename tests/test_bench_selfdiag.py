@@ -57,7 +57,7 @@ def test_prior_merge_takes_per_key_floor(tmp_path, monkeypatch):
     base.write_text(json.dumps(
         {"sf": 0.1, "queries": {"stream_bm25_topk": 8.64, "only_self": 1.5}}
     ))
-    monkeypatch.setattr(bench, "_baseline_path", lambda sf: str(base))
+    monkeypatch.setattr(bench, "_baseline_path", lambda sf, cpus=32: str(base))
     prior, src = bench._prior_round_timings(0.1)
     if "BENCH_r08" in (src or ""):
         # driver tail says 186.475; the self baseline's 8.64 floor wins
@@ -82,10 +82,10 @@ def _run_main_headline_only(monkeypatch, tmp_path, capsys, queries, seed):
     base = tmp_path / "BENCH_BASELINE_sfx.json"
     if seed is not None:
         base.write_text(json.dumps({"sf": 0.001, "queries": seed}))
-    monkeypatch.setattr(bench, "_baseline_path", lambda sf: str(base))
+    monkeypatch.setattr(bench, "_baseline_path", lambda sf, cpus=32: str(base))
     # keep the driver artifact out of the merge so the seed IS the prior
     monkeypatch.setattr(
-        bench, "_timings_from_driver_artifact", lambda p, sf: {}
+        bench, "_timings_from_driver_artifact", lambda p, sf, cpus=32: {}
     )
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
@@ -161,8 +161,8 @@ def test_retry_failure_keeps_pre_retry_wall(spark, monkeypatch, tmp_path, capsys
     monkeypatch.setattr(bench, "_bench_queries", lambda: {"replay_topk": flaky})
     base = tmp_path / "BENCH_BASELINE_sfx.json"
     base.write_text(json.dumps({"sf": 0.001, "queries": {"replay_topk": 1e-4}}))
-    monkeypatch.setattr(bench, "_baseline_path", lambda sf: str(base))
-    monkeypatch.setattr(bench, "_timings_from_driver_artifact", lambda p, sf: {})
+    monkeypatch.setattr(bench, "_baseline_path", lambda sf, cpus=32: str(base))
+    monkeypatch.setattr(bench, "_timings_from_driver_artifact", lambda p, sf, cpus=32: {})
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
     monkeypatch.setenv("SPARK_GRAFT_STREAM_REPS", "0")
@@ -211,6 +211,51 @@ def test_adopted_floor_stays_visible_then_heals(spark, monkeypatch, tmp_path, ca
     b3 = json.loads(base.read_text())
     assert "adopted" not in b3
     assert b3["queries"]["replay_topk"] <= result3["queries"]["replay_topk"]
+
+
+def test_floor_file_keyed_by_cpus():
+    """r10 verdict ask #6: the driver's 8-core scaling run adopted an
+    8-core wall (pack_layout 1.099) over the 0.247 s 32-core floor. Floors
+    are keyed by (sf, cpus): 32 cores keeps the legacy filename (floor
+    history stays live), any other core count gets its own file."""
+    assert bench._baseline_path(0.1, 32).endswith("BENCH_BASELINE_sf0.1.json")
+    assert bench._baseline_path(0.1, 8).endswith("BENCH_BASELINE_sf0.1_c8.json")
+    assert bench._baseline_path(0.1).endswith("BENCH_BASELINE_sf0.1.json")
+
+
+def test_driver_artifact_rejects_other_cpus():
+    """A driver artifact recorded at a different core count is not a wall
+    floor for this run (same keying rule as the floor file). Artifacts
+    without a cpus field (pre-r10) stay admissible."""
+    import tempfile
+
+    tail = '{"metric": "x", "queries": {"replay_topk": 1.5}, "sf": 0.1}'
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump({"sf": 0.1, "cpus": 8, "tail": tail}, f)
+        path = f.name
+    try:
+        assert bench._timings_from_driver_artifact(path, 0.1, 32) == {}
+        assert bench._timings_from_driver_artifact(path, 0.1, 8) == {
+            "replay_topk": 1.5
+        }
+    finally:
+        os.unlink(path)
+
+
+def test_sidecar_result_written(spark, monkeypatch, tmp_path, capsys):
+    """r10 verdict ask #7: the full result JSON is also written to a
+    sidecar file so a 2000-char stdout-tail capture can never lose the
+    per-query walls again (the r09 artifact was truncated past recovery
+    and cost that round its entire round-over-round table)."""
+    result, _ = _run_main_headline_only(
+        monkeypatch, tmp_path, capsys, queries=["replay_topk"], seed=None
+    )
+    side = os.path.join(os.path.dirname(bench.__file__), "BENCH_LAST_RUN.json")
+    assert os.path.exists(side)
+    with open(side) as f:
+        sidecar = json.load(f)
+    assert sidecar["queries"] == result["queries"]
+    assert sidecar["cpus"] == 8  # _run_main_headline_only sets CPUS=8
 
 
 def test_tail_recovery_rejects_non_headline_names():
