@@ -2830,9 +2830,15 @@ def _drain_chat_gate_stream(
                 src_bytes += os.path.getsize(os.path.join(dirpath, f))
             except OSError:
                 pass
-    with scoped_shuffle_partitions(
-        spark, scaled_shuffle_partitions(spark, src_bytes)
-    ):
+    # floor at 2 (not 1): a second state partition lets one partition's
+    # state load/commit overlap the other's compute — measured warm
+    # drains 2.8-2.9 s at 2 partitions vs 3.0-3.8 s at 1 vs 7.1 s at 32,
+    # identical emitted set at every count
+    n_parts = max(
+        min(2, spark.sparkContext.defaultParallelism),
+        scaled_shuffle_partitions(spark, src_bytes),
+    )
+    with scoped_shuffle_partitions(spark, n_parts):
         q = (
             out.writeStream.format("memory")
             .queryName(name)

@@ -39,6 +39,55 @@ def _norm(v):
     return v
 
 
+def run_oracle_matrix(
+    spark,
+    sf_dir: str,
+    names,
+    queries: dict,
+    oracles: dict,
+    workers: int | None = None,
+) -> dict:
+    """Run the (spark query, duckdb oracle) comparisons for `names`
+    CONCURRENTLY over one shared SparkSession and return
+    {name: None | Exception} — None means the comparison passed.
+
+    This is the optimization guide's section 2.6 ("overlap independent
+    jobs") applied to the test harness itself: each comparison is one
+    small Spark job plus a single-threaded DuckDB replay plus a driver-side
+    pandas diff, so serial per-test execution left the box ~80% idle; a
+    small thread pool overlaps one query's DuckDB/pandas tail with the next
+    query's Spark stages. Results are unaffected: queries share the session
+    but own disjoint scratch roots / view names, partition-count races from
+    scoped confs change file counts only, and each worker uses its own
+    DuckDB connection. SPARK_GRAFT_ORACLE_WORKERS=1 restores serial
+    execution for debugging."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    if workers is None:
+        workers = int(os.environ.get("SPARK_GRAFT_ORACLE_WORKERS", "6"))
+
+    def one(name: str):
+        con = duckdb_con(sf_dir)
+        try:
+            df = queries[name](spark, sf_dir)
+            if name not in oracles:
+                assert df.count() >= 0  # rows-only check
+            else:
+                compare(df, con, oracles[name], name)
+            return None
+        except Exception as e:
+            return e
+        finally:
+            con.close()
+
+    if workers <= 1:
+        return {n: one(n) for n in names}
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = [(n, pool.submit(one, n)) for n in names]
+        return {n: f.result() for n, f in futs}
+
+
 def compare(spark_df, con, sql: str, name: str = "?") -> None:
     sdf = spark_df.toPandas()
     odf = con.execute(sql).df()

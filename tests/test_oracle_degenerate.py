@@ -19,7 +19,7 @@ import pytest
 
 import __spark_entry__ as entry_mod
 from tests.degenerate_corpus import build_degenerate_dir
-from tests.oracle_utils import compare, duckdb_con
+from tests.oracle_utils import run_oracle_matrix
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
@@ -39,16 +39,14 @@ def degen_dir():
 
 
 @pytest.fixture(scope="module")
-def con(degen_dir):
-    c = duckdb_con(degen_dir)
-    yield c
-    c.close()
+def degen_results(spark, degen_dir):
+    # r11: the whole replay runs through the overlapped matrix runner
+    # (oracle_utils.run_oracle_matrix); per-query granularity preserved
+    return run_oracle_matrix(spark, degen_dir, sorted(QUERIES), QUERIES, ORACLES)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle_on_degenerate(spark, con, degen_dir, name):
-    df = QUERIES[name](spark, degen_dir)
-    if name not in ORACLES:
-        assert df.count() >= 0  # rows-only: must at least survive the data
-        return
-    compare(df, con, ORACLES[name], name)
+def test_query_matches_oracle_on_degenerate(degen_results, name):
+    err = degen_results[name]
+    if err is not None:
+        raise err

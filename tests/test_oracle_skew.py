@@ -26,7 +26,7 @@ import os
 import pytest
 
 import __spark_entry__ as entry_mod
-from tests.oracle_utils import compare, duckdb_con
+from tests.oracle_utils import run_oracle_matrix
 from tests.skew_corpus import build_skew_dir
 
 QUERIES = entry_mod.queries()
@@ -81,18 +81,11 @@ def skew_dir():
 
 
 @pytest.fixture(scope="module")
-def con(skew_dir):
-    c = duckdb_con(skew_dir)
-    yield c
-    c.close()
-
-
-def _check(spark, con, skew_dir, name):
-    df = QUERIES[name](spark, skew_dir)
-    if name not in ORACLES:
-        assert df.count() >= 0  # rows-only: must at least survive the skew
-        return
-    compare(df, con, ORACLES[name], name)
+def skew_results(spark, skew_dir):
+    # r11: the replay (full or curated subset) runs through the overlapped
+    # matrix runner (oracle_utils.run_oracle_matrix); granularity preserved
+    names = sorted(QUERIES) if _FULL else [q for q in CURATED if q in QUERIES]
+    return run_oracle_matrix(spark, skew_dir, names, QUERIES, ORACLES)
 
 
 @pytest.mark.skipif(
@@ -101,16 +94,20 @@ def _check(spark, con, skew_dir, name):
     "(the default suite runs the curated subset below)",
 )
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle_on_skew(spark, con, skew_dir, name):
-    _check(spark, con, skew_dir, name)
+def test_query_matches_oracle_on_skew(skew_results, name):
+    err = skew_results[name]
+    if err is not None:
+        raise err
 
 
 @pytest.mark.skipif(
     _FULL, reason="full skew replay active; the subset would be redundant"
 )
 @pytest.mark.parametrize("name", [q for q in CURATED if q in QUERIES])
-def test_query_matches_oracle_on_skew_curated(spark, con, skew_dir, name):
-    _check(spark, con, skew_dir, name)
+def test_query_matches_oracle_on_skew_curated(skew_results, name):
+    err = skew_results[name]
+    if err is not None:
+        raise err
 
 
 def test_curated_names_still_registered():

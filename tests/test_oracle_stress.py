@@ -24,7 +24,7 @@ from datetime import date
 import pytest
 
 import __spark_entry__ as entry_mod
-from tests.oracle_utils import compare, duckdb_con
+from tests.oracle_utils import run_oracle_matrix
 from tests.stress_corpus import build_stress_dir
 
 QUERIES = entry_mod.queries()
@@ -47,18 +47,11 @@ def stress_dir():
 
 
 @pytest.fixture(scope="module")
-def con(stress_dir):
-    c = duckdb_con(stress_dir)
-    yield c
-    c.close()
-
-
-def _check(spark, con, stress_dir, name):
-    df = QUERIES[name](spark, stress_dir)
-    if name not in ORACLES:
-        assert df.count() >= 0  # rows-only: must at least survive the data
-        return
-    compare(df, con, ORACLES[name], name)
+def stress_results(spark, stress_dir):
+    # r11: the replay (full or rotating sample) runs through the overlapped
+    # matrix runner (oracle_utils.run_oracle_matrix); granularity preserved
+    names = sorted(QUERIES) if _FULL else _rotation_sample()
+    return run_oracle_matrix(spark, stress_dir, names, QUERIES, ORACLES)
 
 
 @pytest.mark.skipif(
@@ -67,13 +60,17 @@ def _check(spark, con, stress_dir, name):
     "(the default suite runs the rotating sample below)",
 )
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle_on_stress(spark, con, stress_dir, name):
-    _check(spark, con, stress_dir, name)
+def test_query_matches_oracle_on_stress(stress_results, name):
+    err = stress_results[name]
+    if err is not None:
+        raise err
 
 
 @pytest.mark.skipif(
     _FULL, reason="full stress replay active; the sample would be redundant"
 )
 @pytest.mark.parametrize("name", _rotation_sample())
-def test_query_matches_oracle_on_stress_sample(spark, con, stress_dir, name):
-    _check(spark, con, stress_dir, name)
+def test_query_matches_oracle_on_stress_sample(stress_results, name):
+    err = stress_results[name]
+    if err is not None:
+        raise err
