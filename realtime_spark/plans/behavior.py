@@ -2833,10 +2833,20 @@ def _drain_chat_gate_stream(
     # floor at 2 (not 1): a second state partition lets one partition's
     # state load/commit overlap the other's compute — measured warm
     # drains 2.8-2.9 s at 2 partitions vs 3.0-3.8 s at 1 vs 7.1 s at 32,
-    # identical emitted set at every count
+    # identical emitted set at every count.
+    #
+    # The BOUNDED drain (applyInPandasWithState) sizes against a ~512x
+    # smaller byte target: its per-partition cost is the Python state
+    # function (~us/row), not the JVM aggregate (~ns/row), so the
+    # byte-per-partition budget that balances a JVM drain serializes the
+    # Python one — measured at sf0.1 (2 MB source): 8.1-14.3 s at the
+    # 2-partition floor vs 4.2-4.9 s at 8/16/32, identical 10,622 rows at
+    # every count. Still size-derived and clamped to defaultParallelism,
+    # so both variants keep every core once the batch is large enough.
+    target = 64 * 1024 if bounded_max_turns is not None else 32 * 1024 * 1024
     n_parts = max(
         min(2, spark.sparkContext.defaultParallelism),
-        scaled_shuffle_partitions(spark, src_bytes),
+        scaled_shuffle_partitions(spark, src_bytes, target_bytes=target),
     )
     with scoped_shuffle_partitions(spark, n_parts):
         q = (
