@@ -102,6 +102,89 @@ def resolve_best(
     )
 
 
+def blocked_resolve_best(
+    left: DataFrame,
+    right: DataFrame,
+    blocking_keys: Sequence[tuple[Column, Column]],
+    comparisons: Sequence[tuple[Column, int, int]],
+    left_id: str,
+    right_id: str,
+    threshold: int,
+) -> DataFrame:
+    """blocked_candidates -> score_pairs -> resolve_best, WITHOUT
+    materializing or deduplicating the candidate-pair set.
+
+    The blocked pair set is quadratic in block size (the (nation, segment)
+    pass at sf1 is ~1.8e8 pairs), and the composed pipeline shuffles it
+    TWICE: once for dropDuplicates, once for the resolve groupBy. Neither
+    exchange is needed:
+
+    - the best candidate per left id is a min_by, and duplicate rows
+      cannot change a min — so it folds over the union-ALL of the
+      blocking passes directly;
+    - n_candidates (the DISTINCT pair count per left id) is recovered by
+      counting each pair only in its FIRST producing pass: a pass-i row
+      carries flag ``not agree(key_0) and .. and not agree(key_{i-1})``,
+      a pure function of the pair, so the flags sum to exactly the
+      distinct-union count.
+
+    Each pass is one equi-join whose output flows straight into a
+    map-side-combined aggregation keyed by the left id — the only
+    exchange carries one partial row per (left id, partition), never the
+    pair set. Output schema and values are identical to the composed
+    pipeline (pinned by tests/test_behavior.py)."""
+    l = left.select([F.col(c).alias(f"l_{c}") for c in left.columns])
+    r = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
+    score = F.lit(0)
+    for pred, w_a, w_d in comparisons:
+        score = score + F.when(pred.isNull(), 0).otherwise(
+            F.when(pred, F.lit(w_a)).otherwise(F.lit(w_d))
+        )
+    score = score.cast("bigint")
+    parts = []
+    for i, (lk, rk) in enumerate(blocking_keys):
+        first = F.lit(True)
+        for j in range(i):
+            pk, qk = blocking_keys[j]
+            first = first & ~pk.eqNullSafe(qk)
+        parts.append(
+            l.join(r, lk.eqNullSafe(rk)).select(
+                F.col(left_id),
+                F.col(right_id),
+                score.alias("match_score"),
+                first.cast("bigint").alias("_first_pass"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    best = allp.groupBy(left_id).agg(
+        F.min_by(
+            F.struct(
+                F.col(right_id).alias("rid"),
+                F.col("match_score").alias("s"),
+            ),
+            F.struct(
+                (-F.col("match_score")).alias("ns"),
+                F.col(right_id).alias("r"),
+            ),
+        ).alias("b"),
+        # coalesce against a non-nullable literal: count() in resolve_best
+        # is non-nullable and the schema must stay bit-identical (a group
+        # always has rows, so the branch never fires)
+        F.coalesce(F.sum("_first_pass"), F.lit(0).cast("bigint")).alias(
+            "n_candidates"
+        ),
+    )
+    return best.select(
+        left_id,
+        F.col("b.rid").alias(right_id),
+        F.col("b.s").alias("match_score"),
+        "n_candidates",
+        (F.col("b.s") >= threshold).alias("matched"),
+    )
+
+
 MICRO = 1_000_000
 
 

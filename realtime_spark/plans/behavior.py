@@ -1524,16 +1524,19 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link the dirty customer copy back to the clean table: blocking on
     (exact name) OR (nationkey, mktsegment) — a record survives one dirty
     field as long as one pass agrees — then integer milli-ban agreement
-    scoring and best-candidate resolution."""
-    from realtime_spark.operators.linkage import (
-        blocked_candidates,
-        resolve_best,
-        score_pairs,
-    )
+    scoring and best-candidate resolution.
+
+    The blocked pair set is quadratic in block size (~1.8e8 pairs at sf1
+    for the 125-block (nation, segment) pass), so the resolution runs
+    dedup-free (operators/linkage.py::blocked_resolve_best): duplicates
+    cannot change the min_by and the distinct count folds from
+    first-producing-pass flags — the pair set never crosses an exchange,
+    r11 (the composed pipeline shuffled it twice; 31.8 s at sf1)."""
+    from realtime_spark.operators.linkage import blocked_resolve_best
 
     clean = load_table(spark, sf_dir, "customer")
     dirty = _dirty_customers(spark, sf_dir)
-    cands = blocked_candidates(
+    out = blocked_resolve_best(
         dirty,
         clean,
         [
@@ -1551,11 +1554,6 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ),
         ],
-        left_id="l_d_id",
-        right_id="r_c_custkey",
-    )
-    scored = score_pairs(
-        cands,
         [
             (F.col("l_d_name") == F.col("r_c_name"), *_FS_W["name"]),
             (
@@ -1571,8 +1569,10 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *_FS_W["balance"],
             ),
         ],
+        "l_d_id",
+        "r_c_custkey",
+        _FS_THRESHOLD,
     )
-    out = resolve_best(scored, "l_d_id", "r_c_custkey", _FS_THRESHOLD)
     return out.select(
         F.col("l_d_id").alias("d_id"),
         F.col("r_c_custkey").alias("matched_custkey"),

@@ -32,6 +32,53 @@ def test_lang_quality_cols_matches_column_exprs(spark, sf_dir):
     assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
 
 
+def test_blocked_resolve_best_matches_composed_pipeline(spark, sf_dir):
+    """The dedup-free resolution (one map-side-combined agg, no pair-set
+    exchange) must be bit-identical — values AND schema nullability — to
+    blocked_candidates -> score_pairs -> resolve_best, including pairs
+    produced by BOTH blocking passes (first-pass flags must not double
+    count) and NULL blocking keys (eqNullSafe passes)."""
+    from pyspark.sql import functions as F
+
+    from realtime_spark.operators.linkage import (
+        blocked_candidates,
+        blocked_resolve_best,
+        resolve_best,
+        score_pairs,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "ann", "x"), (2, "bob", None), (3, "cat", "y"), (4, None, "z")],
+        "id bigint, name string, grp string",
+    )
+    right = spark.createDataFrame(
+        [(10, "ann", "x"), (11, "ann", "q"), (12, "bob", None),
+         (13, "dog", "y"), (14, None, "z")],
+        "rid bigint, name string, grp string",
+    )
+    keys = lambda: [  # noqa: E731 - rebuilt per pipeline (Columns are trees)
+        (F.col("l_name"), F.col("r_name")),
+        (F.col("l_grp"), F.col("r_grp")),
+    ]
+    comps = lambda: [  # noqa: E731
+        (F.col("l_name") == F.col("r_name"), 700, -300),
+        (F.col("l_grp") == F.col("r_grp"), 400, -100),
+    ]
+    old = resolve_best(
+        score_pairs(
+            blocked_candidates(left, right, keys(), "l_id", "r_rid"), comps()
+        ),
+        "l_id", "r_rid", 500,
+    )
+    new = blocked_resolve_best(
+        left, right, keys(), comps(), "l_id", "r_rid", 500
+    )
+    assert old.schema == new.schema
+    assert sorted(map(tuple, old.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
 def test_markov_stationary_mass_bounded(spark, sf_dir):
     """Power iteration with floor division only ever loses mass (never
     creates it), and every observed state stays in the frame."""
